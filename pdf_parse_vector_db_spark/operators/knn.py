@@ -1,0 +1,128 @@
+"""Exact k-nearest-neighbor search and the reference's search post-pipeline.
+
+Reference read path (extract_and_search.py:94-131, SURVEY §3.2):
+  ANN search (filter court_level == target, L2, limit=100)
+  → dedup to best hit per file_id
+  → sort ascending by score, take top-5
+  → win statistics.
+
+Spark-first restatement:
+  - The 1-query × corpus search is NOT a join problem: broadcast the single
+    query vector, compute a distance column over the (pushed-down) filtered
+    scan, and let Catalyst plan `TakeOrderedAndProject` for the top-k —
+    per-partition partial top-k, no full sort, no shuffle of the corpus.
+  - The per-file dedup (A1) is one hash shuffle on file_id over at most
+    `fetch_k` rows — because it runs AFTER the top-k, not before, the
+    shuffle input is 100 rows, not 100 TB. This mirrors the reference's
+    over-fetch-then-refine shape (limit=100 → dedup → top 5) exactly.
+  - At 100 TB the scan dominates; partition pruning on the filter column
+    (plans/ingest.py partitions by court_level) turns it into a fraction
+    of the corpus, and the scale tier (operators/ann.py) prunes further.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.functions.vector import cosine_similarity, l2_distance
+from pdf_parse_vector_db_spark.schemas import (
+    DECISION_WON,
+    SEARCH_FETCH_K,
+    SEARCH_TOP_K,
+    VALID_DECISIONS,
+)
+
+
+def distance_col(metric: str, a: Column, b: Column) -> Column:
+    """Distance/score column; ascending order = better for both metrics."""
+    if metric == "l2":
+        return l2_distance(a, b)
+    if metric == "cosine":
+        # ascending "distance" = 1 - cosine similarity
+        return F.lit(1.0) - cosine_similarity(a, b)
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def knn_exact(
+    corpus: DataFrame,
+    query_vec: Sequence[float] | Column,
+    k: int = SEARCH_TOP_K,
+    vec_col: str = "embedding",
+    metric: str = "l2",
+    score_name: str = "score",
+) -> DataFrame:
+    """Brute-force exact top-k against one query vector.
+
+    `query_vec` may be a Python sequence (becomes a literal array — the
+    broadcast-of-one analog of Milvus `data=[vec]`,
+    extract_and_search.py:105) or a Column referencing an attached query
+    column. Plans as scan → project(distance) → TakeOrderedAndProject:
+    embarrassingly parallel, no shuffle beyond the final k-row gather.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec]) if not isinstance(query_vec, Column) else query_vec
+    scored = corpus.withColumn(score_name, distance_col(metric, F.col(vec_col), q))
+    return scored.orderBy(F.col(score_name).asc()).limit(k)
+
+
+def dedup_best_per_group(
+    hits: DataFrame,
+    group_col: str = "file_id",
+    score_col: str = "score",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Keep the best (lowest-score) row per group — the reference's
+    first-hit-per-file dedup (extract_and_search.py:113-126; input arrives
+    sorted so first = best, comment "Use the best score" at :125).
+
+    Window row_number over (group, score asc): one shuffle on the group key;
+    map-side it is a partial sort of ≤fetch_k rows. Deterministic tiebreak
+    columns make results stable under engine-dependent row order.
+    """
+    order = [F.col(score_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def search_pipeline(
+    corpus: DataFrame,
+    query_vec: Sequence[float] | Column,
+    filter_cond: Column | None = None,
+    group_col: str = "file_id",
+    vec_col: str = "embedding",
+    fetch_k: int = SEARCH_FETCH_K,
+    top_k: int = SEARCH_TOP_K,
+    metric: str = "l2",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Full reference read path: filtered over-fetch (limit=100) → best per
+    group → ascending top-5 (extract_and_search.py:94-131)."""
+    base = corpus.filter(filter_cond) if filter_cond is not None else corpus
+    hits = knn_exact(base, query_vec, k=fetch_k, vec_col=vec_col, metric=metric)
+    best = dedup_best_per_group(hits, group_col=group_col, tiebreak_cols=tiebreak_cols)
+    order = [F.col("score").asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    return best.orderBy(*order).limit(top_k)
+
+
+def win_statistics(results: DataFrame, decision_col: str = "case_decision") -> DataFrame:
+    """Win-rate statistics over a result set (extract_and_search_v2.py:161-170):
+    conditional counts + divide-by-zero-guarded percentage, rounded to 2
+    (jsonify at :361-376). Single-row output; one partial+final hash agg."""
+    wins = F.count_if(F.col(decision_col) == DECISION_WON)
+    valid = F.count_if(F.col(decision_col).isin(*VALID_DECISIONS))
+    total = F.count(F.lit(1))
+    return results.agg(
+        wins.alias("win_count"),
+        valid.alias("total_valid_decisions"),
+        (total - valid).alias("invalid_decisions"),
+        F.round(
+            F.when(valid > 0, wins.cast("double") / valid.cast("double") * 100.0).otherwise(0.0), 2
+        ).alias("win_percentage"),
+        total.alias("result_count"),
+    )

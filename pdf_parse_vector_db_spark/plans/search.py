@@ -1,0 +1,213 @@
+"""The reference's read path on the driver's `embeddings` fixture (SURVEY §3.2).
+
+These queries restate `POST /api/v1/search-similar-cases`
+(extract_and_search_v2.py:124-170) over the fixture corpus:
+
+  fixture column     reference concept
+  ---------------    -----------------------------------------
+  embedding (64-d)   chunk embedding (1536-d, ada-002)
+  label              court_level (the pushed-down equality filter)
+  vec_id % 50        file_id (dedup group; fixtures have no file column)
+  vec_id % 3 → enum  case_decision (deterministic stand-in for the
+                     classifier output, same 3-label domain)
+
+The query vector is the corpus row with vec_id = 0 — the "first chunk
+embedding" semantics of extract_and_search.py:88-89 — attached via a
+broadcast single-row cross join (the Spark analog of Milvus `data=[vec]`).
+
+Plan shape at scale: pruned scan (label filter pushed to Parquet) →
+distance projection inside whole-stage codegen → TakeOrderedAndProject
+(fetch_k=100 partial top-k per partition, no global sort) → one 100-row
+shuffle for the per-file window dedup → 5-row result. The only data
+movement proportional to corpus size is the scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.functions.vector import l2_distance
+from pdf_parse_vector_db_spark.operators import knn
+from pdf_parse_vector_db_spark.plans.registry import QuerySpec
+from pdf_parse_vector_db_spark.schemas import (
+    DECISION_INVALID,
+    DECISION_LOST,
+    DECISION_WON,
+)
+from pdf_parse_vector_db_spark.sources.registry import load_table
+
+TARGET_LABEL = 1  # stand-in for court_level + 1 (extract_and_search.py:155-157)
+QUERY_VEC_ID = 0
+
+
+def _query_vector(spark: SparkSession, sf_dir: str):
+    """Single-row DataFrame holding the query embedding; broadcast so the
+    attach is a map-side join, never a shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    return F.broadcast(q)
+
+
+def _decision_expr():
+    """Deterministic case_decision stand-in over the 3-label closed domain
+    (extract_and_embed_v2.py:153-159)."""
+    m = F.col("vec_id") % 3
+    return (
+        F.when(m == 0, F.lit(DECISION_WON))
+        .when(m == 1, F.lit(DECISION_LOST))
+        .otherwise(F.lit(DECISION_INVALID))
+    )
+
+
+_DECISION_SQL = (
+    "CASE vec_id % 3 WHEN 0 THEN 'appellant_won' "
+    "WHEN 1 THEN 'appellant_lost' ELSE 'invalid' END"
+)
+
+_HITS_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+hits AS (
+  SELECT e.vec_id,
+         e.label,
+         CAST(e.vec_id % 50 AS BIGINT) AS file_grp,
+         {_DECISION_SQL} AS case_decision,
+         list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = {TARGET_LABEL}
+  ORDER BY dist, e.vec_id
+  LIMIT 100
+)
+"""
+
+
+def _scored_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered scan + distance + fetch_k=100 over-fetch
+    (extract_and_search.py:104-110)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return (
+        emb.filter(F.col("label") == TARGET_LABEL)
+        .crossJoin(q)
+        .withColumn("dist", l2_distance(F.col("embedding"), F.col("qvec")))
+        .withColumn("file_grp", (F.col("vec_id") % 50).cast("bigint"))
+        .withColumn("case_decision", _decision_expr())
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(100)
+    )
+
+
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain filtered exact kNN, top-5 — J1+P2+W1 without the dedup stage."""
+    return _scored_hits(spark, sf_dir).select(
+        "vec_id", "label", F.round(F.col("dist"), 4).alias("score")
+    ).orderBy("score", "vec_id").limit(5)
+
+
+KNN_TOPK_SQL = f"""
+{_HITS_SQL}
+SELECT vec_id, label, round(dist, 4) AS score
+FROM hits ORDER BY dist, vec_id LIMIT 5
+"""
+
+
+def search_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full read path — over-fetch 100 → best-per-file dedup →
+    top-5 ascending (extract_and_search.py:94-131 + SURVEY §3.2)."""
+    hits = _scored_hits(spark, sf_dir)
+    best = knn.dedup_best_per_group(
+        hits, group_col="file_grp", score_col="dist", tiebreak_cols=("vec_id",)
+    )
+    return (
+        best.orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", "file_grp", "case_decision", F.round(F.col("dist"), 4).alias("score"))
+    )
+
+
+SEARCH_SIMILAR_SQL = f"""
+{_HITS_SQL},
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY file_grp ORDER BY dist, vec_id) AS rn
+  FROM hits
+)
+SELECT vec_id, file_grp, case_decision, round(dist, 4) AS score
+FROM best WHERE rn = 1 ORDER BY dist, vec_id LIMIT 5
+"""
+
+
+def search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win statistics over the deduped top-5 (extract_and_search_v2.py:161-170
+    + response assembly :361-376): conditional counts, guarded ratio."""
+    hits = _scored_hits(spark, sf_dir)
+    best = knn.dedup_best_per_group(
+        hits, group_col="file_grp", score_col="dist", tiebreak_cols=("vec_id",)
+    )
+    top = best.orderBy(F.col("dist").asc(), F.col("vec_id").asc()).limit(5)
+    return knn.win_statistics(top)
+
+
+SEARCH_STATS_SQL = f"""
+{_HITS_SQL},
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY file_grp ORDER BY dist, vec_id) AS rn
+  FROM hits
+),
+top AS (
+  SELECT * FROM best WHERE rn = 1 ORDER BY dist, vec_id LIMIT 5
+)
+SELECT count(*) FILTER (WHERE case_decision = 'appellant_won') AS win_count,
+       count(*) FILTER (WHERE case_decision IN ('appellant_won','appellant_lost')) AS total_valid_decisions,
+       count(*) - count(*) FILTER (WHERE case_decision IN ('appellant_won','appellant_lost')) AS invalid_decisions,
+       round(CASE WHEN count(*) FILTER (WHERE case_decision IN ('appellant_won','appellant_lost')) > 0
+             THEN CAST(count(*) FILTER (WHERE case_decision = 'appellant_won') AS DOUBLE)
+                  / count(*) FILTER (WHERE case_decision IN ('appellant_won','appellant_lost')) * 100.0
+             ELSE 0.0 END, 2) AS win_percentage,
+       count(*) AS result_count
+FROM top
+"""
+
+
+def knn_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: top-3 nearest per label group — one window over the scored scan.
+    Shuffle keyed on label; at scale this is the grouped-ANN building block."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    scored = emb.crossJoin(q).withColumn(
+        "dist", l2_distance(F.col("embedding"), F.col("qvec"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("label", "vec_id", "rnk", F.round(F.col("dist"), 4).alias("score"))
+    )
+
+
+KNN_TOPK_PER_LABEL_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec) AS dist
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS rnk
+  FROM scored
+)
+SELECT label, vec_id, rnk, round(dist, 4) AS score
+FROM ranked WHERE rnk <= 3
+"""
+
+QUERIES = [
+    QuerySpec("knn_topk", knn_topk, KNN_TOPK_SQL, "J1/P2/W1 filtered exact kNN top-5"),
+    QuerySpec("search_similar", search_similar, SEARCH_SIMILAR_SQL, "flagship read path: overfetch→dedup→top5"),
+    QuerySpec("search_stats", search_stats, SEARCH_STATS_SQL, "A2-A5 win statistics"),
+    QuerySpec("knn_topk_per_label", knn_topk_per_label, KNN_TOPK_PER_LABEL_SQL, "X4 grouped top-k"),
+]

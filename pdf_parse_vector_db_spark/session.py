@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+The reference keeps one module-global Milvus client alive across requests
+(extract_and_search.py:133-138 lazily reconnects per request); our analog is
+one long-lived SparkSession with scale-appropriate defaults.
+
+Defaults are chosen for the 100 TB posture but parameterized so local test
+runs stay fast:
+  - AQE on (runtime shuffle coalescing, broadcast conversion, skew-join).
+  - Arrow on (every Python boundary in this engine is a pandas_udf /
+    applyInPandas — Arrow batching is the difference between 10x and 1000x
+    slower than JVM, see extract_and_embed.py:80-82's 1-call-per-chunk
+    anti-pattern we refuse to replicate).
+  - shuffle partitions sized to cores locally; on a real cluster this should
+    be ~2-3x total cores or left to AQE's coalescing from a high initial.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pdf_parse_vector_db_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,50 @@
+"""Parquet table registry (SURVEY §2.1 S3/S4/S5).
+
+The reference's storage layer is a single Milvus collection scanned with a
+pushed-down scalar filter + projection (extract_and_search.py:104-110). Ours
+is Parquet read through the DataFrame API so Catalyst pushes filters and
+prunes columns into the scan — `.explain` on any engine query should show
+PushedFilters/ReadSchema reaching the FileScan.
+
+At 100 TB the same code holds: the registry is a thin naming layer; swap the
+directory for a table catalog (or `saveAsTable` names) and partition-prune on
+the partition columns chosen in plans/ingest.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Driver fixture tables (TESTDATA.md / FIXTURES.md §A).
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Catalog-probe analog of `has_collection`
+    (extract_and_embed.py:38-41) is the file-existence check."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so plans can be written in
+    pure SQL as well as the DataFrame API (both compile to the same plans)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
