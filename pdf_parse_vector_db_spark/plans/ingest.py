@@ -1,0 +1,205 @@
+"""The reference's ingest path over the `documents` fixture (SURVEY §3.1).
+
+Restates `POST /api/v1/ingest-legal-document` (extract_and_search_v2.py:
+234-287, v2-embed variant :322-385) as one declarative plan:
+
+  documents(doc_id, text, …)
+    → doc-level classification (case_decision cascade, document type)
+    → greedy chunker (mapInPandas UDTF, shuffle-free)
+    → file identity (file_name synth + sha2 file_id, extract_and_embed.py:95)
+    → deterministic embedding (Arrow-batched pandas_udf)
+    → chunks table (≅ the Milvus `case_files` collection)
+
+Doc-level columns are computed BEFORE the chunker and carried through it —
+exactly the reference's denormalization of file/decision metadata onto every
+chunk row (extract_and_embed_v2.py:357-364) without recomputation per chunk.
+
+chunk_id is `doc_id * 1000 + chunk_idx` — deterministic and generated
+map-side with no global window/sequence, unlike `monotonically_increasing_id`
+(nondeterministic across retries) or a row_number over a global window
+(single-partition bottleneck). 1000 ≫ max chunks/doc at the 400-token budget
+under the 16 MB upload cap (extract_and_embed.py:20).
+
+At 100 TB: every stage is a map over document rows; the only shuffle in the
+whole ingest is the final `partitionBy("court_level")` write, which is what
+buys partition pruning on the search path's equality filter
+(extract_and_search.py:107). Oracle note: fixture documents are single-
+paragraph and under-budget (verified in tests), so the chunker's fixture
+output is exactly one trimmed chunk per doc — which is what the DuckDB
+oracle encodes; general chunker semantics (multi-paragraph, over-budget
+edges) are golden-tested in tests/test_chunker.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.functions.classifiers import (
+    case_decision_expr,
+    case_decision_sql,
+    document_type_expr,
+    document_type_sql,
+)
+from pdf_parse_vector_db_spark.operators.chunker import chunk_documents
+from pdf_parse_vector_db_spark.operators.embedder import hashing_embedder
+from pdf_parse_vector_db_spark.plans.registry import QuerySpec
+from pdf_parse_vector_db_spark.sources.registry import load_table
+
+# Deterministic marker phrases appended to fixture texts so classify queries
+# exercise every cascade branch INCLUDING rule-order conflicts (the fixture
+# word-salad alone never matches a legal phrase). Markers are data, shared
+# verbatim by the Spark plan and the oracle SQL.
+DECISION_MARKERS = [
+    "",  # falls through the whole cascade → invalid
+    "appeal dismissed",  # rule 4 → lost
+    "appeal allowed",  # rule 5 → won
+    "appeal dismissed but later appeal allowed",  # rule 4 fires before rule 5 → lost
+    "the appeal is allowed by way of remand",  # rule 1 → won
+    "judgment affirmed",  # rule 6 → lost
+    "relief granted",  # win-indicator catch-all → won
+    "petition is rejected",  # rule 9 → lost
+]
+
+DOCTYPE_MARKERS = [
+    "",  # → generic_legal_document
+    "before the cestat bench",  # → appellate_tribunal
+    "order-in-original no 42",  # → order_in_original
+    "writ petition before the high court",  # → high_court
+    "civil appeal no 7 supreme court",  # → supreme_court
+    "coram: high court",  # appellate rule fires before high_court rule
+]
+
+
+def _marker_expr(markers: list[str], key) -> F.Column:
+    m = key % len(markers)
+    expr = None
+    for i, phrase in enumerate(markers):
+        cond = m == i
+        expr = F.when(cond, F.lit(phrase)) if expr is None else expr.when(cond, F.lit(phrase))
+    return expr
+
+
+def _marker_sql(markers: list[str], key_sql: str) -> str:
+    branches = " ".join(
+        f"WHEN {i} THEN '{p.replace(chr(39), chr(39) * 2)}'" for i, p in enumerate(markers)
+    )
+    return f"CASE {key_sql} % {len(markers)} {branches} END"
+
+
+def classify_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 cascade over marker-augmented documents → (doc_id, case_decision).
+    Pure Catalyst CASE; whole-stage codegen end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    marked = F.concat_ws(" ", F.col("text"), _marker_expr(DECISION_MARKERS, F.col("doc_id")))
+    return docs.select(
+        "doc_id", case_decision_expr(marked).alias("case_decision")
+    )
+
+
+CLASSIFY_DECISION_SQL = f"""
+SELECT doc_id,
+       {case_decision_sql(f"concat_ws(' ', text, {_marker_sql(DECISION_MARKERS, 'doc_id')})")} AS case_decision
+FROM documents
+"""
+
+
+def classify_doctype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 cascade over marker-augmented documents → (doc_id, document_type)."""
+    docs = load_table(spark, sf_dir, "documents")
+    marked = F.concat_ws(" ", F.col("text"), _marker_expr(DOCTYPE_MARKERS, F.col("doc_id")))
+    return docs.select(
+        "doc_id", document_type_expr(marked).alias("document_type")
+    )
+
+
+CLASSIFY_DOCTYPE_SQL = f"""
+SELECT doc_id,
+       {document_type_sql(f"concat_ws(' ', text, {_marker_sql(DOCTYPE_MARKERS, 'doc_id')})")} AS document_type
+FROM documents
+"""
+
+
+def build_chunks(spark: SparkSession, sf_dir: str, with_embeddings: bool = True) -> DataFrame:
+    """Full ingest pipeline → chunks DataFrame in CHUNKS_SCHEMA column order
+    (FIXTURES.md §B). The engine's equivalent of process_pdf_to_milvus."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("court_level", (F.col("doc_id") % 5).cast("tinyint"))
+        .withColumn("case_decision", case_decision_expr(F.col("text")))
+    )
+    chunks = chunk_documents(docs, keep_cols=("court_level", "case_decision"))
+    chunks = (
+        chunks.withColumn(
+            "file_name", F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".pdf"))
+        )
+        .withColumn("file_id", F.sha2(F.col("file_name"), 256))
+        .withColumn("chunk_id", F.col("doc_id") * 1000 + F.col("chunk_idx"))
+    )
+    if with_embeddings:
+        chunks = chunks.withColumn("embedding", hashing_embedder()(F.col("chunk_text")))
+    cols = ["chunk_id", "doc_id", "chunk_idx", F.col("chunk_text").alias("text")]
+    if with_embeddings:
+        cols.append("embedding")
+    cols += ["file_name", "file_id", "court_level", "case_decision"]
+    return chunks.select(*cols)
+
+
+def write_chunks(chunks: DataFrame, path: str) -> None:
+    """S6 append sink, partitioned for search-path partition pruning.
+    flush() (S7) has no analog: Parquet job commits are atomic."""
+    chunks.write.mode("append").partitionBy("court_level").parquet(path)
+
+
+def ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk pipeline minus the (non-SQL-expressible) embedding column —
+    oracle-checked end to end against DuckDB."""
+    return build_chunks(spark, sf_dir, with_embeddings=False)
+
+
+INGEST_CHUNKS_SQL = f"""
+SELECT doc_id * 1000 + 0 AS chunk_id,
+       doc_id,
+       CAST(0 AS INTEGER) AS chunk_idx,
+       trim(text) AS text,
+       'doc_' || doc_id || '.pdf' AS file_name,
+       sha256('doc_' || doc_id || '.pdf') AS file_id,
+       CAST(doc_id % 5 AS TINYINT) AS court_level,
+       {case_decision_sql('text')} AS case_decision
+FROM documents
+WHERE trim(text) <> ''
+"""
+
+
+def ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-style ingest accounting: chunk/doc counts and mean chunk tokens per
+    court level. Partial+final hash agg over the pipeline output."""
+    chunks = build_chunks(spark, sf_dir, with_embeddings=False)
+    return (
+        chunks.groupBy("court_level")
+        .agg(
+            F.count(F.lit(1)).alias("chunks_inserted"),
+            F.countDistinct("doc_id").alias("docs"),
+            F.round(F.avg(F.size(F.split(F.col("text"), r"\s+"))), 4).alias("avg_tokens"),
+        )
+        .orderBy("court_level")
+    )
+
+
+INGEST_STATS_SQL = f"""
+WITH chunks AS ({INGEST_CHUNKS_SQL})
+SELECT court_level,
+       count(*) AS chunks_inserted,
+       count(DISTINCT doc_id) AS docs,
+       round(avg(len(string_split_regex(text, '\\s+'))), 4) AS avg_tokens
+FROM chunks
+GROUP BY court_level
+ORDER BY court_level
+"""
+
+QUERIES = [
+    QuerySpec("classify_decision", classify_decision, CLASSIFY_DECISION_SQL, "F4 cascade, all branches"),
+    QuerySpec("classify_doctype", classify_doctype, CLASSIFY_DOCTYPE_SQL, "F5 cascade, all branches"),
+    QuerySpec("ingest_chunks", ingest_chunks, INGEST_CHUNKS_SQL, "T1+F8+F4 ingest pipeline"),
+    QuerySpec("ingest_stats", ingest_stats, INGEST_STATS_SQL, "A6 ingest accounting"),
+]
