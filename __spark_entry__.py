@@ -21,9 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pdf_parse_vector_db_spark.plans import ingest as _ingest
 from pdf_parse_vector_db_spark.plans import registry as _registry
+from pdf_parse_vector_db_spark.plans import relational as _relational
 from pdf_parse_vector_db_spark.plans import search as _search
 
-_MODULES = [_search, _ingest]
+_MODULES = [_search, _ingest, _relational]
 
 _SPECS = _registry.collect(*_MODULES)
 

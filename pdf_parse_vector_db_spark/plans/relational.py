@@ -1,0 +1,582 @@
+"""Relational breadth suite (SURVEY §2.10 X7) over the TPC-H-ish fixtures.
+
+The reference performs no relational joins/aggregations beyond its search
+path (SURVEY §2.3 J2, §2.4 A8 — all *absent*); this module proves the
+engine's general query surface with stock DataFrame plans, every one
+oracle-checked against DuckDB. Per-operator scale notes inline; common
+discipline:
+
+  * small dims (region, nation, supplier) are explicitly `broadcast()` —
+    at 100 TB the fact-side scan never shuffles for those joins;
+  * fact-fact joins (orders⋈lineitem) shuffle on the join key once and AQE
+    handles skew/coalescing;
+  * aggregates are partial+final hash aggs (map-side combine before the
+    shuffle) by construction of groupBy().agg();
+  * predicates are simple column comparisons → pushed into the Parquet
+    scan (verify with .explain: PushedFilters), columns pruned (ReadSchema);
+  * every surfaced float is rounded identically in plan and oracle, and
+    every LIMIT is preceded by a total order with a unique tiebreak so both
+    engines select the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.plans.registry import QuerySpec
+from pdf_parse_vector_db_spark.sources.registry import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: scan-heavy filter + wide hash agg (map-side
+# combine shrinks 600k rows to 6 groups before any shuffle).
+# --------------------------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q6-style forecast revenue: pure pushed-down range filters + single agg —
+# the canonical "does the filter reach the scan" query.
+# --------------------------------------------------------------------------
+
+
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+REVENUE_FORECAST_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 25
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3-style shipping priority: 3-way join, one fact-fact shuffle join +
+# grouped revenue + deterministic top-10.
+# --------------------------------------------------------------------------
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q5-style regional revenue: 6-way star join; nation/region/supplier are
+# broadcast (no fact shuffle for them), customer⋈orders⋈lineitem shuffles
+# on their keys.
+# --------------------------------------------------------------------------
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+REGIONAL_REVENUE_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Ranking window: top-3 orders per customer (W6-class operator).
+# --------------------------------------------------------------------------
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", "o_totalprice")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, rnk, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Analytic window: order-over-order delta per customer (lag).
+# --------------------------------------------------------------------------
+
+
+def order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(prev, 2).alias("prev_totalprice"),
+        F.round(F.col("o_totalprice") - prev, 2).alias("delta"),
+    )
+
+
+ORDER_DELTAS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       round(lag(o_totalprice) OVER w, 2) AS prev_totalprice,
+       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# ntile decile split of customers by balance.
+# --------------------------------------------------------------------------
+
+
+def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+        .orderBy("decile")
+    )
+
+
+CUSTOMER_DECILES_SQL = """
+SELECT decile,
+       count(*) AS customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal,
+       round(min(c_acctbal), 2) AS min_acctbal,
+       round(max(c_acctbal), 2) AS max_acctbal
+FROM (
+  SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+  FROM customer
+)
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (J2-class): customers with / without orders per nation.
+# --------------------------------------------------------------------------
+
+
+def nations_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return (
+        with_orders.join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("customers_with_orders"))
+        .orderBy("n_name")
+    )
+
+
+NATIONS_CUSTOMER_ORDERS_SQL = """
+SELECT n_name, count(*) AS customers_with_orders
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Set op (§2.6): nations that have customers but no suppliers.
+# --------------------------------------------------------------------------
+
+
+def nations_cust_not_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return cust.exceptAll(supp).orderBy("nationkey")
+
+
+NATIONS_CUST_NOT_SUPP_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Rollup (A8-class): order totals by (status, priority) with subtotals.
+# --------------------------------------------------------------------------
+
+
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+ROLLUP_ORDER_TOTALS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# Date math (F18-class): monthly order volume.
+# --------------------------------------------------------------------------
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_year", "o_month")
+    )
+
+
+ORDERS_BY_MONTH_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot: order counts per priority × status (conditional-count form in SQL).
+# --------------------------------------------------------------------------
+
+
+def priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    ).orderBy("o_orderpriority")
+
+
+PRIORITY_STATUS_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Dimension stats: market segment + part brand profiles.
+# --------------------------------------------------------------------------
+
+
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENT_STATS_SQL = """
+SELECT c_mktsegment,
+       count(*) AS customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def brand_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_TYPE_STATS_SQL = """
+SELECT p_brand,
+       count(*) AS n_parts,
+       count(DISTINCT p_type) AS n_types,
+       round(avg(p_retailprice), 4) AS avg_price,
+       max(p_size) AS max_size
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: JSON access (get_json_object ≅ json_extract_string) + event-time
+# tumbling-hour aggregation in batch form (the streaming twin lives in
+# streaming/, same plan under readStream).
+# --------------------------------------------------------------------------
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_STATS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES = [
+    QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL, "TPC-H Q1 shape"),
+    QuerySpec("revenue_forecast", revenue_forecast, REVENUE_FORECAST_SQL, "TPC-H Q6 shape"),
+    QuerySpec("shipping_priority", shipping_priority, SHIPPING_PRIORITY_SQL, "TPC-H Q3 shape"),
+    QuerySpec("regional_revenue", regional_revenue, REGIONAL_REVENUE_SQL, "TPC-H Q5 shape"),
+    QuerySpec("top_orders_per_customer", top_orders_per_customer, TOP_ORDERS_PER_CUSTOMER_SQL, "ranking window"),
+    QuerySpec("order_deltas", order_deltas, ORDER_DELTAS_SQL, "lag analytic window"),
+    QuerySpec("customer_deciles", customer_deciles, CUSTOMER_DECILES_SQL, "ntile window"),
+    QuerySpec("nations_customer_orders", nations_customer_orders, NATIONS_CUSTOMER_ORDERS_SQL, "left-semi join"),
+    QuerySpec("customers_without_orders", customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL, "left-anti join"),
+    QuerySpec("nations_cust_not_supp", nations_cust_not_supp, NATIONS_CUST_NOT_SUPP_SQL, "EXCEPT set op"),
+    QuerySpec("rollup_order_totals", rollup_order_totals, ROLLUP_ORDER_TOTALS_SQL, "rollup grouping sets"),
+    QuerySpec("orders_by_month", orders_by_month, ORDERS_BY_MONTH_SQL, "date math"),
+    QuerySpec("priority_status_pivot", priority_status_pivot, PRIORITY_STATUS_PIVOT_SQL, "pivot"),
+    QuerySpec("segment_stats", segment_stats, SEGMENT_STATS_SQL, "dim profile agg"),
+    QuerySpec("brand_type_stats", brand_type_stats, BRAND_TYPE_STATS_SQL, "distinct agg"),
+    QuerySpec("events_json_stats", events_json_stats, EVENTS_JSON_STATS_SQL, "JSON access"),
+    QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "event-time tumbling hour (batch)"),
+]

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Driver fixture tables (TESTDATA.md / FIXTURES.md §A).
 TABLE_NAMES = [
@@ -34,8 +35,23 @@ TABLE_NAMES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Catalog-probe analog of `has_collection`
-    (extract_and_embed.py:38-41) is the file-existence check."""
+    (extract_and_embed.py:38-41) is the file-existence check.
+
+    The events table stores nanosecond timestamps, which Spark's parquet
+    reader rejects (PARQUET_TYPE_ILLEGAL). We read them as raw INT64 nanos
+    (legacy.parquet.nanosAsLong) and rebuild a microsecond TimestampType —
+    the same ns→us truncation DuckDB applies, so both engines see identical
+    instants."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        ts_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+            )
+        return df
     return spark.read.parquet(path)
 
 
