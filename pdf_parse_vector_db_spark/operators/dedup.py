@@ -1,0 +1,269 @@
+"""Deduplication operators (north-star X1/X2) — exact, MinHash+LSH, SimHash,
+and n-gram Jaccard, all engineered for the 100 TB shuffle budget.
+
+Design rules applied throughout:
+  * Never shuffle raw text. Every exchange is keyed on fixed-width hashes
+    (16-byte md5, 8-byte xxhash64, band signatures).
+  * Candidate generation before pairwise comparison: the N² all-pairs join
+    only ever runs within a bucket (LSH band, fingerprint band, equal-length
+    bucket), which is how near-dedup stays tractable at corpus scale.
+  * Signatures are computed map-side in single expressions (one pass over
+    the token array per row, no explode→groupBy) wherever possible; MinHash
+    needs one explode+groupBy pass and does all `num_hashes` mins in that
+    single shuffle.
+
+MinHash/SimHash use Spark's xxhash64 — deliberately not oracle-matchable
+(DuckDB's hash family differs), so their QuerySpecs are rows-only and their
+correctness contract is the pytest suite: candidate pairs are validated
+against EXACT n-gram Jaccard (which IS oracle-checked) on corpora with
+planted near-duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.functions.text import fingerprint_expr, shingles_expr
+from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (X1)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per canonicalized content hash.
+    groupBy on the 16-byte hash (min/min_by agg) — the text itself never
+    shuffles; rejoin by id only if callers need dropped columns back."""
+    fp = fingerprint_expr(text_col)["fingerprint"]
+    keep = (
+        docs.select(F.col(id_col), fp.alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__fp")
+    )
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Jaccard over word n-gram shingle sets (X2 exact tier)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over array-set columns; 0.0 when the union is empty."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    bucket: Column,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs within equality buckets.
+
+    `bucket` is the blocking key (length band, fp_band, LSH band...). The
+    self-join shuffles shingle arrays once, keyed on the bucket — pair
+    comparisons never cross buckets, so cost is sum(bucket²), not corpus².
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6dp.
+    """
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        bucket.alias("__bucket"),
+        shingles_expr(text_col, n).alias("__sh"),
+    )
+    left = base.select(
+        F.col("__id").alias("id_a"), F.col("__bucket"), F.col("__sh").alias("__sh_a")
+    )
+    right = base.select(
+        F.col("__id").alias("id_b"), F.col("__bucket"), F.col("__sh").alias("__sh_b")
+    )
+    jac = jaccard_expr(F.col("__sh_a"), F.col("__sh_b"))
+    return (
+        left.join(right, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (X2 scale tier)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """num_hashes-wide MinHash signature per doc.
+
+    One explode of shingles, then ALL hash-family minima in a single
+    groupBy pass (num_hashes min-aggregates, map-side combined) — exactly
+    one shuffle keyed on id regardless of num_hashes. The hash family is
+    xxhash64(seed-prefixed shingle); empty-shingle docs get NULL mins and
+    are dropped (nothing to compare)."""
+    sh = docs.select(
+        F.col(id_col).alias("__id"), F.explode(shingles_expr(text_col, n)).alias("__s")
+    )
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{seed}|"), F.col("__s")))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return sh.groupBy("__id").agg(*mins).withColumnRenamed("__id", id_col)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: signatures split into `bands` bands of
+    num_hashes/bands rows; docs colliding on any band hash are candidates.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Scale shape: band table is (bands × docs) rows of (band_idx, 16-byte
+    band key); the self-join shuffles only those narrow rows. Follow with
+    `ngram_jaccard_pairs`-style exact verification on the candidates when
+    precision matters (see plans/dedup_queries.near_dup_pairs_verified)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, n=n, num_hashes=num_hashes, id_col=id_col, text_col=text_col)
+    band_cols = [
+        F.md5(F.concat_ws("_", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col).alias("__id"), *band_cols)
+    stacked = banded.select(
+        "__id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key")) for b in range(bands)])
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+    left = stacked.select(F.col("__id").alias("id_a"), "band_idx", "key")
+    right = stacked.select(F.col("__id").alias("id_b"), "band_idx", "key")
+    return (
+        left.join(right, on=["band_idx", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (X2, bitwise tier)
+# ---------------------------------------------------------------------------
+
+
+def simhash_bits_expr(text_col: str, bits: int = 64) -> Column:
+    """SimHash bit vector (array<int> of 0/1, length `bits`) computed in ONE
+    map-side expression: fold the token array, accumulating per-bit ±1 votes
+    from each token's xxhash64, then threshold at 0. No explode, no shuffle,
+    stays in codegen."""
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    return F.expr(
+        f"transform("
+        f"  aggregate({toks}, "
+        f"    transform(sequence(1, {bits}), x -> 0L), "
+        f"    (acc, t) -> zip_with(acc, "
+        f"      transform(sequence(0, {bits - 1}), b -> CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1L ELSE -1L END), "
+        f"      (a, v) -> a + v)), "
+        f"  s -> CASE WHEN s >= 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def hamming_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    bits: int = 64,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates collide on at least one of
+    `bands` contiguous bit-slices (pigeonhole: hamming ≤ max_hamming with
+    bands > max_hamming/ (bits/bands) guarantees a colliding band for true
+    near-dups), verified by exact hamming ≤ max_hamming."""
+    width = bits // bands
+    base = docs.select(
+        F.col(id_col).alias("__id"), simhash_bits_expr(text_col, bits).alias("__bits")
+    )
+    stacked = base.select(
+        "__id",
+        "__bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws("", F.slice(F.col("__bits"), b * width + 1, width)).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__bits", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+    left = stacked.select(F.col("__id").alias("id_a"), F.col("__bits").alias("__bits_a"), "band_idx", "key")
+    right = stacked.select(F.col("__id").alias("id_b"), F.col("__bits").alias("__bits_b"), "band_idx", "key")
+    return (
+        left.join(right, on=["band_idx", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_expr(F.col("__bits_a"), F.col("__bits_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (X2, semantic tier)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    bucket_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ threshold within an optional
+    equality bucket (at scale: an LSH/IVF cluster id — see operators/ann.py;
+    with bucket_col=None this is the exact quadratic reference tier)."""
+    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
+    if bucket_col:
+        cols.append(F.col(bucket_col).alias("__bucket"))
+    base = emb.select(*cols)
+    on = ["__bucket"] if bucket_col else None
+    left = base.select(*[F.col(c).alias(c + "_a") if c != "__bucket" else F.col(c) for c in base.columns])
+    right = base.select(*[F.col(c).alias(c + "_b") if c != "__bucket" else F.col(c) for c in base.columns])
+    joined = left.join(right, on=on) if on else left.crossJoin(right)
+    cos = cosine_similarity(F.col("__v_a"), F.col("__v_b"))
+    return (
+        joined.filter(F.col("__id_a") < F.col("__id_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("__id_a").alias("id_a"), F.col("__id_b").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,150 @@
+"""Dedup + similarity-search query surface (north-star X1-X4).
+
+Oracle-checked where the math is portable (exact Jaccard, cosine, brute-force
+kNN join); rows-only where signatures depend on Spark's hash family
+(MinHash-LSH, SimHash) — those are instead validated in tests/test_dedup.py
+against the exact tiers on corpora with planted near-duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.functions.text import shingles_expr, shingles_sql
+from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
+from pdf_parse_vector_db_spark.operators import dedup
+from pdf_parse_vector_db_spark.plans.registry import QuerySpec
+from pdf_parse_vector_db_spark.sources.registry import load_table
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact tier: 3-gram Jaccard ≥ 0.1 within equal-length buckets.
+    Blocking on n_chars keeps the self-join out of N² territory; at scale
+    the bucket key becomes an LSH band (see minhash_near_dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, bucket=F.col("n_chars"), n=3, threshold=0.1
+    ).orderBy("id_a", "id_b")
+
+
+NGRAM_JACCARD_DUPS_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id, n_chars AS bucket, {shingles_sql('text')} AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(
+           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh)))
+                ELSE 0.0 END, 6) AS jaccard
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, jaccard FROM pairs
+WHERE jaccard >= 0.1
+ORDER BY id_a, id_b
+"""
+
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale tier: MinHash(32)+LSH(8 bands) candidates, verified by exact
+    Jaccard ≥ 0.1 — the full find→verify near-dedup pipeline. Rows-only
+    (xxhash64 family is engine-specific); precision/recall asserted in
+    tests against the exact tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8)
+    sh = docs.select(F.col("doc_id"), shingles_expr("text", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = dedup.jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.1)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 bitwise tier: SimHash-64 banded candidates with hamming ≤ 20.
+    Rows-only (xxhash64-based)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=20, bits=64, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 semantic tier: all-pairs cosine ≥ 0.35 over the embedding corpus
+    (exact quadratic reference; the bucketed scale path reuses this within
+    IVF cells, operators/ann.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+EMBEDDING_NEAR_DUPS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4: batch kNN join — every 20th vector is a query; top-3 same-label
+    neighbors each, by cosine distance.
+
+    Plan: queries×corpus join pruned by the label equality (shuffle keyed on
+    label), distance in codegen, per-query window top-3. At 100 TB the label
+    becomes the IVF cluster id and the same plan is the IVF probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), F.col("label")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), F.col("label")
+    )
+    dist = F.lit(1.0) - cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id").asc())
+    return (
+        queries.join(corpus, on="label")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("d", dist)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "c_id", "rnk", F.round(F.col("d"), 6).alias("dist"))
+        .orderBy("q_id", "rnk")
+    )
+
+
+KNN_JOIN_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec, label FROM e WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         1.0 - list_cosine_similarity(q.q_vec, c.v) AS d
+  FROM q JOIN e c ON q.label = c.label AND q.q_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rnk
+  FROM scored
+)
+SELECT q_id, c_id, rnk, round(d, 6) AS dist
+FROM ranked WHERE rnk <= 3
+ORDER BY q_id, rnk
+"""
+
+
+QUERIES = [
+    QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
+    QuerySpec("minhash_near_dups", minhash_near_dups, None, "X2 MinHash+LSH near-dup (rows-only)"),
+    QuerySpec("simhash_near_dups", simhash_near_dups, None, "X2 SimHash near-dup (rows-only)"),
+    QuerySpec("embedding_near_dups", embedding_near_dups, EMBEDDING_NEAR_DUPS_SQL, "X2 semantic near-dup"),
+    QuerySpec("knn_join", knn_join, KNN_JOIN_SQL, "X3/X4 batch kNN join, top-3 per query"),
+]
