@@ -1,0 +1,121 @@
+"""PDF-metadata extraction queries (SURVEY §2.7 F10/F11, §2.9 T3, §2.8 U2).
+
+The reference pulls case numbers, dates, and party names off page 1 with
+regexes (extract_pdf_metadata, extract_and_embed_v2.py:387-423). Here those
+are pure `regexp_extract`/`regexp_extract_all` projections — map-side,
+codegen, scan-bound at any scale. Branch coverage again comes from
+deterministic marker injection (fixture word-salad contains no legal
+metadata).
+
+`decision_pipeline` is the full v2-embed classifier — cascade → conclusion
+extraction (pandas_udf, last-match windowing) → deterministic LLM stand-in →
+closed-domain validation — registered rows-only (the W4 last-match semantics
+are not SQL-expressible); its per-branch behavior is golden-tested in
+tests/test_conclusion.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.operators.conclusion import decision_pipeline
+from pdf_parse_vector_db_spark.plans.registry import QuerySpec
+from pdf_parse_vector_db_spark.sources.registry import load_table
+
+#: Reference patterns (extract_and_embed_v2.py:401,407,413), applied
+#: case-insensitively — `(?i)` prefix on the Spark side, 'i' option in DuckDB.
+CASE_NO_RE = r"(?:appeal|application|petition|case|c\.a\.)\s+no\.?\s*([\w\d\.\-\/]+)"
+DATE_RE = (
+    r"\d{1,2}[\/\.\-]\d{1,2}[\/\.\-]\d{2,4}"
+    r"|\d{1,2}(?:st|nd|rd|th)?\s+(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]*\.?\s+\d{2,4}"
+)
+PARTIES_RE = r"([A-Za-z\s\.,]+)\s+(?:versus|vs\.?|v\.)\s+([A-Za-z\s\.,]+)"
+
+_META_MARKERS = [
+    "",
+    "Customs Appeal No. C-4-2012 decided on 29-03-2023",
+    "Application No. 77/2019 heard 1st Jan 2020 and 15.06.2021",
+    "Alpha Traders versus Commissioner of Customs",
+    "Case No. X-9 Beta Exports vs. Union of India on 3/4/22",
+]
+
+
+def _marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % len(_META_MARKERS)
+    expr = None
+    for i, s in enumerate(_META_MARKERS):
+        expr = F.when(m == i, F.lit(s)) if expr is None else expr.when(m == i, F.lit(s))
+    return docs.withColumn("page1", F.concat_ws(" ", F.col("text"), expr))
+
+
+_MARKED_SQL = (
+    "concat_ws(' ', text, CASE doc_id % 5 "
+    + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_META_MARKERS))
+    + " END)"
+)
+
+
+def doc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/F11: case number, party names, date mentions per document.
+    NULLIF('') normalizes Spark's empty-string no-match to NULL so both
+    engines agree on absence."""
+    docs = _marked(spark, sf_dir)
+    page1 = F.col("page1")
+    dates = F.regexp_extract_all(page1, F.lit("(?i)" + DATE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.nullif(F.trim(F.regexp_extract(page1, "(?i)" + CASE_NO_RE, 1)), F.lit("")).alias(
+            "case_number"
+        ),
+        F.nullif(F.trim(F.regexp_extract(page1, "(?i)" + PARTIES_RE, 1)), F.lit("")).alias(
+            "appellant"
+        ),
+        F.nullif(F.trim(F.regexp_extract(page1, "(?i)" + PARTIES_RE, 2)), F.lit("")).alias(
+            "respondent"
+        ),
+        F.size(dates).cast("bigint").alias("n_dates"),
+        F.try_element_at(dates, F.lit(1)).alias("first_date"),
+        F.try_element_at(dates, F.lit(-1)).alias("last_date"),
+    )
+
+
+def _sq(pattern: str) -> str:
+    return pattern.replace("'", "''")
+
+
+DOC_METADATA_SQL = f"""
+WITH marked AS (
+  SELECT doc_id, {_MARKED_SQL} AS page1 FROM documents
+),
+ext AS (
+  SELECT doc_id,
+         NULLIF(trim(regexp_extract(page1, '{_sq(CASE_NO_RE)}', 1, 'i')), '') AS case_number,
+         NULLIF(trim(regexp_extract(page1, '{_sq(PARTIES_RE)}', 1, 'i')), '') AS appellant,
+         NULLIF(trim(regexp_extract(page1, '{_sq(PARTIES_RE)}', 2, 'i')), '') AS respondent,
+         regexp_extract_all(page1, '{_sq(DATE_RE)}', 0, 'i') AS dates
+  FROM marked
+)
+SELECT doc_id, case_number, appellant, respondent,
+       CAST(len(dates) AS BIGINT) AS n_dates,
+       CASE WHEN len(dates) >= 1 THEN dates[1] END AS first_date,
+       CASE WHEN len(dates) >= 1 THEN dates[-1] END AS last_date
+FROM ext
+"""
+
+
+def full_decision_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/U2: complete v2 decision pipeline on marker-augmented docs
+    (rows-only; see module docstring)."""
+    docs = _marked(spark, sf_dir).withColumnRenamed("page1", "full_text")
+    out = decision_pipeline(docs, text_col="full_text")
+    return out.select("doc_id", "document_type", "rule_decision", "case_decision").orderBy(
+        "doc_id"
+    )
+
+
+QUERIES = [
+    QuerySpec("doc_metadata", doc_metadata, DOC_METADATA_SQL, "F10/F11 metadata extraction"),
+    QuerySpec("full_decision_pipeline", full_decision_pipeline, None, "T3+U2 cascade→LLM-stub pipeline"),
+]

@@ -1,0 +1,93 @@
+"""Golden tests for F7 conclusion extraction + U2 LLM-stub + T3 pipeline
+(semantics from extract_and_embed_v2.py:188-261, 264-300, 339-343)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.operators.conclusion import (
+    analyze_conclusion_py,
+    decision_pipeline,
+    extract_conclusion_py,
+)
+
+
+def test_tribunal_numbered_paragraphs():
+    text = "intro\n 1. first\n 2. second\n 3. third\n 4. fourth\n 5. fifth end"
+    out = extract_conclusion_py(text, "appellate_tribunal")
+    # >2 numbered paras → from the 3rd-last ("3.") onward
+    assert out.startswith("\n 3. third")
+    assert out.endswith("fifth end")
+
+
+def test_last_indicator_match_wins():
+    text = "THEREFORE early words " + "x" * 50 + " and THEREFORE the final ruling stands"
+    out = extract_conclusion_py(text, "generic_legal_document")
+    assert out.startswith("THEREFORE the final ruling")
+
+
+def test_indicator_window_is_2000_chars():
+    text = "pad " * 100 + "CONCLUSION " + "y" * 5000
+    out = extract_conclusion_py(text, "generic_legal_document")
+    assert len(out) == 2000
+    assert out.startswith("CONCLUSION")
+
+
+def test_order_phrase_context_window():
+    filler_a = "a" * 800
+    filler_b = "b" * 800
+    text = f"{filler_a} the appeal is dismissed {filler_b}"
+    out = extract_conclusion_py(text, "generic_legal_document")
+    assert "appeal is dismissed" in out
+    # ±500 window around the match
+    assert len(out) <= len("the appeal is dismissed") + 1002
+
+
+def test_positional_fallbacks():
+    long = "z " * 5000  # 10000 chars, no indicators
+    out = extract_conclusion_py(long, "generic_legal_document")
+    assert len(out) == len(long) - int(len(long) * 0.8)
+    mid = "q " * 700  # 1400 chars
+    assert len(extract_conclusion_py(mid, "generic_legal_document")) == 1000
+    short = "tiny"
+    assert extract_conclusion_py(short, "generic_legal_document") == short
+
+
+def test_order_in_original_indicators():
+    text = "preamble i hereby order that the duty be refunded " + "t" * 10
+    out = extract_conclusion_py(text, "order_in_original")
+    assert out.startswith("i hereby order that")
+
+
+def test_llm_stub_arbitration():
+    assert analyze_conclusion_py("the appeal is allowed") == "appellant_won"
+    assert analyze_conclusion_py("the appeal is dismissed") == "appellant_lost"
+    assert analyze_conclusion_py("no verdict words here") == "invalid"
+    assert analyze_conclusion_py("") == "invalid"
+    # first-position arbitration
+    assert analyze_conclusion_py("dismissed then allowed") == "appellant_lost"
+    assert analyze_conclusion_py("allowed then dismissed") == "appellant_won"
+
+
+def test_decision_pipeline_stages(spark):
+    rows = [
+        (0, "the appeal is allowed"),  # cascade answers directly
+        (1, "CONCLUSION the petition is hereby denied for reasons"),  # LLM path
+        (2, "nothing conclusive in this text"),  # invalid everywhere
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in decision_pipeline(df).collect()}
+    assert out[0].rule_decision == "appellant_won"
+    assert out[0].case_decision == "appellant_won"
+    assert out[1].rule_decision == "invalid"
+    assert out[1].case_decision == "appellant_lost"  # stub sees 'denied'
+    assert out[2].case_decision == "invalid"
+
+
+def test_metadata_retry(spark):
+    rows = [(0, "no outcome words", "judgment affirmed in metadata")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, meta string")
+    out = decision_pipeline(df, metadata_col="meta").collect()[0]
+    # cascade invalid, stub invalid, but enriched metadata+text retry hits
+    # the 'judgment affirmed' rule (T3, extract_and_embed_v2.py:339-343)
+    assert out.case_decision == "appellant_lost"
