@@ -23,11 +23,22 @@ from pdf_parse_vector_db_spark.plans import ingest as _ingest
 from pdf_parse_vector_db_spark.plans import registry as _registry
 from pdf_parse_vector_db_spark.plans import relational as _relational
 from pdf_parse_vector_db_spark.plans import metadata as _metadata
+from pdf_parse_vector_db_spark.plans import multimodal as _multimodal
 from pdf_parse_vector_db_spark.plans import search as _search
 from pdf_parse_vector_db_spark.plans import similarity as _similarity
+from pdf_parse_vector_db_spark.plans import streaming_queries as _streaming_queries
 from pdf_parse_vector_db_spark.plans import textanalysis as _textanalysis
 
-_MODULES = [_search, _ingest, _relational, _textanalysis, _similarity, _metadata]
+_MODULES = [
+    _search,
+    _ingest,
+    _relational,
+    _textanalysis,
+    _similarity,
+    _metadata,
+    _multimodal,
+    _streaming_queries,
+]
 
 _SPECS = _registry.collect(*_MODULES)
 

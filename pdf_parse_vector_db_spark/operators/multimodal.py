@@ -1,0 +1,137 @@
+"""Multimodal columns (north-star X6): image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched stages.
+
+Container constraint: no image/audio libraries are installed here, so the
+DECODE kernels are deliberately split:
+  * the Spark-side plumbing — binary column handling, schema, mapInPandas
+    batch shape, partitioning — is REAL and tested;
+  * the pixel/sample decoding inside the batch is either a clearly-marked
+    NotImplementedError (real decoder, needs Pillow/ffmpeg) or a
+    deterministic fake that derives plausible metadata/features from the
+    bytes' sha256 — enough to validate the distributed plumbing end to end.
+
+Scale notes: binary payloads ride the columnar path (Parquet BYTE_ARRAY /
+binaryFile source); all stages below are pure maps — the only shuffle a
+multimodal pipeline needs is whatever the caller aggregates afterwards.
+Feature extraction writes fixed-width float arrays, which is exactly the
+embedding column shape the ANN/dedup tiers consume (operators/ann.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Typed metadata attached to every media row.
+MEDIA_META_SCHEMA = (
+    "doc_id bigint, kind string, n_bytes bigint, sha256 string, "
+    "width int, height int, n_frames int, sample_rate int"
+)
+
+
+def attach_binary(docs: DataFrame, text_col: str = "text", kind: str = "image") -> DataFrame:
+    """Fixture adapter: treat each document's UTF-8 bytes as an opaque media
+    payload (`content: binary`) with a `kind` tag — the schema a binaryFile
+    ingest (`spark.read.format('binaryFile')`) produces for real assets."""
+    return docs.withColumn("content", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "kind", F.lit(kind)
+    )
+
+
+def _fake_dims(digest: bytes, kind: str) -> tuple[int, int, int, int]:
+    """Deterministic stand-in metadata derived from the content hash."""
+    w = 160 + digest[0] % 8 * 80
+    h = 120 + digest[1] % 8 * 60
+    frames = 1 if kind == "image" else 1 + digest[2]
+    rate = 0 if kind == "image" else 8000 * (1 + digest[3] % 6)
+    return w, h, frames, rate
+
+
+def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame:
+    """mapInPandas decode: binary content → typed metadata row.
+
+    real_decoder=True routes to the actual image library, which is NOT
+    available in this container → NotImplementedError (kept to show where
+    Pillow/torchaudio plugs in; everything around it is live code)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decoder:
+                raise NotImplementedError(
+                    "real media decoding requires Pillow/ffmpeg (not in container); "
+                    "use real_decoder=False for the deterministic fake"
+                )
+            out = {k: [] for k in (
+                "doc_id", "kind", "n_bytes", "sha256", "width", "height", "n_frames", "sample_rate"
+            )}
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None else b""
+                digest = hashlib.sha256(content).digest()
+                w, h, fr, sr = _fake_dims(digest, rec.kind)
+                out["doc_id"].append(rec.doc_id)
+                out["kind"].append(rec.kind)
+                out["n_bytes"].append(len(content))
+                out["sha256"].append(digest.hex())
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(fr)
+                out["sample_rate"].append(sr)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "kind", "content").mapInPandas(decode, MEDIA_META_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """mapInPandas feature extraction: binary content → fixed-width float
+    vector (the multimodal embedding). Deterministic fake: seeded from the
+    content hash; real models (CLIP et al.) replace `_vec` only — batch
+    shape, schema, and normalization are the production plumbing."""
+
+    def _vec(content: bytes) -> list[float]:
+        digest = hashlib.sha256(content).digest()
+        seed = int.from_bytes(digest[:8], "big", signed=False) % (2**32)
+        rng = np.random.RandomState(seed)
+        v = rng.standard_normal(dim)
+        return [float(x) for x in np.float32(v / np.linalg.norm(v))]
+
+    schema = f"doc_id bigint, kind string, feature array<float>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "feature": [
+                        _vec(bytes(c) if c is not None else b"") for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "kind", "content").mapInPandas(extract, schema)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video-style UDTF: one media row → n_frames/every_n frame rows. The
+    fake synthesizes frame ids from the metadata; a real pipeline yields
+    (frame_idx, frame_bytes). Demonstrates the 1→N mapInPandas explode that
+    frame-level training data extraction needs."""
+    meta = decode_media_meta(media)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, idxs = [], [], []
+            for rec in pdf.itertuples(index=False):
+                for i in range(0, int(rec.n_frames), every_n):
+                    ids.append(rec.doc_id)
+                    kinds.append(rec.kind)
+                    idxs.append(i)
+            yield pd.DataFrame({"doc_id": ids, "kind": kinds, "frame_idx": idxs})
+
+    return meta.mapInPandas(sample, "doc_id bigint, kind string, frame_idx int")

@@ -141,8 +141,24 @@ ORDER BY q_id, rnk
 """
 
 
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-tier ANN: IVF(nlist=16, nprobe=4) top-5 for the vec_id=0 query —
+    the engine analog of the reference's IVF_FLAT nlist=128 index
+    (extract_and_embed.py:53-54). Rows-only (k-means isn't SQL); recall vs
+    the exact tier is asserted in tests/test_ann.py."""
+    from pdf_parse_vector_db_spark.operators.ann import build_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    idx = build_ivf(emb, nlist=16)
+    return idx.search(qvec, k=5, nprobe=4).select(
+        "vec_id", "label", F.round(F.col("score"), 4).alias("score")
+    )
+
+
 QUERIES = [
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
+    QuerySpec("ivf_knn", ivf_knn, None, "IVF(nlist,nprobe) ANN top-5 (rows-only)"),
     QuerySpec("minhash_near_dups", minhash_near_dups, None, "X2 MinHash+LSH near-dup (rows-only)"),
     QuerySpec("simhash_near_dups", simhash_near_dups, None, "X2 SimHash near-dup (rows-only)"),
     QuerySpec("embedding_near_dups", embedding_near_dups, EMBEDDING_NEAR_DUPS_SQL, "X2 semantic near-dup"),

@@ -1,0 +1,95 @@
+"""Batch twins of the streaming window plans (X8), oracle-checked.
+
+Each query applies a streaming/windows.py plan function to the batch events
+table; tests/test_streaming.py re-runs the SAME plan functions under
+readStream with a watermark and asserts identical results — that equivalence
+is the correctness argument for the streaming tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_parse_vector_db_spark.plans.registry import QuerySpec
+from pdf_parse_vector_db_spark.sources.registry import load_table
+from pdf_parse_vector_db_spark.streaming import windows as W
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return W.sliding_counts(ev, "10 minutes", "5 minutes").orderBy("window_start")
+
+
+# each event falls into exactly duration/slide = 2 windows, whose starts are
+# the event's 300s-floor bucket and that bucket minus 300s; epoch arithmetic
+# sidesteps engine date_trunc differences and matches Spark's epoch-aligned
+# window() origin.
+EVENTS_SLIDING_SQL = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS bucket, value
+  FROM events
+),
+expanded AS (
+  SELECT CAST(to_timestamp(bucket - off) AS TIMESTAMP) AS window_start, value
+  FROM ev CROSS JOIN (VALUES (0), (300)) AS offs(off)
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM expanded
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return W.session_counts(ev, "30 minutes").orderBy("user_id", "session_start")
+
+
+# gaps-and-islands: a new session starts when the gap to the previous event
+# is >= 30 min (Spark session end = last + gap, end-exclusive merge).
+EVENTS_SESSIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+sessions AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return W.tumbling_counts(ev, "1 day").orderBy("window_start")
+
+
+EVENTS_TUMBLING_DAILY_SQL = """
+SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES = [
+    QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
+    QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
+    QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
+]

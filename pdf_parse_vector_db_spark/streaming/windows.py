@@ -1,0 +1,61 @@
+"""Event-time window plans (north-star X8; SURVEY §2.9 T4 extension).
+
+The reference has no stream processing — each HTTP request is an isolated
+batch (T2). These operators are the Structured Streaming extension: the SAME
+plan function is applied to a batch DataFrame (driver correctness oracle,
+plans/streaming_queries.py) or a streaming DataFrame (readStream +
+watermark, tests/test_streaming.py) — which is precisely Spark's
+unified-batch/stream contract.
+
+Scale: windowed aggregation state is keyed on (window, key); with
+watermarking, state for closed windows is evicted, so memory is bounded by
+(watermark horizon / slide) × key cardinality, independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows: count + value sum per window."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, duration: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding windows (each event lands in duration/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events merge while the gap to the previous
+    event is < `gap` (session end = last event + gap, end-exclusive)."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def with_watermark(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Late-data bound for the streaming twins: rows later than `horizon`
+    behind the max seen event time are dropped and window state older than
+    the watermark is evicted."""
+    return events.withWatermark("ts", horizon)

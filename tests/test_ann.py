@@ -1,0 +1,68 @@
+"""IVF/LSH scale tier vs exact brute force: recall@k + determinism
+(SURVEY §4.3.1b; the analog of Milvus IVF_FLAT nlist=128/nprobe)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.operators import ann
+from pdf_parse_vector_db_spark.operators.knn import knn_exact
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+
+
+def test_ivf_full_probe_equals_exact(spark, emb, query_vec):
+    """nprobe == nlist must recover the exact answer (no pruning)."""
+    idx = ann.build_ivf(emb, nlist=8)
+    exact = knn_exact(emb, query_vec, k=5)
+    approx = idx.search(query_vec, k=5, nprobe=8)
+    assert ann.recall_at_k(approx, exact, "vec_id") == 1.0
+
+
+def test_ivf_partial_probe_recall(spark, emb, query_vec):
+    idx = ann.build_ivf(emb, nlist=8)
+    exact = knn_exact(emb, query_vec, k=5)
+    approx = idx.search(query_vec, k=5, nprobe=4)
+    # half the cells probed: hot neighbors cluster near the query, so
+    # recall should stay high on real data
+    assert ann.recall_at_k(approx, exact, "vec_id") >= 0.6
+
+
+def test_ivf_assignment_is_deterministic(spark, emb):
+    idx1 = ann.build_ivf(emb, nlist=8)
+    idx2 = ann.build_ivf(emb, nlist=8)
+    a = idx1.clustered.select("vec_id", "cluster_id").orderBy("vec_id").collect()
+    b = idx2.clustered.select("vec_id", "cluster_id").orderBy("vec_id").collect()
+    assert a == b
+
+
+def test_ivf_cluster_sizes_cover_corpus(spark, emb):
+    idx = ann.build_ivf(emb, nlist=8)
+    sizes = idx.clustered.groupBy("cluster_id").count().collect()
+    assert sum(r["count"] for r in sizes) == emb.count()
+    assert all(0 <= r.cluster_id < 8 for r in sizes)
+
+
+def test_lsh_approx_neighbors(spark, emb, query_vec):
+    from pyspark.ml.functions import array_to_vector
+
+    model, indexed = ann.lsh_model(emb, bucket_length=2.0, num_tables=4)
+    key_df = emb.filter(F.col("vec_id") == 0).select(
+        array_to_vector(F.col("embedding")).alias("__features")
+    )
+    key = key_df.collect()[0]["__features"]
+    approx = model.approxNearestNeighbors(indexed, key, 5)
+    exact = knn_exact(emb, query_vec, k=5)
+    assert ann.recall_at_k(approx, exact, "vec_id") >= 0.6

@@ -1,0 +1,106 @@
+"""Structured Streaming tier: the streaming twins must produce the batch
+answers (X8 + continuous ingest, SURVEY §2.9 T4)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.plans.ingest import build_chunks
+from pdf_parse_vector_db_spark.sources.registry import load_table
+from pdf_parse_vector_db_spark.streaming import windows as W
+from pdf_parse_vector_db_spark.streaming.ingest_stream import stream_ingest_documents
+
+SF = "/root/testdata/sf0.001"
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    """Events re-materialized with µs timestamps (readStream needs a schema,
+    and the raw fixture's ns timestamps need the batch loader's rebuild)."""
+    out = str(tmp_path / "events_landing")
+    load_table(spark, SF, "events").write.parquet(out)
+    return out
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_streaming_tumbling_equals_batch(spark, events_stream_dir):
+    batch = W.tumbling_counts(load_table(spark, SF, "events"), "1 day")
+    stream_src = W.with_watermark(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir), "1 hour"
+    )
+    streamed = _run_stream_to_memory(
+        spark, W.tumbling_counts(stream_src, "1 day"), "t_tumbling"
+    )
+    assert _rows(streamed, "window_start") == _rows(batch, "window_start")
+
+
+def test_streaming_session_equals_batch(spark, events_stream_dir):
+    batch = W.session_counts(load_table(spark, SF, "events"), "30 minutes")
+    stream_src = W.with_watermark(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir), "1 hour"
+    )
+    streamed = _run_stream_to_memory(
+        spark, W.session_counts(stream_src, "30 minutes"), "t_session"
+    )
+    assert _rows(streamed, "user_id", "session_start") == _rows(
+        batch, "user_id", "session_start"
+    )
+
+
+def test_stream_ingest_matches_batch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "chunks_out")
+    ckpt = str(tmp_path / "ckpt")
+    load_table(spark, SF, "documents").write.parquet(landing)
+
+    q = stream_ingest_documents(
+        spark, landing, out, ckpt, with_embeddings=False, available_now=True
+    )
+    q.awaitTermination(180)
+
+    streamed = spark.read.parquet(out).select(
+        "chunk_id", "doc_id", "chunk_idx", "text", "file_id", "court_level", "case_decision"
+    )
+    batch = build_chunks(spark, SF, with_embeddings=False).select(
+        "chunk_id", "doc_id", "chunk_idx", "text", "file_id", "court_level", "case_decision"
+    )
+    assert _rows(streamed, "chunk_id") == _rows(batch, "chunk_id")
+
+
+def test_stream_ingest_is_incremental(spark, tmp_path):
+    """Second availableNow run with no new files appends nothing
+    (checkpointed file-source replay = exactly-once)."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "chunks_out")
+    ckpt = str(tmp_path / "ckpt")
+    load_table(spark, SF, "documents").limit(50).write.parquet(landing)
+
+    q = stream_ingest_documents(spark, landing, out, ckpt, with_embeddings=False)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    q2 = stream_ingest_documents(spark, landing, out, ckpt, with_embeddings=False)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0
