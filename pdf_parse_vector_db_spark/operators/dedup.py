@@ -248,22 +248,79 @@ def embedding_near_dup_pairs(
     bucket_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Semantic near-dup pairs: cosine ≥ threshold within an optional
-    equality bucket (at scale: an LSH/IVF cluster id — see operators/ann.py;
-    with bucket_col=None this is the exact quadratic reference tier)."""
-    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
+    """Semantic near-dup pairs: exact all-pairs cosine ≥ threshold, computed
+    as a blocked matrix product.
+
+    Scale design: rows are hashed into `num_blocks` blocks; each unordered
+    block pair (i ≤ j) becomes one `applyInPandas` group whose pairwise
+    cosine matrix is a single float64 BLAS matmul. Replication cost is
+    O(N·B) narrow rows, compare cost O(N²) stays inside vectorized kernels
+    instead of 4M+ per-row Catalyst `aggregate` folds — the standard
+    block-nested-loop shape for all-pairs similarity on a cluster (pick
+    B ≈ √parallelism; with an LSH/IVF `bucket_col` the same kernel runs
+    per bucket and cost drops to Σ bucket²)."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")]
     if bucket_col:
-        cols.append(F.col(bucket_col).alias("__bucket"))
+        cols.append(F.col(bucket_col).alias("bkt"))
     base = emb.select(*cols)
-    on = ["__bucket"] if bucket_col else None
-    left = base.select(*[F.col(c).alias(c + "_a") if c != "__bucket" else F.col(c) for c in base.columns])
-    right = base.select(*[F.col(c).alias(c + "_b") if c != "__bucket" else F.col(c) for c in base.columns])
-    joined = left.join(right, on=on) if on else left.crossJoin(right)
-    cos = cosine_similarity(F.col("__v_a"), F.col("__v_b"))
-    return (
-        joined.filter(F.col("__id_a") < F.col("__id_b"))
-        .withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select(F.col("__id_a").alias("id_a"), F.col("__id_b").alias("id_b"), "cosine")
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(num_blocks)).cast("int")
+    base = base.withColumn("blk", blk)
+
+    spark = emb.sparkSession
+    pair_rows = [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)]
+    pairs = spark.createDataFrame(pair_rows, "ba int, bb int")
+    join_keys = ["ba", "bb", "bkt"] if bucket_col else ["ba", "bb"]
+
+    a_side = pairs.join(base.withColumnRenamed("blk", "ba"), on="ba").withColumn(
+        "side", F.lit("a")
+    )
+    b_side = pairs.join(base.withColumnRenamed("blk", "bb"), on="bb").withColumn(
+        "side", F.lit("b")
+    )
+    both = a_side.unionByName(b_side)
+
+    thr = float(threshold)
+
+    def _compare(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        out_empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                  "id_b": pd.Series(dtype="int64"),
+                                  "cosine": pd.Series(dtype="float64")})
+        diagonal = key[0] == key[1]
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return out_empty
+        ma = np.vstack(a["v"].to_numpy()).astype(np.float64)
+        mb = np.vstack(b["v"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0] = 1.0  # zero-norm rows: cosine defined as 0 (guarded like A4)
+        nb[nb == 0] = 1.0
+        sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
+        # round-half-up at 6dp to match Spark/DuckDB ROUND semantics
+        rounded = np.where(sims >= 0, np.floor(sims * 1e6 + 0.5), np.ceil(sims * 1e6 - 0.5)) / 1e6
+        ia, ib = np.nonzero(rounded >= thr)
+        ids_a = a["id"].to_numpy()[ia]
+        ids_b = b["id"].to_numpy()[ib]
+        if diagonal:
+            # both orientations of every pair are present — keep the triangle
+            keep = ids_a < ids_b
+            lo, hi = ids_a, ids_b
+        else:
+            # disjoint blocks: each unordered pair appears exactly once with
+            # arbitrary id orientation — canonicalize instead of filtering
+            keep = ids_a != ids_b
+            lo = np.minimum(ids_a, ids_b)
+            hi = np.maximum(ids_a, ids_b)
+        return pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "cosine": rounded[ia, ib][keep]}
+        )
+
+    return both.groupBy(*join_keys).applyInPandas(
+        _compare, schema="id_a long, id_b long, cosine double"
     )

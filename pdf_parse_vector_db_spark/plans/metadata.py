@@ -16,7 +16,7 @@ tests/test_conclusion.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_parse_vector_db_spark.operators.conclusion import decision_pipeline
@@ -42,7 +42,7 @@ _META_MARKERS = [
 
 
 def _marked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     m = F.col("doc_id") % len(_META_MARKERS)
     expr = None
     for i, s in enumerate(_META_MARKERS):
@@ -64,17 +64,23 @@ def doc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _marked(spark, sf_dir)
     page1 = F.col("page1")
     dates = F.regexp_extract_all(page1, F.lit("(?i)" + DATE_RE), 0)
+    # PARTIES_RE backtracks catastrophically on *failing* inputs (the \s+
+    # separator is also inside the capture classes). A match requires one of
+    # the literal separators, so gate the expensive scan behind a cheap
+    # linear alternation — semantics are identical (no separator → no match).
+    has_sep = page1.rlike(r"(?i)versus|vs\.?|v\.")
+
+    def _party(group: int) -> Column:
+        ext = F.regexp_extract(page1, "(?i)" + PARTIES_RE, group)
+        return F.nullif(F.trim(F.when(has_sep, ext).otherwise(F.lit(""))), F.lit(""))
+
     return docs.select(
         "doc_id",
         F.nullif(F.trim(F.regexp_extract(page1, "(?i)" + CASE_NO_RE, 1)), F.lit("")).alias(
             "case_number"
         ),
-        F.nullif(F.trim(F.regexp_extract(page1, "(?i)" + PARTIES_RE, 1)), F.lit("")).alias(
-            "appellant"
-        ),
-        F.nullif(F.trim(F.regexp_extract(page1, "(?i)" + PARTIES_RE, 2)), F.lit("")).alias(
-            "respondent"
-        ),
+        _party(1).alias("appellant"),
+        _party(2).alias("respondent"),
         F.size(dates).cast("bigint").alias("n_dates"),
         F.try_element_at(dates, F.lit(1)).alias("first_date"),
         F.try_element_at(dates, F.lit(-1)).alias("last_date"),

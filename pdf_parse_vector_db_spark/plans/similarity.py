@@ -22,7 +22,7 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 exact tier: 3-gram Jaccard ≥ 0.1 within equal-length buckets.
     Blocking on n_chars keeps the self-join out of N² territory; at scale
     the bucket key becomes an LSH band (see minhash_near_dups)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup.ngram_jaccard_pairs(
         docs, bucket=F.col("n_chars"), n=3, threshold=0.1
     ).orderBy("id_a", "id_b")
@@ -53,7 +53,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.1 — the full find→verify near-dedup pipeline. Rows-only
     (xxhash64 family is engine-specific); precision/recall asserted in
     tests against the exact tier."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     cands = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8)
     sh = docs.select(F.col("doc_id"), shingles_expr("text", 3).alias("sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -72,7 +72,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 bitwise tier: SimHash-64 banded candidates with hamming ≤ 20.
     Rows-only (xxhash64-based)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return dedup.simhash_near_pairs(docs, max_hamming=20, bits=64, bands=4).orderBy(
         "id_a", "id_b"
     )

@@ -33,7 +33,9 @@ TABLE_NAMES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Scan one fixture table. Catalog-probe analog of `has_collection`
     (extract_and_embed.py:38-41) is the file-existence check.
 
@@ -41,7 +43,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects (PARQUET_TYPE_ILLEGAL). We read them as raw INT64 nanos
     (legacy.parquet.nanosAsLong) and rebuild a microsecond TimestampType —
     the same ns→us truncation DuckDB applies, so both engines see identical
-    instants."""
+    instants.
+
+    ``spread=True`` repartitions the scan to full parallelism before the
+    caller's map stage. Parquet splits at row-group granularity, so a
+    single-row-group file is one task no matter how many cores exist; for
+    queries whose per-row compute (regex cascades, shingling, signature
+    folds) dwarfs the row width, one narrow shuffle buys an
+    N-core map stage. Leave it off for scan-bound queries — at cluster
+    scale a 100 TB table already has thousands of splits and the extra
+    exchange would only cost."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,8 +62,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
             )
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
