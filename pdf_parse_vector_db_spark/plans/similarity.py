@@ -141,16 +141,35 @@ ORDER BY q_id, rnk
 """
 
 
+#: Fitted IVF indexes keyed by (app, sf_dir) — the reference builds its
+#: IVF_FLAT index once at collection create and pins the collection in memory
+#: (load_collection, extract_and_embed.py:53-58); re-fitting k-means per
+#: query would misstate search cost the same way re-building the Milvus
+#: index per request would. cache() on the clustered corpus is the
+#: load_collection analog (SURVEY §2.1 S5).
+_IVF_CACHE: dict = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str, nlist: int = 16):
+    from pdf_parse_vector_db_spark.operators.ann import build_ivf
+
+    key = (spark.sparkContext.applicationId, sf_dir, nlist)
+    if key not in _IVF_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = build_ivf(emb, nlist=nlist)
+        idx.clustered = idx.clustered.cache()
+        _IVF_CACHE[key] = idx
+    return _IVF_CACHE[key]
+
+
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-tier ANN: IVF(nlist=16, nprobe=4) top-5 for the vec_id=0 query —
     the engine analog of the reference's IVF_FLAT nlist=128 index
     (extract_and_embed.py:53-54). Rows-only (k-means isn't SQL); recall vs
     the exact tier is asserted in tests/test_ann.py."""
-    from pdf_parse_vector_db_spark.operators.ann import build_ivf
-
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
-    idx = build_ivf(emb, nlist=16)
+    idx = _ivf_index(spark, sf_dir)
     return idx.search(qvec, k=5, nprobe=4).select(
         "vec_id", "label", F.round(F.col("score"), 4).alias("score")
     )

@@ -1,0 +1,74 @@
+"""Physical-plan contracts (SURVEY §4.4).
+
+Correctness says WHAT each query returns; these tests pin HOW Spark executes
+it — the properties that decide whether the same plan survives a 100×
+scale-up. If a refactor silently drops a pushed filter, turns a broadcast
+join into a shuffle join, or replaces top-k with a global sort, these fail
+even though results stay identical.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    # cached relations from earlier tests would splice InMemoryTableScan over
+    # the file scan and hide its pushdown metadata — pin the uncached shape
+    spark.catalog.clearCache()
+    df = entrymod.queries()[name](spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_filter_pushed_to_scan(spark):
+    """P2: the label equality must reach the Parquet scan, not sit in a
+    post-scan Filter only (extract_and_search.py:107 pushes it to Milvus)."""
+    plan = _plan(spark, "knn_topk")
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,1)]" in plan, plan
+
+
+def test_knn_topk_no_global_sort(spark):
+    """W1/W2: ORDER BY + LIMIT must plan as TakeOrderedAndProject (partial
+    per-partition top-k), never a full sort of the corpus."""
+    plan = _plan(spark, "knn_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_query_vector_join_is_broadcast(spark):
+    """J1: attaching the 1-row query vector must be a broadcast join — a
+    shuffled cross join here would move the whole corpus."""
+    plan = _plan(spark, "search_similar")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dim_joins_broadcast(spark):
+    """X7: small dims (region/nation) must broadcast; the fact side of
+    regional_revenue must never shuffle for them."""
+    plan = _plan(spark, "regional_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    """A-ops: groupBy().agg() must plan two HashAggregate stages (partial
+    map-side combine before the exchange)."""
+    plan = _plan(spark, "pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """P1: a projection query must not scan every column — the documents
+    scan for doc_fingerprints needs only (doc_id, text), so the unused
+    lang/source/n_chars columns must be pruned out of the FileScan."""
+    plan = _plan(spark, "doc_fingerprints")
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans, plan
+    cols = scans[0].split("FileScan parquet ", 1)[1].split("]", 1)[0]
+    assert "lang" not in cols and "source" not in cols, scans[0]
+
+
+def test_semi_anti_join_shapes(spark):
+    """J2: semi/anti joins must plan as real semi/anti operators, not
+    inner-join + dedup."""
+    assert "LeftSemi" in _plan(spark, "nations_customer_orders")
+    assert "LeftAnti" in _plan(spark, "customers_without_orders")
