@@ -12,14 +12,17 @@ Design rules applied throughout:
     needs one explode+groupBy pass and does all `num_hashes` mins in that
     single shuffle.
 
-MinHash/SimHash use Spark's xxhash64 — deliberately not oracle-matchable
-(DuckDB's hash family differs), so their QuerySpecs are rows-only and their
-correctness contract is the pytest suite: candidate pairs are validated
-against EXACT n-gram Jaccard (which IS oracle-checked) on corpora with
-planted near-duplicates.
+MinHash uses Spark's xxhash64 and SimHash a keyed blake2b (packed into one
+long) — deliberately not oracle-matchable (DuckDB's hash family differs), so
+their QuerySpecs are rows-only and their correctness contract is the pytest
+suite: candidate pairs are validated against EXACT n-gram Jaccard (which IS
+oracle-checked) on corpora with planted near-duplicates.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -174,7 +177,10 @@ def simhash_bits_expr(text_col: str, bits: int = 64) -> Column:
     """SimHash bit vector (array<int> of 0/1, length `bits`) computed in ONE
     map-side expression: fold the token array, accumulating per-bit ±1 votes
     from each token's xxhash64, then threshold at 0. No explode, no shuffle,
-    stays in codegen."""
+    stays in codegen. Kept as the pure-Catalyst reference; the hot path uses
+    `simhash_bits_udf` (identical output shape, different hash family) —
+    per-token × per-bit expression folds allocate two arrays per token,
+    which the vectorized kernel does as one unpackbits + matmul-style sum."""
     toks = f"split(lower(trim({text_col})), '\\\\s+')"
     return F.expr(
         f"transform("
@@ -185,6 +191,43 @@ def simhash_bits_expr(text_col: str, bits: int = 64) -> Column:
         f"      (a, v) -> a + v)), "
         f"  s -> CASE WHEN s >= 0 THEN 1 ELSE 0 END)"
     )
+
+
+def simhash_sig_udf():
+    """Arrow-batched SimHash-64 packed into ONE signed long: blake2b(token)
+    → unpackbits ±1 votes → threshold → packbits. Deterministic across
+    runs/engines (keyed blake2b, not PYTHONHASHSEED). The scalar signature
+    is the point: bands are bit-slices (shift+mask), hamming distance is
+    `bit_count(a ^ b)` — both native JVM expressions — and the only thing
+    that ever shuffles is 8 bytes per row."""
+    from hashlib import blake2b
+
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        cache: dict[str, np.ndarray] = {}
+        out = []
+        for t in texts:
+            toks = (t or "").strip().lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                bitsarr = cache.get(tok)
+                if bitsarr is None:
+                    h = blake2b(tok.encode(), digest_size=8).digest()
+                    bitsarr = np.unpackbits(
+                        np.frombuffer(h, dtype=np.uint8), bitorder="little"
+                    ).astype(np.int64)
+                    cache[tok] = bitsarr
+                votes += 2 * bitsarr - 1
+            packed = np.packbits((votes >= 0).astype(np.uint8), bitorder="little")
+            out.append(int.from_bytes(packed.tobytes(), "little", signed=True))
+        return pd.Series(out, dtype="int64")
+
+    return simhash
 
 
 def hamming_expr(a: Column, b: Column) -> Column:
@@ -206,32 +249,44 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash: candidates collide on at least one of
     `bands` contiguous bit-slices (pigeonhole: hamming ≤ max_hamming with
     bands > max_hamming/ (bits/bands) guarantees a colliding band for true
-    near-dups), verified by exact hamming ≤ max_hamming."""
+    near-dups), verified by exact hamming ≤ max_hamming.
+
+    All post-signature work is scalar bit arithmetic in codegen: band keys
+    are shift+mask slices of the packed long, verification is
+    bit_count(xor) — no arrays cross any exchange."""
+    assert bits == 64, "packed-long kernel is fixed at 64 bits"
     width = bits // bands
+    mask = (1 << width) - 1
     base = docs.select(
-        F.col(id_col).alias("__id"), simhash_bits_expr(text_col, bits).alias("__bits")
+        F.col(id_col).alias("__id"), simhash_sig_udf()(F.col(text_col)).alias("__sig")
     )
     stacked = base.select(
         "__id",
-        "__bits",
+        "__sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.concat_ws("", F.slice(F.col("__bits"), b * width + 1, width)).alias("key"),
+                        F.shiftrightunsigned(F.col("__sig"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select("__id", "__bits", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
-    left = stacked.select(F.col("__id").alias("id_a"), F.col("__bits").alias("__bits_a"), "band_idx", "key")
-    right = stacked.select(F.col("__id").alias("id_b"), F.col("__bits").alias("__bits_b"), "band_idx", "key")
+    ).select("__id", "__sig", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+    left = stacked.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"), "band_idx", "key")
+    right = stacked.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"), "band_idx", "key")
     return (
         left.join(right, on=["band_idx", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming_expr(F.col("__bits_a"), F.col("__bits_b")).alias("hamming"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

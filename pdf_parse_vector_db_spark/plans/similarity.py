@@ -70,10 +70,12 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 bitwise tier: SimHash-64 banded candidates with hamming ≤ 20.
-    Rows-only (xxhash64-based)."""
+    """X2 bitwise tier: SimHash-64 near-dup pairs, hamming ≤ 3 over 4
+    bands — the classic Manku/Jain/Sarma web-dedup configuration, where the
+    pigeonhole bound is exact (≤3 flipped bits cannot touch all 4 bands, so
+    banding has 100% recall). Rows-only (hash family is ours, blake2b)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return dedup.simhash_near_pairs(docs, max_hamming=20, bits=64, bands=4).orderBy(
+    return dedup.simhash_near_pairs(docs, max_hamming=3, bits=64, bands=4).orderBy(
         "id_a", "id_b"
     )
 
