@@ -126,3 +126,58 @@ def win_statistics(results: DataFrame, decision_col: str = "case_decision") -> D
         ).alias("win_percentage"),
         total.alias("result_count"),
     )
+
+
+def search_response(
+    results: DataFrame,
+    query_file_name: str,
+    input_court_level: int,
+    decision_col: str = "case_decision",
+    score_col: str = "score",
+    id_col: str = "file_id",
+    name_col: str = "file_name",
+) -> DataFrame:
+    """S8: assemble the full nested search response as ONE JSON row —
+    `jsonify({status, query{...}, results[...], result_count,
+    appellant_statistics{...}})` (extract_and_search_v2.py:361-376; golden
+    shape README.md:17-65).
+
+    Single aggregation: the hit structs collect sorted by ascending score
+    (sort_array on a score-first struct), statistics ride in the same agg —
+    no second pass, no driver-side assembly beyond the 1-row collect."""
+    wins = F.count_if(F.col(decision_col) == DECISION_WON)
+    valid = F.count_if(F.col(decision_col).isin(*VALID_DECISIONS))
+    total = F.count(F.lit(1))
+    hit = F.struct(
+        F.col(score_col).alias("__score"),
+        F.struct(
+            F.col(decision_col).alias("case_decision"),
+            F.col(id_col).alias("file_id"),
+            F.col(name_col).alias("file_name"),
+            F.col(score_col).alias("score"),
+        ).alias("entity"),
+    )
+    hits_sorted = F.transform(
+        F.sort_array(F.collect_list(hit)), lambda h: h["entity"]
+    )
+    response = F.struct(
+        F.struct(
+            (total - valid).alias("invalid_decisions"),
+            valid.alias("total_valid_decisions"),
+            wins.alias("win_count"),
+            F.round(
+                F.when(valid > 0, wins.cast("double") / valid.cast("double") * 100.0)
+                .otherwise(0.0),
+                2,
+            ).alias("win_percentage"),
+        ).alias("appellant_statistics"),
+        F.struct(
+            F.lit(query_file_name).alias("file_name"),
+            F.lit(int(input_court_level)).alias("input_court_level"),
+            F.lit(int(input_court_level) + 1).alias("target_court_level"),
+        ).alias("query"),
+        total.alias("result_count"),
+        hits_sorted.alias("results"),
+        F.lit("success").alias("status"),
+    )
+    return results.agg(F.to_json(response).alias("response"))

@@ -205,8 +205,32 @@ SELECT label, vec_id, rnk, round(dist, 4) AS score
 FROM ranked WHERE rnk <= 3
 """
 
+def search_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: the full nested JSON response over the flagship read path —
+    jsonify({status, query, results, result_count, appellant_statistics})
+    (extract_and_search_v2.py:361-376; golden shape README.md:17-65).
+    Rows-only: engines disagree on JSON text formatting; the exact field
+    shape and values are golden-replayed in tests/test_golden.py."""
+    hits = _scored_hits(spark, sf_dir)
+    best = knn.dedup_best_per_group(
+        hits, group_col="file_grp", score_col="dist", tiebreak_cols=("vec_id",)
+    )
+    top = (
+        best.orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+        .select(
+            F.concat(F.lit("vec_"), F.col("vec_id").cast("string")).alias("file_name"),
+            F.col("file_grp").cast("string").alias("file_id"),
+            "case_decision",
+            F.round(F.col("dist"), 4).alias("score"),
+        )
+    )
+    return knn.search_response(top, "query.pdf", TARGET_LABEL - 1)
+
+
 QUERIES = [
     QuerySpec("knn_topk", knn_topk, KNN_TOPK_SQL, "J1/P2/W1 filtered exact kNN top-5"),
+    QuerySpec("search_response", search_response, None, "S8 nested JSON response (rows-only)"),
     QuerySpec("search_similar", search_similar, SEARCH_SIMILAR_SQL, "flagship read path: overfetch→dedup→top5"),
     QuerySpec("search_stats", search_stats, SEARCH_STATS_SQL, "A2-A5 win statistics"),
     QuerySpec("knn_topk_per_label", knn_topk_per_label, KNN_TOPK_PER_LABEL_SQL, "X4 grouped top-k"),
