@@ -1,0 +1,102 @@
+"""PDF file source (SURVEY §2.1 S1/S2).
+
+The reference opens each uploaded PDF with PyMuPDF, extracts text per page,
+and joins pages with "\\n" (extract_and_embed.py:90-91; sorted variant for
+page 1 at extract_and_embed_v2.py:398). The engine restatement:
+
+  staging directory → spark.read.format("binaryFile")  (S2: the batch
+  analog of the multipart upload; readStream on the same format is the
+  continuous analog, streaming/ingest_stream.py)
+  → Arrow-batched extraction UDF (one PDF per row, pages joined in order)
+  → documents-shaped DataFrame (file_name, file_id = sha2(name), text)
+
+PyMuPDF is not installed in this container, so extraction follows the
+multimodal decode pattern (operators/multimodal.py): `real=True` routes to
+fitz behind an import-try (NotImplementedError when absent, marking exactly
+where the real decoder plugs in); the offline tier treats the payload as
+UTF-8 with form-feed page breaks — the page-iteration and "\\n"-join
+semantics are identical, so the distributed plumbing (binary scan, batch
+shape, identity derivation, downstream chunk/embed) is fully exercised.
+
+Scale: binaryFile scans split per file and prune on path glob; extraction
+is a pure map (no shuffle); the 16 MB request cap (extract_and_embed.py:20)
+maps to `maxBytesPerFile`-style admission checks, enforced here as a
+filterable `length` column rather than a hard error.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Page separator for the offline extraction tier (ASCII form feed — the
+#: conventional page-break byte in text renderings of PDFs).
+PAGE_BREAK = "\f"
+
+#: Flask MAX_CONTENT_LENGTH in the reference (extract_and_embed.py:20).
+MAX_UPLOAD_BYTES = 16 * 1024 * 1024
+
+
+def _extract_pages_offline(content: bytes) -> list[str]:
+    return content.decode("utf-8", errors="replace").split(PAGE_BREAK)
+
+
+def _extract_pages_fitz(content: bytes) -> list[str]:
+    try:
+        import fitz  # noqa: PLC0415  (PyMuPDF; absent in this container)
+    except ImportError as e:  # pragma: no cover - depends on environment
+        raise NotImplementedError(
+            "real PDF extraction needs PyMuPDF (pip install pymupdf); "
+            "use real=False for the deterministic offline tier"
+        ) from e
+    doc = fitz.open(stream=content, filetype="pdf")
+    return [page.get_text() for page in doc]
+
+
+def extract_text_udf(real: bool = False):
+    """binary content → full text: per-page extraction + ordered "\\n" join
+    (the A7 concatenating aggregate happens inside the batch — pages of one
+    file never cross rows, so no shuffle is involved)."""
+    extract = _extract_pages_fitz if real else _extract_pages_offline
+
+    @F.pandas_udf("string")
+    def extract_text(contents: pd.Series) -> pd.Series:
+        return pd.Series(
+            ["\n".join(extract(c)) if c is not None else "" for c in contents]
+        )
+
+    return extract_text
+
+
+def read_pdf_dir(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
+    """S2: staging-directory scan — one row per file with (path,
+    modificationTime, length, content). The `.pdf` suffix check (P4,
+    extract_and_embed.py:160) rides in as the pathGlobFilter."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+def pdf_documents(
+    spark: SparkSession,
+    path: str,
+    real: bool = False,
+    enforce_upload_cap: bool = True,
+) -> DataFrame:
+    """Full S1 source: directory → documents-shaped DataFrame
+    (file_name, file_id, n_bytes, text), ready for the ingest plan
+    (plans/ingest.build_chunks consumes exactly this shape + doc_id)."""
+    files = read_pdf_dir(spark, path)
+    if enforce_upload_cap:
+        files = files.filter(F.col("length") <= MAX_UPLOAD_BYTES)
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        extract_text_udf(real)(F.col("content")).alias("text"),
+    ).withColumn("file_id", F.sha2(F.col("file_name"), 256))
