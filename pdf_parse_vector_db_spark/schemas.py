@@ -56,6 +56,14 @@ CHUNKS_SCHEMA = StructType(
     ]
 )
 
+#: CHUNKS_SCHEMA as column DDL for CREATE TABLE (sources/catalog.py S5).
+#: court_level LAST: Spark DDL requires partition columns to close the list.
+CHUNKS_TABLE_COLUMNS_DDL = (
+    "chunk_id BIGINT, doc_id BIGINT, chunk_idx INT, text STRING, "
+    "embedding ARRAY<FLOAT>, file_name STRING, file_id STRING, "
+    "case_decision STRING, court_level TINYINT"
+)
+
 #: Output schema of the chunker UDTF (operators/chunker.py) before embedding.
 CHUNKED_DOC_SCHEMA = StructType(
     [

@@ -104,3 +104,65 @@ def test_stream_ingest_is_incremental(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 > 0
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """T4 [ext]: applyInPandasWithState keeps per-user state across
+    micro-batches — totals after two incremental runs equal the batch
+    groupBy over all data, and state provably carried (not recomputed)."""
+    from pdf_parse_vector_db_spark.streaming.stateful import running_user_totals
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("append").parquet(landing)
+
+    emitted = str(tmp_path / "emitted")
+
+    def run(name):
+        sdf = running_user_totals(
+            spark.readStream.schema(EVENTS_SCHEMA).parquet(landing)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(emitted)
+
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # update mode emits one row per key per batch: latest emission wins
+        out = spark.read.parquet(emitted)
+        latest = {}
+        for r in out.orderBy("batch_id").collect():
+            latest[r.user_id] = (r.n_events, r.total_value)
+        return latest
+
+    got1 = run("stateful_run1")
+    exp1 = {
+        r.user_id: (r.n, r.total)
+        for r in first.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in got1.items()} == {k: v[0] for k, v in exp1.items()}
+
+    second.write.mode("append").parquet(landing)
+    got2 = run("stateful_run2")
+    exp2 = {
+        r.user_id: (r.n, r.total)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in got2.items()} == {k: v[0] for k, v in exp2.items()}
+    for k in got2:
+        assert abs(got2[k][1] - exp2[k][1]) < 1e-6
