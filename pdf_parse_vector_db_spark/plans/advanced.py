@@ -424,6 +424,122 @@ ORDER BY court_level, origin
 """
 
 
+# --------------------------------------------------------------------------
+# Q8-shaped market share: 5-table join (3 broadcast dims + fact-fact) with a
+# conditional share aggregate — the join-reordering showcase. Catalyst +
+# AQE pick broadcast for region/nation/customer and one shuffled equi-join
+# for orders⋈lineitem.
+# --------------------------------------------------------------------------
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    target = F.when(F.col("n_name") == "NATION_2", vol).otherwise(F.lit(0.0))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(target) / F.sum(vol), 6).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("region_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+MARKET_SHARE_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n_name = 'NATION_2'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS region_volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q4-shaped EXISTS: orders with at least one lineitem shipped after order
+# date — a correlated EXISTS that Catalyst rewrites to a left-semi join.
+# --------------------------------------------------------------------------
+
+
+def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+LATE_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE year(o_orderdate) = 1997
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11-shaped HAVING over a scalar aggregate subquery: parts whose total
+# lineitem value exceeds 1.4x the mean per-part value (scale-free threshold). The scalar subquery
+# evaluates once and broadcasts into the HAVING predicate.
+# --------------------------------------------------------------------------
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice * l_quantity) >
+               (SELECT 1.4 * sum(l_extendedprice * l_quantity)
+                           / count(DISTINCT l_partkey) FROM lineitem)
+        ORDER BY part_value DESC, l_partkey
+        """
+    )
+
+
+IMPORTANT_PARTS_SQL = """
+SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(l_extendedprice * l_quantity) >
+       (SELECT 1.4 * sum(l_extendedprice * l_quantity)
+                   / count(DISTINCT l_partkey) FROM lineitem)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
 QUERIES = [
     QuerySpec("cube_order_stats", cube_order_stats, CUBE_ORDER_STATS_SQL, "A8 CUBE multi-agg"),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, GROUPING_SETS_REVENUE_SQL, "A8 GROUPING SETS"),
@@ -435,4 +551,7 @@ QUERIES = [
     QuerySpec("first_chunks", first_chunks, FIRST_CHUNKS_SQL, "W3 positional first (min_by)"),
     QuerySpec("label_centroids", label_centroids, LABEL_CENTROIDS_SQL, "mean-pool centroids"),
     QuerySpec("upsert_chunks", upsert_chunks, UPSERT_CHUNKS_SQL, "upsert: anti-join + union"),
+    QuerySpec("market_share", market_share, MARKET_SHARE_SQL, "Q8-shape 5-table share"),
+    QuerySpec("late_order_priority", late_order_priority, LATE_ORDER_PRIORITY_SQL, "Q4-shape EXISTS"),
+    QuerySpec("important_parts", important_parts, IMPORTANT_PARTS_SQL, "Q11-shape HAVING subquery"),
 ]
