@@ -364,7 +364,9 @@ ORDER BY doc_id
 
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    # spread: the 64x explode happens map-side before the agg shuffle — a
+    # single-row-group scan would run it on one core
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )

@@ -21,7 +21,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary metadata projection: byte length + content digest of
     each payload — pure Catalyst over the binary column (oracle-checked;
     both engines hash the same UTF-8 bytes)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     media = attach_binary(docs)
     return media.select(
         "doc_id",
@@ -44,7 +44,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing: binary → typed media metadata (kinds
     alternate image/video by doc parity). Rows-only: the fake decoder's
     byte-math isn't worth porting to SQL; determinism is tested instead."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     media = attach_binary(docs).withColumn(
         "kind", F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video")
     )
@@ -54,7 +54,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing: binary → unit-norm float vector; the
     output column is ANN-ready (same shape the embeddings table has)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     media = attach_binary(docs)
     feats = extract_features(media, dim=64)
     return feats.select(
@@ -75,7 +75,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling UDTF accounting: sampled frame rows per kind."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     media = attach_binary(docs).withColumn(
         "kind", F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video")
     )
