@@ -160,7 +160,70 @@ ORDER BY fingerprint
 """
 
 
+
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data-prep pipeline (the 100 TB flagship use):
+    quality gate → exact dedup (md5 canon fingerprint, lowest-id keeper) →
+    deterministic 20% hash sample (md5 prefix — reproducible across engines
+    and retries, unlike rand()) → per-lang corpus accounting.
+
+    All stages are scan + one semi-join + one agg; at scale the quality gate
+    prunes before anything shuffles and the only wide exchanges are the
+    16-byte-fingerprint groupBy and the final small agg."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    q = T.quality_metrics_expr("text")
+    fp = T.fingerprint_expr("text")["fingerprint"]
+    gated = (
+        docs.withColumn("n_tokens", q["n_tokens"])
+        .withColumn("avg_token_len", q["avg_token_len"])
+        .filter((F.col("n_tokens") >= 20) & F.col("avg_token_len").between(3, 10))
+        .withColumn("__fp", fp)
+    )
+    keep = gated.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).drop("__fp")
+    deduped = gated.join(keep, on="doc_id", how="left_semi")
+    sampled = deduped.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "34"
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.round(F.avg("avg_token_len"), 4).alias("mean_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CP_TOKS = "len(string_split_regex(trim(text), '\\s+'))"
+CORPUS_PREP_SQL = f"""
+WITH gated AS (
+  SELECT doc_id, lang,
+         CAST({_CP_TOKS} AS BIGINT) AS n_tokens,
+         round(CAST(length(text) - ({_CP_TOKS} - 1) AS DOUBLE) / {_CP_TOKS}, 4)
+           AS avg_token_len,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+  WHERE {_CP_TOKS} >= 20
+    AND round(CAST(length(text) - ({_CP_TOKS} - 1) AS DOUBLE) / {_CP_TOKS}, 4)
+        BETWEEN 3 AND 10
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY fp),
+sampled AS (
+  SELECT g.* FROM gated g
+  WHERE g.doc_id IN (SELECT doc_id FROM keep)
+    AND substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 2) < '34'
+)
+SELECT lang, count(*) AS docs, sum(n_tokens) AS tokens,
+       round(avg(avg_token_len), 4) AS mean_token_len
+FROM sampled
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = [
+    QuerySpec("corpus_prep", corpus_prep, CORPUS_PREP_SQL, "X1+X5 composite training-data prep"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "X5 language-ID heuristic"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "X5 quality metrics"),
     QuerySpec("token_stats", token_stats, TOKEN_STATS_SQL, "X5 token accounting"),
