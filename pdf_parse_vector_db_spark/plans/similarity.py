@@ -177,9 +177,42 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_CACHE: dict = {}
+
+
+def _lsh(spark: SparkSession, sf_dir: str):
+    from pdf_parse_vector_db_spark.operators.ann import lsh_model
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        model, indexed = lsh_model(emb, bucket_length=2.0, num_tables=4)
+        _LSH_CACHE[key] = (model, indexed.cache())
+    return _LSH_CACHE[key]
+
+
+def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-tier ANN via public MLlib BucketedRandomProjectionLSH
+    (Euclidean — the reference's L2 metric, extract_and_embed.py:53):
+    approxNearestNeighbors top-5 for the vec_id=0 query. Rows-only (random
+    hyperplane family is seeded but engine-specific); recall vs the exact
+    tier asserted in tests/test_ann.py. Index fit + cache once per
+    (app, sf_dir), mirroring the reference's build-at-create lifecycle."""
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        array_to_vector(F.col("embedding")).alias("v")
+    ).collect()[0].v
+    model, indexed = _lsh(spark, sf_dir)
+    hits = model.approxNearestNeighbors(indexed, qvec, 5, distCol="dist")
+    return hits.select("vec_id", "label", F.round(F.col("dist"), 4).alias("score"))
+
+
 QUERIES = [
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, None, "IVF(nlist,nprobe) ANN top-5 (rows-only)"),
+    QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),
     QuerySpec("minhash_near_dups", minhash_near_dups, None, "X2 MinHash+LSH near-dup (rows-only)"),
     QuerySpec("simhash_near_dups", simhash_near_dups, None, "X2 SimHash near-dup (rows-only)"),
     QuerySpec("embedding_near_dups", embedding_near_dups, EMBEDDING_NEAR_DUPS_SQL, "X2 semantic near-dup"),
