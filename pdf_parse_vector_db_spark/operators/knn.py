@@ -24,6 +24,9 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -64,6 +67,45 @@ def knn_exact(
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec]) if not isinstance(query_vec, Column) else query_vec
     scored = corpus.withColumn(score_name, distance_col(metric, F.col(vec_col), q))
+    return scored.orderBy(F.col(score_name).asc()).limit(k)
+
+
+def knn_exact_blas(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = SEARCH_TOP_K,
+    vec_col: str = "embedding",
+    metric: str = "l2",
+    score_name: str = "score",
+) -> DataFrame:
+    """knn_exact with the distance kernel in NumPy instead of a Catalyst
+    fold — identical answers (tested), different constant factor.
+
+    The zip_with/aggregate expression walks dim elements per row through
+    codegen'd per-element lambdas; at the reference's dim=1536 that loses to
+    one Arrow transfer + a vectorized batch norm. Crossover is around a few
+    hundred dims — below that, prefer `knn_exact` (no Python in the plan).
+    Plan shape is unchanged: map (distance) → TakeOrderedAndProject."""
+    from pyspark.sql.types import DoubleType
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+
+    @F.pandas_udf(DoubleType())
+    def dist(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        if metric == "l2":
+            d = np.sqrt(((m - q) ** 2).sum(axis=1))
+        elif metric == "cosine":
+            nm = np.linalg.norm(m, axis=1)
+            nq = np.linalg.norm(q)
+            denom = nm * nq
+            denom[denom == 0] = np.inf  # zero-norm → similarity 0 → distance 1
+            d = 1.0 - (m @ q) / denom
+        else:
+            raise ValueError(f"unknown metric: {metric}")
+        return pd.Series(d)
+
+    scored = corpus.withColumn(score_name, dist(F.col(vec_col)))
     return scored.orderBy(F.col(score_name).asc()).limit(k)
 
 

@@ -37,3 +37,20 @@ def test_salted_deterministic_across_runs(spark):
     a = sorted(tuple(r) for r in salted_best_per_group(df, "file_id", tiebreak_cols=("row_id",)).collect())
     b = sorted(tuple(r) for r in salted_best_per_group(df, "file_id", tiebreak_cols=("row_id",)).collect())
     assert a == b
+
+
+def test_knn_blas_equals_expr(spark):
+    """The NumPy distance kernel must return exactly the same top-k as the
+    Catalyst expression fold, both metrics."""
+    import random
+
+    from pdf_parse_vector_db_spark.operators.knn import knn_exact, knn_exact_blas
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    for metric in ("l2", "cosine"):
+        a = [(r.vec_id, round(r.score, 9)) for r in knn_exact(corpus, q, k=10, metric=metric).orderBy("score", "vec_id").collect()]
+        b = [(r.vec_id, round(r.score, 9)) for r in knn_exact_blas(corpus, q, k=10, metric=metric).orderBy("score", "vec_id").collect()]
+        assert a == b, metric
