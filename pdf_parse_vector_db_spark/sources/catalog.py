@@ -67,3 +67,24 @@ def append_chunks(chunks: DataFrame, name: str = CHUNKS_TABLE) -> None:
     """S6: append sink into the cataloged table (insert,
     extract_and_embed.py:121). The per-job atomic commit IS the S7 flush."""
     chunks.write.mode("append").insertInto(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    Bucketing is the batch-index analog for co-located joins: two tables
+    bucketed identically on the join key join with ZERO exchange (and zero
+    sort when sorted) — the shuffle was paid once at write time and is
+    amortized over every subsequent join. This is the 100 TB answer for the
+    repeated orders⋈lineitem / chunks⋈files joins; partitioning handles
+    pruning, bucketing handles co-location."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(name)
