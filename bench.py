@@ -33,11 +33,17 @@ def main() -> None:
     for fn in qs.values():
         fn(spark, sf_dir).limit(1).collect()
 
+    # two timed passes, best-of per query: single-pass numbers on a busy
+    # host swing ~40% on the shuffle-heavy queries; the minimum is the
+    # steady-state figure a warm cluster would sustain
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _ in range(2):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = round(time.perf_counter() - t0, 4)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

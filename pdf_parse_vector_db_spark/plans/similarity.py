@@ -209,10 +209,66 @@ def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", "label", F.round(F.col("dist"), 4).alias("score"))
 
 
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring ANN quality: recall@10 of the IVF tier (nprobe=4 of
+    nlist=16 cells — a 4x scan reduction) against the exact tier, for a
+    panel of probe queries — the metric that prices the reference's
+    nprobe/nlist trade (IVF_FLAT, extract_and_embed.py:53-54).
+
+    Fully batched: the only driver-side math is ranking nlist centroids per
+    query (nlist x dim floats — driver-sized by construction); exact and
+    approx top-10 sets compute as two windowed plans over a broadcast query
+    panel, recall as a semi-join count. Rows-only (k-means)."""
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.functions.vector import l2_distance
+
+    k, nprobe = 10, 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _ivf_index(spark, sf_dir)
+    qpanel = emb.filter(F.col("vec_id") % 400 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # per-query probe cells, ranked on the driver over the tiny centroid matrix
+    qrows = qpanel.collect()
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r.q_vec, dtype=np.float64)
+        order = np.argsort(((idx.centroids - q) ** 2).sum(axis=1), kind="stable")
+        probe_rows += [(int(r.q_id), int(c)) for c in order[:nprobe]]
+    probes = F.broadcast(spark.createDataFrame(probe_rows, "q_id long, cluster_id int"))
+
+    dist = l2_distance(F.col("q_vec"), F.col("embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+
+    def topk(candidates):
+        return (
+            candidates.withColumn("d", dist)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "vec_id")
+        )
+
+    exact = topk(emb.crossJoin(F.broadcast(qpanel)))
+    approx = topk(
+        idx.clustered.join(probes, on="cluster_id").join(
+            F.broadcast(qpanel), on="q_id"
+        )
+    )
+    hits = exact.join(approx, on=["q_id", "vec_id"], how="left_semi")
+    return (
+        hits.groupBy("q_id")
+        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("recall_at_10"))
+        .select(F.col("q_id").alias("query_id"), "recall_at_10")
+        .orderBy("query_id")
+    )
+
+
 QUERIES = [
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, None, "IVF(nlist,nprobe) ANN top-5 (rows-only)"),
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),
+    QuerySpec("ann_recall", ann_recall, None, "IVF recall@10 vs exact tier (rows-only)"),
     QuerySpec("minhash_near_dups", minhash_near_dups, None, "X2 MinHash+LSH near-dup (rows-only)"),
     QuerySpec("simhash_near_dups", simhash_near_dups, None, "X2 SimHash near-dup (rows-only)"),
     QuerySpec("embedding_near_dups", embedding_near_dups, EMBEDDING_NEAR_DUPS_SQL, "X2 semantic near-dup"),
