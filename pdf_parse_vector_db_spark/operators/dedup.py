@@ -179,6 +179,133 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_portable_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dedup with an ENGINE-PORTABLE hash family, so the
+    whole find→verify pipeline is DuckDB-oracle-checkable (md5 produces
+    identical hex on any engine; signature minima are lexicographic string
+    mins, identical everywhere).
+
+    Family: base = md5(shingle); h_i = md5('<i>|' || base) — one string
+    hash of the raw shingle, then num_hashes hashes over fixed 35-byte
+    input. ~2× the xxhash64 tier's cost; use that tier when oracle parity
+    isn't needed. Returns (id_a, id_b, jaccard) — band-colliding pairs
+    verified by exact Jaccard ≥ threshold."""
+    rows = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles_expr(text_col, n)).alias("__s"),
+    ).select("__id", F.md5(F.col("__s")).alias("__b"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__b")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("__id").agg(*mins)
+    band_cols = [
+        F.md5(F.concat_ws("_", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("__id", *band_cols)
+    stacked = banded.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+    cands = (
+        stacked.alias("l")
+        .join(stacked.alias("r"), on=["band_idx", "key"])
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    shg = docs.select(F.col(id_col).alias("__d"), shingles_expr(text_col, n).alias("__sh"))
+    a = shg.select(F.col("__d").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = shg.select(F.col("__d").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    jac = jaccard_expr(F.col("__sh_a"), F.col("__sh_b"))
+    return (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_portable_sql(
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.1,
+    shingles: str = "",
+) -> str:
+    """The DuckDB twin of minhash_portable_pairs, generated so query and
+    oracle share the family constants."""
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || b)) AS h{i}" for i in range(num_hashes)
+    )
+    bandcols = ",\n         ".join(
+        "md5(" + " || '_' || ".join(f"h{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    stack = "\n    UNION ALL\n".join(
+        f"    SELECT id, {b} AS band_idx, band{b} AS key FROM banded" for b in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {shingles} AS sh FROM documents
+),
+sh AS (
+  SELECT id, md5(unnest(sh)) AS b FROM base
+),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM sh GROUP BY id
+),
+banded AS (
+  SELECT id,
+         {bandcols}
+  FROM sig
+),
+stacked AS (
+{stack}
+),
+cands AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM stacked l JOIN stacked r ON l.band_idx = r.band_idx AND l.key = r.key
+  WHERE l.id < r.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(
+           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh)))
+                ELSE 0.0 END, 6) AS jaccard
+  FROM cands c JOIN base a ON c.id_a = a.id JOIN base b ON c.id_b = b.id
+)
+SELECT id_a, id_b, jaccard FROM verified
+WHERE jaccard >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash (X2, bitwise tier)
 # ---------------------------------------------------------------------------

@@ -69,6 +69,22 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_portable_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale tier, PORTABLE family: the full MinHash(32)+LSH(8)→exact-
+    Jaccard pipeline with an md5 hash family both engines compute
+    identically — the one near-dedup query where even the LSH candidate
+    generation is inside the oracle check."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return dedup.minhash_portable_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.1).orderBy(
+        "id_a", "id_b"
+    )
+
+
+MINHASH_PORTABLE_SQL = dedup.minhash_portable_sql(
+    n=3, num_hashes=32, bands=8, threshold=0.1, shingles=shingles_sql("text")
+)
+
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 bitwise tier: SimHash-64 near-dup pairs, hamming ≤ 3 over 4
     bands — the classic Manku/Jain/Sarma web-dedup configuration, where the
@@ -270,6 +286,7 @@ QUERIES = [
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),
     QuerySpec("ann_recall", ann_recall, None, "IVF recall@10 vs exact tier (rows-only)"),
     QuerySpec("minhash_near_dups", minhash_near_dups, None, "X2 MinHash+LSH near-dup (rows-only)"),
+    QuerySpec("minhash_portable_dups", minhash_portable_dups, MINHASH_PORTABLE_SQL, "X2 MinHash+LSH, portable md5 family"),
     QuerySpec("simhash_near_dups", simhash_near_dups, None, "X2 SimHash near-dup (rows-only)"),
     QuerySpec("embedding_near_dups", embedding_near_dups, EMBEDDING_NEAR_DUPS_SQL, "X2 semantic near-dup"),
     QuerySpec("knn_join", knn_join, KNN_JOIN_SQL, "X3/X4 batch kNN join, top-3 per query"),
