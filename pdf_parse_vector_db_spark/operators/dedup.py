@@ -12,11 +12,13 @@ Design rules applied throughout:
     needs one explode+groupBy pass and does all `num_hashes` mins in that
     single shuffle.
 
-MinHash uses Spark's xxhash64 and SimHash a keyed blake2b (packed into one
-long) — deliberately not oracle-matchable (DuckDB's hash family differs), so
-their QuerySpecs are rows-only and their correctness contract is the pytest
-suite: candidate pairs are validated against EXACT n-gram Jaccard (which IS
-oracle-checked) on corpora with planted near-duplicates.
+Hash families: the default MinHash tier uses Spark's xxhash64 and SimHash a
+keyed blake2b (packed into one long) — fast but engine-specific, so those
+QuerySpecs are rows-only with their correctness contract in the pytest
+suite (candidates validated against EXACT n-gram Jaccard on corpora with
+planted near-duplicates). `minhash_portable_pairs` trades ~2× hash cost for
+an md5 family both engines compute identically, putting the whole LSH
+pipeline inside the DuckDB oracle check.
 """
 
 from __future__ import annotations

@@ -114,6 +114,18 @@ ORDER BY id_a, id_b
 """
 
 
+def embedding_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 semantic tier, SCALE path: cosine ≥ 0.35 pairs restricted to IVF
+    cells (cluster_id as the blocking bucket) — cost drops from corpus² to
+    Σ cell², the trade every ANN-backed dedup makes. Rows-only (k-means);
+    the contract — every emitted pair appears in the exact tier with the
+    identical cosine — is asserted in tests/test_dedup.py."""
+    idx = _ivf_index(spark, sf_dir)
+    return dedup.embedding_near_dup_pairs(
+        idx.clustered, threshold=0.35, bucket_col="cluster_id"
+    ).orderBy("id_a", "id_b")
+
+
 def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3/X4: batch kNN join — every 20th vector is a query; top-3 same-label
     neighbors each, by cosine distance.
@@ -289,5 +301,6 @@ QUERIES = [
     QuerySpec("minhash_portable_dups", minhash_portable_dups, MINHASH_PORTABLE_SQL, "X2 MinHash+LSH, portable md5 family"),
     QuerySpec("simhash_near_dups", simhash_near_dups, None, "X2 SimHash near-dup (rows-only)"),
     QuerySpec("embedding_near_dups", embedding_near_dups, EMBEDDING_NEAR_DUPS_SQL, "X2 semantic near-dup"),
+    QuerySpec("embedding_near_dups_ivf", embedding_near_dups_ivf, None, "X2 semantic near-dup, IVF-bucketed scale path"),
     QuerySpec("knn_join", knn_join, KNN_JOIN_SQL, "X3/X4 batch kNN join, top-3 per query"),
 ]

@@ -82,3 +82,24 @@ def test_minhash_agrees_with_exact_jaccard_on_fixture(spark):
     }
     cands = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
     assert exact <= cands
+
+
+def test_ivf_bucketed_near_dups_subset_of_exact(spark):
+    """The IVF-bucketed semantic tier must emit a SUBSET of the exact
+    all-pairs tier with identical cosines — bucketing may lose cross-cell
+    pairs (the recall trade) but can never invent or re-score one."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    exact = {
+        (r.id_a, r.id_b): r.cosine for r in qs["embedding_near_dups"](spark, sf).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b): r.cosine
+        for r in qs["embedding_near_dups_ivf"](spark, sf).collect()
+    }
+    assert bucketed, "bucketed tier found nothing at all"
+    for pair, cos in bucketed.items():
+        assert pair in exact, f"{pair} not in exact tier"
+        assert abs(exact[pair] - cos) < 1e-9
