@@ -222,8 +222,128 @@ ORDER BY lang
 """
 
 
+
+def _winnow_fps(spark: SparkSession, sf_dir: str, k: int = 8, w: int = 4):
+    """Winnowing (Schleimer/Wilkerson/Aiken) as a relational plan: md5 every
+    char k-gram ONCE (explode), take the sliding-window minimum with a
+    ROWS-frame window function, distinct per doc. Any shared substring of
+    length ≥ k+w-1 between two docs is guaranteed to share a fingerprint."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    canon = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+    grams = (
+        f"transform(sequence(1, greatest(length({canon}) - {k - 1}, 0)), "
+        f"p -> md5(substring({canon}, p, {k})))"
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(F.expr(grams)).alias("pos", "h")
+    )
+    wn = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = Window.partitionBy("doc_id")
+    return (
+        exploded.withColumn("wmin", F.min("h").over(wn))
+        .withColumn("n", F.count(F.lit(1)).over(n_grams))
+        .filter(F.col("pos") <= F.col("n") - w)  # full windows only (0-based pos)
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
+_WINNOW_CANON = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WINNOW_GRAMS = (
+    f"list_transform(range(1, greatest(length({_WINNOW_CANON}) - 7, 0) + 1), "
+    f"p -> md5(substring({_WINNOW_CANON}, p, 8)))"
+)
+_WINNOW_FPS_SQL = f"""
+WITH g AS (
+  SELECT doc_id, {_WINNOW_GRAMS} AS grams FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(grams) AS h, generate_subscripts(grams, 1) - 1 AS pos,
+         len(grams) AS n
+  FROM g
+),
+wm AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         pos, n
+  FROM e
+)
+SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n - 4
+"""
+
+
+def winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing) accounting: distinct
+    fingerprints per doc + the lexicographic minimum (the doc's 'super-
+    fingerprint')."""
+    fps = _winnow_fps(spark, sf_dir)
+    return (
+        fps.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fps"), F.min("fp").alias("min_fp"))
+        .orderBy("doc_id")
+    )
+
+
+WINNOW_STATS_SQL = f"""
+WITH fps AS ({_WINNOW_FPS_SQL})
+SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp
+FROM fps GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap near-dup pairs a la MOSS: docs sharing ≥ 3 RARE
+    winnowed fingerprints (document frequency ≤ 10 — ubiquitous grams are
+    dropped like stopwords, which is also what bounds the self-join: pair
+    cost is Σ docfreq² over rare fps only)."""
+    from pyspark.sql import Window
+
+    fps = _winnow_fps(spark, sf_dir)
+    # document frequency via a count window, not a groupBy+semi-join back —
+    # the fps subplan is expensive and this keeps it at two evaluations
+    # (join sides) instead of three
+    rfps = (
+        fps.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= 10)
+        .drop("df")
+    )
+    a = rfps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = rfps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+WINNOW_SHARED_PAIRS_SQL = f"""
+WITH fps AS ({_WINNOW_FPS_SQL}),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10
+),
+rfps AS (SELECT f.* FROM fps f WHERE f.fp IN (SELECT fp FROM rare))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM rfps a JOIN rfps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = [
     QuerySpec("corpus_prep", corpus_prep, CORPUS_PREP_SQL, "X1+X5 composite training-data prep"),
+    QuerySpec("winnow_stats", winnow_stats, WINNOW_STATS_SQL, "rolling-hash winnowing fingerprints"),
+    QuerySpec("winnow_shared_pairs", winnow_shared_pairs, WINNOW_SHARED_PAIRS_SQL, "substring-overlap near-dup (MOSS shape)"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "X5 language-ID heuristic"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "X5 quality metrics"),
     QuerySpec("token_stats", token_stats, TOKEN_STATS_SQL, "X5 token accounting"),
