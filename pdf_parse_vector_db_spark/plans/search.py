@@ -228,9 +228,56 @@ def search_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.search_response(top, "query.pdf", TARGET_LABEL - 1)
 
 
+#: Ingested-chunks corpora cached per (app, sf_dir) — ingest output feeding
+#: the read path, pinned like load_collection (extract_and_embed.py:58).
+_CHUNKS_CACHE: dict = {}
+
+
+def _ingested_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parse_vector_db_spark.plans.ingest import build_chunks
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CHUNKS_CACHE:
+        _CHUNKS_CACHE[key] = build_chunks(spark, sf_dir, with_embeddings=True).cache()
+    return _CHUNKS_CACHE[key]
+
+
+def search_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-circle reference flow: the §3.1 write path BUILDS the corpus
+    (documents → classify → chunk → embed → chunks) and the §3.2 read path
+    queries it — first-chunk embedding of doc 0 (W3,
+    extract_and_search.py:88-89), court-level filter on level 2, overfetch
+    100 → best-per-file dedup → top-5. Rows-only: the deterministic
+    embedder isn't SQL-expressible; ingest correctness is oracle-checked
+    embedding-free (ingest_chunks) and search correctness on the fixture
+    embeddings (search_similar) — this query proves the two halves
+    compose."""
+    chunks = _ingested_chunks(spark, sf_dir)
+    qvec = (
+        chunks.filter((F.col("doc_id") == 0) & (F.col("chunk_idx") == 0))
+        .select("embedding")
+        .collect()[0]
+        .embedding
+    )
+    top = knn.search_pipeline(
+        chunks,
+        qvec,
+        filter_cond=F.col("court_level") == 2,
+        group_col="file_id",
+        tiebreak_cols=("chunk_id",),
+    )
+    return top.select(
+        "doc_id",
+        "file_name",
+        "case_decision",
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 QUERIES = [
     QuerySpec("knn_topk", knn_topk, KNN_TOPK_SQL, "J1/P2/W1 filtered exact kNN top-5"),
     QuerySpec("search_response", search_response, None, "S8 nested JSON response (rows-only)"),
+    QuerySpec("search_ingested", search_ingested, None, "full-circle ingest->search (rows-only)"),
     QuerySpec("search_similar", search_similar, SEARCH_SIMILAR_SQL, "flagship read path: overfetch→dedup→top5"),
     QuerySpec("search_stats", search_stats, SEARCH_STATS_SQL, "A2-A5 win statistics"),
     QuerySpec("knn_topk_per_label", knn_topk_per_label, KNN_TOPK_PER_LABEL_SQL, "X4 grouped top-k"),
