@@ -561,6 +561,68 @@ ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Ordered-statistic aggregates + cardinality/quantile sketches. Exact
+# percentile (linear interpolation, identical in Spark `percentile` and
+# DuckDB `quantile_cont`) is the oracle-checked tier; it buffers each
+# group's values, so at 100 TB the scale path is the mergeable-sketch tier
+# below (approx_percentile = bounded-error GK sketch, approx_count_distinct
+# = HyperLogLog++) whose per-group state is KB-sized and combines map-side
+# like any partial aggregate. ndv_sketch_accuracy surfaces the sketch
+# error against the exact answer so the trade is measured, not assumed
+# (bound pinned in tests/test_properties.py).
+# --------------------------------------------------------------------------
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PRICE_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def ndv_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier vs exact, per event_type: HLL++ distinct-user counts and
+    GK median-value estimates next to their exact answers, with the HLL
+    relative error as a surfaced column. Rows-only: sketch internals are
+    engine-specific, so no cross-engine hash can match — the accuracy bound
+    is the contract instead."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_ndv"),
+            F.approx_count_distinct("user_id", 0.02).alias("hll_ndv"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50_value"),
+            F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("sketch_p50_value"),
+        )
+        .withColumn(
+            "ndv_rel_err",
+            F.round(F.abs(F.col("hll_ndv") - F.col("exact_ndv")) / F.col("exact_ndv"), 4),
+        )
+    )
+    return out.orderBy("event_type")
+
+
 QUERIES = [
     QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL, "TPC-H Q1 shape"),
     QuerySpec("revenue_forecast", revenue_forecast, REVENUE_FORECAST_SQL, "TPC-H Q6 shape"),
@@ -579,4 +641,6 @@ QUERIES = [
     QuerySpec("brand_type_stats", brand_type_stats, BRAND_TYPE_STATS_SQL, "distinct agg"),
     QuerySpec("events_json_stats", events_json_stats, EVENTS_JSON_STATS_SQL, "JSON access"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "event-time tumbling hour (batch)"),
+    QuerySpec("price_percentiles", price_percentiles, PRICE_PERCENTILES_SQL, "exact ordered-statistic agg"),
+    QuerySpec("ndv_sketch_accuracy", ndv_sketch_accuracy, None, "HLL++/GK sketch tier vs exact"),
 ]

@@ -59,3 +59,18 @@ def with_watermark(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     behind the max seen event time are dropped and window state older than
     the watermark is evicted."""
     return events.withWatermark("ts", horizon)
+
+
+def dedup_events(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup (the X1 operator under continuous ingest):
+    first occurrence per key wins, duplicates within the watermark horizon
+    are dropped. On a watermarked streaming DataFrame this uses
+    dropDuplicatesWithinWatermark, so dedup state is evicted once a key's
+    event time falls behind the watermark — bounded memory regardless of
+    stream length (plain streaming dropDuplicates would keep every key
+    forever). On a batch DataFrame the same call degrades to dropDuplicates,
+    preserving the unified batch/stream contract the other twins follow."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

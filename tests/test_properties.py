@@ -85,3 +85,18 @@ def test_topk_prefix_monotone(spark):
 
     top5, top20 = ids(5), ids(20)
     assert top5 == top20[:5]
+
+
+def test_ndv_sketch_error_bound(spark):
+    """Sketch tier contract: HLL++ at rsd=0.02 stays within 5% of the exact
+    distinct count, and the GK median sketch at accuracy 10000 matches the
+    exact median to the surfaced rounding on the fixture data."""
+    from pdf_parse_vector_db_spark.plans.relational import ndv_sketch_accuracy
+
+    rows = ndv_sketch_accuracy(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no event_type groups"
+    for r in rows:
+        assert r.ndv_rel_err <= 0.05, (r.event_type, r.ndv_rel_err)
+        assert abs(r.sketch_p50_value - r.exact_p50_value) <= max(
+            0.01, 0.01 * abs(r.exact_p50_value)
+        ), (r.event_type, r.sketch_p50_value, r.exact_p50_value)

@@ -68,6 +68,35 @@ def test_streaming_session_equals_batch(spark, events_stream_dir):
     )
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicated landing files collapse to the batch-distinct row set, via
+    dropDuplicatesWithinWatermark (bounded dedup state)."""
+    landing = str(tmp_path / "dup_landing")
+    ev = load_table(spark, SF, "events")
+    ev.write.parquet(landing)  # copy 1
+    ev.write.mode("append").parquet(landing)  # copy 2: every event_id twice
+    stream_src = W.with_watermark(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(landing), "1 hour"
+    )
+    q = (
+        W.dedup_events(stream_src)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("t_dedup")
+    assert streamed.count() == ev.count()
+    assert _rows(streamed.select("event_id"), "event_id") == _rows(
+        ev.select("event_id"), "event_id"
+    )
+    # batch path of the same operator: degrades to dropDuplicates
+    doubled = ev.unionAll(ev)
+    assert W.dedup_events(doubled).count() == ev.count()
+
+
 def test_stream_ingest_matches_batch(spark, tmp_path):
     landing = str(tmp_path / "landing")
     out = str(tmp_path / "chunks_out")
