@@ -542,12 +542,64 @@ ORDER BY part_value DESC, l_partkey
 """
 
 
+def purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J2 family): for each purchase event, the same user's most
+    recent view at or before the purchase time.
+
+    Spark has no ASOF JOIN operator, so this uses the merge formulation:
+    tag both sides, union, ONE shuffle on user_id, then `last(ignorenulls)`
+    over an ordered running frame carries the latest view forward onto each
+    purchase row. Cost is sort-within-partition over |views|+|purchases| —
+    never the (purchase × earlier-view) pair blow-up a time-range join +
+    window dedup would materialize, which is what makes it hold at 100 TB
+    (and at equal timestamps the view sorts first, preserving <= semantics).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).withColumn(
+        "is_view", (F.col("event_type") == "view").cast("int")
+    )
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_view").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_view = F.last(
+        F.when(F.col("is_view") == 1, F.col("ts")), ignorenulls=True
+    ).over(running)
+    return (
+        tagged.withColumn("last_view_ts", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_view_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_view_ts")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+PURCHASE_LAST_VIEW_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       v.ts AS last_view_ts,
+       date_diff('microseconds', v.ts, p.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
 QUERIES = [
     QuerySpec("cube_order_stats", cube_order_stats, CUBE_ORDER_STATS_SQL, "A8 CUBE multi-agg"),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, GROUPING_SETS_REVENUE_SQL, "A8 GROUPING SETS"),
     QuerySpec("running_revenue", running_revenue, RUNNING_REVENUE_SQL, "W6 running frame spec"),
     QuerySpec("shipments_in_window", shipments_in_window, SHIPMENTS_IN_WINDOW_SQL, "J2 equi+range join"),
     QuerySpec("views_before_purchase", views_before_purchase, VIEWS_BEFORE_PURCHASE_SQL, "J2 time-range join"),
+    QuerySpec("purchase_last_view", purchase_last_view, PURCHASE_LAST_VIEW_SQL, "J2 as-of join (merge formulation)"),
     QuerySpec("parts_above_brand_avg", parts_above_brand_avg, PARTS_ABOVE_BRAND_AVG_SQL, "correlated scalar subquery"),
     QuerySpec("doc_reassembly", doc_reassembly, DOC_REASSEMBLY_SQL, "A7 ordered concat agg"),
     QuerySpec("first_chunks", first_chunks, FIRST_CHUNKS_SQL, "W3 positional first (min_by)"),
