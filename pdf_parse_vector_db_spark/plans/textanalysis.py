@@ -104,9 +104,9 @@ _COUNTS = T.token_counts_sql("text")
 TOKEN_STATS_SQL = f"""
 SELECT lang, source,
        count(*) AS docs,
-       sum({_COUNTS['ws_tokens']}) AS ws_tokens,
-       sum({_COUNTS['bpe_tokens']}) AS bpe_tokens,
-       sum({_COUNTS['est_tokens']}) AS est_tokens
+       CAST(sum({_COUNTS['ws_tokens']}) AS BIGINT) AS ws_tokens,
+       CAST(sum({_COUNTS['bpe_tokens']}) AS BIGINT) AS bpe_tokens,
+       CAST(sum({_COUNTS['est_tokens']}) AS BIGINT) AS est_tokens
 FROM documents
 GROUP BY lang, source
 ORDER BY lang, source
@@ -214,7 +214,7 @@ sampled AS (
   WHERE g.doc_id IN (SELECT doc_id FROM keep)
     AND substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 2) < '34'
 )
-SELECT lang, count(*) AS docs, sum(n_tokens) AS tokens,
+SELECT lang, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
        round(avg(avg_token_len), 4) AS mean_token_len
 FROM sampled
 GROUP BY lang
