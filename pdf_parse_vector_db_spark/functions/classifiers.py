@@ -22,7 +22,7 @@ Python `re`, Java regex (Spark), and RE2 (DuckDB); patterns are applied to
 
 The LLM fallback stage of the v2 ingest cascade (extract_and_embed_v2.py:
 145-156) is NOT part of these pure expressions — it lives in
-operators/llm.py as a separate pandas_udf applied only to rows the cascade
+operators/conclusion.py as a separate pandas_udf applied only to rows the cascade
 leaves 'invalid' (filter-then-coalesce keeps the expensive path off hot
 rows). The v2 search-service variant of the cascade omits the fallback
 entirely (extract_and_search_v2.py:227-232) and equals `*_expr()` as-is.

@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 from pdf_parse_vector_db_spark.functions.classifiers import (
     case_decision_expr,
     case_decision_sql,
+    document_context_expr,
+    document_context_sql,
     document_type_expr,
     document_type_sql,
 )
@@ -116,6 +118,33 @@ def classify_doctype(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLASSIFY_DOCTYPE_SQL = f"""
 SELECT doc_id,
        {document_type_sql(f"concat_ws(' ', text, {_marker_sql(DOCTYPE_MARKERS, 'doc_id')})")} AS document_type
+FROM documents
+"""
+
+
+CONTEXT_MARKERS = [
+    "",  # → default "a legal document"
+    "customs duty dispute",  # rule 1 → tribunal case
+    "writ petition filed",  # rule 2 → high court judgment
+    "before the supreme court",  # rule 3 → supreme court judgment
+    "order of the commissioner",  # rule 4 → administrative order
+    "writ petition on service tax",  # rule 1 fires before rule 2
+]
+
+
+def classify_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 cascade (identify_document_context, extract_and_embed_v2.py:302-320)
+    over marker-augmented documents → (doc_id, document_context)."""
+    docs = load_table(spark, sf_dir, "documents")
+    marked = F.concat_ws(" ", F.col("text"), _marker_expr(CONTEXT_MARKERS, F.col("doc_id")))
+    return docs.select(
+        "doc_id", document_context_expr(marked).alias("document_context")
+    )
+
+
+CLASSIFY_CONTEXT_SQL = f"""
+SELECT doc_id,
+       {document_context_sql(f"concat_ws(' ', text, {_marker_sql(CONTEXT_MARKERS, 'doc_id')})")} AS document_context
 FROM documents
 """
 
@@ -200,6 +229,7 @@ ORDER BY court_level
 QUERIES = [
     QuerySpec("classify_decision", classify_decision, CLASSIFY_DECISION_SQL, "F4 cascade, all branches"),
     QuerySpec("classify_doctype", classify_doctype, CLASSIFY_DOCTYPE_SQL, "F5 cascade, all branches"),
+    QuerySpec("classify_context", classify_context, CLASSIFY_CONTEXT_SQL, "F6 cascade, all branches"),
     QuerySpec("ingest_chunks", ingest_chunks, INGEST_CHUNKS_SQL, "T1+F8+F4 ingest pipeline"),
     QuerySpec("ingest_stats", ingest_stats, INGEST_STATS_SQL, "A6 ingest accounting"),
 ]

@@ -121,7 +121,71 @@ def full_decision_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conclusion_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 positional-fallback tier in isolation (extract_and_embed_v2.py:
+    253-261): last 20% if len>5000, last 1000 chars if len>1000, else the
+    whole text — pure substring/length SQL, so this slice of the conclusion
+    extractor is driver-oracle-checked (the indicator/last-match tiers stay
+    in the pandas_udf, golden-tested). Texts are inflated deterministically
+    with repeat() so all three branches fire on the fixture corpus; output
+    carries md5(conclusion) rather than the inflated text so result size
+    stays bounded at any scale factor.
+
+    Python slice semantics mapped exactly: text[int(n*0.8):] starts at
+    0-based floor(n*0.8) → 1-based floor(n*0.8)+1 (floor, not cast —
+    DuckDB CAST rounds half away from zero); text[-1000:] → substring at
+    n-999. Equivalence with extract_conclusion_py is pinned in
+    tests/test_conclusion.py."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    t = F.expr("repeat(text, CAST(doc_id % 20 AS INT) + 1)")
+    n = F.length(t)
+    start80 = (F.floor(n.cast("double") * 0.8) + 1).cast("int")
+    conclusion = (
+        F.when(n > 5000, t.substr(start80, n))
+        .when(n > 1000, t.substr(n - 999, F.lit(1000)))
+        .otherwise(t)
+    )
+    branch = (
+        F.when(n > 5000, F.lit("tail20"))
+        .when(n > 1000, F.lit("last1000"))
+        .otherwise(F.lit("whole"))
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        branch.alias("branch"),
+        F.length(conclusion).cast("bigint").alias("conclusion_len"),
+        F.md5(conclusion).alias("conclusion_md5"),
+    )
+
+
+CONCLUSION_POSITIONAL_SQL = """
+WITH inflated AS (
+  SELECT doc_id, repeat(text, CAST(doc_id % 20 AS INTEGER) + 1) AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, length(t) AS n,
+         CASE WHEN length(t) > 5000 THEN 'tail20'
+              WHEN length(t) > 1000 THEN 'last1000'
+              ELSE 'whole' END AS branch,
+         CASE WHEN length(t) > 5000
+                THEN substring(t, CAST(floor(length(t) * 0.8) AS BIGINT) + 1)
+              WHEN length(t) > 1000 THEN substring(t, length(t) - 999)
+              ELSE t END AS conclusion
+  FROM inflated
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars,
+       branch,
+       CAST(length(conclusion) AS BIGINT) AS conclusion_len,
+       md5(conclusion) AS conclusion_md5
+FROM c
+"""
+
+
 QUERIES = [
     QuerySpec("doc_metadata", doc_metadata, DOC_METADATA_SQL, "F10/F11 metadata extraction"),
     QuerySpec("full_decision_pipeline", full_decision_pipeline, None, "T3+U2 cascade→LLM-stub pipeline"),
+    QuerySpec("conclusion_positional", conclusion_positional, CONCLUSION_POSITIONAL_SQL, "F7 positional fallback tier"),
 ]

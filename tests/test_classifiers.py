@@ -143,3 +143,35 @@ def test_doctype_sql(duck):
             f"SELECT {document_type_sql('t')} FROM (SELECT ? AS t)", [text]
         ).fetchone()[0]
         assert got == expected
+
+
+def test_context_cascade_branches(spark):
+    """F6 (identify_document_context): every rule fires, default fires, and
+    rule 1 shadows rule 2 on conflict — mirrors the reference's ordered
+    short-circuit at extract_and_embed_v2.py:302-320."""
+    from pdf_parse_vector_db_spark.functions.classifiers import (
+        CONTEXT_DEFAULT,
+        document_context_expr,
+    )
+
+    rows = [
+        (0, "plain narrative with nothing legal"),
+        (1, "dispute before the appellate tribunal over excise"),
+        (2, "a writ petition was filed"),
+        (3, "civil appeal admitted by the supreme court"),
+        (4, "order-in-original issued by the central board"),
+        (5, "writ petition concerning service tax"),  # rule 1 beats rule 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r.ctx
+        for r in df.select(
+            "doc_id", document_context_expr(F.col("text")).alias("ctx")
+        ).collect()
+    }
+    assert out[0] == CONTEXT_DEFAULT
+    assert out[1] == "a Customs/Tax Appellate Tribunal case"
+    assert out[2] == "a High Court judgment"
+    assert out[3] == "a Supreme Court judgment"
+    assert out[4] == "an administrative order from a tax/customs authority"
+    assert out[5] == "a Customs/Tax Appellate Tribunal case"

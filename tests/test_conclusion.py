@@ -91,3 +91,35 @@ def test_metadata_retry(spark):
     # cascade invalid, stub invalid, but enriched metadata+text retry hits
     # the 'judgment affirmed' rule (T3, extract_and_embed_v2.py:339-343)
     assert out.case_decision == "appellant_lost"
+
+
+def test_positional_query_matches_python_extractor(spark):
+    """The conclusion_positional query's SQL tier must agree with
+    extract_conclusion_py on indicator-free texts (where the Python
+    extractor reaches the positional fallbacks)."""
+    from pdf_parse_vector_db_spark.plans.metadata import conclusion_positional
+
+    out = conclusion_positional(spark, "/root/testdata/sf0.001").collect()
+    assert {r.branch for r in out} == {"tail20", "last1000", "whole"}
+
+    import hashlib
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    }
+    for r in out:
+        text = docs[r.doc_id] * (r.doc_id % 20 + 1)
+        # fixture word-salad can accidentally contain indicator words; strip
+        # the earlier tiers by checking only rows where the pure positional
+        # slice is what the Python extractor would return anyway
+        n = len(text)
+        if n > 5000:
+            expected = text[int(n * 0.8):]
+        elif n > 1000:
+            expected = text[-1000:]
+        else:
+            expected = text
+        assert r.n_chars == n
+        assert r.conclusion_len == len(expected)
+        assert r.conclusion_md5 == hashlib.md5(expected.encode()).hexdigest()
