@@ -237,6 +237,29 @@ def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", "label", F.round(F.col("dist"), 4).alias("score"))
 
 
+def lsh_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 J1 second branch: the general N×M similarity join via
+    public MLlib BucketedRandomProjectionLSH.approxSimilarityJoin
+    (Euclidean — the reference's L2 metric, extract_and_embed.py:53) —
+    every 20th vector as the query side vs the whole corpus, pairs within
+    L2 ≤ 1.25. The LSH bucket-join bounds pair cost to Σ bucket² instead
+    of N×M, which is the 100 TB plan. Rows-only (the random-hyperplane
+    family is engine-specific); recall vs the exact distance join is
+    asserted in tests/test_ann.py."""
+    model, indexed = _lsh(spark, sf_dir)
+    queries = indexed.filter(F.col("vec_id") % 20 == 0)
+    pairs = model.approxSimilarityJoin(queries, indexed, 1.25, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("q_id"),
+            F.col("datasetB.vec_id").alias("c_id"),
+            F.round("dist", 4).alias("dist"),
+        )
+        .orderBy("q_id", "c_id")
+    )
+
+
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-measuring ANN quality: recall@10 of the IVF tier (nprobe=4 of
     nlist=16 cells — a 4x scan reduction) against the exact tier, for a
@@ -296,6 +319,7 @@ QUERIES = [
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, None, "IVF(nlist,nprobe) ANN top-5 (rows-only)"),
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),
+    QuerySpec("lsh_sim_join", lsh_sim_join, None, "MLlib approxSimilarityJoin N×M (rows-only)"),
     QuerySpec("ann_recall", ann_recall, None, "IVF recall@10 vs exact tier (rows-only)"),
     QuerySpec("minhash_near_dups", minhash_near_dups, None, "X2 MinHash+LSH near-dup (rows-only)"),
     QuerySpec("minhash_portable_dups", minhash_portable_dups, MINHASH_PORTABLE_SQL, "X2 MinHash+LSH, portable md5 family"),

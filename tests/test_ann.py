@@ -66,3 +66,29 @@ def test_lsh_approx_neighbors(spark, emb, query_vec):
     approx = model.approxNearestNeighbors(indexed, key, 5)
     exact = knn_exact(emb, query_vec, k=5)
     assert ann.recall_at_k(approx, exact, "vec_id") >= 0.6
+
+
+def test_lsh_sim_join_recall(spark, emb):
+    """The N×M approxSimilarityJoin must recover most true pairs within the
+    distance threshold (recall >= 0.8 vs the exact distance join)."""
+    from pdf_parse_vector_db_spark.functions.vector import l2_distance
+    from pdf_parse_vector_db_spark.plans.similarity import lsh_sim_join
+
+    approx = {
+        (r.q_id, r.c_id) for r in lsh_sim_join(spark, SF).collect()
+    }
+    queries = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).filter(F.col("q_id") % 20 == 0)
+    exact = {
+        (r.q_id, r.c_id)
+        for r in emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("d", l2_distance(F.col("q_vec"), F.col("embedding")))
+        .filter(F.col("d") <= 1.25)
+        .select("q_id", F.col("vec_id").alias("c_id"))
+        .collect()
+    }
+    assert exact, "threshold too tight: exact pair set is empty"
+    assert approx <= exact, "approx emitted pairs beyond the distance threshold"
+    assert len(approx & exact) / len(exact) >= 0.8
