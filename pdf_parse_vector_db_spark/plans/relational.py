@@ -623,6 +623,33 @@ def ndv_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type")
 
 
+def ndv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic slice of ndv_sketch_accuracy — exact distinct-user
+    counts and exact median value per event_type — cross-checked against
+    DuckDB, so the sketch query's baseline columns are driver-verified even
+    though the HLL/GK estimates themselves can't hash-match across
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_ndv"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+NDV_EXACT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_ndv,
+       round(quantile_cont(value, 0.5), 4) AS exact_p50_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL, "TPC-H Q1 shape"),
     QuerySpec("revenue_forecast", revenue_forecast, REVENUE_FORECAST_SQL, "TPC-H Q6 shape"),
@@ -643,4 +670,5 @@ QUERIES = [
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "event-time tumbling hour (batch)"),
     QuerySpec("price_percentiles", price_percentiles, PRICE_PERCENTILES_SQL, "exact ordered-statistic agg"),
     QuerySpec("ndv_sketch_accuracy", ndv_sketch_accuracy, None, "HLL++/GK sketch tier vs exact"),
+    QuerySpec("ndv_exact", ndv_exact, NDV_EXACT_SQL, "exact NDV/median slice of the sketch query"),
 ]
