@@ -72,3 +72,17 @@ def test_semi_anti_join_shapes(spark):
     inner-join + dedup."""
     assert "LeftSemi" in _plan(spark, "nations_customer_orders")
     assert "LeftAnti" in _plan(spark, "customers_without_orders")
+
+
+def test_winnow_fps_subplan_is_shuffle_free(spark):
+    """The winnowing fingerprint subplan must stay pure map-side array
+    algebra: no Window sort-shuffle, no Exchange of gram rows — the property
+    that makes it scan-bound at 100 TB."""
+    from pdf_parse_vector_db_spark.plans.textanalysis import _winnow_fps
+
+    spark.catalog.clearCache()
+    plan = _winnow_fps(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan, plan
+    assert "Window" not in plan, plan
+    # the only exchange allowed is the spread repartition of input docs
+    assert plan.count("Exchange") <= 1, plan
