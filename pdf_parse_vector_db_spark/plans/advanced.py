@@ -593,6 +593,79 @@ ORDER BY p.event_id
 """
 
 
+# --------------------------------------------------------------------------
+# J2 breadth: plain LEFT OUTER (TPC-H Q13 shape) and FULL OUTER joins —
+# the two outer-join flavors the semi/anti/range/as-of rows don't cover.
+# --------------------------------------------------------------------------
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers LEFT OUTER JOIN orders, orders-per-customer
+    histogram (customers with zero orders land in the c_count=0 bucket —
+    the semantics only an outer join preserves). One shuffle keyed on
+    custkey, then a tiny re-agg on the count."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def nation_cust_supp_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer and supplier counts — nations
+    with customers but no suppliers (and vice versa) survive only under
+    full-outer semantics. Both sides are pre-aggregated to nation
+    cardinality before the join, so the outer join moves dozens of rows
+    regardless of fact-table scale."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cc = c.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sc = s.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        cc.join(sc, cc.nk_c == sc.nk_s, "full_outer")
+        .select(
+            F.coalesce(F.col("nk_c"), F.col("nk_s")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+NATION_CUST_SUPP_COVERAGE_SQL = """
+WITH cc AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+sc AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(cc.nk, sc.nk) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM cc FULL OUTER JOIN sc ON cc.nk = sc.nk
+ORDER BY nationkey
+"""
+
+
 QUERIES = [
     QuerySpec("cube_order_stats", cube_order_stats, CUBE_ORDER_STATS_SQL, "A8 CUBE multi-agg"),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, GROUPING_SETS_REVENUE_SQL, "A8 GROUPING SETS"),
@@ -608,4 +681,6 @@ QUERIES = [
     QuerySpec("market_share", market_share, MARKET_SHARE_SQL, "Q8-shape 5-table share"),
     QuerySpec("late_order_priority", late_order_priority, LATE_ORDER_PRIORITY_SQL, "Q4-shape EXISTS"),
     QuerySpec("important_parts", important_parts, IMPORTANT_PARTS_SQL, "Q11-shape HAVING subquery"),
+    QuerySpec("customer_order_distribution", customer_order_distribution, CUSTOMER_ORDER_DISTRIBUTION_SQL, "Q13-shape LEFT OUTER histogram"),
+    QuerySpec("nation_cust_supp_coverage", nation_cust_supp_coverage, NATION_CUST_SUPP_COVERAGE_SQL, "FULL OUTER coverage join"),
 ]

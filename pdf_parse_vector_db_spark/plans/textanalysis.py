@@ -350,8 +350,36 @@ ORDER BY id_a, id_b
 """
 
 
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 extension: greedy sequence packing — per-language, docs in doc_id
+    order packed into 256-whitespace-token training sequences (the step
+    between corpus prep and the training job; see operators/packing.py).
+    Output is sequence-level accounting incl. padding waste. Rows-only:
+    the greedy fold is order-dependent per group, not SQL-expressible;
+    its semantics are golden- and property-tested in tests/test_packing.py."""
+    from pdf_parse_vector_db_spark.operators.packing import pack_sequences
+
+    budget = 256
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    assigned = pack_sequences(docs, budget=budget, group_col="lang")
+    return (
+        assigned.groupBy(F.col("grp").alias("lang"), "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .withColumn(
+            "padding_waste",
+            F.when(F.col("seq_tokens") < budget, F.lit(budget) - F.col("seq_tokens"))
+            .otherwise(F.lit(0)),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
 QUERIES = [
     QuerySpec("corpus_prep", corpus_prep, CORPUS_PREP_SQL, "X1+X5 composite training-data prep"),
+    QuerySpec("pack_training_sequences", pack_training_sequences, None, "X5 greedy sequence packing (rows-only)"),
     QuerySpec("winnow_stats", winnow_stats, WINNOW_STATS_SQL, "rolling-hash winnowing fingerprints"),
     QuerySpec("winnow_shared_pairs", winnow_shared_pairs, WINNOW_SHARED_PAIRS_SQL, "substring-overlap near-dup (MOSS shape)"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "X5 language-ID heuristic"),
