@@ -9,6 +9,7 @@ is the correctness argument for the streaming tier.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pdf_parse_vector_db_spark.plans.registry import QuerySpec
 from pdf_parse_vector_db_spark.sources.registry import load_table
@@ -88,8 +89,40 @@ GROUP BY 1
 ORDER BY 1
 """
 
+def purchase_view_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join
+    (streaming/windows.purchase_view_join): every (purchase, prior view
+    within 1 hour, same user) pair. tests/test_streaming.py re-runs the
+    SAME plan function under readStream with watermarks on both sides and
+    asserts identical pairs — the equivalence that makes this oracle row
+    cover the streaming operator too."""
+    from pdf_parse_vector_db_spark.streaming.windows import purchase_view_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return purchase_view_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    ).orderBy("purchase_id", "v_ts")
+
+
+PURCHASE_VIEW_PAIRS_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS p_ts,
+       v.ts AS v_ts
+FROM events p
+JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY purchase_id, v_ts
+"""
+
+
 QUERIES = [
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
+    QuerySpec("purchase_view_pairs", purchase_view_pairs, PURCHASE_VIEW_PAIRS_SQL, "stream-stream join (batch twin)"),
 ]

@@ -61,6 +61,35 @@ def with_watermark(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", horizon)
 
 
+def purchase_view_join(
+    purchases: DataFrame, views: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream INNER join: each purchase paired with the same user's
+    view events from the preceding `horizon` (the attribution join of
+    views_before_purchase, plans/advanced.py, as a continuous operator).
+
+    Works on batch or streaming inputs unchanged. For streaming, both sides
+    must carry watermarks (with_watermark): the event-time range condition
+    `p_ts - horizon <= v_ts <= p_ts` is what lets Spark bound the join
+    state — buffered views are evicted once the purchase-side watermark
+    passes v_ts + horizon, so state is (horizon × view rate), independent
+    of stream length. Output mode append (stream-stream joins emit a row
+    exactly when both sides have arrived and can never retract it)."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = views.select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "v_ts")
+
+
 def dedup_events(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Streaming exact dedup (the X1 operator under continuous ingest):
     first occurrence per key wins, duplicates within the watermark horizon

@@ -195,3 +195,28 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert {k: v[0] for k, v in got2.items()} == {k: v[0] for k, v in exp2.items()}
     for k in got2:
         assert abs(got2[k][1] - exp2[k][1]) < 1e-6
+
+
+def test_stream_stream_join_equals_batch(spark, events_stream_dir):
+    """Stream-stream inner join (purchase×view attribution) must emit
+    exactly the batch join's pairs; the time-range condition + watermarks
+    bound the join state."""
+    ev = load_table(spark, SF, "events")
+    batch = W.purchase_view_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    p = W.with_watermark(src.filter(F.col("event_type") == "purchase"), "1 hour")
+    v = W.with_watermark(src.filter(F.col("event_type") == "view"), "2 hours")
+    q = (
+        W.purchase_view_join(p, v)
+        .writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("t_ssjoin")
+    assert _rows(streamed, "purchase_id", "v_ts") == _rows(batch, "purchase_id", "v_ts")
