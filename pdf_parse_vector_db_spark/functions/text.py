@@ -111,6 +111,84 @@ def quality_metrics_sql(text_col: str) -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 — public paper): hard thresholds on word count,
+# mean word length, symbol-to-word ratio, alphabetic-word fraction, and
+# stopword presence. The pass flag is the conjunction actually used to gate
+# training data; every metric is a pure map-side expression.
+# ---------------------------------------------------------------------------
+
+# backslash-free on purpose: Spark's SQL string parser unescapes '\.' to '.'
+# while DuckDB keeps it literal — bracket classes parse identically in both.
+_SYMBOL_RE = "#|[.][.][.]"
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_metrics_expr(text_col: str) -> dict[str, Column]:
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    n_words = F.expr(f"size({toks})")
+    n_chars = F.length(F.col(text_col))
+    mean_word_len = F.round((n_chars - (n_words - 1)).cast("double") / n_words, 4)
+    alpha_frac = F.round(
+        F.expr(f"size(filter({toks}, w -> w rlike '[A-Za-z]'))").cast("double") / n_words, 6
+    )
+    symbol_ratio = F.round(
+        F.expr(f"regexp_count({text_col}, '{_SYMBOL_RE}')").cast("double") / n_words, 6
+    )
+    stop_hits = F.expr(
+        f"size(filter({toks}, w -> lower(w) IN ({_in_list_sql(GOPHER_STOPWORDS)})))"
+    ).cast("bigint")
+    gopher_pass = (
+        n_words.between(50, 100000)
+        & mean_word_len.between(3, 10)
+        & (symbol_ratio < 0.1)
+        & (alpha_frac > 0.8)
+        & (stop_hits >= 2)
+    )
+    return {
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": mean_word_len,
+        "alpha_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "stop_hits": stop_hits,
+        "gopher_pass": gopher_pass,
+    }
+
+
+def gopher_metrics_sql(text_col: str) -> dict[str, str]:
+    toks = f"string_split_regex(trim({text_col}), '\\s+')"
+    n_words = f"len({toks})"
+    n_chars = f"length({text_col})"
+    mean_word_len = f"round(CAST({n_chars} - ({n_words} - 1) AS DOUBLE) / {n_words}, 4)"
+    alpha_frac = (
+        f"round(CAST(len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)"
+        f" / {n_words}, 6)"
+    )
+    symbol_ratio = (
+        f"round(CAST(len(regexp_extract_all({text_col}, '{_SYMBOL_RE}')) AS DOUBLE)"
+        f" / {n_words}, 6)"
+    )
+    stop_hits = (
+        f"CAST(len(list_filter({toks}, w -> lower(w) IN ({_in_list_sql(GOPHER_STOPWORDS)}))) AS BIGINT)"
+    )
+    gopher_pass = (
+        f"({n_words} BETWEEN 50 AND 100000"
+        f" AND {mean_word_len} BETWEEN 3 AND 10"
+        f" AND {symbol_ratio} < 0.1"
+        f" AND {alpha_frac} > 0.8"
+        f" AND {stop_hits} >= 2)"
+    )
+    return {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "mean_word_len": mean_word_len,
+        "alpha_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "stop_hits": stop_hits,
+        "gopher_pass": gopher_pass,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Token counting: whitespace tokens plus a BPE-ish estimate. The regex
 # mirrors byte-pair pre-tokenization coarsely: words, digits, and symbol
 # runs count separately; ~4 chars/token is the usual LLM estimate blended in.
@@ -202,10 +280,9 @@ def winnow_fingerprints_expr(text_col: str, k: int = 8, w: int = 4) -> Column:
 
     REFERENCE SEMANTICS ONLY (tests, short strings): the gram array inlines
     into every window position, so hashing is O(n·w·k) per row at best and
-    engine-dependent at worst. The production path is the relational
-    restatement in plans/textanalysis.winnow_stats — explode gram hashes
-    once, sliding-window MIN over (doc, pos) — which both engines execute
-    in O(n) hashes."""
+    engine-dependent at worst. The production path is
+    plans/textanalysis._winnow_fps — lambda-bound per-document array
+    algebra computing each gram hash exactly once, map-side."""
     canon = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
     grams = (
         f"transform(sequence(1, greatest(length({canon}) - {k - 1}, 0)), "

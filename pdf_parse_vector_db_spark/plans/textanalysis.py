@@ -350,6 +350,86 @@ ORDER BY id_a, id_b
 """
 
 
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: Gopher-rule document gate (Rae et al. 2021 §A1.1) — word count,
+    mean word length, symbol ratio, alphabetic-word fraction, stopword
+    presence, and the conjunction pass flag actually used to gate training
+    data. Pure map over the scan; at 100 TB this runs as the first stage of
+    corpus prep and prunes before anything shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    metrics = T.gopher_metrics_expr("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in metrics.items()])
+
+
+_GOPHER_COLS_SQL = ",\n       ".join(
+    f"{s} AS {n}" for n, s in T.gopher_metrics_sql("text").items()
+)
+GOPHER_QUALITY_SQL = f"""
+SELECT doc_id,
+       {_GOPHER_COLS_SQL}
+FROM documents
+"""
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: benchmark decontamination — flag training docs sharing any word
+    3-gram with the holdout set (docs with doc_id % 100 == 0 stand in for
+    the benchmark). Output: contaminated doc, overlapping-shingle count,
+    total shingles, contamination ratio.
+
+    Scale shape: the holdout's distinct shingles BROADCAST (benchmark sets
+    are tiny next to the corpus); the training side streams through a
+    broadcast hash join map-side, so the corpus text never shuffles — the
+    only exchange is the per-doc count agg on (doc_id, 8-byte rows)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    holdout_grams = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode(T.shingles_expr("text", 3)).alias("sh"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", T.shingles_expr("text", 3).alias("shingles")
+    )
+    train_grams = train.select(
+        "doc_id", F.size("shingles").cast("bigint").alias("n_shingles"), F.explode("shingles").alias("sh")
+    )
+    return (
+        train_grams.join(F.broadcast(holdout_grams), on="sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.max("n_shingles").alias("n_shingles"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_overlap").cast("double") / F.col("n_shingles"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_OVERLAP_SQL = f"""
+WITH hg AS (
+  SELECT DISTINCT unnest({T.shingles_sql('text')}) AS sh
+  FROM documents WHERE doc_id % 100 = 0
+),
+train AS (
+  SELECT doc_id, {T.shingles_sql('text')} AS shingles
+  FROM documents WHERE doc_id % 100 <> 0
+),
+tg AS (
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS sh FROM train
+)
+SELECT t.doc_id,
+       count(*) AS n_overlap,
+       max(t.n_shingles) AS n_shingles,
+       round(CAST(count(*) AS DOUBLE) / max(t.n_shingles), 6) AS contamination
+FROM tg t JOIN hg ON t.sh = hg.sh
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 extension: greedy sequence packing — per-language, docs in doc_id
     order packed into 256-whitespace-token training sequences (the step
@@ -380,6 +460,8 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = [
     QuerySpec("corpus_prep", corpus_prep, CORPUS_PREP_SQL, "X1+X5 composite training-data prep"),
     QuerySpec("pack_training_sequences", pack_training_sequences, None, "X5 greedy sequence packing (rows-only)"),
+    QuerySpec("gopher_quality", gopher_quality, GOPHER_QUALITY_SQL, "X5 Gopher-rule quality gate"),
+    QuerySpec("decontaminate_overlap", decontaminate_overlap, DECONTAMINATE_OVERLAP_SQL, "X5 benchmark decontamination"),
     QuerySpec("winnow_stats", winnow_stats, WINNOW_STATS_SQL, "rolling-hash winnowing fingerprints"),
     QuerySpec("winnow_shared_pairs", winnow_shared_pairs, WINNOW_SHARED_PAIRS_SQL, "substring-overlap near-dup (MOSS shape)"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "X5 language-ID heuristic"),
