@@ -666,6 +666,35 @@ ORDER BY nationkey
 """
 
 
+def skewed_best_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 dedup under adversarial key skew: lowest-value event per user via
+    the two-stage salted window (operators/skew.py) — stage 1 spreads each
+    hot key over 16 salt reducers, stage 2 sees ≤16 rows per key. Salting
+    is an execution detail: the output equals the plain min-by, which is
+    exactly what the oracle checks."""
+    from pdf_parse_vector_db_spark.operators.skew import salted_best_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    best = salted_best_per_group(
+        ev, "user_id", score_col="value", tiebreak_cols=("event_id",)
+    )
+    return best.select(
+        "user_id", "event_id", F.round("value", 4).alias("value")
+    ).orderBy("user_id")
+
+
+SKEWED_BEST_PER_USER_SQL = """
+SELECT user_id, event_id, round(value, 4) AS value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = [
     QuerySpec("cube_order_stats", cube_order_stats, CUBE_ORDER_STATS_SQL, "A8 CUBE multi-agg"),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, GROUPING_SETS_REVENUE_SQL, "A8 GROUPING SETS"),
@@ -683,4 +712,5 @@ QUERIES = [
     QuerySpec("important_parts", important_parts, IMPORTANT_PARTS_SQL, "Q11-shape HAVING subquery"),
     QuerySpec("customer_order_distribution", customer_order_distribution, CUSTOMER_ORDER_DISTRIBUTION_SQL, "Q13-shape LEFT OUTER histogram"),
     QuerySpec("nation_cust_supp_coverage", nation_cust_supp_coverage, NATION_CUST_SUPP_COVERAGE_SQL, "FULL OUTER coverage join"),
+    QuerySpec("skewed_best_per_user", skewed_best_per_user, SKEWED_BEST_PER_USER_SQL, "A1 dedup via salted two-stage window"),
 ]
