@@ -24,6 +24,7 @@ from pdf_parse_vector_db_spark.plans import ingest as _ingest
 from pdf_parse_vector_db_spark.plans import registry as _registry
 from pdf_parse_vector_db_spark.plans import relational as _relational
 from pdf_parse_vector_db_spark.plans import metadata as _metadata
+from pdf_parse_vector_db_spark.plans import mixture as _mixture
 from pdf_parse_vector_db_spark.plans import multimodal as _multimodal
 from pdf_parse_vector_db_spark.plans import search as _search
 from pdf_parse_vector_db_spark.plans import similarity as _similarity
@@ -38,6 +39,7 @@ _MODULES = [
     _textanalysis,
     _similarity,
     _metadata,
+    _mixture,
     _multimodal,
     _streaming_queries,
 ]

@@ -1,0 +1,299 @@
+"""Training-mixture planning queries (north-star X5 extension).
+
+The step after corpus prep in an LLM data pipeline: deciding HOW MUCH of
+each language / domain / source actually enters the training run, and how
+the chosen corpus is physically laid out into shards. All four planning
+queries are group-by aggregations whose post-processing (normalisation,
+temperature scaling, share math) happens on the tiny grouped result via
+unpartitioned windows — at 100 TB the scan-side agg is map-combined and the
+window sees ≤ |langs| × |sources| rows, so nothing here adds a data-sized
+shuffle. The shard query's row_number is per-lang, mirroring the physical
+writer in operators/shards.py (repartitionByRange + maxRecordsPerFile).
+
+No reference citation: the reference (Suyash906/pdf_parse_vector_db) has no
+mixture planning; these are the driver-mandated LLM-data-pipeline extensions
+(BASELINE.json), modeled on public practice: temperature sampling per
+XLM-R (Conneau et al. 2020, alpha=0.3) and epochs-per-domain accounting per
+Gopher/MassiveText (Rae et al. 2021, table A3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.plans.registry import QuerySpec
+from pdf_parse_vector_db_spark.sources.registry import load_table
+
+_ALPHA = 0.3
+_SAMPLE_BUDGET = 10_000
+
+
+def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (p_l^alpha, alpha=0.3):
+    the XLM-R recipe that up-samples tail languages. Output per lang: raw
+    share, temperature weight, and expected docs drawn at a 10k budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    w = Window.partitionBy()  # grouped result is |langs| rows — driver-tiny
+    p = F.col("docs") / F.sum("docs").over(w)
+    # p_l^a / sum p^a == docs^a / sum docs^a (total cancels) — the latter
+    # avoids nesting a window inside a window, which DuckDB rejects
+    pa = F.pow(F.col("docs").cast("double"), F.lit(_ALPHA))
+    tw = pa / F.sum(pa).over(w)
+    return (
+        counts.select(
+            "lang",
+            "docs",
+            "chars",
+            F.round(p, 6).alias("p_raw"),
+            F.round(tw, 6).alias("p_temp"),
+            F.round(tw * _SAMPLE_BUDGET, 1).alias("expected_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+LANG_TEMPERATURE_MIX_SQL = f"""
+WITH c AS (
+  SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, docs, chars,
+       round(docs / sum(docs) OVER (), 6) AS p_raw,
+       round(pow(CAST(docs AS DOUBLE), {_ALPHA})
+             / sum(pow(CAST(docs AS DOUBLE), {_ALPHA})) OVER (), 6) AS p_temp,
+       round(pow(CAST(docs AS DOUBLE), {_ALPHA})
+             / sum(pow(CAST(docs AS DOUBLE), {_ALPHA})) OVER ()
+             * {_SAMPLE_BUDGET}, 1) AS expected_docs
+FROM c
+ORDER BY lang
+"""
+
+
+# Per-source deterministic sampling rate: a 2-hex-digit md5(doc_id) prefix
+# threshold, so the SAME doc is kept on every engine and every retry (the
+# reason corpus_prep rejects rand() applies here too).
+_RATE_CASE_SPARK = (
+    "CASE cast(substring(source, 4, 10) AS int) % 4 "
+    "WHEN 0 THEN '80' WHEN 1 THEN '40' WHEN 2 THEN '1a' ELSE '0d' END"
+)
+_RATE_CASE_DUCK = (
+    "CASE CAST(substring(source, 4) AS INT) % 4 "
+    "WHEN 0 THEN '80' WHEN 1 THEN '40' WHEN 2 THEN '1a' ELSE '0d' END"
+)
+# decimal literals make DECIMAL results in both engines — divide as DOUBLE
+_NOMINAL_SPARK = (
+    "CAST(CASE cast(substring(source, 4, 10) AS int) % 4 "
+    "WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 26 ELSE 13 END AS DOUBLE) / 256"
+)
+_NOMINAL_DUCK = (
+    "CAST(CASE CAST(substring(source, 4) AS INT) % 4 "
+    "WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 26 ELSE 13 END AS DOUBLE) / 256"
+)
+
+
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified sampling audit: deterministic hash sample at a
+    source-dependent rate, reporting nominal vs observed rate. One scan, one
+    small agg — the sample predicate is a map-side md5 prefix compare."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    kept = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < F.expr(
+        _RATE_CASE_SPARK
+    )
+    return (
+        docs.select("source", kept.cast("bigint").alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum("kept").alias("sampled"),
+        )
+        .select(
+            "source",
+            "total",
+            "sampled",
+            F.round(F.expr(_NOMINAL_SPARK), 6).alias("nominal_rate"),
+            F.round(F.col("sampled") / F.col("total"), 6).alias("observed_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+STRATIFIED_SAMPLE_COUNTS_SQL = f"""
+SELECT source,
+       count(*) AS total,
+       CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                          < {_RATE_CASE_DUCK}
+                THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+       round({_NOMINAL_DUCK}, 6) AS nominal_rate,
+       round(CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                                < {_RATE_CASE_DUCK}
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS observed_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+_SHARD_SIZE = 512
+
+
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical shard manifest: per-lang doc_id-ordered row_number folded into
+    512-doc shards — the accounting twin of the physical writer
+    (operators/shards.py: repartitionByRange(lang, doc_id) +
+    maxRecordsPerFile), which produces exactly these file boundaries.
+    The per-lang sort is the one exchange; at 100 TB it is the same
+    range-partitioned sort the writer needs anyway, so the manifest is free."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("shard_id", ((rn - F.lit(1)) / _SHARD_SIZE).cast("bigint"))
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang", "shard_id")
+    )
+
+
+TRAINING_SHARDS_SQL = f"""
+WITH numbered AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(floor((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+                    / {_SHARD_SIZE}) AS BIGINT) AS shard_id
+  FROM documents
+)
+SELECT lang, shard_id, count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM numbered
+GROUP BY lang, shard_id
+ORDER BY lang, shard_id
+"""
+
+
+# Domain map: src<k> → k % 3 ∈ {web, books, code}; target mixture shares are
+# the Gopher-style fixed dial the run is configured with.
+_DOMAIN_SPARK = (
+    "CASE cast(substring(source, 4, 10) AS int) % 3 "
+    "WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END"
+)
+_DOMAIN_DUCK = (
+    "CASE CAST(substring(source, 4) AS INT) % 3 "
+    "WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END"
+)
+_SHARE_SPARK = (
+    "CAST(CASE domain WHEN 'web' THEN 0.5 WHEN 'books' THEN 0.3 ELSE 0.2 END"
+    " AS DOUBLE)"
+)
+_SHARE_DUCK = _SHARE_SPARK
+
+
+def domain_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-per-domain accounting (MassiveText style): given target mixture
+    shares and a token budget of 2x the corpus, how many passes over each
+    domain's data the run makes — epochs > 1 flags up-sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    by_domain = (
+        docs.withColumn("domain", F.expr(_DOMAIN_SPARK))
+        .groupBy("domain")
+        .agg(F.sum("n_chars").alias("chars"))
+    )
+    w = Window.partitionBy()  # 3 rows
+    budget = F.sum("chars").over(w) * 2
+    share = F.expr(_SHARE_SPARK)
+    epochs = F.round(budget * share / F.col("chars"), 4)
+    return (
+        by_domain.select(
+            "domain",
+            "chars",
+            share.cast("double").alias("target_share"),
+            epochs.alias("epochs"),
+            (epochs > 1.0).alias("upsampled"),
+        )
+        .orderBy("domain")
+    )
+
+
+DOMAIN_MIXTURE_EPOCHS_SQL = f"""
+WITH d AS (
+  SELECT {_DOMAIN_DUCK} AS domain, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1
+)
+SELECT domain, chars,
+       CAST({_SHARE_DUCK} AS DOUBLE) AS target_share,
+       round(sum(chars) OVER () * 2 * ({_SHARE_DUCK}) / chars, 4) AS epochs,
+       round(sum(chars) OVER () * 2 * ({_SHARE_DUCK}) / chars, 4) > 1.0
+         AS upsampled
+FROM d
+ORDER BY domain
+"""
+
+
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram per lang — the context-length
+    planning query (how much of the corpus fits a 2^k-token window). Pure
+    map + small agg; log2/floor are exact on the power-of-two boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pow(
+        F.lit(2.0), F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1))))
+    ).cast("bigint")
+    return (
+        docs.select("lang", bucket.alias("len_bucket"))
+        .groupBy("lang", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("lang", "len_bucket")
+    )
+
+
+SEQ_LENGTH_HISTOGRAM_SQL = """
+SELECT lang,
+       CAST(pow(2, floor(log2(greatest(n_chars, 1)))) AS BIGINT) AS len_bucket,
+       count(*) AS docs
+FROM documents
+GROUP BY lang, len_bucket
+ORDER BY lang, len_bucket
+"""
+
+
+QUERIES = [
+    QuerySpec(
+        "lang_temperature_mix",
+        lang_temperature_mix,
+        LANG_TEMPERATURE_MIX_SQL,
+        "X5 temperature-scaled language sampling weights (XLM-R alpha=0.3)",
+    ),
+    QuerySpec(
+        "stratified_sample_counts",
+        stratified_sample_counts,
+        STRATIFIED_SAMPLE_COUNTS_SQL,
+        "X5 per-source deterministic stratified sampling audit",
+    ),
+    QuerySpec(
+        "training_shards",
+        training_shards,
+        TRAINING_SHARDS_SQL,
+        "X5 logical shard manifest (512-doc shards per lang)",
+    ),
+    QuerySpec(
+        "domain_mixture_epochs",
+        domain_mixture_epochs,
+        DOMAIN_MIXTURE_EPOCHS_SQL,
+        "X5 epochs-per-domain mixture accounting",
+    ),
+    QuerySpec(
+        "seq_length_histogram",
+        seq_length_histogram,
+        SEQ_LENGTH_HISTOGRAM_SQL,
+        "X5 power-of-two length histogram per lang",
+    ),
+]
