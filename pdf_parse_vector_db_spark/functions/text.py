@@ -245,13 +245,20 @@ def fingerprint_sql(text_col: str) -> dict[str, str]:
 def shingles_expr(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram set as array<string>; empty array for texts
     shorter than n tokens. element_at is 1-based; the sequence guard avoids
-    Spark's descending-sequence surprise when size < n."""
+    Spark's descending-sequence surprise when size < n.
+
+    The token array is bound ONCE via a single-element-array transform
+    lambda (the winnowing trick, _winnow_fps): inlining the split into each
+    element_at re-tokenizes the text per shingle position — O(tokens^2)
+    work that projection collapse does to the naive form (measured 7x on
+    decontaminate_overlap at sf0.1)."""
     toks = f"split(lower(trim({text_col})), '\\\\s+')"
-    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
+    parts = ", ".join(f"element_at(t, i + {j})" for j in range(n))
     return F.expr(
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), i -> concat_ws(' ', {parts}))) "
-        f"ELSE array() END"
+        f"flatten(transform(array({toks}), t -> "
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', {parts}))) "
+        f"ELSE array() END))"
     )
 
 
