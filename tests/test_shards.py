@@ -1,0 +1,77 @@
+"""Physical shard writer (operators/shards.py): file-size bound, ordering,
+and agreement with the logical manifest (plans/mixture.py:training_shards)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.operators.shards import (
+    shard_manifest,
+    write_training_shards,
+)
+from pdf_parse_vector_db_spark.plans.mixture import training_shards
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shard_files_respect_row_bound_and_ordering(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    write_training_shards(docs, out, shard_size=128)
+
+    manifest = shard_manifest(spark, out).collect()
+    assert manifest, "writer produced no files"
+    for row in manifest:
+        assert row.docs <= 128, f"{row.file} exceeds maxRecordsPerFile"
+
+    # within each (lang, file), doc_ids must be contiguous-ordered on read:
+    # sortWithinPartitions wrote them sorted, parquet preserves row order
+    per_file = (
+        spark.read.parquet(out)
+        .select("doc_id", "lang", F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(
+            F.expr("collect_list(doc_id)").alias("ids"),
+            F.expr("array_sort(collect_list(doc_id))").alias("sorted_ids"),
+        )
+        .collect()
+    )
+    for row in per_file:
+        assert row.ids == row.sorted_ids, f"{row.file} not doc_id-ordered"
+
+
+def test_shard_files_partition_prune_by_lang(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    write_training_shards(docs, out, shard_size=128)
+
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("lang") == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:2000]
+
+
+def test_writer_totals_match_logical_manifest(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    write_training_shards(docs, out, shard_size=512)
+
+    logical = (
+        training_shards(spark, SF)
+        .groupBy("lang")
+        .agg(F.sum("docs").alias("docs"), F.sum("chars").alias("chars"))
+        .collect()
+    )
+    physical = (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+        .collect()
+    )
+    assert {(r.lang, r.docs, r.chars) for r in logical} == {
+        (r.lang, r.docs, r.chars) for r in physical
+    }
