@@ -1,0 +1,118 @@
+"""Privacy operators for training-data pipelines (north-star X5 extension).
+
+PII handling is a standard pre-training stage: detect and mask direct
+identifiers in text, and pseudonymize user keys in behavioural logs before
+they enter a training corpus. Both queries are pure map + small agg — at
+100 TB they are scan-bound with whole-stage codegen end to end (regexp and
+hash functions are JVM built-ins, no UDFs).
+
+The fixture corpus is synthetic word-salad with no real PII, so the PII
+query first INJECTS deterministic identifiers derived from doc_id (the
+same device as the language markers in plans/textanalysis.py) — every
+doc_id ≡ 0 (mod 7) gains an email, ≡ 0 (mod 11) a phone — then the
+detector must find exactly those. Determinism makes the query
+oracle-checkable: both engines inject and detect identically.
+
+No reference citation: the reference has no PII stage; driver-mandated
+extension (BASELINE.json), modeled on public corpus-prep practice (e.g.
+the C4/MassiveText cleanup stages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.plans.registry import QuerySpec
+from pdf_parse_vector_db_spark.sources.registry import load_table
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+# doc_id-derived injection, identical on both engines
+_INJECT_SPARK = (
+    "concat_ws(' ', text, "
+    "CASE WHEN doc_id % 7 = 0 THEN concat('contact user', cast(doc_id AS string), '@example.com') END, "
+    "CASE WHEN doc_id % 11 = 0 THEN concat('call 555-', lpad(cast(doc_id % 10000 AS string), 4, '0')) END)"
+)
+_INJECT_DUCK = (
+    "concat_ws(' ', text, "
+    "CASE WHEN doc_id % 7 = 0 THEN concat('contact user', CAST(doc_id AS VARCHAR), '@example.com') END, "
+    "CASE WHEN doc_id % 11 = 0 THEN concat('call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) END)"
+)
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII audit: email/phone hit counts, a has_pii flag, and the
+    length of the text after masking both classes with fixed tags. The
+    masking pass is what a real pipeline writes back; the counts are its
+    audit trail."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    t = F.expr(_INJECT_SPARK)
+    masked = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    n_emails = F.expr(f"regexp_count({_INJECT_SPARK}, '{_EMAIL_RE}')")
+    n_phones = F.expr(f"regexp_count({_INJECT_SPARK}, '{_PHONE_RE}')")
+    return (
+        docs.select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_phones.alias("n_phones"),
+            ((n_emails + n_phones) > 0).alias("has_pii"),
+            F.length(masked).alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_REDACTION_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all({_INJECT_DUCK}, '{_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all({_INJECT_DUCK}, '{_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       len(regexp_extract_all({_INJECT_DUCK}, '{_EMAIL_RE}'))
+         + len(regexp_extract_all({_INJECT_DUCK}, '{_PHONE_RE}')) > 0 AS has_pii,
+       CAST(length(regexp_replace(regexp_replace({_INJECT_DUCK},
+              '{_EMAIL_RE}', '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g'))
+         AS BIGINT) AS redacted_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-key pseudonymization of the events log: replace user_id with a
+    sha256-derived token (16 hex chars — irreversible without the mapping,
+    stable across engines/retries), then per-token activity stats. The
+    groupBy shuffles 8-byte-ish tokens, never raw identifiers."""
+    events = load_table(spark, sf_dir, "events", spread=True)
+    token = F.substring(F.sha2(F.col("user_id").cast("string"), 256), 1, 16)
+    return (
+        events.select(token.alias("user_token"), "event_type", "value")
+        .groupBy("user_token")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.countDistinct("event_type").alias("event_types"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_token")
+    )
+
+
+PSEUDONYMIZE_EVENTS_SQL = """
+SELECT substring(sha256(CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
+       count(*) AS events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS event_types,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY user_token
+"""
+
+
+QUERIES = [
+    QuerySpec("pii_redaction", pii_redaction, PII_REDACTION_SQL, "X5 PII detect/mask audit"),
+    QuerySpec("pseudonymize_events", pseudonymize_events, PSEUDONYMIZE_EVENTS_SQL, "X5 user-key pseudonymization"),
+]

@@ -315,7 +315,65 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit per label: per-vector scale
+    (max|x|/127) and reconstruction MSE of round-to-nearest int8 — the
+    compression accounting run before shipping embeddings to a vector
+    store at scale (4x smaller than float32, this query quantifies the
+    recall-relevant error).
+
+    Pure map-side array algebra (same single-bind transform discipline as
+    _winnow_fps) + one small agg; halfway rounding is pinned engine-
+    portably as floor(x/s + 0.5) — round() half-even vs half-away differs
+    across engines."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    q = (
+        "flatten(transform(array(cast(embedding AS array<double>)), v -> "
+        "transform(array(greatest(cast(array_max(transform(v, x -> abs(x))) / 127 AS double), 1e-12d)), s -> "
+        "named_struct("
+        "'scale', s, "
+        "'mse', aggregate(v, cast(0 AS double), (a, x) -> a + pow(x - floor(x / s + 0.5) * s, 2)) / size(v)"
+        "))))[0]"
+    )
+    return (
+        emb.select("label", F.expr(q).alias("q"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vectors"),
+            F.round(F.avg("q.scale"), 8).alias("avg_scale"),
+            F.round(F.avg("q.mse"), 10).alias("avg_mse"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_QUANTIZATION_SQL = """
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+s AS (
+  SELECT label, vd,
+         greatest(list_aggregate(list_transform(vd, x -> abs(x)), 'max')
+                  / CAST(127 AS DOUBLE), 1e-12) AS scale
+  FROM v
+),
+m AS (
+  SELECT label, scale,
+         list_aggregate(list_transform(vd, x ->
+             pow(x - floor(x / scale + 0.5) * scale, 2)), 'sum')
+           / len(vd) AS mse
+  FROM s
+)
+SELECT label, count(*) AS vectors,
+       round(avg(scale), 8) AS avg_scale,
+       round(avg(mse), 10) AS avg_mse
+FROM m GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = [
+    QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, None, "IVF(nlist,nprobe) ANN top-5 (rows-only)"),
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),
