@@ -74,6 +74,30 @@ def test_semi_anti_join_shapes(spark):
     assert "LeftAnti" in _plan(spark, "customers_without_orders")
 
 
+def test_decontaminate_holdout_broadcast(spark):
+    """X5: the holdout shingle set must broadcast — shuffling the exploded
+    corpus trigrams to a shuffle join would move ~tokens×3 rows at 100 TB."""
+    plan = _plan(spark, "decontaminate_overlap")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_privacy_and_quantization_stay_jvm_side(spark):
+    """U-ops discipline: regexp masking and the int8 quantization algebra
+    must compile to Catalyst expressions — any *EvalPython operator here
+    means a hot-path Python UDF snuck in."""
+    for name in ("pii_redaction", "embedding_quantization"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan, (name, plan)
+
+
+def test_quantization_partial_agg(spark):
+    """The per-label quantization stats must partial-aggregate map-side —
+    per-vector structs combine before the exchange."""
+    plan = _plan(spark, "embedding_quantization")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
 def test_winnow_fps_subplan_is_shuffle_free(spark):
     """The winnowing fingerprint subplan must stay pure map-side array
     algebra: no Window sort-shuffle, no Exchange of gram rows — the property
