@@ -50,3 +50,76 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas tier (Spark 4.x arbitrary-state v2): typed state
+# variables + emit-on-change semantics. high_water_marks emits a row ONLY
+# when a user's max(value) strictly increases — the CDC-flavored shape that
+# applyInPandasWithState can't express as cheaply (it must re-emit per
+# batch). State per key is one double, so the state store stays O(keys).
+#
+# ENV-GATED: the TWS state-server protocol needs `protobuf`, absent from
+# this container (same gating policy as the PyMuPDF/openai paths —
+# operators/embedder.py). `tws_available()` probes; the test skips when
+# False; the applyInPandasWithState twin above covers the semantics here.
+# ---------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+HIGH_WATER_SCHEMA = "user_id bigint, high_water double"
+
+
+class _HighWaterProcessor:
+    """StatefulProcessor tracking per-user max(value); emits on increase.
+
+    Defined lazily as a plain class implementing the StatefulProcessor
+    protocol (init/handleInputRows/close) so importing this module never
+    requires the streaming-state runtime."""
+
+    def init(self, handle) -> None:
+        self._hw = handle.getValueState("high_water", "m double")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        prev = self._hw.get()[0] if self._hw.exists() else None
+        best = prev
+        for pdf in rows:
+            m = float(pdf["value"].max())
+            if best is None or m > best:
+                best = m
+        if best is not None and (prev is None or best > prev):
+            self._hw.update((best,))
+            yield pd.DataFrame({"user_id": [key[0]], "high_water": [best]})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def high_water_marks(events: DataFrame) -> DataFrame:
+    """Per-user running max(value) with emit-on-increase semantics across
+    micro-batches (transformWithStateInPandas, update mode, no time
+    semantics — pair with TTL/timers for time-scoped state)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "HighWaterProcessor", (_HighWaterProcessor, StatefulProcessor), {}
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=HIGH_WATER_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
