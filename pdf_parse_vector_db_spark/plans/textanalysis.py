@@ -430,6 +430,123 @@ ORDER BY t.doc_id
 """
 
 
+def _ngrams_nd_spark(n: int) -> str:
+    """NON-distinct word n-gram list (repetition analysis needs the
+    duplicates that shingles_expr's array_distinct removes), token array
+    bound once — same single-bind discipline as shingles_expr."""
+    parts = ", ".join(f"element_at(t, i + {j})" for j in range(n))
+    return (
+        "flatten(transform(array(split(lower(trim(text)), '\\\\s+')), t -> "
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', {parts})) "
+        "ELSE array() END))"
+    )
+
+
+def _ngrams_nd_duck(n: int) -> str:
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    parts = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 1} + 1), i -> {parts}) "
+        "ELSE [] END"
+    )
+
+
+def _dup_frac_spark(n: int) -> str:
+    # fraction of n-gram occurrences that are repeats of an earlier one
+    return (
+        f"flatten(transform(array({_ngrams_nd_spark(n)}), g -> "
+        "array(IF(size(g) = 0, cast(0 AS double), "
+        "cast(1 AS double) - cast(size(array_distinct(g)) AS double) / size(g)))))[0]"
+    )
+
+
+def _dup_frac_duck(n: int) -> str:
+    g = _ngrams_nd_duck(n)
+    return (
+        f"CASE WHEN len({g}) = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE CAST(1 AS DOUBLE) - CAST(len(list_distinct({g})) AS DOUBLE) / len({g}) END"
+    )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: within-doc repetition metrics (the Gopher A1.1 repetition-rule
+    skeleton): duplicate word/2-gram/3-gram occurrence fractions, and the
+    fraction of characters covered by the most frequent 2-gram.
+
+    Scale shape: the dup fractions are pure map-side array algebra (zero
+    exchanges). Only the top-2-gram needs occurrence COUNTS, so it takes
+    the explode + two-stage agg path — partial agg combines each doc's
+    repeated grams map-side, so the exchange carries at most the distinct
+    2-grams per doc, not every occurrence."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    flat = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.expr(_dup_frac_spark(1)), 6).alias("dup_word_frac"),
+        F.round(F.expr(_dup_frac_spark(2)), 6).alias("dup_2gram_frac"),
+        F.round(F.expr(_dup_frac_spark(3)), 6).alias("dup_3gram_frac"),
+    )
+    top2 = (
+        docs.select(
+            "doc_id", "n_chars", F.explode(F.expr(_ngrams_nd_spark(2))).alias("g")
+        )
+        .groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max(F.col("c") * F.length("g")).cast("double") / F.first("n_chars"),
+                6,
+            ).alias("top_2gram_char_frac")
+        )
+    )
+    return (
+        flat.join(top2, on="doc_id")
+        .select(
+            "doc_id",
+            "dup_word_frac",
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            "top_2gram_char_frac",
+            (
+                (F.col("dup_3gram_frac") < 0.6)
+                & (F.col("top_2gram_char_frac") < 0.2)
+            ).alias("rep_pass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH flat AS (
+  SELECT doc_id, n_chars,
+         round({_dup_frac_duck(1)}, 6) AS dup_word_frac,
+         round({_dup_frac_duck(2)}, 6) AS dup_2gram_frac,
+         round({_dup_frac_duck(3)}, 6) AS dup_3gram_frac
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_chars, unnest({_ngrams_nd_duck(2)}) AS g FROM documents
+),
+c AS (
+  SELECT doc_id, n_chars, g, count(*) AS c FROM g GROUP BY 1, 2, 3
+),
+top2 AS (
+  SELECT doc_id,
+         round(CAST(max(c * length(g)) AS DOUBLE) / any_value(n_chars), 6)
+           AS top_2gram_char_frac
+  FROM c GROUP BY doc_id
+)
+SELECT f.doc_id, f.dup_word_frac, f.dup_2gram_frac, f.dup_3gram_frac,
+       t.top_2gram_char_frac,
+       f.dup_3gram_frac < 0.6 AND t.top_2gram_char_frac < 0.2 AS rep_pass
+FROM flat f JOIN top2 t ON f.doc_id = t.doc_id
+ORDER BY f.doc_id
+"""
+
+
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 extension: greedy sequence packing — per-language, docs in doc_id
     order packed into 256-whitespace-token training sequences (the step
@@ -461,6 +578,7 @@ QUERIES = [
     QuerySpec("corpus_prep", corpus_prep, CORPUS_PREP_SQL, "X1+X5 composite training-data prep"),
     QuerySpec("pack_training_sequences", pack_training_sequences, None, "X5 greedy sequence packing (rows-only)"),
     QuerySpec("gopher_quality", gopher_quality, GOPHER_QUALITY_SQL, "X5 Gopher-rule quality gate"),
+    QuerySpec("repetition_stats", repetition_stats, REPETITION_STATS_SQL, "X5 within-doc repetition metrics (Gopher A1.1 skeleton)"),
     QuerySpec("decontaminate_overlap", decontaminate_overlap, DECONTAMINATE_OVERLAP_SQL, "X5 benchmark decontamination"),
     QuerySpec("winnow_stats", winnow_stats, WINNOW_STATS_SQL, "rolling-hash winnowing fingerprints"),
     QuerySpec("winnow_shared_pairs", winnow_shared_pairs, WINNOW_SHARED_PAIRS_SQL, "substring-overlap near-dup (MOSS shape)"),
