@@ -547,6 +547,73 @@ ORDER BY f.doc_id
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: top-5 characteristic terms per source by TF-IDF — the corpus-
+    exploration query run to understand what a source contributes before
+    weighting it (see domain_mixture_epochs).
+
+    Scale shape: the token explode is scan-bound; tf and df both partial-
+    aggregate map-side and exchange on the SAME key (term), so the tf⋈df
+    join is co-partitioned (no extra shuffle under AQE); the corpus size
+    attaches as a broadcast 1-row scalar, never a driver collect; top-5 is
+    a windowed row_number over the small (source × vocab) agg result."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, on="term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "tf", "df", "tfidf")
+        .orderBy("source", F.desc("tfidf"), "term")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT f.source, f.term, f.tf, d.df,
+         round(f.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (d.df + 1)) + 1), 6)
+           AS tfidf
+  FROM tf f JOIN df d USING (term) CROSS JOIN n
+)
+SELECT source, term, tf, df, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 5
+ORDER BY source, tfidf DESC, term
+"""
+
+
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 extension: greedy sequence packing — per-language, docs in doc_id
     order packed into 256-whitespace-token training sequences (the step
@@ -579,6 +646,7 @@ QUERIES = [
     QuerySpec("pack_training_sequences", pack_training_sequences, None, "X5 greedy sequence packing (rows-only)"),
     QuerySpec("gopher_quality", gopher_quality, GOPHER_QUALITY_SQL, "X5 Gopher-rule quality gate"),
     QuerySpec("repetition_stats", repetition_stats, REPETITION_STATS_SQL, "X5 within-doc repetition metrics (Gopher A1.1 skeleton)"),
+    QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "X5 TF-IDF top terms per source"),
     QuerySpec("decontaminate_overlap", decontaminate_overlap, DECONTAMINATE_OVERLAP_SQL, "X5 benchmark decontamination"),
     QuerySpec("winnow_stats", winnow_stats, WINNOW_STATS_SQL, "rolling-hash winnowing fingerprints"),
     QuerySpec("winnow_shared_pairs", winnow_shared_pairs, WINNOW_SHARED_PAIRS_SQL, "substring-overlap near-dup (MOSS shape)"),
