@@ -315,6 +315,47 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2: resolve exact-Jaccard near-dup PAIRS into CLUSTERS via
+    connected components (operators/components.py, Pregel-style min-label
+    propagation) — the pair→cluster step a dedup pipeline needs before it
+    can pick one keeper per group. Deterministic fixpoint, so the oracle
+    cross-checks it with a recursive-CTE transitive closure."""
+    from pdf_parse_vector_db_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = dedup.ngram_jaccard_pairs(docs, bucket=F.col("n_chars"), n=3, threshold=0.1)
+    return connected_components(pairs).orderBy("doc_id")
+
+
+DUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id, n_chars AS bucket, {shingles_sql('text')} AS sh
+  FROM documents
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
+  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh)))
+             ELSE 0.0 END >= 0.1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS component_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
 def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization audit per label: per-vector scale
     (max|x|/127) and reconstruction MSE of round-to-nearest int8 — the
@@ -374,6 +415,7 @@ FROM m GROUP BY label ORDER BY label
 
 QUERIES = [
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
+    QuerySpec("dup_components", dup_components, DUP_COMPONENTS_SQL, "X1/X2 pair-to-cluster connected components"),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, None, "IVF(nlist,nprobe) ANN top-5 (rows-only)"),
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),

@@ -1,0 +1,32 @@
+"""Connected components (operators/components.py): hand-built graphs with
+known components, chain deeper than one propagation round, and the
+pair→cluster query contract."""
+
+from __future__ import annotations
+
+from pdf_parse_vector_db_spark.operators.components import connected_components
+
+
+def _resolve(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    return {
+        r.doc_id: r.component_id for r in connected_components(df).collect()
+    }
+
+
+def test_two_separate_components(spark):
+    got = _resolve(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    # a path graph 1-2-...-10: min label must walk the full diameter
+    got = _resolve(spark, [(i, i + 1) for i in range(1, 10)])
+    assert set(got.values()) == {1}
+    assert len(got) == 10
+
+
+def test_cycle_and_isolated_pair(spark):
+    got = _resolve(spark, [(5, 6), (6, 7), (7, 5), (100, 200)])
+    assert got[5] == got[6] == got[7] == 5
+    assert got[100] == got[200] == 100
