@@ -695,7 +695,51 @@ ORDER BY user_id
 """
 
 
+def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 RANGE-frame extension: 7-day trailing moving average of daily
+    revenue. The frame is a true RANGE over epoch-day numbers (gaps in the
+    calendar shrink the window), not a ROWS frame — the case running_revenue
+    doesn't cover. Day numbers keep the frame spec integer-portable across
+    engines (interval RANGE frames differ in syntax, not semantics).
+
+    Scale: one partial-agg per day then a single unpartitioned ordered
+    window over |days| rows — the window input is already driver-small; at
+    100 TB partition it by year and stitch boundaries, or keep per-key
+    frames (user_id, region) where the partition column exists."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("day_revenue"))
+        .withColumn("day_num", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_revenue",
+            F.round(F.avg("day_revenue").over(w), 4).alias("avg_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+ORDERS_MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         round(sum(o_totalprice), 4) AS day_revenue,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+  FROM orders GROUP BY 1, 3
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, day_revenue,
+       round(avg(day_revenue) OVER (ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d
+FROM daily
+ORDER BY day
+"""
+
+
 QUERIES = [
+    QuerySpec("orders_moving_avg", orders_moving_avg, ORDERS_MOVING_AVG_SQL, "W6 RANGE-frame 7-day moving average"),
     QuerySpec("cube_order_stats", cube_order_stats, CUBE_ORDER_STATS_SQL, "A8 CUBE multi-agg"),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, GROUPING_SETS_REVENUE_SQL, "A8 GROUPING SETS"),
     QuerySpec("running_revenue", running_revenue, RUNNING_REVENUE_SQL, "W6 running frame spec"),

@@ -356,6 +356,82 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 end-of-pipeline: for every near-dup cluster pick the survivor
+    (keep-longest heuristic: max whitespace-token count, doc_id tie-break)
+    and account for what gets dropped — the decision table a 100 TB dedup
+    job writes before the delete pass. Composition: dup_components ⋈ per-doc
+    token counts → one windowed rank per component."""
+    from pdf_parse_vector_db_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = dedup.ngram_jaccard_pairs(docs, bucket=F.col("n_chars"), n=3, threshold=0.1)
+    comp = connected_components(pairs)
+    toks = docs.select(
+        "doc_id",
+        F.expr("size(split(trim(text), '\\\\s+'))").cast("bigint").alias("n_tokens"),
+    )
+    ranked = comp.join(toks, on="doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component_id").orderBy(
+                F.desc("n_tokens"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("component_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .orderBy("component_id")
+    )
+
+
+DEDUP_KEEPERS_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id, n_chars AS bucket, {shingles_sql('text')} AS sh
+  FROM documents
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
+  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh)))
+             ELSE 0.0 END >= 0.1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+  FROM reach GROUP BY src
+),
+ranked AS (
+  SELECT c.component_id, c.doc_id,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY len(string_split_regex(trim(d.text), '\\s+')) DESC,
+                                     c.doc_id) AS rn
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT component_id,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       count(*) - 1 AS n_dropped
+FROM ranked
+GROUP BY component_id
+ORDER BY component_id
+"""
+
+
 def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization audit per label: per-vector scale
     (max|x|/127) and reconstruction MSE of round-to-nearest int8 — the
@@ -416,6 +492,7 @@ FROM m GROUP BY label ORDER BY label
 QUERIES = [
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
     QuerySpec("dup_components", dup_components, DUP_COMPONENTS_SQL, "X1/X2 pair-to-cluster connected components"),
+    QuerySpec("dedup_keepers", dedup_keepers, DEDUP_KEEPERS_SQL, "X1/X2 keep-longest survivor per dup cluster"),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, None, "IVF(nlist,nprobe) ANN top-5 (rows-only)"),
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),
