@@ -120,7 +120,82 @@ ORDER BY purchase_id, v_ts
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel over the event log (view → click →
+    purchase, each stage strictly after the previous): the product-analytics
+    query a behavioral-training pipeline runs to label user trajectories.
+
+    Formulated as three conditional-min aggs, each keyed on user_id — after
+    the first exchange every stage is co-partitioned, so at 100 TB this is
+    ONE shuffle plus two local join+agg rounds (AQE reuses the
+    partitioning). The min-after-min formulation (not an array fold) keeps
+    tie semantics (`ts` strictly greater) engine-portable."""
+    events = load_table(spark, sf_dir, "events", spread=True)
+    t1 = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    t2 = (
+        events.join(t1, on="user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        events.join(t2, on="user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    per_user = (
+        events.select("user_id")
+        .distinct()
+        .join(t1, on="user_id", how="left")
+        .join(t2, on="user_id", how="left")
+        .join(t3, on="user_id", how="left")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.count("t1").alias("users_view"),
+        F.count("t2").alias("users_click_after_view"),
+        F.count("t3").alias("users_purchase_after_click"),
+        F.round(F.count("t3").cast("double") / F.count(F.lit(1)), 6).alias(
+            "funnel_rate"
+        ),
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT count(*) AS users_total,
+       count(t1.t1) AS users_view,
+       count(t2.t2) AS users_click_after_view,
+       count(t3.t3) AS users_purchase_after_click,
+       round(CAST(count(t3.t3) AS DOUBLE) / count(*), 6) AS funnel_rate
+FROM u
+LEFT JOIN t1 ON u.user_id = t1.user_id
+LEFT JOIN t2 ON u.user_id = t2.user_id
+LEFT JOIN t3 ON u.user_id = t3.user_id
+"""
+
+
 QUERIES = [
+    QuerySpec("funnel_conversion", funnel_conversion, FUNNEL_CONVERSION_SQL, "ordered 3-stage funnel (conditional-min formulation)"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
