@@ -265,7 +265,81 @@ ORDER BY lang, len_bucket
 """
 
 
+def corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end prep DAG as ONE plan: Gopher quality gate → exact
+    dedup (md5 canon fingerprint, min-doc_id keeper) → per-lang 256-doc
+    shard manifest — what plans/textanalysis.corpus_prep accounts for,
+    continued through to the physical layout operators/shards.py writes.
+
+    Scale shape: the gate prunes before anything shuffles; dedup exchanges
+    16-byte fingerprints; the manifest's per-lang row_number rides the same
+    sort the shard writer needs — three exchanges total, none data-sized
+    after the gate."""
+    from pdf_parse_vector_db_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    g = T.gopher_metrics_expr("text")
+    fp = T.fingerprint_expr("text")["fingerprint"]
+    gated = docs.withColumn("gopher_pass", g["gopher_pass"]).filter(
+        F.col("gopher_pass")
+    ).withColumn("__fp", fp)
+    keep = gated.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(keep.select("doc_id"), on="doc_id", how="left_semi")
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+    return (
+        deduped.select("lang", "doc_id", "n_chars")
+        .withColumn("shard_id", ((rn - F.lit(1)) / 256).cast("bigint"))
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang", "shard_id")
+    )
+
+
+def _corpus_to_shards_sql() -> str:
+    from pdf_parse_vector_db_spark.functions import text as T
+
+    gopher_pass = T.gopher_metrics_sql("text")["gopher_pass"]
+    return f"""
+WITH gated AS (
+  SELECT doc_id, lang, n_chars,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+  WHERE {gopher_pass}
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY fp),
+deduped AS (
+  SELECT g.* FROM gated g WHERE g.doc_id IN (SELECT doc_id FROM keep)
+),
+numbered AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(floor((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+                    / 256) AS BIGINT) AS shard_id
+  FROM deduped
+)
+SELECT lang, shard_id, count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM numbered
+GROUP BY lang, shard_id
+ORDER BY lang, shard_id
+"""
+
+
+CORPUS_TO_SHARDS_SQL = _corpus_to_shards_sql()
+
+
 QUERIES = [
+    QuerySpec(
+        "corpus_to_shards",
+        corpus_to_shards,
+        CORPUS_TO_SHARDS_SQL,
+        "X1+X5 composite: Gopher gate → exact dedup → shard manifest",
+    ),
     QuerySpec(
         "lang_temperature_mix",
         lang_temperature_mix,
