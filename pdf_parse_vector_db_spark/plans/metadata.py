@@ -184,8 +184,75 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# ANALYZE-style column profiling: the statistics pass a cost-based optimizer
+# (and any data-quality monitor) runs per table — null count, exact NDV,
+# min/max per column. One scan per table: all metrics compute in a single
+# multi-distinct aggregate, then unpivot to (column, metric) rows. Both
+# engines generate their SQL/plan from the SAME column list so the output
+# rows align by construction. At 100 TB swap exact NDV for HLL++
+# (approx_count_distinct, sketch tier pinned by ndv_sketch_accuracy).
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = {
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+}
+
+
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, cols in _PROFILE_COLS.items():
+        df = load_table(spark, sf_dir, table)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [
+                F.count(c).alias(f"__c_{c}"),
+                F.countDistinct(c).alias(f"__d_{c}"),
+                # aggregate in the native type, cast the RESULT — casting
+                # first would turn numeric min/max lexicographic
+                F.min(c).cast("string").alias(f"__mn_{c}"),
+                F.max(c).cast("string").alias(f"__mx_{c}"),
+            ]
+        one = df.agg(*aggs)
+        stack = ", ".join(
+            f"'{c}', __n - __c_{c}, __d_{c}, __mn_{c}, __mx_{c}" for c in cols
+        )
+        rows = one.selectExpr(
+            f"'{table}' AS tbl",
+            f"stack({len(cols)}, {stack}) AS (col, n_nulls, ndv, min_val, max_val)",
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out.orderBy("tbl", "col")
+
+
+def _table_stats_sql() -> str:
+    parts = []
+    for table, cols in _PROFILE_COLS.items():
+        aggs = ["count(*) AS __n"]
+        for c in cols:
+            aggs += [
+                f"count({c}) AS __c_{c}",
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS __d_{c}",
+                f"CAST(min({c}) AS VARCHAR) AS __mn_{c}",
+                f"CAST(max({c}) AS VARCHAR) AS __mx_{c}",
+            ]
+        base = f"SELECT {', '.join(aggs)} FROM {table}"
+        for c in cols:
+            parts.append(
+                f"SELECT '{table}' AS tbl, '{c}' AS col, __n - __c_{c} AS n_nulls, "
+                f"__d_{c} AS ndv, __mn_{c} AS min_val, __mx_{c} AS max_val "
+                f"FROM ({base})"
+            )
+    return " UNION ALL ".join(parts) + " ORDER BY tbl, col"
+
+
+TABLE_STATS_SQL = _table_stats_sql()
+
+
 QUERIES = [
     QuerySpec("doc_metadata", doc_metadata, DOC_METADATA_SQL, "F10/F11 metadata extraction"),
+    QuerySpec("table_stats", table_stats, TABLE_STATS_SQL, "ANALYZE-style column profiling (nulls/NDV/min/max)"),
     QuerySpec("full_decision_pipeline", full_decision_pipeline, None, "T3+U2 cascade→LLM-stub pipeline"),
     QuerySpec("conclusion_positional", conclusion_positional, CONCLUSION_POSITIONAL_SQL, "F7 positional fallback tier"),
 ]
