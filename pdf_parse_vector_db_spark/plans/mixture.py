@@ -239,6 +239,48 @@ ORDER BY domain
 """
 
 
+# Split thresholds on the first two hex digits of md5(doc_id): < 'f0' train
+# (93.75%), < 'f8' val (3.125%), rest test (3.125%) — deterministic across
+# engines, retries, and cluster sizes, unlike randomSplit.
+_SPLIT_SPARK = (
+    "CASE WHEN substring(md5(cast(doc_id AS string)), 1, 2) < 'f0' THEN 'train' "
+    "WHEN substring(md5(cast(doc_id AS string)), 1, 2) < 'f8' THEN 'val' "
+    "ELSE 'test' END"
+)
+_SPLIT_DUCK = (
+    "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0' THEN 'train' "
+    "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment with per-split,
+    per-lang accounting — the split a training job freezes before anything
+    else runs. Hash-derived (not randomSplit): the same doc lands in the
+    same split on every engine, retry, and partition layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", F.expr(_SPLIT_SPARK))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+TRAIN_VAL_TEST_SPLIT_SQL = f"""
+SELECT {_SPLIT_DUCK} AS split, lang,
+       count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
 def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two document-length histogram per lang — the context-length
     planning query (how much of the corpus fits a 2^k-token window). Pure
@@ -363,6 +405,12 @@ QUERIES = [
         domain_mixture_epochs,
         DOMAIN_MIXTURE_EPOCHS_SQL,
         "X5 epochs-per-domain mixture accounting",
+    ),
+    QuerySpec(
+        "train_val_test_split",
+        train_val_test_split,
+        TRAIN_VAL_TEST_SPLIT_SQL,
+        "X5 deterministic hash train/val/test split accounting",
     ),
     QuerySpec(
         "seq_length_histogram",
