@@ -30,3 +30,41 @@ def test_cycle_and_isolated_pair(spark):
     got = _resolve(spark, [(5, 6), (6, 7), (7, 5), (100, 200)])
     assert got[5] == got[6] == got[7] == 5
     assert got[100] == got[200] == 100
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Distributed label propagation must agree with sequential union-find
+    on randomized graphs (fixed seed — deterministic across runs)."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(5):
+        n_nodes = rng.randint(2, 40)
+        n_edges = rng.randint(1, 60)
+        pairs = [
+            (rng.randint(1, n_nodes), rng.randint(1, n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        got = _resolve(spark, pairs)
+        want = _union_find(pairs)
+        assert got == want, (pairs, got, want)
