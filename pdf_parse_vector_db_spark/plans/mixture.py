@@ -375,7 +375,49 @@ ORDER BY lang, shard_id
 CORPUS_TO_SHARDS_SQL = _corpus_to_shards_sql()
 
 
+def negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-matched negative sampling for contrastive training: pair each
+    doc with the next doc_id in its n_chars bucket — a 'hard' negative that
+    matches on length (the easiest give-away feature) while (usually)
+    differing in content. One window over the bucket sort; deterministic,
+    so the pairing is reproducible across engines and retries (the property
+    random negative sampling loses on repartition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("n_chars").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("len_bucket"),
+            F.lead("doc_id").over(w).alias("neg_doc_id"),
+            (F.lead("lang").over(w) == F.col("lang")).alias("same_lang"),
+        )
+        .filter(F.col("neg_doc_id").isNotNull())
+        .orderBy("doc_id")
+    )
+
+
+NEGATIVE_PAIRS_SQL = """
+SELECT doc_id, lang, len_bucket, neg_doc_id, same_lang
+FROM (
+  SELECT doc_id, lang, n_chars AS len_bucket,
+         lead(doc_id) OVER (PARTITION BY n_chars ORDER BY doc_id) AS neg_doc_id,
+         lead(lang) OVER (PARTITION BY n_chars ORDER BY doc_id) = lang
+           AS same_lang
+  FROM documents
+)
+WHERE neg_doc_id IS NOT NULL
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "negative_pairs",
+        negative_pairs,
+        NEGATIVE_PAIRS_SQL,
+        "X5 length-matched hard-negative pairing (contrastive training)",
+    ),
     QuerySpec(
         "corpus_to_shards",
         corpus_to_shards,
