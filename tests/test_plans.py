@@ -98,6 +98,19 @@ def test_quantization_partial_agg(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_corpus_to_shards_gate_precedes_exchange(spark):
+    """The Gopher gate must prune BEFORE the dedup shuffle: in the executed
+    plan string the first Filter appears before the first Exchange — the
+    property that keeps the 100 TB scan from shuffling rejected docs."""
+    plan = _plan(spark, "corpus_to_shards")
+    assert "Filter" in plan and "Exchange" in plan, plan
+    # executedPlan prints root-first, scans last, so the LAST printed
+    # Filter is the deepest operator chain: everything after it is below
+    # it in dataflow. No Exchange there = the gate runs pre-shuffle.
+    gate_subtree = plan[plan.rfind("Filter"):]
+    assert "Exchange" not in gate_subtree, gate_subtree
+
+
 def test_winnow_fps_subplan_is_shuffle_free(spark):
     """The winnowing fingerprint subplan must stay pure map-side array
     algebra: no Window sort-shuffle, no Exchange of gram rows — the property
