@@ -1,0 +1,162 @@
+"""Service facade: the reference's three REST entry points as engine calls.
+
+A user of Suyash906/pdf_parse_vector_db interacts through three endpoints;
+this module is the drop-in surface a Flask/FastAPI shell would wrap, with
+every HTTP hop collapsed into one Spark job (SURVEY §3 lifecycle maps):
+
+  * ``ingest_legal_document``  ≙ POST /api/v1/ingest-legal-document
+    (extract_and_search_v2.py:383-443 → process_pdf_to_milvus :234-287)
+  * ``search_similar_cases``   ≙ POST /api/v1/search-similar-cases
+    (extract_and_search_v2.py:297-380 → :124-170)
+  * ``health``                 ≙ GET /api/v1/health (:446-448)
+
+Text extraction happens upstream (sources/pdf.py — PyMuPDF env-gated, the
+form-feed splitter is the in-container tier), so the facade takes extracted
+text + file name, mirroring the reference's post-fitz state. Validation
+errors raise ValueError with the reference's message semantics (a web shell
+maps them to 400s).
+
+State is a parquet chunk warehouse (partitioned by court_level, the search
+filter column → partition pruning on the hot path) instead of a Milvus
+collection; the long-lived SparkSession plays the module-global client
+(extract_and_search.py:133-138).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.functions.classifiers import case_decision_expr
+from pdf_parse_vector_db_spark.functions.vector import l2_distance
+from pdf_parse_vector_db_spark.operators import knn
+from pdf_parse_vector_db_spark.operators.chunker import chunk_documents, chunk_text
+from pdf_parse_vector_db_spark.operators.embedder import embed_text_py, hashing_embedder
+from pdf_parse_vector_db_spark.schemas import (
+    EMBEDDING_DIM,
+    SEARCH_FETCH_K,
+    SEARCH_TOP_K,
+)
+
+
+class SparkVectorService:
+    """One instance per warehouse — the engine-side analog of the reference's
+    module-global Milvus client + collection pair."""
+
+    def __init__(self, spark: SparkSession, warehouse_path: str, dim: int = EMBEDDING_DIM):
+        self.spark = spark
+        self.path = warehouse_path
+        self.dim = dim
+
+    # -- write path --------------------------------------------------------
+
+    def ingest_legal_document(
+        self, file_name: str, text: str, court_level: int
+    ) -> dict:
+        """Validate → classify → chunk → embed → append; returns
+        {chunks_inserted, case_decision} (extract_and_search_v2.py:433-439)."""
+        if not file_name or not file_name.lower().endswith(".pdf"):
+            raise ValueError("File must be a PDF")
+        if not isinstance(court_level, int):
+            raise ValueError("court_level must be an integer")
+        if not text or not text.strip():
+            raise ValueError("No text could be extracted from the PDF")
+
+        # deterministic doc_id from the file name (hash(), salted per run,
+        # would break re-ingest idempotence tests); 48 bits so
+        # doc_id * 1000 + chunk_idx stays inside int64 under ANSI arithmetic
+        import hashlib
+
+        doc_id = int(hashlib.sha256(file_name.encode()).hexdigest()[:12], 16)
+        docs = self.spark.createDataFrame(
+            [(doc_id, text, int(court_level))], "doc_id long, text string, court_level int"
+        ).withColumn("case_decision", case_decision_expr(F.col("text")))
+
+        chunks = chunk_documents(docs, keep_cols=("court_level", "case_decision"))
+        chunks = (
+            chunks.withColumn("file_name", F.lit(file_name))
+            .withColumn("file_id", F.sha2(F.lit(file_name), 256))
+            .withColumn("chunk_id", F.col("doc_id") * 1000 + F.col("chunk_idx"))
+            .withColumn("embedding", hashing_embedder(self.dim)(F.col("chunk_text")))
+            # the reference drops chunks whose embedding came back empty
+            # (extract_and_embed.py:102,112-113) — e.g. chunker edge (a)'s
+            # empty first chunk
+            .filter(F.col("embedding").isNotNull())
+            .select(
+                "chunk_id",
+                "doc_id",
+                "chunk_idx",
+                F.col("chunk_text").alias("text"),
+                "embedding",
+                "file_name",
+                "file_id",
+                F.col("court_level").cast("tinyint").alias("court_level"),
+                "case_decision",
+            )
+        )
+        chunks.write.mode("append").partitionBy("court_level").parquet(self.path)
+
+        written = self._chunks().filter(F.col("file_id") == F.sha2(F.lit(file_name), 256))
+        row = written.agg(
+            F.count(F.lit(1)).alias("n"), F.first("case_decision").alias("d")
+        ).collect()[0]
+        return {"chunks_inserted": row.n, "case_decision": row.d}
+
+    # -- read path ---------------------------------------------------------
+
+    def search_similar_cases(
+        self, file_name: str, text: str, court_level: int, top_k: int = SEARCH_TOP_K
+    ) -> dict:
+        """First-chunk embed → pruned scan at target level → L2 over-fetch →
+        best-per-file dedup → ascending top-k → stats → nested response
+        (golden shape README.md:17-65)."""
+        if not text or not text.strip():
+            raise ValueError("No text could be extracted from the PDF")
+        target = int(court_level) + 1
+
+        # the reference embeds every chunk and keeps [0]
+        # (extract_and_search_v2.py:124-135); embedding only the first chunk
+        # with a usable embedding is the same result without the discarded
+        # calls (empty-embedding chunks are dropped upstream there too)
+        qvec = None
+        for first_chunk in chunk_text(text):
+            qvec = embed_text_py(first_chunk, self.dim)
+            if qvec is not None:
+                break
+        if qvec is None:
+            raise ValueError("No text could be extracted from the PDF")
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+
+        hits = (
+            self._chunks()
+            .filter(F.col("court_level") == target)
+            .withColumn("dist", l2_distance(F.col("embedding"), q))
+            .orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
+            .limit(SEARCH_FETCH_K)
+        )
+        best = knn.dedup_best_per_group(
+            hits, group_col="file_id", score_col="dist", tiebreak_cols=("chunk_id",)
+        )
+        top = (
+            best.orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
+            .limit(top_k)
+            .withColumn("score", F.round(F.col("dist"), 4))
+        )
+        resp = knn.search_response(top, file_name, int(court_level))
+        return json.loads(resp.collect()[0][0])
+
+    # -- liveness ----------------------------------------------------------
+
+    def health(self) -> dict:
+        """Static-JSON analog with a real liveness probe: one no-op job."""
+        self.spark.range(1).count()
+        try:
+            n = self._chunks().count()
+        except Exception:
+            n = 0
+        return {"status": "healthy", "chunks_indexed": n}
+
+    def _chunks(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)

@@ -1,0 +1,79 @@
+"""Service facade (api.py): the reference's three endpoints end-to-end
+against a temp warehouse — ingest → search → health, plus the validation
+and response-shape contracts (golden shape keys, README.md:17-65)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_parse_vector_db_spark.api import SparkVectorService
+from pdf_parse_vector_db_spark.schemas import DECISIONS
+
+DOC = (
+    "The appellant filed a motion for review. " * 30
+    + "\n\n"
+    + "The court finds in favor of the appellant and the appeal is allowed. " * 20
+)
+QUERY = "The appellant filed a motion seeking review of the decision. " * 25
+
+
+@pytest.fixture()
+def svc(spark, tmp_path):
+    return SparkVectorService(spark, str(tmp_path / "warehouse"))
+
+
+def test_ingest_returns_counts_and_decision(svc):
+    out = svc.ingest_legal_document("case_a.pdf", DOC, court_level=2)
+    assert out["chunks_inserted"] >= 1
+    assert out["case_decision"] in DECISIONS
+
+
+def test_ingest_validation_mirrors_reference(svc):
+    with pytest.raises(ValueError, match="PDF"):
+        svc.ingest_legal_document("notes.txt", DOC, court_level=2)
+    with pytest.raises(ValueError, match="integer"):
+        svc.ingest_legal_document("a.pdf", DOC, court_level="high")
+    with pytest.raises(ValueError, match="No text"):
+        svc.ingest_legal_document("a.pdf", "   ", court_level=2)
+
+
+def test_search_returns_golden_shape(svc):
+    # ingest at level 3 == query level 2 + 1 (the reference searches one
+    # level above the input court)
+    for i in range(3):
+        svc.ingest_legal_document(f"case_{i}.pdf", DOC + f" variant {i}", court_level=3)
+    resp = svc.search_similar_cases("query.pdf", QUERY, court_level=2)
+    assert resp["status"] == "success"
+    assert resp["query"]["file_name"] == "query.pdf"
+    assert resp["query"]["input_court_level"] == 2
+    assert resp["query"]["target_court_level"] == 3
+    assert 1 <= resp["result_count"] <= 5
+    assert len(resp["results"]) == resp["result_count"]
+    # per-file dedup: every hit is a distinct file
+    ids = [r["file_id"] for r in resp["results"]]
+    assert len(ids) == len(set(ids))
+    # ascending score order
+    scores = [r["score"] for r in resp["results"]]
+    assert scores == sorted(scores)
+    # golden stats keys (README.md:19-24)
+    stats = resp["appellant_statistics"]
+    assert set(stats) == {
+        "invalid_decisions",
+        "total_valid_decisions",
+        "win_count",
+        "win_percentage",
+    }
+    assert stats["total_valid_decisions"] == 3 and stats["win_count"] == 3
+
+
+def test_search_empty_level_returns_no_results(svc):
+    svc.ingest_legal_document("case_x.pdf", DOC, court_level=1)
+    resp = svc.search_similar_cases("query.pdf", QUERY, court_level=3)
+    assert resp["result_count"] == 0
+
+
+def test_health_counts_chunks(svc):
+    assert svc.health() == {"status": "healthy", "chunks_indexed": 0}
+    svc.ingest_legal_document("case_h.pdf", DOC, court_level=2)
+    h = svc.health()
+    assert h["status"] == "healthy" and h["chunks_indexed"] >= 1
