@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pdf_parse_vector_db_spark.plans import advanced as _advanced
+from pdf_parse_vector_db_spark.plans import curation as _curation
 from pdf_parse_vector_db_spark.plans import ingest as _ingest
 from pdf_parse_vector_db_spark.plans import registry as _registry
 from pdf_parse_vector_db_spark.plans import relational as _relational
@@ -38,6 +39,7 @@ _MODULES = [
     _relational,
     _advanced,
     _textanalysis,
+    _curation,
     _similarity,
     _metadata,
     _mixture,

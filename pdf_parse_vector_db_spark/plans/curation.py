@@ -1,0 +1,576 @@
+"""Corpus-curation queries (north-star X1/X2/X5 extensions): the selection /
+weighting / versioning operators a large-scale LLM training-data pipeline
+runs between raw crawl and tokenizer, each with a DuckDB oracle twin.
+
+Published shapes implemented here (public papers only):
+  * edit-distance near-dup tier — banded blocking + threshold Levenshtein
+    verify (the classic record-linkage blocking pattern).
+  * per-domain caps — RefinedWeb-style (Penedo et al. 2023) per-source
+    document quotas by quality rank.
+  * blocklist filtering — CCNet/RefinedWeb URL-blocklist shape as a
+    broadcast anti-join.
+  * corpus snapshot diff — dataset-versioning accounting (added / removed /
+    changed / unchanged by content fingerprint).
+  * DSIR importance weights — hashed-n-gram log-likelihood-ratio scoring
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"), bucketed so the model table is tiny and broadcastable.
+  * unigram-LM perplexity buckets — CCNet's (Wenzek et al. 2020)
+    head/middle/tail split, with a corpus-fit unigram model standing in for
+    the external KenLM (deterministic, oracle-checkable).
+  * two-stage retrieval rerank — the reference's over-fetch+refine
+    (extract_and_search.py:100-129) generalized to a cheap-metric fetch
+    (L2 top-100) + expensive-metric rerank (cosine top-5).
+
+Scale discipline (100 TB): raw text never crosses an exchange — every wide
+operation is keyed on fixed-width hashes, 2-hex-char buckets, or ids; model
+tables (256 hash buckets, unigram vocab) broadcast or co-partition; pair
+generation is always block-bounded (Σ block², never corpus²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.functions import text as T
+from pdf_parse_vector_db_spark.functions.vector import cosine_similarity, l2_distance
+from pdf_parse_vector_db_spark.plans.registry import QuerySpec
+from pdf_parse_vector_db_spark.plans.search import QUERY_VEC_ID, TARGET_LABEL, _query_vector
+from pdf_parse_vector_db_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup tier (X2 tier 6)
+# ---------------------------------------------------------------------------
+
+# Deterministic twin injection: one doc in 17 gets a 6-char-truncated copy at
+# doc_id + 1000, so the fixture corpus provably contains small-edit pairs
+# (the same device plans/ingest.py and textanalysis.py use for branch
+# coverage). Exact duplicates in the base corpus surface as dist = 0.
+_EDIT_TWIN_MOD = 17
+_EDIT_TWIN_OFFSET = 1000
+_EDIT_MAX_DIST = 16
+_EDIT_PREFIX = 40
+
+
+def edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: near-dup pairs by banded blocking + threshold Levenshtein.
+
+    Blocking key = md5 of the first 40 canonicalized chars: only docs
+    sharing a prefix ever pair, so pair cost is Σ block² (the standard
+    record-linkage bound), not corpus². Verification uses Spark's
+    thresholded levenshtein — O(len·maxDist) banded DP, not O(len²), and
+    it early-outs at the threshold; DuckDB's unthresholded twin computes
+    the full distance and filters, same answer. Raw text shuffles once,
+    keyed by the 16-byte block hash; at 100 TB the block key would extend
+    with a length band to keep blocks O(1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    twins = (
+        docs.filter(F.col("doc_id") % _EDIT_TWIN_MOD == 0)
+        .select(
+            (F.col("doc_id") + _EDIT_TWIN_OFFSET).alias("doc_id"),
+            F.substring(F.col("text"), 1, F.greatest(F.length("text") - 6, F.lit(0))).alias(
+                "text"
+            ),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    keyed = corpus.select(
+        "doc_id",
+        canon.alias("c"),
+        F.md5(F.substring(canon, 1, _EDIT_PREFIX)).alias("k"),
+    )
+    left = keyed.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"), "k")
+    right = keyed.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"), "k")
+    dist = F.levenshtein(F.col("ca"), F.col("cb"), _EDIT_MAX_DIST)
+    return (
+        left.join(right, on="k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist.cast("bigint"))
+        .filter(F.col("dist") >= 0)  # thresholded levenshtein: -1 = above cutoff
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_CANON_SQL = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+
+EDIT_DISTANCE_DUPS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_EDIT_TWIN_OFFSET},
+         substring(text, 1, greatest(length(text) - 6, 0))
+  FROM documents WHERE doc_id % {_EDIT_TWIN_MOD} = 0
+),
+keyed AS (
+  SELECT doc_id,
+         {_CANON_SQL.format(col='text')} AS c,
+         md5(substring({_CANON_SQL.format(col='text')}, 1, {_EDIT_PREFIX})) AS k
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.c, b.c) AS BIGINT) AS dist
+FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+WHERE levenshtein(a.c, b.c) <= {_EDIT_MAX_DIST}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-domain caps (RefinedWeb shape)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 15
+
+
+def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-source document quota — rank docs within each source by a
+    quality proxy (longest first, id tiebreak) and cap at 15, reporting
+    kept/dropped/token accounting per source. The anti-hoarding step web
+    pipelines apply so no single domain dominates the mixture.
+
+    One shuffle, keyed on source (the window and the agg share it). A
+    pathologically hot domain is exactly the skew case operators/skew.py's
+    salted two-stage window handles; at 100 TB swap the rank for that."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = T.token_counts_expr("text")["ws_tokens"]
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.select("source", "doc_id", "n_chars", ws.alias("ws_tokens")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = F.col("rn") <= _DOMAIN_CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_total"),
+            F.sum(kept.cast("long")).alias("docs_kept"),
+            F.sum(F.when(kept, F.col("ws_tokens")).otherwise(F.lit(0))).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_WS_SQL = T.token_counts_sql("text")["ws_tokens"]
+
+DOMAIN_CAPS_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id, {_WS_SQL} AS ws_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       count(*) AS docs_total,
+       CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN ws_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocklist filtering (CCNet / RefinedWeb URL-blocklist shape)
+# ---------------------------------------------------------------------------
+
+_BLOCKED_SOURCES = ["src3", "src7", "src11", "src15", "src19"]
+
+
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: drop documents from blocklisted sources via a broadcast anti-join
+    (the URL/domain-blocklist gate web-corpus pipelines run first). The
+    blocklist is a real dimension table, not an IN-list literal, because at
+    scale it is millions of domains maintained externally — still tiny next
+    to the corpus, so it broadcasts and the corpus never shuffles; output
+    is the surviving per-lang accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocklist = spark.createDataFrame([(s,) for s in _BLOCKED_SOURCES], "source string")
+    survivors = docs.join(F.broadcast(blocklist), on="source", how="left_anti")
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BLOCKED_IN = ", ".join(f"'{s}'" for s in _BLOCKED_SOURCES)
+
+BLOCKLIST_FILTER_SQL = f"""
+SELECT lang,
+       count(*) AS docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+WHERE source NOT IN ({_BLOCKED_IN})
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (dataset versioning)
+# ---------------------------------------------------------------------------
+
+
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 extension: diff two corpus versions by content fingerprint —
+    the accounting behind dataset versioning / incremental re-training.
+    Version A drops doc_id % 10 == 9; version B drops % 10 == 0 and
+    appends ' rev2' to every % 4 == 0 doc (deterministic version device).
+
+    Scale shape: each side reduces to (id, 16-byte md5) map-side; the full
+    outer join shuffles only those fixed-width rows, never text, and the
+    status agg is a 4-group rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp_a = T.fingerprint_expr("text")["fingerprint"]
+    va = docs.filter(F.col("doc_id") % 10 != 9).select("doc_id", fp_a.alias("fp_a"))
+    vb = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .withColumn(
+            "text2",
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+                F.col("text")
+            ),
+        )
+        .select("doc_id", T.fingerprint_expr("text2")["fingerprint"].alias("fp_b"))
+    )
+    j = va.join(vb, on="doc_id", how="full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") == F.col("fp_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("status")
+    )
+
+
+_FP_A_SQL = T.fingerprint_sql("text")["fingerprint"]
+_FP_B_SQL = T.fingerprint_sql(
+    "(CASE WHEN doc_id % 4 = 0 THEN text || ' rev2' ELSE text END)"
+)["fingerprint"]
+
+CORPUS_DIFF_SQL = f"""
+WITH va AS (
+  SELECT doc_id, {_FP_A_SQL} AS fp_a FROM documents WHERE doc_id % 10 <> 9
+),
+vb AS (
+  SELECT doc_id, {_FP_B_SQL} AS fp_b FROM documents WHERE doc_id % 10 <> 0
+),
+j AS (
+  SELECT coalesce(va.doc_id, vb.doc_id) AS doc_id, fp_a, fp_b
+  FROM va FULL OUTER JOIN vb ON va.doc_id = vb.doc_id
+)
+SELECT CASE WHEN fp_a IS NULL THEN 'added'
+            WHEN fp_b IS NULL THEN 'removed'
+            WHEN fp_a = fp_b THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM j
+GROUP BY 1
+ORDER BY status
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-n-gram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_SOURCES = ["src0", "src1"]
+_DSIR_BUCKETS = 256  # 2 hex chars of md5 — engine-portable hashed features
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: DSIR importance weighting (Xie et al. 2023) — score every doc by
+    the log-likelihood ratio of a target distribution (docs from the
+    'wiki-like' sources src0/src1) vs the raw distribution over hashed
+    unigram features, add-1 smoothed. Docs scoring > 0 look more like the
+    target than the crawl; importance resampling keeps those.
+
+    Engine-portable hashing: feature bucket = first 2 hex chars of
+    md5(token) → 256 buckets, so the whole model is a 256-row table.
+    Integer-exact scoring: per-bucket weights are floor(log-ratio · 1e6)
+    BIGINTs, so per-doc sums are order-independent and hash-identical
+    across engines (float summation order never matters).
+
+    Scale shape: token explode is map-side; both side-counts partial-agg
+    onto 2-byte keys; the 256-row weight table broadcasts back onto the
+    token stream; the only non-trivial exchange is the final per-doc agg
+    on (doc_id, 8-byte weight). The corpus text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).withColumn("bucket", F.substring(F.md5(F.col("term")), 1, 2))
+    is_target = F.col("source").isin(_DSIR_TARGET_SOURCES)
+    tcnt = tok.filter(is_target).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    rcnt = tok.filter(~is_target).groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    totals = tcnt.agg(F.sum("ct").alias("tt")).crossJoin(rcnt.agg(F.sum("cr").alias("rt")))
+    weights = (
+        tcnt.join(rcnt, on="bucket", how="full_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                        / (F.col("tt") + float(_DSIR_BUCKETS))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
+                        / (F.col("rt") + float(_DSIR_BUCKETS))
+                    )
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("w_micros"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(weights), on="bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("w_micros").alias("score_micros"),
+        )
+        .withColumn("selected", F.col("score_micros") > 0)
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_IN = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, substring(md5(term), 1, 2) AS bucket FROM tok
+),
+t AS (SELECT bucket, count(*) AS ct FROM b WHERE source IN ({_DSIR_IN}) GROUP BY 1),
+r AS (SELECT bucket, count(*) AS cr FROM b WHERE source NOT IN ({_DSIR_IN}) GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM t) AS tt,
+         (SELECT CAST(sum(cr) AS DOUBLE) FROM r) AS rt
+),
+w AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         CAST(floor((ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + {_DSIR_BUCKETS}.0))
+                   - ln((coalesce(r.cr, 0) + 1.0) / (tot.rt + {_DSIR_BUCKETS}.0)))
+                    * 1000000) AS BIGINT) AS w_micros
+  FROM t FULL OUTER JOIN r ON t.bucket = r.bucket CROSS JOIN tot
+)
+SELECT b.doc_id,
+       count(*) AS n_terms,
+       CAST(sum(w.w_micros) AS BIGINT) AS score_micros,
+       CAST(sum(w.w_micros) AS BIGINT) > 0 AS selected
+FROM b JOIN w USING (bucket)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+def unigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: CCNet-style perplexity bucketing (Wenzek et al. 2020) — score
+    each doc by mean negative log-likelihood under a unigram LM fit on the
+    corpus itself (deterministic stand-in for the external KenLM, which is
+    env-gated like every other real model in this repo), then split each
+    language into head/middle/tail terciles (ntile(3): 1 = most fluent).
+
+    Integer-exact scoring: per-term NLL is floor(-ln(p)·1e6) BIGINT, so
+    per-doc sums are order-independent; the ntile ordering key
+    (sum/n double + doc_id tiebreak) is an IEEE division of identical
+    integers on both engines — deterministic.
+
+    Scale shape: the vocab model and the token stream exchange on the SAME
+    key (term), so the model join is co-partitioned (tfidf_top_terms'
+    shape); corpus total attaches as a broadcast scalar; the tercile
+    window shuffles one fixed-width row per doc on lang."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    model = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").cast("double").alias("tot"))
+    nll = (
+        model.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.floor(-F.log(F.col("cnt") / F.col("tot")) * 1e6).cast("bigint").alias(
+                "nll_micros"
+            ),
+        )
+    )
+    per_doc = (
+        tok.join(nll, on="term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("nll_micros").alias("nll_sum"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("nll_sum").cast("double") / F.col("n_toks")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("ppl_bucket", F.ntile(3).over(w))
+        .select("doc_id", "lang", "n_toks", "nll_sum", "ppl_bucket")
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_PPL_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+model AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM model),
+nll AS (
+  SELECT term,
+         CAST(floor(-ln(cnt / total.tot) * 1000000) AS BIGINT) AS nll_micros
+  FROM model CROSS JOIN total
+),
+per_doc AS (
+  SELECT t.doc_id, t.lang,
+         count(*) AS n_toks,
+         CAST(sum(n.nll_micros) AS BIGINT) AS nll_sum
+  FROM tok t JOIN nll n USING (term)
+  GROUP BY t.doc_id, t.lang
+)
+SELECT doc_id, lang, n_toks, nll_sum,
+       ntile(3) OVER (PARTITION BY lang
+                      ORDER BY CAST(nll_sum AS DOUBLE) / n_toks, doc_id)
+         AS ppl_bucket
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval rerank (over-fetch + refine, generalized)
+# ---------------------------------------------------------------------------
+
+_RERANK_FETCH = 100
+_RERANK_K = 5
+
+
+def rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4: two-stage retrieval — stage 1 over-fetches the top-100 by L2
+    (the cheap index metric, exactly the reference's limit=100 fetch at
+    extract_and_search.py:109), stage 2 re-scores the candidates with a
+    second metric (cosine here, standing in for a cross-encoder: the
+    expensive scorer that only ever sees k' candidates) and keeps the
+    top-5.
+
+    Scale shape: both stages are TakeOrderedAndProject — partial top-k per
+    partition, never a full sort; stage 2's input is 100 rows no matter the
+    corpus size, which is the entire point of the pattern."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    stage1 = (
+        emb.filter(F.col("label") == TARGET_LABEL)
+        .crossJoin(q)
+        .withColumn("dist", l2_distance(F.col("embedding"), F.col("qvec")))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(_RERANK_FETCH)
+    )
+    return (
+        stage1.withColumn("cos", cosine_similarity(F.col("embedding"), F.col("qvec")))
+        .select(
+            "vec_id",
+            F.round(F.col("dist"), 4).alias("l2_score"),
+            F.round(F.col("cos"), 6).alias("cos_score"),
+        )
+        .orderBy(F.col("cos_score").desc(), F.col("vec_id").asc())
+        .limit(_RERANK_K)
+    )
+
+
+RERANK_TWO_STAGE_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings
+  WHERE vec_id = {QUERY_VEC_ID}
+),
+s1 AS (
+  SELECT e.vec_id,
+         CAST(e.embedding AS DOUBLE[]) AS v,
+         list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec) AS dist,
+         q.qvec AS qvec
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = {TARGET_LABEL}
+  ORDER BY dist, e.vec_id
+  LIMIT {_RERANK_FETCH}
+)
+SELECT vec_id,
+       round(dist, 4) AS l2_score,
+       round(list_cosine_similarity(v, qvec), 6) AS cos_score
+FROM s1
+ORDER BY cos_score DESC, vec_id
+LIMIT {_RERANK_K}
+"""
+
+
+QUERIES = [
+    QuerySpec(
+        "edit_distance_dups",
+        edit_distance_dups,
+        EDIT_DISTANCE_DUPS_SQL,
+        "X2 edit-distance near-dup tier (banded blocking + threshold Levenshtein)",
+    ),
+    QuerySpec("domain_caps", domain_caps, DOMAIN_CAPS_SQL, "X5 per-source document quota"),
+    QuerySpec(
+        "blocklist_filter",
+        blocklist_filter,
+        BLOCKLIST_FILTER_SQL,
+        "X5 blocklist broadcast anti-join gate",
+    ),
+    QuerySpec("corpus_diff", corpus_diff, CORPUS_DIFF_SQL, "X1 corpus snapshot diff"),
+    QuerySpec(
+        "dsir_importance",
+        dsir_importance,
+        DSIR_IMPORTANCE_SQL,
+        "X5 DSIR hashed-ngram importance weights",
+    ),
+    QuerySpec(
+        "unigram_ppl_buckets",
+        unigram_ppl_buckets,
+        UNIGRAM_PPL_BUCKETS_SQL,
+        "X5 CCNet perplexity head/middle/tail buckets",
+    ),
+    QuerySpec(
+        "rerank_two_stage",
+        rerank_two_stage,
+        RERANK_TWO_STAGE_SQL,
+        "X3 two-stage over-fetch + rerank retrieval",
+    ),
+]
