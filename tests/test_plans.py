@@ -123,3 +123,33 @@ def test_winnow_fps_subplan_is_shuffle_free(spark):
     assert "Window" not in plan, plan
     # the only exchange allowed is the spread repartition of input docs
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """X5: the 256-row DSIR weight table must broadcast onto the token
+    stream — a shuffle join here would exchange every token occurrence."""
+    plan = _plan(spark, "dsir_importance")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_blocklist_is_broadcast_anti_join(spark):
+    """X5: the blocklist gate must be a broadcast LeftAnti — the corpus
+    side must never shuffle for a dimension of blocked domains."""
+    plan = _plan(spark, "blocklist_filter")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_rerank_both_stages_topk(spark):
+    """X3: both rerank stages must plan TakeOrderedAndProject (partial
+    top-k), never a global sort of the candidate corpus."""
+    plan = _plan(spark, "rerank_two_stage")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_corpus_diff_exchanges_fixed_width_only(spark):
+    """X1: the snapshot diff's outer join must exchange only (doc_id, md5)
+    rows — the text column must be projected away before any exchange."""
+    plan = _plan(spark, "corpus_diff")
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "text" in ln:
+            raise AssertionError(f"text crosses an exchange: {ln}")
