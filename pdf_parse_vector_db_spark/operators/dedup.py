@@ -181,6 +181,48 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_portable_banded(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Portable-md5 LSH band table for one corpus side: (__id, band_idx,
+    key) rows, `bands` per doc. This is the piece a production pipeline
+    PERSISTS (bucketed by key) so later batches join against stored bands
+    instead of recomputing history — see plans/curation.incremental_dedup."""
+    rows = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles_expr(text_col, n)).alias("__s"),
+    ).select("__id", F.md5(F.col("__s")).alias("__b"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__b")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("__id").agg(*mins)
+    band_cols = [
+        F.md5(F.concat_ws("_", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("__id", *band_cols)
+    return banded.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+
+
 def minhash_portable_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -200,34 +242,9 @@ def minhash_portable_pairs(
     input. ~2× the xxhash64 tier's cost; use that tier when oracle parity
     isn't needed. Returns (id_a, id_b, jaccard) — band-colliding pairs
     verified by exact Jaccard ≥ threshold."""
-    rows = num_hashes // bands
-    sh = docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles_expr(text_col, n)).alias("__s"),
-    ).select("__id", F.md5(F.col("__s")).alias("__b"))
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__b")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("__id").agg(*mins)
-    band_cols = [
-        F.md5(F.concat_ws("_", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("__id", *band_cols)
-    stacked = banded.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("__id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+    stacked = minhash_portable_banded(
+        docs, n=n, num_hashes=num_hashes, bands=bands, id_col=id_col, text_col=text_col
+    )
     cands = (
         stacked.alias("l")
         .join(stacked.alias("r"), on=["band_idx", "key"])

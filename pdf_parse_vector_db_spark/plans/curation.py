@@ -477,6 +477,151 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs historical corpus (continuous-ingest shape)
+# ---------------------------------------------------------------------------
+
+_INC_MOD = 13
+_INC_OFFSET = 5000
+_INC_THRESHOLD = 0.5
+_INC_HASHES = 32
+_INC_BANDS = 8
+
+
+def _new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic incoming batch: every 13th doc arrives again — the
+    even ones verbatim (exact re-crawl), the odd ones with word order
+    reversed (shares vocabulary but no 3-shingles: a genuinely-new doc
+    that still looks lexically similar)."""
+    docs = load_table(spark, sf_dir, "documents")
+    reversed_text = F.concat_ws(" ", F.reverse(F.split(F.trim(F.col("text")), r"\s+")))
+    return docs.filter(F.col("doc_id") % _INC_MOD == 0).select(
+        (F.col("doc_id") + _INC_OFFSET).alias("new_id"),
+        F.when(F.col("doc_id") % (2 * _INC_MOD) == 0, F.col("text"))
+        .otherwise(reversed_text)
+        .alias("text"),
+    )
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2: dedup an incoming batch AGAINST the historical corpus — the
+    continuous-ingest variant of MinHash+LSH where history is never
+    re-paired with itself. Every new doc reports its best historical match
+    (portable-md5 LSH candidates, exact-Jaccard ≥ 0.5 verify, max-jaccard /
+    min-id winner) or null → genuinely new.
+
+    Scale shape: history's band table is the PERSISTED artifact
+    (operators/dedup.minhash_portable_banded — bucketed by band key on
+    disk); each batch computes only its own signatures and probes via a
+    band-key join whose left side is batch-sized. Cost per batch is
+    O(batch + collisions), independent of corpus size — the property that
+    makes dedup-on-ingest viable at 100 TB."""
+    from pdf_parse_vector_db_spark.operators.dedup import (
+        jaccard_expr,
+        minhash_portable_banded,
+    )
+
+    hist = load_table(spark, sf_dir, "documents")
+    new = _new_batch(spark, sf_dir)
+    nb = minhash_portable_banded(
+        new, num_hashes=_INC_HASHES, bands=_INC_BANDS, id_col="new_id"
+    ).withColumnRenamed("__id", "new_id")
+    hb = minhash_portable_banded(
+        hist, num_hashes=_INC_HASHES, bands=_INC_BANDS
+    ).withColumnRenamed("__id", "hist_id")
+    cands = (
+        nb.join(hb, on=["band_idx", "key"]).select("new_id", "hist_id").distinct()
+    )
+    nsh = new.select("new_id", T.shingles_expr("text").alias("sh_n"))
+    hsh = hist.select(F.col("doc_id").alias("hist_id"), T.shingles_expr("text").alias("sh_h"))
+    verified = (
+        cands.join(nsh, on="new_id")
+        .join(hsh, on="hist_id")
+        .withColumn("jaccard", F.round(jaccard_expr(F.col("sh_n"), F.col("sh_h")), 6))
+        .filter(F.col("jaccard") >= _INC_THRESHOLD)
+        .select("new_id", "hist_id", "jaccard")
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("hist_id"))
+    best = verified.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    return (
+        new.select("new_id")
+        .join(best, on="new_id", how="left")
+        .withColumn("is_dup", F.col("jaccard").isNotNull())
+        .select("new_id", "hist_id", "jaccard", "is_dup")
+        .orderBy("new_id")
+    )
+
+
+def _incremental_sql() -> str:
+    rows = _INC_HASHES // _INC_BANDS
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || b)) AS h{i}" for i in range(_INC_HASHES)
+    )
+    bandcols = ",\n         ".join(
+        "md5(" + " || '_' || ".join(f"h{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        for b in range(_INC_BANDS)
+    )
+
+    def stack(src: str) -> str:
+        return "\n    UNION ALL\n".join(
+            f"    SELECT id, {b} AS band_idx, band{b} AS key FROM {src}"
+            for b in range(_INC_BANDS)
+        )
+
+    sh = T.shingles_sql("text")
+    reversed_text = (
+        "array_to_string(list_reverse(string_split_regex(trim(text), '\\s+')), ' ')"
+    )
+    return f"""
+WITH newb AS (
+  SELECT doc_id + {_INC_OFFSET} AS id,
+         CASE WHEN doc_id % {2 * _INC_MOD} = 0 THEN text
+              ELSE {reversed_text} END AS text
+  FROM documents WHERE doc_id % {_INC_MOD} = 0
+),
+hist AS (SELECT doc_id AS id, text FROM documents),
+nsh AS (SELECT id, {sh} AS sh FROM newb),
+hsh AS (SELECT id, {sh} AS sh FROM hist),
+nb AS (SELECT id, md5(unnest(sh)) AS b FROM nsh),
+hb AS (SELECT id, md5(unnest(sh)) AS b FROM hsh),
+nsig AS (SELECT id, {mins} FROM nb GROUP BY id),
+hsig AS (SELECT id, {mins} FROM hb GROUP BY id),
+nband AS (SELECT id, {bandcols} FROM nsig),
+hband AS (SELECT id, {bandcols} FROM hsig),
+nstack AS (
+{stack('nband')}
+),
+hstack AS (
+{stack('hband')}
+),
+cands AS (
+  SELECT DISTINCT n.id AS new_id, h.id AS hist_id
+  FROM nstack n JOIN hstack h ON n.band_idx = h.band_idx AND n.key = h.key
+),
+verified AS (
+  SELECT c.new_id, c.hist_id,
+         round(
+           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh)))
+                ELSE 0.0 END, 6) AS jaccard
+  FROM cands c JOIN nsh a ON c.new_id = a.id JOIN hsh b ON c.hist_id = b.id
+),
+thresholded AS (SELECT * FROM verified WHERE jaccard >= {_INC_THRESHOLD}),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY new_id
+                               ORDER BY jaccard DESC, hist_id) AS rn
+  FROM thresholded
+)
+SELECT n.id AS new_id, b.hist_id, b.jaccard, b.jaccard IS NOT NULL AS is_dup
+FROM newb n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.id = b.new_id
+ORDER BY new_id
+"""
+
+
+INCREMENTAL_DEDUP_SQL = _incremental_sql()
+
+
+# ---------------------------------------------------------------------------
 # Two-stage retrieval rerank (over-fetch + refine, generalized)
 # ---------------------------------------------------------------------------
 
@@ -572,5 +717,11 @@ QUERIES = [
         rerank_two_stage,
         RERANK_TWO_STAGE_SQL,
         "X3 two-stage over-fetch + rerank retrieval",
+    ),
+    QuerySpec(
+        "incremental_dedup",
+        incremental_dedup,
+        INCREMENTAL_DEDUP_SQL,
+        "X1/X2 batch-vs-history incremental MinHash dedup",
     ),
 ]

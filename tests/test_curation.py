@@ -83,3 +83,18 @@ def test_rerank_orders_by_second_metric(spark):
     assert len(rows) == C._RERANK_K
     cos = [r.cos_score for r in rows]
     assert cos == sorted(cos, reverse=True)
+
+
+def test_incremental_dedup_classes(spark):
+    """Exact re-crawls (doc_id % 26 == 0) must match their original at
+    jaccard 1.0; reversed-word arrivals must not match anything at the
+    0.5 threshold (shared vocabulary, no shared 3-shingles)."""
+    rows = {r.new_id: r for r in C.incremental_dedup(spark, SF_SMOKE).collect()}
+    assert rows
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    for d in range(0, n_docs, C._INC_MOD):
+        r = rows[d + C._INC_OFFSET]
+        if d % (2 * C._INC_MOD) == 0:
+            assert r.is_dup and r.jaccard == 1.0 and r.hist_id is not None, r
+        else:
+            assert not r.is_dup and r.hist_id is None, r
