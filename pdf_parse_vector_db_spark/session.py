@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime semi-join reduction: when one join side carries a selective
+        # filter, inject a bloom filter of its keys into the other side's
+        # scan (might_contain) — at 100 TB this prunes most of a fact scan
+        # before the shuffle; thresholds are left at defaults so it only
+        # fires where the planner's size estimates justify it
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

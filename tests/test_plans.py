@@ -153,3 +153,31 @@ def test_corpus_diff_exchanges_fixed_width_only(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln and "text" in ln:
             raise AssertionError(f"text crosses an exchange: {ln}")
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """100 TB contract: a selective dim filter must be able to inject a
+    runtime bloom filter (might_contain) into the fact-side scan — the
+    semi-join reduction that prunes a fact table before its shuffle. The
+    size thresholds are lowered only here: the fixture scans are far below
+    the production defaults that gate injection on a real cluster."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
