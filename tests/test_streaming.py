@@ -220,3 +220,60 @@ def test_stream_stream_join_equals_batch(spark, events_stream_dir):
     q.awaitTermination(120)
     streamed = spark.table("t_ssjoin")
     assert _rows(streamed, "purchase_id", "v_ts") == _rows(batch, "purchase_id", "v_ts")
+
+
+def test_stream_dedup_drops_cross_batch_near_dups(spark, tmp_path):
+    """Streaming incremental dedup: batch 2's exact re-sends of batch 1
+    docs must be dropped by the history-band probe; its genuinely new docs
+    (reversed word order: no shared 3-shingles) must survive and join the
+    band table for later batches."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.streaming.dedup_stream import stream_dedup_ingest
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 30)
+        .persist()
+    )
+    # batch 1: the base corpus slice (each batch appends files to the landing dir)
+    docs.write.mode("append").parquet(landing)
+    q = stream_dedup_ingest(spark, landing, corpus, bands, ckpt)
+    q.awaitTermination(120)
+
+    n1 = spark.read.parquet(corpus).count()
+    assert n1 > 0
+
+    # batch 2: 5 exact re-sends (new ids) + 5 reversed-word genuinely-new docs
+    resend = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100
+    )
+    fresh = (
+        docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+        .withColumn("doc_id", F.col("doc_id") + 200)
+        .withColumn(
+            "text", F.concat_ws(" ", F.reverse(F.split(F.trim(F.col("text")), r"\s+")))
+        )
+    )
+    resend.unionByName(fresh).write.mode("append").parquet(landing)
+    q = stream_dedup_ingest(spark, landing, corpus, bands, ckpt)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(corpus)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert not any(100 <= i < 105 for i in ids), "exact re-sends must be dropped"
+    assert {205, 206, 207, 208, 209} <= ids, "reversed docs must survive"
+    # survivors' bands joined the index: re-sending a reversed doc again drops it
+    fresh.withColumn("doc_id", F.col("doc_id") + 300).write.mode("append").parquet(
+        landing
+    )
+    q = stream_dedup_ingest(spark, landing, corpus, bands, ckpt)
+    q.awaitTermination(120)
+    ids3 = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert not any(500 <= i < 512 for i in ids3), "batch-2 survivors now dedup batch 3"
+    docs.unpersist()
