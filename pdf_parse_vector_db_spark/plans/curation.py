@@ -477,6 +477,43 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Exact heavy hitters without shuffling the token stream (sketch tier)
+# ---------------------------------------------------------------------------
+
+_FREQ_PHI = 0.005
+
+
+def frequent_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 sketch tier: exact terms with corpus frequency ≥ 0.5%, computed
+    scale-correctly — per-partition Misra-Gries candidate summaries, then
+    a broadcast recount (operators/frequent.py) — so the token stream is
+    scanned twice but NEVER shuffled. The oracle is the naive
+    groupBy+HAVING: same answer, because MG candidate generation has no
+    false negatives and the recount is exact."""
+    from pdf_parse_vector_db_spark.operators.frequent import frequent_terms
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    )
+    return frequent_terms(tok, phi=_FREQ_PHI).orderBy("term")
+
+
+FREQUENT_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT term, count(*) AS cnt
+FROM tok, tot
+GROUP BY term, tot.n
+HAVING count(*) >= ceil(n * {_FREQ_PHI})
+ORDER BY term
+"""
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: new batch vs historical corpus (continuous-ingest shape)
 # ---------------------------------------------------------------------------
 
@@ -723,5 +760,11 @@ QUERIES = [
         incremental_dedup,
         INCREMENTAL_DEDUP_SQL,
         "X1/X2 batch-vs-history incremental MinHash dedup",
+    ),
+    QuerySpec(
+        "frequent_terms",
+        frequent_terms_q,
+        FREQUENT_TERMS_SQL,
+        "X5 exact heavy hitters via Misra-Gries candidates + recount",
     ),
 ]

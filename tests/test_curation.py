@@ -98,3 +98,28 @@ def test_incremental_dedup_classes(spark):
             assert r.is_dup and r.jaccard == 1.0 and r.hist_id is not None, r
         else:
             assert not r.is_dup and r.hist_id is None, r
+
+
+def test_misra_gries_no_false_negatives_any_partitioning(spark):
+    """The MG candidate pass must never lose a true heavy hitter however
+    the tokens are partitioned — compare against the naive groupBy answer
+    under a skewed and a round-robin layout."""
+    from pdf_parse_vector_db_spark.operators.frequent import frequent_terms
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    ).persist()
+    phi = 0.01
+    total = tok.count()
+    naive = {
+        (r.term, r.cnt)
+        for r in tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= -(-total * phi // 1))
+        .collect()
+    }
+    for layout in (tok.repartition(7), tok.repartition(13, "term"), tok.coalesce(1)):
+        got = {(r.term, r.cnt) for r in frequent_terms(layout, phi=phi).collect()}
+        assert got == naive
+    tok.unpersist()
