@@ -112,7 +112,80 @@ ORDER BY user_token
 """
 
 
+def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: given a deletion-request
+    dimension (deterministic stand-in: users with user_id % 29 == 0,
+    customers with c_custkey % 97 == 0), report rows to delete vs keep in
+    every user-keyed table — events by request key directly, orders by
+    CASCADE through the customer table (orders of deleted customers).
+
+    Scale shape: the request dim broadcasts; each fact table takes one
+    scan with a broadcast semi-join flag and a 2-row agg — no fact table
+    ever shuffles. The delete itself would be the same plans re-written
+    as anti-join writes (upsert_chunks shows the write side); this query
+    is the audit both runs."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    subjects = events.select("user_id").distinct().filter(F.col("user_id") % 29 == 0)
+    del_cust = customer.select("c_custkey").filter(F.col("c_custkey") % 97 == 0)
+
+    def audit(df: DataFrame, key: str, dim: DataFrame, dim_key: str, name: str) -> DataFrame:
+        flagged = df.join(
+            F.broadcast(dim.withColumnRenamed(dim_key, key).withColumn("__del", F.lit(True))),
+            on=key,
+            how="left",
+        )
+        return flagged.agg(
+            F.lit(name).alias("table_name"),
+            F.sum(F.when(F.col("__del"), 1).otherwise(0)).alias("rows_deleted"),
+            F.sum(F.when(F.col("__del").isNull(), 1).otherwise(0)).alias("rows_kept"),
+        )
+
+    return (
+        audit(events, "user_id", subjects, "user_id", "events")
+        .unionByName(audit(customer, "c_custkey", del_cust, "c_custkey", "customer"))
+        .unionByName(
+            audit(
+                orders.withColumnRenamed("o_custkey", "c_custkey"),
+                "c_custkey",
+                del_cust,
+                "c_custkey",
+                "orders",
+            )
+        )
+        .orderBy("table_name")
+    )
+
+
+GDPR_DELETE_AUDIT_SQL = """
+WITH subjects AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 0
+),
+del_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+SELECT 'customer' AS table_name,
+       CAST(sum(CASE WHEN c_custkey IN (SELECT c_custkey FROM del_cust) THEN 1 ELSE 0 END) AS BIGINT)
+         AS rows_deleted,
+       CAST(sum(CASE WHEN c_custkey IN (SELECT c_custkey FROM del_cust) THEN 0 ELSE 1 END) AS BIGINT)
+         AS rows_kept
+FROM customer
+UNION ALL
+SELECT 'events',
+       CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM subjects) THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM subjects) THEN 0 ELSE 1 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'orders',
+       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM del_cust) THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM del_cust) THEN 0 ELSE 1 END) AS BIGINT)
+FROM orders
+ORDER BY table_name
+"""
+
+
 QUERIES = [
     QuerySpec("pii_redaction", pii_redaction, PII_REDACTION_SQL, "X5 PII detect/mask audit"),
     QuerySpec("pseudonymize_events", pseudonymize_events, PSEUDONYMIZE_EVENTS_SQL, "X5 user-key pseudonymization"),
+    QuerySpec("gdpr_delete_audit", gdpr_delete_audit, GDPR_DELETE_AUDIT_SQL, "X5 right-to-be-forgotten cascade audit"),
 ]
