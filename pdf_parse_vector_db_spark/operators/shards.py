@@ -49,6 +49,53 @@ def write_training_shards(
     )
 
 
+def compact_shards(
+    spark,
+    shard_dir: str,
+    out_dir: str,
+    target_rows_per_file: int = SHARD_SIZE,
+) -> DataFrame:
+    """OPTIMIZE-style bin-packing compaction: rewrite a shard directory so
+    each (lang) partition holds ceil(rows / target) files of ~target rows,
+    doc_id order preserved — the small-files maintenance job every
+    streaming/incremental writer needs (each micro-batch append creates
+    per-trigger files; a million 10 KB files kills both the driver's file
+    listing and scan throughput at 100 TB).
+
+    Shape: one scan + ONE range exchange keyed (lang, doc_id) — identical
+    to the initial layout pass, so compaction cost equals a rewrite of the
+    touched partitions, never a per-file loop. Returns the before/after
+    file accounting per lang so callers can assert the compaction ratio.
+    Production refinement: filter to partitions whose file count exceeds
+    the target before rewriting (partition pruning makes the scan touch
+    only those), and swap directories atomically at the catalog layer.
+    """
+    before = (
+        spark.read.parquet(shard_dir)
+        .select("lang", F.input_file_name().alias("file"))
+        .groupBy("lang")
+        .agg(F.countDistinct("file").alias("files_before"), F.count(F.lit(1)).alias("rows"))
+    )
+    docs = spark.read.parquet(shard_dir)
+    n_rows = docs.count()
+    num_ranges = max(1, -(-n_rows // target_rows_per_file))
+    (
+        docs.repartitionByRange(num_ranges, "lang", "doc_id")
+        .sortWithinPartitions("lang", "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy("lang")
+        .parquet(out_dir)
+    )
+    after = (
+        spark.read.parquet(out_dir)
+        .select("lang", F.input_file_name().alias("file"))
+        .groupBy("lang")
+        .agg(F.countDistinct("file").alias("files_after"))
+    )
+    return before.join(after, on="lang").orderBy("lang")
+
+
 def shard_manifest(spark, out_dir: str) -> DataFrame:
     """Read back the written shards' per-file accounting (file, lang, rows,
     doc_id span) — the physical twin of plans/mixture.py:training_shards.

@@ -75,3 +75,43 @@ def test_writer_totals_match_logical_manifest(spark, tmp_path):
     assert {(r.lang, r.docs, r.chars) for r in logical} == {
         (r.lang, r.docs, r.chars) for r in physical
     }
+
+
+def test_compact_shards_bin_packs_small_files(spark, tmp_path):
+    """Simulate a micro-batch-fragmented shard dir (many tiny appends),
+    compact, and assert: far fewer files, every row preserved, doc_id
+    ordering within each output file intact."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.operators.shards import compact_shards
+
+    frag = str(tmp_path / "frag")
+    compacted = str(tmp_path / "compacted")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "n_chars", "lang"
+    )
+    # 10 tiny appends of 50 docs each, like 10 streaming triggers
+    for i in range(10):
+        docs.filter((F.col("doc_id") % 10) == i).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("lang").parquet(frag)
+
+    audit = {r.lang: r for r in compact_shards(spark, frag, compacted, 512).collect()}
+    assert audit
+    for lang, r in audit.items():
+        assert r.files_after <= max(1, -(-r.rows // 512)) + 1, (lang, r)
+        assert r.files_after < r.files_before, (lang, r)
+
+    a = sorted(r.doc_id for r in spark.read.parquet(frag).collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(compacted).collect())
+    assert a == b
+    # within-file ordering: each output file's rows are doc_id-sorted
+    per_file = (
+        spark.read.parquet(compacted)
+        .select("doc_id", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .collect()
+    )
+    for r in per_file:
+        assert r.ids == sorted(r.ids), r.f
