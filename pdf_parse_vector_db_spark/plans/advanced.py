@@ -738,8 +738,42 @@ ORDER BY day
 """
 
 
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 breadth: the remaining analytic rank family — percent_rank and
+    cume_dist of each order's price within its priority class, plus the
+    decile bucket. One window shuffle on o_orderpriority; the three
+    functions share the same sort, so Catalyst evaluates them in a single
+    Window operator (no extra exchange per function)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+            F.ntile(10).over(w).alias("price_decile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORDER_VALUE_DISTRIBUTION_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS price_pct_rank,
+       round(cume_dist() OVER w, 6) AS price_cume_dist,
+       ntile(10) OVER w AS price_decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = [
     QuerySpec("orders_moving_avg", orders_moving_avg, ORDERS_MOVING_AVG_SQL, "W6 RANGE-frame 7-day moving average"),
+    QuerySpec("order_value_distribution", order_value_distribution, ORDER_VALUE_DISTRIBUTION_SQL, "W6 percent_rank/cume_dist/ntile shared window"),
     QuerySpec("cube_order_stats", cube_order_stats, CUBE_ORDER_STATS_SQL, "A8 CUBE multi-agg"),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, GROUPING_SETS_REVENUE_SQL, "A8 GROUPING SETS"),
     QuerySpec("running_revenue", running_revenue, RUNNING_REVENUE_SQL, "W6 running frame spec"),

@@ -90,8 +90,72 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: LAION-style image–text pair filtering — pair up the embedding
+    corpus two-by-two (even vec_id = image tower, odd = text tower of the
+    same logical pair), keep pairs whose cross-modal cosine clears the
+    threshold, and report per-label keep accounting. The gate every
+    multimodal training set applies before contrastive training (Schuhmann
+    et al. 2021 filter CommonCrawl pairs at CLIP cosine ≥ 0.3).
+
+    Scale shape: the pair join is a self-join on pair_id — both sides
+    partial-project to (pair_id, vector) map-side and the join key is an
+    8-byte int; with the corpus laid out bucketed by pair_id it is
+    exchange-free. The cosine is pure codegen array algebra."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    img = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.floor(F.col("vec_id") / 2).cast("bigint").alias("pair_id"),
+        F.col("embedding").alias("img_vec"),
+        "label",
+    )
+    txt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.floor(F.col("vec_id") / 2).cast("bigint").alias("pair_id"),
+        F.col("embedding").alias("txt_vec"),
+    )
+    from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
+
+    pairs = img.join(txt, on="pair_id").withColumn(
+        "cos", F.round(cosine_similarity(F.col("img_vec"), F.col("txt_vec")), 6)
+    )
+    return (
+        pairs.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum((F.col("cos") >= 0.2).cast("long")).alias("kept"),
+            F.round(F.avg("cos"), 6).alias("mean_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+CLIP_PAIR_FILTER_SQL = """
+WITH img AS (
+  SELECT CAST(vec_id // 2 AS BIGINT) AS pair_id,
+         CAST(embedding AS DOUBLE[]) AS img_vec, label
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+txt AS (
+  SELECT CAST(vec_id // 2 AS BIGINT) AS pair_id,
+         CAST(embedding AS DOUBLE[]) AS txt_vec
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+pairs AS (
+  SELECT i.label, round(list_cosine_similarity(i.img_vec, t.txt_vec), 6) AS cos
+  FROM img i JOIN txt t USING (pair_id)
+)
+SELECT label,
+       count(*) AS pairs,
+       CAST(sum(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       round(avg(cos), 6) AS mean_cos
+FROM pairs
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = [
     QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, "X6 binary metadata"),
+    QuerySpec("clip_pair_filter", clip_pair_filter, CLIP_PAIR_FILTER_SQL, "X6 cross-modal cosine pair gate"),
     QuerySpec("multimodal_decode", multimodal_decode, None, "X6 decode plumbing (rows-only)"),
     QuerySpec("multimodal_features", multimodal_features, None, "X6 feature extraction (rows-only)"),
     QuerySpec("multimodal_frames", multimodal_frames, None, "X6 frame sampling (rows-only)"),
