@@ -514,6 +514,107 @@ ORDER BY term
 
 
 # ---------------------------------------------------------------------------
+# Margin-based bitext mining (cross-lingual parallel-pair extraction)
+# ---------------------------------------------------------------------------
+
+_MINE_SRC_LABEL = 0
+_MINE_TGT_LABEL = 1
+_MINE_K = 4
+_MINE_MARGIN = 1.0
+
+
+def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X5: margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings") — the method behind CCMatrix/WikiMatrix bitext corpora.
+    Label 0 plays the source language, label 1 the target; each source
+    vector nominates its best target by RATIO MARGIN — cosine normalized
+    by the mean of both sides' k-NN cosines — which suppresses hubness
+    (vectors globally close to everything) that raw cosine mining suffers.
+
+    Shape: the pair matrix is built ONCE; both k-NN means come from
+    row_number + conditional window sums over that same matrix (no second
+    pair pass). Local slices make it a cross join; at corpus scale the
+    candidate matrix is restricted to IVF cells / LSH buckets exactly as
+    embedding_near_dups_ivf does — margin scoring is unchanged, only the
+    candidate generator swaps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") == _MINE_SRC_LABEL).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("vx")
+    )
+    tgt = emb.filter(F.col("label") == _MINE_TGT_LABEL).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("vy")
+    )
+    pairs = src.crossJoin(tgt).select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine_similarity(F.col("vx"), F.col("vy")), 6).alias("cos"),
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.asc("src_id"))
+    ranked = pairs.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    px = Window.partitionBy("src_id")
+    py = Window.partitionBy("tgt_id")
+    scored = ranked.withColumn(
+        "ax", F.sum(F.when(F.col("rx") <= _MINE_K, F.col("cos"))).over(px) / _MINE_K
+    ).withColumn(
+        "ay", F.sum(F.when(F.col("ry") <= _MINE_K, F.col("cos"))).over(py) / _MINE_K
+    ).withColumn(
+        "margin",
+        F.round(F.col("cos") / ((F.col("ax") + F.col("ay")) / 2), 6),
+    )
+    wbest = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter((F.col("rn") == 1) & (F.col("margin") >= _MINE_MARGIN))
+        .select("src_id", "tgt_id", "cos", "margin")
+        .orderBy("src_id")
+    )
+
+
+BITEXT_MINING_SQL = f"""
+WITH src AS (
+  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS vx
+  FROM embeddings WHERE label = {_MINE_SRC_LABEL}
+),
+tgt AS (
+  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS vy
+  FROM embeddings WHERE label = {_MINE_TGT_LABEL}
+),
+pairs AS (
+  SELECT src_id, tgt_id,
+         round(list_cosine_similarity(vx, vy), 6) AS cos
+  FROM src CROSS JOIN tgt
+),
+ranked AS (
+  SELECT src_id, tgt_id, cos,
+         row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rx,
+         row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS ry
+  FROM pairs
+),
+scored AS (
+  SELECT src_id, tgt_id, cos,
+         round(cos / ((sum(CASE WHEN rx <= {_MINE_K} THEN cos END)
+                         OVER (PARTITION BY src_id) / {_MINE_K}
+                     + sum(CASE WHEN ry <= {_MINE_K} THEN cos END)
+                         OVER (PARTITION BY tgt_id) / {_MINE_K}) / 2), 6) AS margin
+  FROM ranked
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY margin DESC, tgt_id) AS rn
+  FROM scored
+)
+SELECT src_id, tgt_id, cos, margin
+FROM best
+WHERE rn = 1 AND margin >= {_MINE_MARGIN}
+ORDER BY src_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: new batch vs historical corpus (continuous-ingest shape)
 # ---------------------------------------------------------------------------
 
@@ -659,6 +760,59 @@ INCREMENTAL_DEDUP_SQL = _incremental_sql()
 
 
 # ---------------------------------------------------------------------------
+# BPE pair counts (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: the inner statistic of BPE tokenizer training (Sennrich et al.
+    2016) — corpus-wide counts of adjacent symbol pairs within words, at
+    the character stage (= the first merge iteration), top-20 by count
+    with lexicographic tiebreak. A full trainer repeats this agg per merge;
+    each iteration is this same distributed shape.
+
+    Scale: pair extraction is per-word array algebra inside one generator
+    expression (token array bound once, no per-position re-split); the
+    only exchange is the partial+final count on 2-char keys, and top-20 is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = (
+        "flatten(transform(array(split(lower(trim(text)), '\\\\s+')), ws -> "
+        "flatten(transform(ws, w -> "
+        "CASE WHEN length(w) >= 2 THEN "
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) "
+        "ELSE array() END))))"
+    )
+    return (
+        docs.select(F.explode(F.expr(pairs)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(range(1, length(w) - 1 + 1), i -> substring(w, i, 2)))
+           AS pair
+  FROM w WHERE length(w) >= 2
+)
+SELECT pair, count(*) AS cnt
+FROM p
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Two-stage retrieval rerank (over-fetch + refine, generalized)
 # ---------------------------------------------------------------------------
 
@@ -766,5 +920,17 @@ QUERIES = [
         frequent_terms_q,
         FREQUENT_TERMS_SQL,
         "X5 exact heavy hitters via Misra-Gries candidates + recount",
+    ),
+    QuerySpec(
+        "bpe_pair_counts",
+        bpe_pair_counts,
+        BPE_PAIR_COUNTS_SQL,
+        "X5 BPE merge statistics (tokenizer-training inner agg)",
+    ),
+    QuerySpec(
+        "bitext_mining",
+        bitext_mining,
+        BITEXT_MINING_SQL,
+        "X3/X5 margin-based parallel-pair mining (ratio margin, k-NN normalized)",
     ),
 ]

@@ -123,3 +123,19 @@ def test_misra_gries_no_false_negatives_any_partitioning(spark):
         got = {(r.term, r.cnt) for r in frequent_terms(layout, phi=phi).collect()}
         assert got == naive
     tok.unpersist()
+
+
+def test_bitext_mining_one_nomination_per_source(spark):
+    rows = C.bitext_mining(spark, SF_SMOKE).collect()
+    assert rows, "mining must nominate at least one pair"
+    srcs = [r.src_id for r in rows]
+    assert len(srcs) == len(set(srcs)), "at most one target per source"
+    assert all(r.margin >= C._MINE_MARGIN for r in rows)
+
+
+def test_bpe_pair_counts_descending_and_plausible(spark):
+    rows = C.bpe_pair_counts(spark, SF_SMOKE).collect()
+    assert len(rows) == C._BPE_TOP
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(len(r.pair) == 2 for r in rows)
