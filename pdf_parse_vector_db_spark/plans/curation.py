@@ -514,6 +514,75 @@ ORDER BY term
 
 
 # ---------------------------------------------------------------------------
+# Embedding outlier audit (vector-corpus QA)
+# ---------------------------------------------------------------------------
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 vector QA: flag embeddings far from their label centroid — the
+    mislabeled/corrupted-vector audit run before ANN index builds and
+    contrastive training (SemDeDup-adjacent: same centroid machinery, used
+    here for outliers rather than near-dup pruning). Distance to the
+    per-label mean, then a per-label z-score; |z| > 2 flags.
+
+    Shape: one posexplode (map-side), centroid agg and the rejoin exchange
+    on the SAME (label, pos) key — co-partitioned, no extra shuffle — then
+    a per-vector agg and one fixed-width window over label. Centroids are
+    rounded 6dp before distances so both engines subtract identical
+    values; z rounds 4dp to absorb summation-order noise in the moments."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = ex.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("c"))
+    d = (
+        ex.join(cent, on=["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))), 6
+            ).alias("dist")
+        )
+    )
+    wl = Window.partitionBy("label")
+    z = F.round(
+        (F.col("dist") - F.avg("dist").over(wl)) / F.stddev_samp("dist").over(wl), 4
+    )
+    return (
+        d.withColumn("z", z)
+        .withColumn("is_outlier", F.col("z") > 2)
+        .select("vec_id", "label", "dist", "z", "is_outlier")
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = """
+WITH ex AS (
+  SELECT vec_id, label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) AS t(i)
+),
+cent AS (SELECT label, pos, round(avg(v), 6) AS c FROM ex GROUP BY 1, 2),
+d AS (
+  SELECT e.vec_id, e.label,
+         round(sqrt(sum((e.v - c.c) * (e.v - c.c))), 6) AS dist
+  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY 1, 2
+),
+z AS (
+  SELECT vec_id, label, dist,
+         round((dist - avg(dist) OVER (PARTITION BY label))
+               / stddev_samp(dist) OVER (PARTITION BY label), 4) AS z
+  FROM d
+)
+SELECT vec_id, label, dist, z, z > 2 AS is_outlier
+FROM z
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Margin-based bitext mining (cross-lingual parallel-pair extraction)
 # ---------------------------------------------------------------------------
 
@@ -932,5 +1001,11 @@ QUERIES = [
         bitext_mining,
         BITEXT_MINING_SQL,
         "X3/X5 margin-based parallel-pair mining (ratio margin, k-NN normalized)",
+    ),
+    QuerySpec(
+        "embedding_outliers",
+        embedding_outliers,
+        EMBEDDING_OUTLIERS_SQL,
+        "X5 per-label centroid-distance z-score audit",
     ),
 ]
