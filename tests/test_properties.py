@@ -100,3 +100,25 @@ def test_ndv_sketch_error_bound(spark):
         assert abs(r.sketch_p50_value - r.exact_p50_value) <= max(
             0.01, 0.01 * abs(r.exact_p50_value)
         ), (r.event_type, r.sketch_p50_value, r.exact_p50_value)
+
+
+@given(
+    st.lists(st.sampled_from("abcdefghij"), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=20),
+)
+@settings(max_examples=150, deadline=None)
+def test_misra_gries_summary_never_drops_heavy_hitters(terms, k):
+    """Core MG invariant (the one the distributed composition relies on):
+    for ANY input stream and summary size k, every term with count > n/k
+    survives in the summary — run against the same function executed
+    inside mapInPandas."""
+    import pandas as pd
+
+    from pdf_parse_vector_db_spark.operators.frequent import _misra_gries_partition
+
+    out = list(_misra_gries_partition(k)(iter([pd.DataFrame({"term": terms})])))
+    candidates = set(out[0]["term"])
+    n = len(terms)
+    for t in set(terms):
+        if terms.count(t) > n / k:
+            assert t in candidates, (t, terms.count(t), n, k)
