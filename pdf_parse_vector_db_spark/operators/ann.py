@@ -128,6 +128,119 @@ def write_ivf(index: IVFIndex, path: str) -> None:
     index.clustered.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
 
+@dataclass
+class PQIndex:
+    """Product-quantization state (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): per-subspace codebooks (m × ksub × dsub,
+    driver-resident — m·ksub·dsub floats ≈ 4 KB at (8,16,8)) and the
+    encoded corpus, each vector compressed to m small codes. At (8,16) a
+    dim-64 float32 vector shrinks 256 B → 8 B — the memory trade that lets
+    a 100 TB corpus's index fit in cluster RAM while full vectors stay on
+    disk for the rerank stage."""
+
+    codebooks: np.ndarray  # (m, ksub, dsub)
+    encoded: DataFrame
+    vec_col: str
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+    def adc_search(
+        self, query_vec: list[float], k: int = 5, fetch: int = 20
+    ) -> DataFrame:
+        """IVFADC+R-style two stage: rank by ASYMMETRIC distance — the
+        query's per-subspace distance lookup table (m × ksub, built on the
+        driver, shipped as literals) summed over each row's codes, pure
+        codegen over 8-byte codes — then exact-rerank the `fetch`
+        over-fetched candidates on their full vectors. Only `fetch` full
+        vectors are ever touched per query."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        lut = [
+            [float(((q[j * self.dsub : (j + 1) * self.dsub] - c) ** 2).sum()) for c in self.codebooks[j]]
+            for j in range(self.m)
+        ]
+        lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+        contrib = F.zip_with(
+            F.col("codes"), lut_lit, lambda code, row: F.element_at(row, code + 1)
+        )
+        adc = F.sqrt(F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x))
+        cands = (
+            self.encoded.withColumn("__adc", adc)
+            .orderBy(F.col("__adc").asc(), F.col("vec_id").asc())
+            .limit(fetch)
+        )
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            cands.withColumn("score", l2_distance(F.col(self.vec_col), qlit))
+            .orderBy(F.col("score").asc(), F.col("vec_id").asc())
+            .limit(k)
+            .drop("__adc", "codes")
+        )
+
+
+def build_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> PQIndex:
+    """Fit m per-subspace KMeans codebooks (on a bounded sample at scale —
+    codebook training cost is independent of corpus size) and encode every
+    vector as its m nearest-centroid code ids, each an argmin fold over
+    ksub centroid literals evaluated in codegen — encoding is the only
+    full scan and it is map-side, no UDF, no shuffle."""
+    KMeans, array_to_vector = _require_ml()
+    dim = len(corpus.select(vec_col).first()[0])
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    fit_df = corpus if sample_fraction is None else corpus.sample(sample_fraction, seed=seed)
+    base = fit_df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    books = []
+    for j in range(m):
+        sub = base.select(
+            array_to_vector(F.slice("__v", j * dsub + 1, dsub)).alias("__features")
+        )
+        model = KMeans(k=ksub, seed=seed + j, featuresCol="__features").fit(sub)
+        books.append(np.asarray([np.asarray(c) for c in model.clusterCenters()]))
+    codebooks = np.asarray(books)
+
+    codes = []
+    for j in range(m):
+        cents = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+                )
+                for i, c in enumerate(codebooks[j])
+            ]
+        )
+        sub = F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub)
+        dist_sq = lambda cv, sub=sub: F.aggregate(  # noqa: E731
+            F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        best = F.aggregate(
+            cents,
+            F.struct(F.lit(-1).alias("cid"), F.lit(float("inf")).alias("d")),
+            lambda acc, c: F.when(
+                dist_sq(c["cvec"]) < acc["d"],
+                F.struct(c["cid"].alias("cid"), dist_sq(c["cvec"]).alias("d")),
+            ).otherwise(acc),
+        )
+        codes.append(best["cid"])
+    encoded = corpus.withColumn("codes", F.array(*codes))
+    return PQIndex(codebooks=codebooks, encoded=encoded, vec_col=vec_col)
+
+
 def lsh_model(corpus: DataFrame, vec_col: str = "embedding", bucket_length: float = 2.0, num_tables: int = 4, seed: int = 42):
     """Public-MLlib Euclidean LSH over the corpus; returns (model, indexed
     DataFrame with VectorUDT feature col) for approxNearestNeighbors /

@@ -205,6 +205,40 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_CACHE: dict = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    from pdf_parse_vector_db_spark.operators.ann import build_pq
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = build_pq(emb, m=8, ksub=16)
+        idx.encoded = idx.encoded.cache()
+        _PQ_CACHE[key] = idx
+    return _PQ_CACHE[key]
+
+
+def pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN compression tier: product quantization (Jégou et al. 2011) with
+    asymmetric-distance search + exact rerank — the memory-side complement
+    to IVF's scan-side pruning (a dim-64 vector compresses 256 B → 8 codes;
+    the ADC pass touches only codes, the rerank only `fetch` full vectors).
+    Rows-only (k-means codebooks aren't SQL); recall@k vs the exact tier is
+    asserted in tests/test_ann.py. Codebooks fit + cache once per
+    (app, sf_dir) — the reference's build-at-create index lifecycle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    idx = _pq_index(spark, sf_dir)
+    # fetch=100: the fixture's uniform-random vectors are PQ-adversarial
+    # (pairwise distances concentrate, so code-space ranking is noisy);
+    # real embedding corpora cluster and need far smaller over-fetch
+    return idx.adc_search(qvec, k=5, fetch=100).select(
+        "vec_id", "label", F.round(F.col("score"), 4).alias("score")
+    )
+
+
 _LSH_CACHE: dict = {}
 
 
@@ -495,6 +529,7 @@ QUERIES = [
     QuerySpec("dedup_keepers", dedup_keepers, DEDUP_KEEPERS_SQL, "X1/X2 keep-longest survivor per dup cluster"),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, None, "IVF(nlist,nprobe) ANN top-5 (rows-only)"),
+    QuerySpec("pq_knn", pq_knn, None, "PQ ADC + exact-rerank ANN top-5 (rows-only)"),
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),
     QuerySpec("lsh_sim_join", lsh_sim_join, None, "MLlib approxSimilarityJoin N×M (rows-only)"),
     QuerySpec("ann_recall", ann_recall, None, "IVF recall@10 vs exact tier (rows-only)"),

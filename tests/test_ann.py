@@ -92,3 +92,19 @@ def test_lsh_sim_join_recall(spark, emb):
     assert exact, "threshold too tight: exact pair set is empty"
     assert approx <= exact, "approx emitted pairs beyond the distance threshold"
     assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_pq_adc_rerank_recall(spark, emb, query_vec):
+    """PQ compression tier: ADC + exact-rerank top-5 must recover most of
+    the exact top-5 even on the PQ-adversarial uniform-random fixture, and
+    the reranked scores must BE the exact distances (rerank stage uses
+    full vectors)."""
+    from pdf_parse_vector_db_spark.plans.similarity import _pq_index
+
+    idx = _pq_index(spark, SF)
+    approx = idx.adc_search(query_vec, k=5, fetch=100)
+    exact = knn_exact(emb, query_vec, k=5)
+    assert ann.recall_at_k(approx, exact, "vec_id") >= 0.6
+    exact_scores = {r.vec_id: r.score for r in knn_exact(emb, query_vec, k=500).collect()}
+    for r in approx.collect():
+        assert abs(r.score - exact_scores[r.vec_id]) < 1e-9
