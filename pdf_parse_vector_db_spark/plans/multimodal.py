@@ -117,12 +117,19 @@ def clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = img.join(txt, on="pair_id").withColumn(
         "cos", F.round(cosine_similarity(F.col("img_vec"), F.col("txt_vec")), 6)
     )
+    # mean over integer micros, not avg(double): the 6dp-rounded cosines
+    # become exact integers, so the sum is order-independent and the mean
+    # identical across engines (a float avg flipped a 6th decimal at sf0.1)
     return (
         pairs.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("pairs"),
             F.sum((F.col("cos") >= 0.2).cast("long")).alias("kept"),
-            F.round(F.avg("cos"), 6).alias("mean_cos"),
+            F.round(
+                F.sum(F.round(F.col("cos") * 1e6).cast("bigint"))
+                / (F.count(F.lit(1)) * 1e6),
+                6,
+            ).alias("mean_cos"),
         )
         .orderBy("label")
     )
@@ -146,7 +153,8 @@ pairs AS (
 SELECT label,
        count(*) AS pairs,
        CAST(sum(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
-       round(avg(cos), 6) AS mean_cos
+       round(CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) AS mean_cos
 FROM pairs
 GROUP BY label
 ORDER BY label
