@@ -514,6 +514,83 @@ ORDER BY term
 
 
 # ---------------------------------------------------------------------------
+# Per-source data card (datasheet composite)
+# ---------------------------------------------------------------------------
+
+
+def source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-source datasheet row ("Datasheets for Datasets", Gebru et
+    al. 2021 — the provenance summary published alongside a corpus): doc
+    and token counts, size span, language mix entropy (nats), and the
+    dominant language with its share. One scan, one agg keyed on
+    (source, lang), then a tiny per-source rollup — entropy over the ≤5
+    per-source language counts is driver-free arithmetic on exact BIGINTs,
+    so it is order-independent across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = T.token_counts_expr("text")["ws_tokens"]
+    by_lang = (
+        docs.select("source", "lang", ws.alias("ws"), "n_chars")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("ws").alias("tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+    w = Window.partitionBy("source")
+    wbest = Window.partitionBy("source").orderBy(F.desc("docs"), F.asc("lang"))
+    enriched = (
+        by_lang.withColumn("total_docs", F.sum("docs").over(w))
+        .withColumn("p", F.col("docs").cast("double") / F.col("total_docs"))
+        .withColumn("rn", F.row_number().over(wbest))
+    )
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.sum("docs").alias("docs"),
+            F.sum("tokens").alias("tokens"),
+            F.min("min_chars").alias("min_chars"),
+            F.max("max_chars").alias("max_chars"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("lang_entropy"),
+            F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias("top_lang"),
+            F.round(F.max(F.when(F.col("rn") == 1, F.col("p"))), 6).alias("top_lang_share"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_DATACARD_SQL = f"""
+WITH by_lang AS (
+  SELECT source, lang,
+         count(*) AS docs,
+         CAST(sum({_WS_SQL}) AS BIGINT) AS tokens,
+         min(n_chars) AS min_chars,
+         max(n_chars) AS max_chars
+  FROM documents
+  GROUP BY source, lang
+),
+enriched AS (
+  SELECT *,
+         CAST(docs AS DOUBLE) / sum(docs) OVER (PARTITION BY source) AS p,
+         row_number() OVER (PARTITION BY source ORDER BY docs DESC, lang) AS rn
+  FROM by_lang
+)
+SELECT source,
+       CAST(sum(docs) AS BIGINT) AS docs,
+       CAST(sum(tokens) AS BIGINT) AS tokens,
+       min(min_chars) AS min_chars,
+       max(max_chars) AS max_chars,
+       round(-sum(p * ln(p)), 6) AS lang_entropy,
+       max(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+       round(max(CASE WHEN rn = 1 THEN p END), 6) AS top_lang_share
+FROM enriched
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding outlier audit (vector-corpus QA)
 # ---------------------------------------------------------------------------
 
@@ -1007,5 +1084,11 @@ QUERIES = [
         embedding_outliers,
         EMBEDDING_OUTLIERS_SQL,
         "X5 per-label centroid-distance z-score audit",
+    ),
+    QuerySpec(
+        "source_datacard",
+        source_datacard,
+        SOURCE_DATACARD_SQL,
+        "X5 per-source datasheet composite (counts, span, lang entropy)",
     ),
 ]
