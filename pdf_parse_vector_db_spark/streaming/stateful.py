@@ -53,6 +53,74 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming heavy hitters: Misra-Gries as MERGEABLE per-key state.
+#
+# The batch tier (operators/frequent.py) exploits MG's mergeability across
+# partitions; this is the same summary carried across TIME — per event_type,
+# a k-counter summary of the values seen so far, updated each micro-batch
+# and emitted as the current top candidates. The guarantee transfers: any
+# value with lifetime frequency > n/k per key survives in that key's
+# summary no matter how the stream was batched (Agarwal et al. 2012,
+# mergeable summaries). State per key is ≤ k counters — O(keys·k), never
+# O(events) — the property that keeps the state store bounded on an
+# unbounded stream; an exact streaming groupBy(value) would grow without
+# bound.
+# ---------------------------------------------------------------------------
+
+MG_OUTPUT_SCHEMA = "event_type string, candidate string, weight bigint, n_seen bigint"
+MG_STATE_SCHEMA = "candidates array<string>, weights array<bigint>, n bigint"
+_MG_STREAM_K = 8
+
+
+def _mg_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        cands, weights, n = state.get
+        counters = dict(zip(cands, weights))
+    else:
+        counters, n = {}, 0
+    for pdf in pdfs:
+        for term in pdf["term"]:
+            n += 1
+            if term in counters:
+                counters[term] += 1
+            elif len(counters) < _MG_STREAM_K:
+                counters[term] = 1
+            else:
+                dead = []
+                for t in counters:
+                    counters[t] -= 1
+                    if counters[t] == 0:
+                        dead.append(t)
+                for t in dead:
+                    del counters[t]
+    state.update((list(counters.keys()), list(counters.values()), n))
+    items = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(items),
+            "candidate": [t for t, _ in items],
+            "weight": [w for _, w in items],
+            "n_seen": [n] * len(items),
+        }
+    )
+
+
+def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
+    """Per-event_type running MG summary over a `term` column; emits the
+    current candidate set (update mode) each micro-batch. Same call on a
+    batch DataFrame = one micro-batch = the batch MG summary."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _mg_update,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # transformWithStateInPandas tier (Spark 4.x arbitrary-state v2): typed state
 # variables + emit-on-change semantics. high_water_marks emits a row ONLY
 # when a user's max(value) strictly increases — the CDC-flavored shape that

@@ -277,3 +277,75 @@ def test_stream_dedup_drops_cross_batch_near_dups(spark, tmp_path):
     ids3 = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
     assert not any(500 <= i < 512 for i in ids3), "batch-2 survivors now dedup batch 3"
     docs.unpersist()
+
+
+def test_streaming_heavy_hitters_state_carries_across_batches(spark, tmp_path):
+    """MG-as-state: after two micro-batches, each event_type's summary must
+    contain every term whose LIFETIME count exceeds n/k for that key —
+    the mergeable-summary guarantee carried across time — and per-key
+    state stays ≤ k counters however long the stream runs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.streaming.stateful import (
+        _MG_STREAM_K,
+        streaming_heavy_hitters,
+    )
+
+    landing = str(tmp_path / "landing")
+    out_rows: dict[int, list] = {}
+
+    events = load_table(spark, SF, "events")
+    terms = events.select(
+        "event_id",
+        "event_type",
+        F.concat(F.lit("v"), (F.col("value") % 7).cast("int").cast("string")).alias("term"),
+    ).persist()
+    terms.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(landing)
+
+    stream = spark.readStream.schema("event_id bigint, event_type string, term string").parquet(
+        landing
+    )
+    hh = streaming_heavy_hitters(stream)
+
+    def sink(df, bid):
+        out_rows[bid] = df.collect()
+
+    q = (
+        hh.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    terms.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(landing)
+    q = (
+        hh.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = [r for rows in list(out_rows.values())[-1:] for r in rows]
+    assert final, "second batch must emit summaries"
+    by_key: dict[str, set] = {}
+    for r in final:
+        by_key.setdefault(r.event_type, set()).add(r.candidate)
+        assert r.n_seen > 0
+    # lifetime truth from the full batch data
+    truth = (
+        terms.groupBy("event_type", "term").count().collect()
+    )
+    totals = {r.event_type: 0 for r in truth}
+    for r in truth:
+        totals[r.event_type] += r["count"]
+    for r in truth:
+        if r["count"] > totals[r.event_type] / _MG_STREAM_K and r.event_type in by_key:
+            assert r.term in by_key[r.event_type], (r.event_type, r.term)
+    for key, cands in by_key.items():
+        assert len(cands) <= _MG_STREAM_K
+    terms.unpersist()
