@@ -228,6 +228,86 @@ def search_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.search_response(top, "query.pdf", TARGET_LABEL - 1)
 
 
+def search_response_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 deterministic slice, driver-checkable: every value the nested
+    JSON response carries (ranked hits + appellant statistics + query
+    echo, extract_and_search_v2.py:361-376) flattened to one row per hit
+    with the response-level scalars repeated — JSON text formatting is the
+    only thing the rows-only `search_response` keeps out of the oracle,
+    so this query puts all the VALUES under the cross-engine hash."""
+    hits = _scored_hits(spark, sf_dir)
+    best = knn.dedup_best_per_group(
+        hits, group_col="file_grp", score_col="dist", tiebreak_cols=("vec_id",)
+    )
+    from pyspark.sql import Window
+
+    top = (
+        best.orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("dist").asc(), F.col("vec_id").asc()))
+            .alias("rk"),
+            F.concat(F.lit("vec_"), F.col("vec_id").cast("string")).alias("file_name"),
+            F.col("file_grp").cast("string").alias("file_id"),
+            "case_decision",
+            F.round(F.col("dist"), 4).alias("score"),
+        )
+    )
+    stats = knn.win_statistics(top)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("status", F.lit("success"))
+        .withColumn("query_file", F.lit("query.pdf"))
+        .withColumn("input_court_level", F.lit(TARGET_LABEL - 1))
+        .withColumn("target_court_level", F.lit(TARGET_LABEL))
+        .orderBy("rk")
+    )
+
+
+SEARCH_RESPONSE_FLAT_SQL = f"""
+{_HITS_SQL},
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY file_grp ORDER BY dist, vec_id) AS rn
+  FROM hits
+),
+top5 AS (
+  SELECT row_number() OVER (ORDER BY dist, vec_id) AS rk,
+         'vec_' || CAST(vec_id AS VARCHAR) AS file_name,
+         CAST(file_grp AS VARCHAR) AS file_id,
+         case_decision,
+         round(dist, 4) AS score
+  FROM best WHERE rn = 1 ORDER BY dist, vec_id LIMIT 5
+),
+stats AS (
+  SELECT CAST(sum(CASE WHEN case_decision = 'appellant_won' THEN 1 ELSE 0 END) AS BIGINT)
+           AS win_count,
+         CAST(sum(CASE WHEN case_decision IN ('appellant_won', 'appellant_lost')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS total_valid_decisions,
+         CAST(count(*) - sum(CASE WHEN case_decision IN ('appellant_won', 'appellant_lost')
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS invalid_decisions,
+         round(CASE WHEN sum(CASE WHEN case_decision IN ('appellant_won', 'appellant_lost')
+                                  THEN 1 ELSE 0 END) > 0
+                    THEN CAST(sum(CASE WHEN case_decision = 'appellant_won' THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / sum(CASE WHEN case_decision IN ('appellant_won', 'appellant_lost')
+                               THEN 1 ELSE 0 END) * 100.0
+                    ELSE 0.0 END, 2) AS win_percentage,
+         count(*) AS result_count
+  FROM top5
+)
+SELECT t.rk, t.file_name, t.file_id, t.case_decision, t.score,
+       s.win_count, s.total_valid_decisions, s.invalid_decisions,
+       s.win_percentage, s.result_count,
+       'success' AS status,
+       'query.pdf' AS query_file,
+       {TARGET_LABEL - 1} AS input_court_level,
+       {TARGET_LABEL} AS target_court_level
+FROM top5 t CROSS JOIN stats s
+ORDER BY t.rk
+"""
+
+
 #: Ingested-chunks corpora cached per (app, sf_dir) — ingest output feeding
 #: the read path, pinned like load_collection (extract_and_embed.py:58).
 _CHUNKS_CACHE: dict = {}
@@ -277,6 +357,7 @@ def search_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = [
     QuerySpec("knn_topk", knn_topk, KNN_TOPK_SQL, "J1/P2/W1 filtered exact kNN top-5"),
     QuerySpec("search_response", search_response, None, "S8 nested JSON response (rows-only)"),
+    QuerySpec("search_response_flat", search_response_flat, SEARCH_RESPONSE_FLAT_SQL, "S8 response values, flattened + oracle-checked"),
     QuerySpec("search_ingested", search_ingested, None, "full-circle ingest->search (rows-only)"),
     QuerySpec("search_similar", search_similar, SEARCH_SIMILAR_SQL, "flagship read path: overfetch→dedup→top5"),
     QuerySpec("search_stats", search_stats, SEARCH_STATS_SQL, "A2-A5 win statistics"),
