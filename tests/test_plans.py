@@ -181,3 +181,33 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_curation_hot_paths_have_no_python_operators(spark):
+    """Whole-stage-codegen contract: the pure-Catalyst curation queries
+    must contain NO Python eval operators — regex, hashing, array algebra
+    and window math all stay JVM-side (UDFs are reserved for the chunker /
+    embedder / decoder boundaries by design)."""
+    for name in [
+        "dsir_importance",
+        "unigram_ppl_buckets",
+        "edit_distance_dups",
+        "source_datacard",
+        "gdpr_delete_audit",
+        "bitext_mining",
+        "embedding_outliers",
+        "bpe_pair_counts",
+        "search_response_flat",
+        "clip_pair_filter",
+    ]:
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, (name, plan)
+
+
+def test_pq_adc_search_is_pure_codegen(spark):
+    """PQ contract: Python appears only in the codebook FIT (MLlib KMeans,
+    build time); the per-query ADC + rerank plan must be pure codegen —
+    lookup-table literals + aggregate folds, no Python eval operators."""
+    plan = _plan(spark, "pq_knn")
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
