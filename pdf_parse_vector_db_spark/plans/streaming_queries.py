@@ -194,7 +194,66 @@ LEFT JOIN t3 ON u.user_id = t3.user_id
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/X8 analytics breadth: weekly cohort retention — users grouped by
+    first-seen week, counted in each later activity week, as (cohort_week,
+    week_offset, users, pct_of_cohort). The standard growth-analytics
+    matrix every event warehouse serves.
+
+    Weeks are integer epoch-week indices (floor(epoch/604800)) rather than
+    date_trunc — both engines derive them from the same microsecond
+    instants, sidestepping the TIMESTAMP-vs-DATE date_trunc mismatch.
+    Shape: per-user min-week agg and the distinct (user, week) activity
+    set exchange on the SAME user_id key (co-partitioned join), then a
+    small rollup; pct is exact-integer division rounded 4dp."""
+    events = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("bigint")
+    activity = events.select("user_id", week.alias("week")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        activity.join(cohort, on="user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("users"))
+        .join(F.broadcast(sizes), on="cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "users",
+            F.round(F.col("users").cast("double") / F.col("cohort_size"), 4).alias(
+                "pct_of_cohort"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id),
+sizes AS (SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+          FROM cohort GROUP BY cohort_week),
+ret AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+         CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+  FROM activity a JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, r.users,
+       round(CAST(r.users AS DOUBLE) / s.cohort_size, 4) AS pct_of_cohort
+FROM ret r JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = [
+    QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_SQL, "X7 weekly cohort retention matrix"),
     QuerySpec("funnel_conversion", funnel_conversion, FUNNEL_CONVERSION_SQL, "ordered 3-stage funnel (conditional-min formulation)"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
