@@ -24,6 +24,7 @@ from pdf_parse_vector_db_spark.plans import curation as _curation
 from pdf_parse_vector_db_spark.plans import ingest as _ingest
 from pdf_parse_vector_db_spark.plans import registry as _registry
 from pdf_parse_vector_db_spark.plans import relational as _relational
+from pdf_parse_vector_db_spark.plans import retrieval as _retrieval
 from pdf_parse_vector_db_spark.plans import metadata as _metadata
 from pdf_parse_vector_db_spark.plans import mixture as _mixture
 from pdf_parse_vector_db_spark.plans import multimodal as _multimodal
@@ -41,6 +42,7 @@ _MODULES = [
     _textanalysis,
     _curation,
     _similarity,
+    _retrieval,
     _metadata,
     _mixture,
     _multimodal,

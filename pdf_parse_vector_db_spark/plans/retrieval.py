@@ -1,0 +1,276 @@
+"""Hybrid lexical + vector retrieval (SURVEY §2.10 extension; X3/X4 family).
+
+The reference is a pure vector-search service: every read goes through
+Milvus `search` (extract_and_embed.py:60-71, /api/v1/search-similar-cases).
+Production retrieval stacks in 2025+ are hybrid — a lexical BM25 leg and a
+dense-vector leg fused by Reciprocal Rank Fusion — because each leg covers
+the other's blind spot (exact identifiers / rare terms vs paraphrase).
+This module adds that missing half Spark-first:
+
+- ``bm25_topk``   — Okapi BM25 (k1=1.2, b=0.75, Lucene's ln(1 + …) idf)
+                    top-10 over ``documents`` for a fixed 4-term query.
+- ``hybrid_rrf``  — RRF fusion (k=60) of the BM25 ranking with the
+                    cosine ranking of the aligned ``embeddings`` row
+                    (vec_id ≡ doc_id in the fixtures).
+
+Scale shape (100 TB): the token explode is scan-bound and the query-term
+filter is applied BEFORE any exchange, so the only wide stages carry
+(doc_id, term) partial counts for the handful of query terms — bytes
+proportional to matching docs, never to corpus text. Corpus constants
+(N, avgdl) and the per-term df table are broadcast 1-row / k-row joins.
+Top-k is orderBy+limit → TakeOrderedAndProject (per-partition heaps + a
+k-row driver merge), never a global sort; rank assignment happens on the
+already-cut k-row result, so the window is trivially small. The fusion
+join is k×k rows. Nothing here collects to the driver.
+
+Float discipline (registry contract): scores are computed in float64 on
+both engines and rounded to 6 dp; ordering uses the ROUNDED score with a
+doc_id tie-break so both engines cut the same top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+from ..sources.registry import load_table
+from .registry import QuerySpec
+
+#: Fixed retrieval query: one rare, highly discriminating term ("dup",
+#: df≈5% of docs in the fixture vocabulary) plus three common terms —
+#: the shape that makes BM25's idf weighting visible in the result.
+QUERY_TERMS = ["dup", "vector", "merge", "spark"]
+
+K1 = 1.2
+B = 0.75
+RRF_K = 60
+TOP_K = 10
+#: per-leg rank cutoff for fusion — beyond this depth 1/(60+r) contributes
+#: <0.9% of a first-place vote and only adds fusion-join width.
+LEG_DEPTH = 50
+#: fixed dense-leg query: the embedding of vec_id 7 (arbitrary but pinned).
+QUERY_VEC_ID = 7
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, term-exploded) token stream; dl = non-empty tokens."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+        ).alias("toks"),
+    )
+    return toks.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching ≥1 query term."""
+    tok = _doc_tokens(spark, sf_dir)
+    # corpus constants: one row, broadcast. dl is recomputed per exploded row
+    # above, so distinct doc lengths come from a (doc_id, dl) dedup — still
+    # a map-side-combining agg on the already-shuffled key space.
+    doclen = tok.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    stats = doclen.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # term filter BEFORE the (doc_id, term) exchange: only query-term hits
+    # shuffle. tf is map-side combined; df derives from tf (tiny) and
+    # broadcasts back.
+    hits = tok.filter(F.col("term").isin(QUERY_TERMS))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), on="term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (
+                F.col("tf")
+                + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("bm25")
+    )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical leg: Okapi BM25 top-10 for the fixed query."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+BM25_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM doclen),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('dup', 'vector', 'merge', 'spark')
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * doclen.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM tf
+  JOIN doclen USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of the lexical and dense legs.
+
+    Each leg is cut to its top-``LEG_DEPTH`` by orderBy+limit (distributed
+    TakeOrderedAndProject); ranks are then assigned by a window over that
+    ≤50-row result — the global-sort window never sees the full corpus.
+    The fusion itself is a full-outer join of two ≤50-row sides.
+    """
+    lex_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(LEG_DEPTH)
+    )
+    lex = lex_top.withColumn(
+        "lex_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        ),
+    ).select(F.col("doc_id").alias("id"), "lex_rank")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("q_vec")
+        )
+    )
+    vec_top = (
+        emb.crossJoin(qvec)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(LEG_DEPTH)
+    )
+    vec = vec_top.withColumn(
+        "vec_rank",
+        F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("vec_id"))),
+    ).select(F.col("vec_id").alias("id"), "vec_rank")
+
+    fused = (
+        lex.join(vec, on="id", how="full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ),
+        )
+        .select(F.col("id").alias("doc_id"), "lex_rank", "vec_rank", "rrf")
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(TOP_K)
+
+
+HYBRID_RRF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM doclen),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('dup', 'vector', 'merge', 'spark')
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+bm25 AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * doclen.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN doclen USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id AS id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM bm25 QUALIFY lex_rank <= {LEG_DEPTH}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS q_vec FROM e WHERE vec_id = {QUERY_VEC_ID}),
+cos AS (
+  SELECT e.vec_id, round(list_cosine_similarity(e.v, q.q_vec), 6) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+vec AS (
+  SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id) AS vec_rank
+  FROM cos QUALIFY vec_rank <= {LEG_DEPTH}
+),
+fused AS (
+  SELECT coalesce(lex.id, vec.id) AS doc_id, lex.lex_rank, vec.vec_rank,
+         round(coalesce(1.0 / ({RRF_K} + lex.lex_rank), 0.0)
+               + coalesce(1.0 / ({RRF_K} + vec.vec_rank), 0.0), 6) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
+QUERIES = [
+    QuerySpec(
+        "bm25_topk",
+        bm25_topk,
+        BM25_TOPK_SQL,
+        "hybrid retrieval, lexical leg: Okapi BM25 top-10",
+    ),
+    QuerySpec(
+        "hybrid_rrf",
+        hybrid_rrf,
+        HYBRID_RRF_SQL,
+        "hybrid retrieval: RRF fusion of BM25 and cosine legs",
+    ),
+]
