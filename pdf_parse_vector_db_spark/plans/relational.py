@@ -561,6 +561,85 @@ ORDER BY 1
 """
 
 
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap-fill: a dense (event_type × hour) spine
+    over the observed range, empty buckets carried as n_events=0 with the
+    value metric forward-filled from the last observed hour — the standard
+    downsample-then-interpolate shape time-series stores (Timescale
+    `time_bucket_gapfill` + `locf`) ship as a built-in.
+
+    Scale shape: both join sides are ALREADY aggregated (hourly rollups and
+    a generated spine of |types|×|hours| rows — metadata-sized, from a
+    1-row min/max agg exploded distributively, never a driver loop). The
+    forward-fill window partitions by event_type, so state per partition is
+    one scalar; no global sort. At 100 TB the hourly pre-agg is the only
+    big stage and it partial-aggregates map-side.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = span.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(hours)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, on=["event_type", "hour"], how="left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("sum_value").isNull().alias("filled"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span
+),
+spine AS (
+  SELECT t.event_type, h.hour
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN hours h
+)
+SELECT s.event_type, s.hour,
+       coalesce(n_events, 0) AS n_events,
+       sum_value IS NULL AS filled,
+       last_value(sum_value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS sum_value_locf
+FROM spine s LEFT JOIN hourly USING (event_type, hour)
+ORDER BY s.event_type, s.hour
+"""
+
+
 # --------------------------------------------------------------------------
 # Ordered-statistic aggregates + cardinality/quantile sketches. Exact
 # percentile (linear interpolation, identical in Spark `percentile` and
@@ -668,6 +747,7 @@ QUERIES = [
     QuerySpec("brand_type_stats", brand_type_stats, BRAND_TYPE_STATS_SQL, "distinct agg"),
     QuerySpec("events_json_stats", events_json_stats, EVENTS_JSON_STATS_SQL, "JSON access"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "event-time tumbling hour (batch)"),
+    QuerySpec("events_gapfill", events_gapfill, EVENTS_GAPFILL_SQL, "dense resample + LOCF gap-fill"),
     QuerySpec("price_percentiles", price_percentiles, PRICE_PERCENTILES_SQL, "exact ordered-statistic agg"),
     QuerySpec("ndv_sketch_accuracy", ndv_sketch_accuracy, None, "HLL++/GK sketch tier vs exact"),
     QuerySpec("ndv_exact", ndv_exact, NDV_EXACT_SQL, "exact NDV/median slice of the sketch query"),
