@@ -29,6 +29,7 @@ from pdf_parse_vector_db_spark.plans import metadata as _metadata
 from pdf_parse_vector_db_spark.plans import mixture as _mixture
 from pdf_parse_vector_db_spark.plans import multimodal as _multimodal
 from pdf_parse_vector_db_spark.plans import privacy as _privacy
+from pdf_parse_vector_db_spark.plans import quality as _quality
 from pdf_parse_vector_db_spark.plans import search as _search
 from pdf_parse_vector_db_spark.plans import similarity as _similarity
 from pdf_parse_vector_db_spark.plans import streaming_queries as _streaming_queries
@@ -47,6 +48,7 @@ _MODULES = [
     _mixture,
     _multimodal,
     _privacy,
+    _quality,
     _streaming_queries,
 ]
 

@@ -62,6 +62,13 @@ def load_table(
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
             )
+        elif ts_type == "timestamp_ntz":
+            # Fixture refreshes have written ts as tz-less parquet micros,
+            # which Spark 4 infers as TIMESTAMP_NTZ. Normalize to
+            # TimestampType so every downstream plan (unix_micros, windows,
+            # watermarks) sees one timestamp family; with the session in UTC
+            # the wall-clock values are identical to the naive oracle's.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     if spread:
