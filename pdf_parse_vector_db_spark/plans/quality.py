@@ -315,6 +315,140 @@ ORDER BY l_returnflag
 """
 
 
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per order priority: median / MAD (median
+    absolute deviation) of o_totalprice and the count of modified-z-score
+    outliers (|x - med| > 3.5 * 1.4826 * MAD — Iglewicz & Hoaglin's rule).
+    Two grouped exact-percentile passes with a broadcast rejoin of the
+    per-group medians; the GK-sketch tier (plans/relational.py
+    price_percentiles discussion) is the approximate scale path."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    with_med = orders.join(F.broadcast(med), "o_orderpriority")
+    mad = with_med.groupBy("o_orderpriority").agg(
+        F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+        F.count("*").cast("long").alias("n"),
+    )
+    flagged = with_med.join(
+        F.broadcast(mad.select("o_orderpriority", "mad")), "o_orderpriority"
+    ).groupBy("o_orderpriority").agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("o_totalprice") - F.col("med")) > 3.5 * 1.4826 * F.col("mad"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers")
+    )
+    return (
+        mad.join(flagged, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT o_orderpriority, CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS med,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderpriority
+),
+j AS (
+  SELECT o.o_orderpriority, o.o_totalprice, m.med, m.n FROM orders o
+  JOIN med m USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority,
+         CAST(quantile_cont(abs(o_totalprice - med), 0.5) AS DOUBLE) AS mad
+  FROM j GROUP BY o_orderpriority
+)
+SELECT j.o_orderpriority, any_value(j.n) AS n,
+       round(any_value(j.med), 4) AS med,
+       round(any_value(m.mad), 4) AS mad,
+       CAST(sum(CASE WHEN abs(j.o_totalprice - j.med) > 3.5 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM j JOIN mad m USING (o_orderpriority)
+GROUP BY j.o_orderpriority
+ORDER BY j.o_orderpriority
+"""
+
+
+def moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic window: exact median of each user's last 10 event
+    values (ROWS frame), the robust twin of orders_moving_avg. Exact
+    percentile as a windowed aggregate — one sort per user partition,
+    shared with any other (user_id, ts) window in the same plan."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.filter(F.col("user_id") % 100 == 0)
+    med = F.expr("percentile(value, 0.5)").over(
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(med, 4).alias("med10"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+MOVING_MEDIAN_SQL = """
+SELECT user_id, event_id, ts,
+       round(CAST(median(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS med10
+FROM events
+WHERE user_id % 100 = 0
+ORDER BY user_id, ts, event_id
+"""
+
+
+def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap input: event count and exact value total per
+    (day-of-week, hour) cell. Day-of-week is computed from epoch days
+    ((days + 4) mod 7, 0 = Sunday) so both engines share one definition
+    instead of their differing dayofweek() conventions; value totals sum
+    integer cents so no float summation order reaches the hash."""
+    events = load_table(spark, sf_dir, "events")
+    dow = ((F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + 4) % 7).cast("int")
+    return (
+        events.groupBy(
+            dow.alias("dow"), F.hour("ts").cast("int").alias("hour")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)
+            ).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+DOW_HOUR_HEATMAP_SQL = """
+SELECT CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS INT) AS dow,
+       CAST(extract(hour FROM ts) AS INT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour
+"""
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
     QuerySpec(
@@ -327,4 +461,9 @@ QUERIES = [
         "SCD2 gaps-and-islands interval build",
     ),
     QuerySpec("numeric_profile", numeric_profile, NUMERIC_PROFILE_SQL, "moment/regression profile"),
+    QuerySpec(
+        "robust_outliers", robust_outliers, ROBUST_OUTLIERS_SQL, "median/MAD modified-z outliers"
+    ),
+    QuerySpec("moving_median", moving_median, MOVING_MEDIAN_SQL, "windowed exact median"),
+    QuerySpec("dow_hour_heatmap", dow_hour_heatmap, DOW_HOUR_HEATMAP_SQL, "calendar heatmap cells"),
 ]

@@ -211,3 +211,39 @@ def test_pq_adc_search_is_pure_codegen(spark):
     plan = _plan(spark, "pq_knn")
     assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_referential_audit_anti_joins_broadcast(spark):
+    """Quality suite: the FK-orphan checks must plan as broadcast anti/semi
+    joins (dim side broadcasts) — a shuffled anti join on orders→customer
+    would move the whole fact table at 100 TB."""
+    plan = _plan(spark, "referential_audit")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quality_suite_stays_jvm_side(spark):
+    """Span derivation (split + sequence + transform), gaps-and-islands
+    windows, and the moment profile must be pure codegen — no Python eval
+    operators anywhere in the quality suite."""
+    for name in [
+        "span_dedup",
+        "referential_audit",
+        "user_state_intervals",
+        "numeric_profile",
+        "robust_outliers",
+        "moving_median",
+        "dow_hour_heatmap",
+    ]:
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, (name, plan)
+
+
+def test_user_state_intervals_single_sort_for_island_windows(spark):
+    """The two island row_numbers share one (user_id, ts, event_id) sort:
+    the plan must not contain more Exchanges than the two the query needs
+    (one for the user partition windows, one for the group-by)."""
+    plan = _plan(spark, "user_state_intervals")
+    body = plan.split("== Physical Plan ==")[-1]
+    n_exchange = body.count("Exchange ") + body.count("Exchange\n")
+    assert n_exchange <= 4, plan
