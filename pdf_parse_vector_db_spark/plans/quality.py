@@ -449,8 +449,184 @@ ORDER BY dow, hour
 """
 
 
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus QA: least-squares Zipf exponent per language — the slope of
+    ln(frequency) on ln(rank) over each language's top-100 terms. Natural
+    corpora sit near -1; synthetic or template-heavy corpora flatten. One
+    term-count aggregate, one per-language top-k window, one regression
+    fold — the term stream shuffles once."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    words = docs.select(
+        "lang", F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term")
+    )
+    counts = words.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 100)
+    lf, lr = F.log(F.col("cnt").cast("double")), F.log(F.col("rank").cast("double"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.regr_slope(lf, lr), 3).alias("zipf_slope"),
+            F.round(F.regr_r2(lf, lr), 3).alias("r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+ZIPF_FIT_SQL = """
+WITH counts AS (
+  SELECT lang, term, count(*) AS cnt
+  FROM (SELECT lang, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents)
+  GROUP BY lang, term
+),
+ranked AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rank
+  FROM counts
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(cnt), ln(rank)), 3) AS zipf_slope,
+       round(regr_r2(ln(cnt), ln(rank)), 3) AS r2
+FROM ranked WHERE rank <= 100
+GROUP BY lang ORDER BY lang
+"""
+
+
+_ZBITS = 10
+
+
+def _interleave_spark(xk: str, yk: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"shiftleft(shiftright({xk}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({yk}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _interleave_duck(xk: str, yk: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({xk} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yk} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout audit for data skipping: cluster orders into 32 equal file
+    buckets two ways — by Z-order (Morton interleave of customer key ×
+    order date, the Delta/Iceberg OPTIMIZE ZORDER layout) and by date
+    alone — and measure each bucket's (custkey span × date span) bounding
+    box, the quantity min/max file statistics prune on. Single-key
+    clustering is degenerate: date buckets are tight on date (span ~33 of
+    1024 at sf0.01) but every bucket spans the FULL custkey range — a
+    custkey filter scans all 32 files. Z-order bounds both spans at ~√cells
+    (329 × 209), so a selective filter on EITHER dimension skips ~2/3 of
+    the files; that balanced-pruning trade, not total box volume, is what
+    OPTIMIZE ZORDER buys.
+
+    Locally the ntile is a global sort; at scale the same layout falls out
+    of repartitionByRange(z) + sortWithinPartitions(z) (sampling-based
+    range boundaries), the operators/shards.py writer path."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = "datediff(o_orderdate, DATE '1970-01-01')"
+    base = orders.selectExpr(
+        "o_orderkey",
+        "CAST(o_custkey AS DOUBLE) AS x",
+        f"CAST({days} AS DOUBLE) AS y",
+    )
+    b = base.selectExpr(
+        "o_orderkey",
+        "x",
+        "y",
+        "min(x) OVER () AS x0",
+        "max(x) OVER () AS x1",
+        "min(y) OVER () AS y0",
+        "max(y) OVER () AS y1",
+    ).selectExpr(
+        "o_orderkey",
+        f"CAST(floor((x - x0) * {2**_ZBITS - 1}.0 / (x1 - x0)) AS INT) AS xk",
+        f"CAST(floor((y - y0) * {2**_ZBITS - 1}.0 / (y1 - y0)) AS INT) AS yk",
+    )
+    z = b.selectExpr("o_orderkey", "xk", "yk", f"({_interleave_spark('xk', 'yk')}) AS z")
+
+    def layout(df: DataFrame, label: str, order_cols: list[str]) -> DataFrame:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return (
+            df.withColumn("bucket", F.ntile(32).over(w))
+            .groupBy("bucket")
+            .agg(
+                ((F.max("xk") - F.min("xk") + 1).cast("long")
+                 * (F.max("yk") - F.min("yk") + 1).cast("long")).alias("bbox"),
+                (F.max("xk") - F.min("xk") + 1).cast("long").alias("x_span"),
+                (F.max("yk") - F.min("yk") + 1).cast("long").alias("y_span"),
+            )
+            .agg(
+                F.lit(label).alias("layout"),
+                F.sum("bbox").cast("long").alias("total_bbox"),
+                F.round(F.avg("x_span"), 2).alias("avg_x_span"),
+                F.round(F.avg("y_span"), 2).alias("avg_y_span"),
+            )
+            .select("layout", "total_bbox", "avg_x_span", "avg_y_span")
+        )
+
+    return (
+        layout(z, "zorder", ["z", "o_orderkey"])
+        .unionAll(layout(z, "bydate", ["yk", "o_orderkey"]))
+        .orderBy("layout")
+    )
+
+
+ZORDER_SKIPPING_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS x,
+         CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE) AS y
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey,
+         CAST(floor((x - min(x) OVER ()) * {2**_ZBITS - 1}.0
+              / (max(x) OVER () - min(x) OVER ())) AS INT) AS xk,
+         CAST(floor((y - min(y) OVER ()) * {2**_ZBITS - 1}.0
+              / (max(y) OVER () - min(y) OVER ())) AS INT) AS yk
+  FROM base
+),
+z AS (
+  SELECT o_orderkey, xk, yk, ({_interleave_duck('xk', 'yk')}) AS z FROM b
+),
+zb AS (
+  SELECT xk, yk, ntile(32) OVER (ORDER BY z, o_orderkey) AS bucket FROM z
+),
+db AS (
+  SELECT xk, yk, ntile(32) OVER (ORDER BY yk, o_orderkey) AS bucket FROM z
+),
+zagg AS (
+  SELECT 'zorder' AS layout,
+         CAST(sum((max_xk - min_xk + 1) * (max_yk - min_yk + 1)) AS BIGINT) AS total_bbox,
+         round(avg(max_xk - min_xk + 1), 2) AS avg_x_span,
+         round(avg(max_yk - min_yk + 1), 2) AS avg_y_span
+  FROM (SELECT bucket, max(xk) AS max_xk, min(xk) AS min_xk,
+               max(yk) AS max_yk, min(yk) AS min_yk FROM zb GROUP BY bucket)
+),
+dagg AS (
+  SELECT 'bydate' AS layout,
+         CAST(sum((max_xk - min_xk + 1) * (max_yk - min_yk + 1)) AS BIGINT) AS total_bbox,
+         round(avg(max_xk - min_xk + 1), 2) AS avg_x_span,
+         round(avg(max_yk - min_yk + 1), 2) AS avg_y_span
+  FROM (SELECT bucket, max(xk) AS max_xk, min(xk) AS min_xk,
+               max(yk) AS max_yk, min(yk) AS min_yk FROM db GROUP BY bucket)
+)
+SELECT * FROM zagg UNION ALL SELECT * FROM dagg ORDER BY layout
+"""
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
+    QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),
+    QuerySpec(
+        "zorder_skipping", zorder_skipping, ZORDER_SKIPPING_SQL, "Z-order data-skipping audit"
+    ),
     QuerySpec(
         "referential_audit", referential_audit, REFERENTIAL_AUDIT_SQL, "constraint audit report"
     ),

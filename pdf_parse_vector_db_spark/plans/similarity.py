@@ -523,8 +523,88 @@ FROM m GROUP BY label ORDER BY label
 """
 
 
+def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 asymmetric tier: shingle-set CONTAINMENT (Broder 1997's second
+    resemblance measure, |A∩B| / min(|A|,|B|)) — catches a short document
+    embedded in a longer one, which symmetric Jaccard under-scores because
+    the union is dominated by the longer side.
+
+    Blocking: pairs are generated only through shared RARE shingles
+    (document frequency ≤ 10), the winnow_shared_pairs device — each
+    ≤10-element posting list emits its ≤45 pairs map-side, bounding pair
+    cost to Σ docfreq² instead of N². Dropping ubiquitous shingles is part
+    of the operator contract (both engines apply it identically), the same
+    stopword-style cut MOSS makes."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = docs.select("doc_id", F.explode(shingles_expr("text", 3)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    grouped = (
+        sh.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids").between(2, 10))
+    )
+    pairs = F.expr(
+        """
+        flatten(transform(array_sort(ids), (x, i) ->
+          transform(slice(array_sort(ids), i + 2, size(ids)), y ->
+            struct(x AS id_a, y AS id_b))))
+        """
+    )
+    shared = (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("n_a", "n_b").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= 0.2)
+        .select("id_a", "id_b", "shared", "containment")
+        .orderBy("id_a", "id_b")
+    )
+
+
+CONTAINMENT_DUPS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {shingles_sql('text')} AS shl FROM documents
+),
+sh AS (SELECT doc_id, UNNEST(shl) AS s FROM base),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+grouped AS (
+  SELECT s, list_sort(list(doc_id)) AS ids FROM sh
+  GROUP BY s HAVING count(*) BETWEEN 2 AND 10
+),
+pairs AS (
+  SELECT ids[i + 1] AS id_a, ids[j + 1] AS id_b
+  FROM grouped,
+       LATERAL (SELECT UNNEST(range(len(ids)))) t(i),
+       LATERAL (SELECT UNNEST(range(len(ids)))) u(j)
+  WHERE i < j
+),
+shared AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM pairs GROUP BY id_a, id_b
+)
+SELECT s.id_a, s.id_b, s.shared,
+       round(s.shared / CAST(least(a.n_sh, b.n_sh) AS DOUBLE), 6) AS containment
+FROM shared s
+JOIN sizes a ON s.id_a = a.doc_id
+JOIN sizes b ON s.id_b = b.doc_id
+WHERE round(s.shared / CAST(least(a.n_sh, b.n_sh) AS DOUBLE), 6) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = [
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
+    QuerySpec("containment_dups", containment_dups, CONTAINMENT_DUPS_SQL, "X2 asymmetric shingle containment tier"),
     QuerySpec("dup_components", dup_components, DUP_COMPONENTS_SQL, "X1/X2 pair-to-cluster connected components"),
     QuerySpec("dedup_keepers", dedup_keepers, DEDUP_KEEPERS_SQL, "X1/X2 keep-longest survivor per dup cluster"),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
