@@ -411,7 +411,53 @@ ORDER BY doc_id
 """
 
 
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage audit: near-duplicate pairs (asymmetric shingle
+    containment tier, same contract as containment_dups) whose members
+    landed in DIFFERENT train/val/test splits — each such pair is
+    evaluation data the model effectively trained on. The standard fix is
+    cluster-level split assignment (dup_components then split by
+    component); this query is the detector that says whether you need it.
+    Pair generation reuses the bucketed dedup tier, so the audit costs one
+    doc-keyed join more than the dedup itself."""
+    from pdf_parse_vector_db_spark.plans.similarity import containment_dups
+
+    pairs = containment_dups(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    splits = docs.select("doc_id", F.expr(_SPLIT_SPARK).alias("split"))
+    a = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "containment", "split_a", "split_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from pdf_parse_vector_db_spark.plans.similarity import CONTAINMENT_DUPS_SQL
+
+    return f"""
+WITH pairs AS ({CONTAINMENT_DUPS_SQL}),
+splits AS (SELECT doc_id, {_SPLIT_DUCK} AS split FROM documents)
+SELECT p.id_a, p.id_b, p.containment, a.split AS split_a, b.split AS split_b
+FROM pairs p
+JOIN splits a ON p.id_a = a.doc_id
+JOIN splits b ON p.id_b = b.doc_id
+WHERE a.split <> b.split
+ORDER BY p.id_a, p.id_b
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "split_leakage",
+        split_leakage,
+        _split_leakage_sql(),
+        "X5 cross-split near-dup leakage audit",
+    ),
     QuerySpec(
         "negative_pairs",
         negative_pairs,
