@@ -450,6 +450,162 @@ def simhash_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# SimHash, PORTABLE family (X2, bitwise tier with oracle parity)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_portable_votes_sql(text_col: str) -> str:
+    """Spark SQL expression: per-row array<long> of 64 SimHash vote sums.
+
+    Hash family is md5-hex nibbles so any engine reproduces it bit-for-bit:
+    bit b of token t = (nibble value of hex char b//4 of md5(t)) >> (b%4) & 1.
+    One fold over the token array — no explode, no shuffle; the whole
+    signature is a map-side codegen expression like `simhash_bits_expr`."""
+    toks = f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')"
+    hashes = f"transform({toks}, t -> md5(t))"
+    vote_terms = ", ".join(
+        f"CASE WHEN (shiftright(CAST(conv(substring(h, {b // 4 + 1}, 1), 16, 10) AS INT), {b % 4}) & 1) = 1 "
+        f"THEN 1L ELSE -1L END"
+        for b in range(64)
+    )
+    return (
+        f"aggregate({hashes}, transform(sequence(1, 64), x -> 0L), "
+        f"(acc, h) -> zip_with(acc, array({vote_terms}), (a, v) -> a + v))"
+    )
+
+
+def _simhash_portable_band_sql(band: int, width: int) -> str:
+    """Band `band` of the thresholded signature packed into an INT: bit j of
+    the band = 1 iff vote[band*width + j] >= 0."""
+    terms = " + ".join(
+        f"(CASE WHEN element_at(__sv, {band * width + j + 1}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(width)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+def simhash_portable_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash-64 near-dup pairs with an ENGINE-PORTABLE hash family (md5
+    nibbles), so candidate generation AND verification sit inside the DuckDB
+    oracle check — the bitwise twin of `minhash_portable_pairs`.
+
+    Same execution shape as `simhash_near_pairs`: map-side signature fold,
+    band keys are small INTs, candidates collide on (band_idx, key), verify
+    is Σ bit_count(xor) over the four band ints ≤ max_hamming. Only 4 ints
+    per doc ever shuffle. ~2× the blake2b tier's signature cost (64 CASE
+    folds per token) — use that tier when oracle parity isn't needed.
+    Returns (id_a, id_b, hamming)."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    sv = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("__id"),
+        F.expr(_simhash_portable_votes_sql(text_col)).alias("__sv"),
+    )
+    bdf = sv.select(
+        "__id",
+        *[
+            F.expr(_simhash_portable_band_sql(b, width)).alias(f"band{b}")
+            for b in range(bands)
+        ],
+    )
+    stacked = bdf.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+    cands = (
+        stacked.alias("l")
+        .join(stacked.alias("r"), on=["band_idx", "key"])
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    a = bdf.select(
+        F.col("__id").alias("id_a"), *[F.col(f"band{b}").alias(f"__a{b}") for b in range(bands)]
+    )
+    bb = bdf.select(
+        F.col("__id").alias("id_b"), *[F.col(f"band{b}").alias(f"__b{b}") for b in range(bands)]
+    )
+    ham = None
+    for b in range(bands):
+        term = F.bit_count(F.col(f"__a{b}").bitwiseXOR(F.col(f"__b{b}")))
+        ham = term if ham is None else ham + term
+    return (
+        cands.join(a, on="id_a")
+        .join(bb, on="id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_portable_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    """The DuckDB twin of simhash_portable_pairs, generated so query and
+    oracle share the bit-extraction formula exactly."""
+    width = 64 // bands
+    vote_cols = ",\n         ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    band_cols = ",\n         ".join(
+        " + ".join(
+            f"(CASE WHEN v{band * width + j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(width)
+        )
+        + f" AS band{band}"
+        for band in range(bands)
+    )
+    stack = "\n    UNION ALL\n".join(
+        f"    SELECT id, {b} AS band_idx, band{b} AS key FROM bands" for b in range(bands)
+    )
+    ham = " + ".join(f"bit_count(xor(a.band{b}, b.band{b}))" for b in range(bands))
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         md5(unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''))) AS h
+  FROM documents
+  WHERE length(trim(text)) > 0
+),
+votes AS (
+  SELECT id,
+         {vote_cols}
+  FROM toks GROUP BY id
+),
+bands AS (
+  SELECT id,
+         {band_cols}
+  FROM votes
+),
+stacked AS (
+{stack}
+),
+cands AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM stacked l JOIN stacked r ON l.band_idx = r.band_idx AND l.key = r.key
+  WHERE l.id < r.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, CAST({ham} AS INT) AS hamming
+  FROM cands c JOIN bands a ON c.id_a = a.id JOIN bands b ON c.id_b = b.id
+)
+SELECT id_a, id_b, hamming FROM pairs
+WHERE hamming <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup (X2, semantic tier)
 # ---------------------------------------------------------------------------
 

@@ -96,6 +96,21 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_portable_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 bitwise tier, PORTABLE family: SimHash-64 built from md5 hex
+    nibbles so both engines produce identical signatures — candidate
+    banding AND hamming verification are inside the oracle hash, the
+    bitwise twin of minhash_portable_dups. Same Manku 4-band/hamming≤3
+    configuration as simhash_near_dups."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return dedup.simhash_portable_pairs(docs, max_hamming=3, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SIMHASH_PORTABLE_SQL = dedup.simhash_portable_sql(max_hamming=3, bands=4)
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 semantic tier: all-pairs cosine ≥ 0.35 over the embedding corpus
     (exact quadratic reference; the bucketed scale path reuses this within
@@ -616,6 +631,7 @@ QUERIES = [
     QuerySpec("minhash_near_dups", minhash_near_dups, None, "X2 MinHash+LSH near-dup (rows-only)"),
     QuerySpec("minhash_portable_dups", minhash_portable_dups, MINHASH_PORTABLE_SQL, "X2 MinHash+LSH, portable md5 family"),
     QuerySpec("simhash_near_dups", simhash_near_dups, None, "X2 SimHash near-dup (rows-only)"),
+    QuerySpec("simhash_portable_dups", simhash_portable_dups, SIMHASH_PORTABLE_SQL, "X2 SimHash, portable md5-nibble family"),
     QuerySpec("embedding_near_dups", embedding_near_dups, EMBEDDING_NEAR_DUPS_SQL, "X2 semantic near-dup"),
     QuerySpec("embedding_near_dups_ivf", embedding_near_dups_ivf, None, "X2 semantic near-dup, IVF-bucketed scale path"),
     QuerySpec("knn_join", knn_join, KNN_JOIN_SQL, "X3/X4 batch kNN join, top-3 per query"),

@@ -614,6 +614,170 @@ ORDER BY source, tfidf DESC, term
 """
 
 
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: top-50 bigram collocations by pointwise mutual information —
+    the classic collocation-extraction pass (Church & Hanks 1990) a
+    tokenizer/phrase-mining pipeline runs over a corpus. PMI(a,b) =
+    ln(p(ab) / (p(a)p(b))) with a min-count gate of 5 to kill the
+    low-frequency PMI bias.
+
+    Scale shape: bigrams come from one map-side zip_with (no self-join);
+    unigram and bigram counts partial-aggregate before their exchanges;
+    the two unigram joins are on the term key (co-partitioned with the
+    bigram agg under AQE); corpus totals attach as broadcast 1-row
+    scalars. Final top-50 is a TakeOrderedAndProject, not a full sort."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toked = docs.filter(F.length(F.trim("text")) > 0).select(
+        F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')").alias("toks")
+    )
+    tok = toked.select(F.explode("toks").alias("term"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    bg = toked.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    m = bg.agg(F.count(F.lit(1)).alias("m"))
+    scored = (
+        bgc.join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a")), on="w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b")), on="w2")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("c_ab") >= 5)
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n").cast("double")
+                    * F.col("n").cast("double")
+                    / (
+                        F.col("m").cast("double")
+                        * F.col("c_a").cast("double")
+                        * F.col("c_b").cast("double")
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"), "c_ab", "c_a", "c_b", "pmi"
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(50)
+    )
+
+
+COLLOCATION_PMI_SQL = """
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (SELECT unnest(toks) AS term FROM t),
+uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i + 1]])) AS p
+  FROM t
+),
+bgc AS (SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY 1, 2),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bg),
+scored AS (
+  SELECT g.w1 || ' ' || g.w2 AS bigram, g.c_ab, a.c AS c_a, b.c AS c_b,
+         round(ln(CAST(g.c_ab AS DOUBLE) * n.n * n.n
+                  / (CAST(m.m AS DOUBLE) * a.c * b.c)), 6) AS pmi
+  FROM bgc g
+  JOIN uni a ON g.w1 = a.term
+  JOIN uni b ON g.w2 = b.term
+  CROSS JOIN n CROSS JOIN m
+  WHERE g.c_ab >= 5
+)
+SELECT bigram, c_ab, c_a, c_b, pmi FROM scored
+ORDER BY pmi DESC, bigram
+LIMIT 50
+"""
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-source unigram KL divergence from the corpus distribution —
+    the domain-shift metric a mixture designer reads next to
+    dsir_importance: KL(P_source ‖ P_corpus) = Σ_w p_s(w) ln(p_s(w)/p(w)).
+    Every source term exists in the corpus, so the sum is well-defined.
+
+    Cross-engine determinism: per-term contributions are rounded to
+    integer picos (1e12) and summed as BIGINTs, so the float summation
+    order can't flip the hash (same trick as clip_pair mean-cosine).
+    Scale shape: one token explode feeds both aggs; the per-(source,term)
+    agg joins the per-term agg on the term key (co-partitioned); source
+    totals and the corpus total are broadcast scalars; output is
+    |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.filter(F.length(F.trim("text")) > 0).select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')")
+        ).alias("term"),
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("stc"))
+    stot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("stot"))
+    ct = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ctc"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    ps = F.col("stc").cast("double") / F.col("stot").cast("double")
+    pc = F.col("ctc").cast("double") / F.col("n").cast("double")
+    contrib = F.round(ps * F.log(ps / pc) * F.lit(1e12)).cast("long")
+    return (
+        st.join(ct, on="term")
+        .join(F.broadcast(stot), on="source")
+        .crossJoin(F.broadcast(n))
+        .withColumn("pico", contrib)
+        .groupBy("source")
+        .agg(
+            F.max("stot").alias("tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.sum("pico").cast("double") / F.lit(1e12), 6).alias("kl"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_KL_SQL = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS stc FROM tok GROUP BY 1, 2),
+stot AS (SELECT source, CAST(count(*) AS BIGINT) AS stot FROM tok GROUP BY 1),
+ct AS (SELECT term, CAST(count(*) AS BIGINT) AS ctc FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+contrib AS (
+  SELECT s.source, t.stot,
+         CAST(round((CAST(s.stc AS DOUBLE) / t.stot)
+                    * ln((CAST(s.stc AS DOUBLE) / t.stot)
+                         / (CAST(c.ctc AS DOUBLE) / n.n)) * 1e12) AS BIGINT) AS pico
+  FROM st s
+  JOIN ct c ON s.term = c.term
+  JOIN stot t ON s.source = t.source
+  CROSS JOIN n
+)
+SELECT source,
+       CAST(max(stot) AS BIGINT) AS tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       round(CAST(sum(pico) AS BIGINT) / 1e12, 6) AS kl
+FROM contrib
+GROUP BY source
+ORDER BY source
+"""
+
+
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 extension: greedy sequence packing — per-language, docs in doc_id
     order packed into 256-whitespace-token training sequences (the step
@@ -647,6 +811,8 @@ QUERIES = [
     QuerySpec("gopher_quality", gopher_quality, GOPHER_QUALITY_SQL, "X5 Gopher-rule quality gate"),
     QuerySpec("repetition_stats", repetition_stats, REPETITION_STATS_SQL, "X5 within-doc repetition metrics (Gopher A1.1 skeleton)"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "X5 TF-IDF top terms per source"),
+    QuerySpec("collocation_pmi", collocation_pmi, COLLOCATION_PMI_SQL, "X5 bigram collocations by PMI"),
+    QuerySpec("source_kl_divergence", source_kl_divergence, SOURCE_KL_SQL, "X5 per-source unigram KL from corpus"),
     QuerySpec("decontaminate_overlap", decontaminate_overlap, DECONTAMINATE_OVERLAP_SQL, "X5 benchmark decontamination"),
     QuerySpec("winnow_stats", winnow_stats, WINNOW_STATS_SQL, "rolling-hash winnowing fingerprints"),
     QuerySpec("winnow_shared_pairs", winnow_shared_pairs, WINNOW_SHARED_PAIRS_SQL, "substring-overlap near-dup (MOSS shape)"),

@@ -60,6 +60,17 @@ def test_simhash_near_pairs(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_simhash_portable_pairs(spark):
+    docs = make_corpus(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_portable_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs.get((0, 3)) == 0  # identical text → identical signature
+    assert (0, 1) in pairs  # 1-token edit → small hamming
+    assert all(2 not in p for p in pairs)
+
+
 def test_embedding_near_dup_pairs(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
