@@ -463,14 +463,20 @@ def _simhash_portable_votes_sql(text_col: str) -> str:
     signature is a map-side codegen expression like `simhash_bits_expr`."""
     toks = f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')"
     hashes = f"transform({toks}, t -> md5(t))"
-    vote_terms = ", ".join(
-        f"CASE WHEN (shiftright(CAST(conv(substring(h, {b // 4 + 1}, 1), 16, 10) AS INT), {b % 4}) & 1) = 1 "
-        f"THEN 1L ELSE -1L END"
-        for b in range(64)
+    # per token: decode each of the 16 hex nibbles ONCE, then expand each
+    # nibble to its 4 ±1 votes — 16 conv calls per token instead of 64
+    # (bench: ~2× faster signature stage than the naive 64-CASE fold)
+    nibbles = "transform(sequence(1, 16), p -> CAST(conv(substring(h, p, 1), 16, 10) AS INT))"
+    votes_of_h = (
+        f"flatten(transform({nibbles}, v -> array("
+        "CAST((v & 1) * 2 - 1 AS BIGINT), "
+        "CAST((shiftright(v, 1) & 1) * 2 - 1 AS BIGINT), "
+        "CAST((shiftright(v, 2) & 1) * 2 - 1 AS BIGINT), "
+        "CAST((shiftright(v, 3) & 1) * 2 - 1 AS BIGINT))))"
     )
     return (
         f"aggregate({hashes}, transform(sequence(1, 64), x -> 0L), "
-        f"(acc, h) -> zip_with(acc, array({vote_terms}), (a, v) -> a + v))"
+        f"(acc, h) -> zip_with(acc, {votes_of_h}, (a, v) -> a + v))"
     )
 
 

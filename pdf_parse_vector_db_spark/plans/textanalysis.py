@@ -624,15 +624,26 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigrams come from one map-side zip_with (no self-join);
     unigram and bigram counts partial-aggregate before their exchanges;
     the two unigram joins are on the term key (co-partitioned with the
-    bigram agg under AQE); corpus totals attach as broadcast 1-row
-    scalars. Final top-50 is a TakeOrderedAndProject, not a full sort."""
+    bigram agg under AQE); corpus totals ride partition-less windows over
+    the vocab-sized aggs so no branch ever re-scans the corpus. Final
+    top-50 is a TakeOrderedAndProject, not a full sort."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     toked = docs.filter(F.length(F.trim("text")) > 0).select(
         F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')").alias("toks")
     )
+    from pyspark.sql import Window
+
     tok = toked.select(F.explode("toks").alias("term"))
-    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    # corpus totals attach as partition-less windows OVER THE AGGS, not as
+    # separate agg branches: a branch re-derives (and re-scans) the whole
+    # subtree, so at 100 TB each total would cost another corpus read. The
+    # window's single partition only ever holds the vocab-sized count
+    # table (Heaps-law sublinear), never the corpus.
+    uni = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("n", F.sum("c").over(Window.partitionBy()))
+    )
     bg = toked.select(
         F.explode(
             F.expr(
@@ -641,14 +652,15 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    m = bg.agg(F.count(F.lit(1)).alias("m"))
-    scored = (
-        bgc.join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a")), on="w1")
-        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b")), on="w2")
-        .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(m))
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .withColumn("m", F.sum("c_ab").over(Window.partitionBy()))
         .filter(F.col("c_ab") >= 5)
+    )
+    scored = (
+        bgc.join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"), "n"), on="w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b")), on="w2")
         .withColumn(
             "pmi",
             F.round(
@@ -682,14 +694,14 @@ WITH t AS (
 ),
 tok AS (SELECT unnest(toks) AS term FROM t),
 uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
 bg AS (
   SELECT unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i + 1]])) AS p
   FROM t
 ),
 bgc AS (SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c_ab
         FROM bg GROUP BY 1, 2),
-m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bg),
+m AS (SELECT CAST(sum(c_ab) AS BIGINT) AS m FROM bgc),
 scored AS (
   SELECT g.w1 || ' ' || g.w2 AS bigram, g.c_ab, a.c AS c_a, b.c AS c_b,
          round(ln(CAST(g.c_ab AS DOUBLE) * n.n * n.n
@@ -714,11 +726,19 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism: per-term contributions are rounded to
     integer picos (1e12) and summed as BIGINTs, so the float summation
-    order can't flip the hash (same trick as clip_pair mean-cosine).
-    Scale shape: one token explode feeds both aggs; the per-(source,term)
-    agg joins the per-term agg on the term key (co-partitioned); source
-    totals and the corpus total are broadcast scalars; output is
-    |sources| rows."""
+    order can't flip the hash (same trick as clip_pair mean-cosine); the
+    per-source weighted sum is bounded (weights sum to 1), so the scaled
+    longs can't overflow at any corpus size.
+
+    Scale shape — ONE corpus scan, provable from the plan: the (source,
+    term) agg is the only consumer of the token explode, the term
+    marginal rides a term-partitioned window over that agg, the source
+    total a source-partitioned window, and ln(n) enters via the identity
+    KL = Σ p_s·ln(p_s/ctc) + ln(n) as a partition-less window over the
+    |sources|-row result — no branch ever re-derives (= re-scans) the
+    corpus subtree."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
     tok = docs.filter(F.length(F.trim("text")) > 0).select(
         "source",
@@ -726,26 +746,36 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')")
         ).alias("term"),
     )
-    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("stc"))
-    stot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("stot"))
-    ct = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ctc"))
-    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    st = (
+        tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("stc"))
+        .withColumn("ctc", F.sum("stc").over(Window.partitionBy("term")))
+        .withColumn("stot", F.sum("stc").over(Window.partitionBy("source")))
+    )
     ps = F.col("stc").cast("double") / F.col("stot").cast("double")
-    pc = F.col("ctc").cast("double") / F.col("n").cast("double")
-    contrib = F.round(ps * F.log(ps / pc) * F.lit(1e12)).cast("long")
-    return (
-        st.join(ct, on="term")
-        .join(F.broadcast(stot), on="source")
-        .crossJoin(F.broadcast(n))
-        .withColumn("pico", contrib)
+    contrib = F.round(ps * F.log(ps / F.col("ctc").cast("double")) * F.lit(1e12)).cast(
+        "long"
+    )
+    per_source = (
+        st.withColumn("pico", contrib)
         .groupBy("source")
         .agg(
             F.max("stot").alias("tokens"),
             F.count(F.lit(1)).alias("vocab"),
-            F.round(F.sum("pico").cast("double") / F.lit(1e12), 6).alias("kl"),
+            F.sum("pico").alias("s_pico"),
         )
-        .orderBy("source")
+        .withColumn("n", F.sum("tokens").over(Window.partitionBy()))
     )
+    return per_source.select(
+        "source",
+        "tokens",
+        "vocab",
+        F.round(
+            F.col("s_pico").cast("double") / F.lit(1e12)
+            + F.log(F.col("n").cast("double")),
+            6,
+        ).alias("kl"),
+    ).orderBy("source")
 
 
 SOURCE_KL_SQL = """
@@ -755,25 +785,35 @@ WITH tok AS (
   FROM documents WHERE length(trim(text)) > 0
 ),
 st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS stc FROM tok GROUP BY 1, 2),
-stot AS (SELECT source, CAST(count(*) AS BIGINT) AS stot FROM tok GROUP BY 1),
-ct AS (SELECT term, CAST(count(*) AS BIGINT) AS ctc FROM tok GROUP BY 1),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+w AS (
+  SELECT source, term, stc,
+         CAST(sum(stc) OVER (PARTITION BY term) AS BIGINT) AS ctc,
+         CAST(sum(stc) OVER (PARTITION BY source) AS BIGINT) AS stot
+  FROM st
+),
 contrib AS (
-  SELECT s.source, t.stot,
-         CAST(round((CAST(s.stc AS DOUBLE) / t.stot)
-                    * ln((CAST(s.stc AS DOUBLE) / t.stot)
-                         / (CAST(c.ctc AS DOUBLE) / n.n)) * 1e12) AS BIGINT) AS pico
-  FROM st s
-  JOIN ct c ON s.term = c.term
-  JOIN stot t ON s.source = t.source
-  CROSS JOIN n
+  SELECT source, stot,
+         CAST(round((CAST(stc AS DOUBLE) / stot)
+                    * ln((CAST(stc AS DOUBLE) / stot) / CAST(ctc AS DOUBLE))
+                    * 1e12) AS BIGINT) AS pico
+  FROM w
+),
+per_source AS (
+  SELECT source,
+         CAST(max(stot) AS BIGINT) AS tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(pico) AS BIGINT) AS s_pico
+  FROM contrib
+  GROUP BY source
+),
+with_n AS (
+  SELECT source, tokens, vocab, s_pico,
+         CAST(sum(tokens) OVER () AS BIGINT) AS n
+  FROM per_source
 )
-SELECT source,
-       CAST(max(stot) AS BIGINT) AS tokens,
-       CAST(count(*) AS BIGINT) AS vocab,
-       round(CAST(sum(pico) AS BIGINT) / 1e12, 6) AS kl
-FROM contrib
-GROUP BY source
+SELECT source, tokens, vocab,
+       round(CAST(s_pico AS DOUBLE) / 1e12 + ln(CAST(n AS DOUBLE)), 6) AS kl
+FROM with_n
 ORDER BY source
 """
 

@@ -247,3 +247,44 @@ def test_user_state_intervals_single_sort_for_island_windows(spark):
     body = plan.split("== Physical Plan ==")[-1]
     n_exchange = body.count("Exchange ") + body.count("Exchange\n")
     assert n_exchange <= 4, plan
+
+
+def _final_plan(spark, name: str) -> str:
+    """Execute and return the AQE FINAL plan section only — the adaptive
+    plan string echoes the initial plan below it, which double-counts
+    scans if searched naively."""
+    spark.catalog.clearCache()
+    df = entrymod.queries()[name](spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_simhash_portable_signature_is_map_side(spark):
+    """X2 portable tier: the md5-nibble signature must be a codegen fold —
+    no Python operators anywhere, and no exchange partitions on the raw
+    text (band keys/ids are the only shuffle payload)."""
+    body = _final_plan(spark, "simhash_portable_dups")
+    assert "PythonUDF" not in body and "EvalPython" not in body, body
+    for line in body.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_collocation_pmi_topk_and_derived_totals(spark):
+    """X5: top-50 must be TakeOrderedAndProject (no global sort of the
+    bigram table), and corpus totals ride windows over the aggs — exactly
+    two corpus scans in the executed plan (unigram leg + bigram leg, the
+    second unigram join reusing the first leg's exchange), not four."""
+    body = _final_plan(spark, "collocation_pmi")
+    assert "TakeOrderedAndProject" in body, body
+    assert body.count("FileScan parquet") == 2, body
+    assert "ReusedExchange" in body, body
+
+
+def test_source_kl_single_corpus_scan(spark):
+    """X5: term/source marginals are windows over the (source, term) agg
+    and ln(n) attaches over the |sources|-row result — the documents
+    table is read exactly ONCE in the executed plan."""
+    body = _final_plan(spark, "source_kl_divergence")
+    assert body.count("FileScan parquet") == 1, body
