@@ -16,9 +16,10 @@ Hash families: the default MinHash tier uses Spark's xxhash64 and SimHash a
 keyed blake2b (packed into one long) — fast but engine-specific, so those
 QuerySpecs are rows-only with their correctness contract in the pytest
 suite (candidates validated against EXACT n-gram Jaccard on corpora with
-planted near-duplicates). `minhash_portable_pairs` trades ~2× hash cost for
-an md5 family both engines compute identically, putting the whole LSH
-pipeline inside the DuckDB oracle check.
+planted near-duplicates). `minhash_portable_pairs` derives a
+Kirsch-Mitzenmacher affine family from one md5 per shingle — computed
+identically by both engines — putting the whole LSH pipeline inside the
+DuckDB oracle check at roughly the xxhash64 tier's cost.
 """
 
 from __future__ import annotations
@@ -181,6 +182,38 @@ def minhash_lsh_pairs(
     )
 
 
+#: modulus for the Kirsch-Mitzenmacher hash family: largest prime < 2^32,
+#: so lane values and every h1 + i*h2 stay far inside BIGINT range.
+_MH_PRIME = 4294967291
+
+
+def mh_lanes_sql(src: str) -> str:
+    """DuckDB CTE body deriving the two 32-bit lanes from `b` (md5 hex) in
+    `src` — must mirror the Spark lane extraction bit-for-bit."""
+    return (
+        f"SELECT id, ('0x' || substring(b, 1, 8))::BIGINT AS h1, "
+        f"('0x' || substring(b, 9, 8))::BIGINT AS h2 FROM {src}"
+    )
+
+
+def mh_min_cols_sql(num_hashes: int) -> str:
+    """DuckDB aggregate list: per-doc minima of the affine family."""
+    return ",\n         ".join(
+        f"min((h1 + {i} * h2) % {_MH_PRIME}) AS h{i}" for i in range(num_hashes)
+    )
+
+
+def mh_band_cols_sql(num_hashes: int, bands: int) -> str:
+    """DuckDB band-key list: md5 over the '_'-joined signature slice."""
+    rows = num_hashes // bands
+    return ",\n         ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + f")) AS band{b}"
+        for b in range(bands)
+    )
+
+
 def minhash_portable_banded(
     docs: DataFrame,
     n: int = 3,
@@ -189,20 +222,32 @@ def minhash_portable_banded(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Portable-md5 LSH band table for one corpus side: (__id, band_idx,
+    """Portable LSH band table for one corpus side: (__id, band_idx,
     key) rows, `bands` per doc. This is the piece a production pipeline
     PERSISTS (bucketed by key) so later batches join against stored bands
-    instead of recomputing history — see plans/curation.incremental_dedup."""
+    instead of recomputing history — see plans/curation.incremental_dedup.
+
+    Hash family (Kirsch-Mitzenmacher): ONE md5 per shingle supplies two
+    32-bit lanes h1/h2 (hex substrings both engines parse identically);
+    hash i is the affine combination (h1 + i·h2) mod p. One string hash
+    per shingle instead of num_hashes of them — the family that makes
+    the portable tier cost-competitive with the xxhash64 tier — and the
+    signature minima shuffle as BIGINTs, not 32-char hex strings."""
     rows = num_hashes // bands
     sh = docs.select(
         F.col(id_col).alias("__id"),
         F.explode(shingles_expr(text_col, n)).alias("__s"),
     ).select("__id", F.md5(F.col("__s")).alias("__b"))
+    lanes = sh.select(
+        "__id",
+        F.expr("CAST(conv(substring(__b, 1, 8), 16, 10) AS BIGINT)").alias("__h1"),
+        F.expr("CAST(conv(substring(__b, 9, 8), 16, 10) AS BIGINT)").alias("__h2"),
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__b")))).alias(f"h{i}")
+        F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(_MH_PRIME)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("__id").agg(*mins)
+    sig = lanes.groupBy("__id").agg(*mins)
     band_cols = [
         F.md5(F.concat_ws("_", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
             f"band{b}"
@@ -234,14 +279,14 @@ def minhash_portable_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dedup with an ENGINE-PORTABLE hash family, so the
     whole find→verify pipeline is DuckDB-oracle-checkable (md5 produces
-    identical hex on any engine; signature minima are lexicographic string
-    mins, identical everywhere).
+    identical hex on any engine; the affine integer family and its BIGINT
+    minima are exact everywhere).
 
-    Family: base = md5(shingle); h_i = md5('<i>|' || base) — one string
-    hash of the raw shingle, then num_hashes hashes over fixed 35-byte
-    input. ~2× the xxhash64 tier's cost; use that tier when oracle parity
-    isn't needed. Returns (id_a, id_b, jaccard) — band-colliding pairs
-    verified by exact Jaccard ≥ threshold."""
+    Family: ONE md5 per shingle supplies two 32-bit lanes; h_i = (h1 +
+    i·h2) mod p (Kirsch-Mitzenmacher) — cost-competitive with the
+    xxhash64 tier while staying oracle-portable. Returns (id_a, id_b,
+    jaccard) — band-colliding pairs verified by exact Jaccard ≥
+    threshold."""
     stacked = minhash_portable_banded(
         docs, n=n, num_hashes=num_hashes, bands=bands, id_col=id_col, text_col=text_col
     )
@@ -273,15 +318,10 @@ def minhash_portable_sql(
     shingles: str = "",
 ) -> str:
     """The DuckDB twin of minhash_portable_pairs, generated so query and
-    oracle share the family constants."""
-    rows = num_hashes // bands
-    mins = ",\n         ".join(
-        f"min(md5('{i}|' || b)) AS h{i}" for i in range(num_hashes)
-    )
-    bandcols = ",\n         ".join(
-        "md5(" + " || '_' || ".join(f"h{b * rows + r}" for r in range(rows)) + f") AS band{b}"
-        for b in range(bands)
-    )
+    oracle share the family constants (Kirsch-Mitzenmacher lanes, see
+    minhash_portable_banded)."""
+    mins = mh_min_cols_sql(num_hashes)
+    bandcols = mh_band_cols_sql(num_hashes, bands)
     stack = "\n    UNION ALL\n".join(
         f"    SELECT id, {b} AS band_idx, band{b} AS key FROM banded" for b in range(bands)
     )
@@ -292,10 +332,13 @@ WITH base AS (
 sh AS (
   SELECT id, md5(unnest(sh)) AS b FROM base
 ),
+lanes AS (
+  {mh_lanes_sql('sh')}
+),
 sig AS (
   SELECT id,
          {mins}
-  FROM sh GROUP BY id
+  FROM lanes GROUP BY id
 ),
 banded AS (
   SELECT id,

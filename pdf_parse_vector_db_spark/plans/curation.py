@@ -836,14 +836,16 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_sql() -> str:
-    rows = _INC_HASHES // _INC_BANDS
-    mins = ",\n         ".join(
-        f"min(md5('{i}|' || b)) AS h{i}" for i in range(_INC_HASHES)
+    from pdf_parse_vector_db_spark.operators.dedup import (
+        mh_band_cols_sql,
+        mh_lanes_sql,
+        mh_min_cols_sql,
     )
-    bandcols = ",\n         ".join(
-        "md5(" + " || '_' || ".join(f"h{b * rows + r}" for r in range(rows)) + f") AS band{b}"
-        for b in range(_INC_BANDS)
-    )
+
+    mins = mh_min_cols_sql(_INC_HASHES)
+    bandcols = mh_band_cols_sql(_INC_HASHES, _INC_BANDS)
+    lanes_n = mh_lanes_sql("nb")
+    lanes_h = mh_lanes_sql("hb")
 
     def stack(src: str) -> str:
         return "\n    UNION ALL\n".join(
@@ -867,8 +869,10 @@ nsh AS (SELECT id, {sh} AS sh FROM newb),
 hsh AS (SELECT id, {sh} AS sh FROM hist),
 nb AS (SELECT id, md5(unnest(sh)) AS b FROM nsh),
 hb AS (SELECT id, md5(unnest(sh)) AS b FROM hsh),
-nsig AS (SELECT id, {mins} FROM nb GROUP BY id),
-hsig AS (SELECT id, {mins} FROM hb GROUP BY id),
+nlanes AS ({lanes_n}),
+hlanes AS ({lanes_h}),
+nsig AS (SELECT id, {mins} FROM nlanes GROUP BY id),
+hsig AS (SELECT id, {mins} FROM hlanes GROUP BY id),
 nband AS (SELECT id, {bandcols} FROM nsig),
 hband AS (SELECT id, {bandcols} FROM hsig),
 nstack AS (
