@@ -377,10 +377,9 @@ def simhash_bits_expr(text_col: str, bits: int = 64) -> Column:
     """SimHash bit vector (array<int> of 0/1, length `bits`) computed in ONE
     map-side expression: fold the token array, accumulating per-bit ±1 votes
     from each token's xxhash64, then threshold at 0. No explode, no shuffle,
-    stays in codegen. Kept as the pure-Catalyst reference; the hot path uses
-    `simhash_bits_udf` (identical output shape, different hash family) —
-    per-token × per-bit expression folds allocate two arrays per token,
-    which the vectorized kernel does as one unpackbits + matmul-style sum."""
+    stays in codegen. Kept as the readable reference; the hot path uses
+    `simhash_packed_expr` (same xxhash64 bit source, nibble-expanded votes,
+    packed into one long)."""
     toks = f"split(lower(trim({text_col})), '\\\\s+')"
     return F.expr(
         f"transform("
@@ -393,41 +392,51 @@ def simhash_bits_expr(text_col: str, bits: int = 64) -> Column:
     )
 
 
-def simhash_sig_udf():
-    """Arrow-batched SimHash-64 packed into ONE signed long: blake2b(token)
-    → unpackbits ±1 votes → threshold → packbits. Deterministic across
-    runs/engines (keyed blake2b, not PYTHONHASHSEED). The scalar signature
-    is the point: bands are bit-slices (shift+mask), hamming distance is
-    `bit_count(a ^ b)` — both native JVM expressions — and the only thing
-    that ever shuffles is 8 bytes per row."""
-    from hashlib import blake2b
+def simhash_packed_expr(text_col: str) -> Column:
+    """SimHash-64 packed into ONE signed long, entirely in codegen: per
+    token ONE xxhash64 supplies all 64 vote bits (expanded nibble-wise,
+    16 shifts + 64 tiny int ops — the same fold shape as the portable
+    tier but with no md5/conv string work). The scalar signature is the
+    point: bands are bit-slices (shift+mask), hamming distance is
+    `bit_count(a ^ b)` — and the only thing that ever shuffles is 8
+    bytes per row. Empty/whitespace-only text → all votes 0 → sig -1
+    (every vote ties ≥ 0 → all bits set).
 
-    from pyspark.sql.types import LongType
-
-    @F.pandas_udf(LongType())
-    def simhash(texts: pd.Series) -> pd.Series:
-        cache: dict[str, np.ndarray] = {}
-        out = []
-        for t in texts:
-            toks = (t or "").strip().lower().split()
-            if not toks:
-                out.append(0)
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                bitsarr = cache.get(tok)
-                if bitsarr is None:
-                    h = blake2b(tok.encode(), digest_size=8).digest()
-                    bitsarr = np.unpackbits(
-                        np.frombuffer(h, dtype=np.uint8), bitorder="little"
-                    ).astype(np.int64)
-                    cache[tok] = bitsarr
-                votes += 2 * bitsarr - 1
-            packed = np.packbits((votes >= 0).astype(np.uint8), bitorder="little")
-            out.append(int.from_bytes(packed.tobytes(), "little", signed=True))
-        return pd.Series(out, dtype="int64")
-
-    return simhash
+    Replaced the earlier Arrow blake2b UDF: same output shape, ~no
+    Python in the hot path, and the signature stays inside
+    whole-stage codegen."""
+    toks = f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')"
+    nib = "transform(sequence(0, 15), p -> CAST(shiftright(h, 4 * p) & 15 AS INT))"
+    votes_of_h = (
+        f"flatten(transform({nib}, v -> array("
+        "CAST((v & 1) * 2 - 1 AS BIGINT), "
+        "CAST((shiftright(v, 1) & 1) * 2 - 1 AS BIGINT), "
+        "CAST((shiftright(v, 2) & 1) * 2 - 1 AS BIGINT), "
+        "CAST((shiftright(v, 3) & 1) * 2 - 1 AS BIGINT))))"
+    )
+    votes = (
+        f"aggregate(transform({toks}, t -> xxhash64(t)), "
+        f"transform(sequence(1, 64), x -> 0L), "
+        f"(acc, h) -> zip_with(acc, {votes_of_h}, (a, v) -> a + v))"
+    )
+    # pack via two 32-bit halves so bit 63 lands in the sign bit through
+    # shiftleft (arithmetic 2^63 would overflow under ANSI mode)
+    lo = (
+        "aggregate(zip_with(slice(__vt, 1, 32), sequence(0, 31), "
+        "(v, b) -> CASE WHEN v >= 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    hi = (
+        "aggregate(zip_with(slice(__vt, 33, 32), sequence(0, 31), "
+        "(v, b) -> CASE WHEN v >= 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    # bind the votes array once via the single-element-array trick so the
+    # fold isn't re-evaluated for each half
+    return F.expr(
+        f"element_at(transform(array({votes}), "
+        f"__vt -> shiftleft({hi}, 32) | {lo}), 1)"
+    )
 
 
 def hamming_expr(a: Column, b: Column) -> Column:
@@ -457,9 +466,20 @@ def simhash_near_pairs(
     assert bits == 64, "packed-long kernel is fixed at 64 bits"
     width = bits // bands
     mask = (1 << width) - 1
+    # repartition = deliberate 8-byte-per-row exchange barrier: projection
+    # collapse would otherwise inline the signature fold into every band
+    # slice on BOTH join sides (~10 evaluations/row); after the exchange
+    # every consumer reads the materialized sig, and the left/right sides
+    # share it via ReusedExchange. Costs one tiny fixed-width shuffle,
+    # saves recomputing the per-token fold — the right trade at any scale.
+    # coalesce makes the signature provably non-nullable; without it the
+    # join-key isnotnull constraint is inferred, pushed below the barrier,
+    # and re-evaluates the ENTIRE fold inside a Filter on the scan (2×
+    # signature cost per side, observed in the executed plan)
     base = docs.select(
-        F.col(id_col).alias("__id"), simhash_sig_udf()(F.col(text_col)).alias("__sig")
-    )
+        F.col(id_col).alias("__id"),
+        F.coalesce(simhash_packed_expr(text_col), F.lit(0)).alias("__sig"),
+    ).repartition(F.col("__id"))
     stacked = base.select(
         "__id",
         "__sig",
@@ -559,10 +579,19 @@ def simhash_portable_pairs(
     bdf = sv.select(
         "__id",
         *[
-            F.expr(_simhash_portable_band_sql(b, width)).alias(f"band{b}")
+            # coalesce → provably non-nullable, so join-key isnotnull
+            # constraints fold away instead of re-evaluating the vote fold
+            # in pushed-down Filters (see simhash_near_pairs)
+            F.coalesce(F.expr(_simhash_portable_band_sql(b, width)), F.lit(0)).alias(
+                f"band{b}"
+            )
             for b in range(bands)
         ],
-    )
+        # exchange barrier: stops projection collapse re-inlining the vote
+        # fold into each band expr across the three consumers (stack + both
+        # rejoin sides); they share the materialized bands via
+        # ReusedExchange. 4 INTs + id per row — negligible shuffle.
+    ).repartition(F.col("__id"))
     stacked = bdf.select(
         "__id",
         F.explode(
