@@ -494,6 +494,84 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus QA: type-token ratio per source at n = 1, 2, 3 — the
+    distinct-n diversity metric (Li et al. 2016) that flags template-heavy
+    or machine-generated sources (low TTR at higher n) before they enter a
+    training mix.
+
+    Scale shape: ONE corpus scan and one explode — the three gram orders
+    are tagged structs in a single generator array (token array bound once
+    via the single-element-array trick, so the split isn't re-evaluated
+    per order); the only exchanges carry (source, n, gram) for the
+    distinct-count agg. Output is |sources|×3 rows."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = "filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"
+    uni = "transform(tk, t -> struct(1 AS n, t AS g))"
+    bi = (
+        "transform(zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), "
+        "(a, b) -> concat(a, ' ', b)), t -> struct(2 AS n, t AS g))"
+    )
+    # sequence(1, size-2) flips to a DESCENDING sequence when size < 3
+    # (Spark auto-negates the step) — guard explicitly
+    tri = (
+        "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk) - 2), "
+        "i -> struct(3 AS n, concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), "
+        "element_at(tk, i + 2)) AS g)) ELSE array() END"
+    )
+    tagged = (
+        f"element_at(transform(array({toks}), tk -> concat({uni}, {bi}, {tri})), 1)"
+    )
+    grams = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(F.expr(tagged)).alias("t"))
+        .select("source", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    )
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("grams"),
+            F.countDistinct("g").alias("distinct_grams"),
+        )
+        .withColumn(
+            "ttr",
+            F.round(F.col("distinct_grams").cast("double") / F.col("grams"), 6),
+        )
+        .orderBy("source", "n")
+    )
+
+
+NGRAM_DIVERSITY_SQL = """
+WITH t AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+uni AS (SELECT source, 1 AS n, unnest(toks) AS g FROM t),
+bi AS (
+  SELECT source, 2 AS n,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM t
+),
+tri AS (
+  SELECT source, 3 AS n,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+  FROM t
+),
+grams AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi UNION ALL SELECT * FROM tri
+)
+SELECT source, n,
+       CAST(count(*) AS BIGINT) AS grams,
+       CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+       round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS ttr
+FROM grams
+GROUP BY source, n
+ORDER BY source, n
+"""
+
+
 _ZBITS = 10
 
 
@@ -624,6 +702,7 @@ SELECT * FROM zagg UNION ALL SELECT * FROM dagg ORDER BY layout
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),
+    QuerySpec("ngram_diversity", ngram_diversity, NGRAM_DIVERSITY_SQL, "distinct-n / TTR diversity per source"),
     QuerySpec(
         "zorder_skipping", zorder_skipping, ZORDER_SKIPPING_SQL, "Z-order data-skipping audit"
     ),

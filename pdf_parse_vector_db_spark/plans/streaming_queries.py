@@ -164,6 +164,59 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences —
+    the sequence-model prior a behavioral pipeline estimates before
+    training (and the sanity check that sessionized data is ordered
+    correctly). P(next | prev) = c(prev→next) / Σ_next c(prev→next).
+
+    Scale shape: lead() needs one (user_id)-keyed exchange and a per-user
+    sort — the same partitioning every sessionization query here reuses;
+    the transition agg then exchanges only (prev, next) pairs (|types|² ≤
+    25 keys), and the row-normalizer is a window over that tiny matrix,
+    not a corpus re-scan. Tie-break on (ts, event_id) keeps lead()
+    deterministic under duplicate timestamps in both engines."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events", spread=True)
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("prev"),
+            F.lead("event_type").over(seq).alias("next"),
+        )
+        .filter(F.col("next").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = Window.partitionBy("prev")
+    return (
+        pairs.withColumn(
+            "p", F.round(F.col("n").cast("double") / F.sum("n").over(row), 6)
+        )
+        .select("prev", "next", "n", "p")
+        .orderBy("prev", "next")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS prev,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+  FROM events
+),
+pairs AS (
+  SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev, next, n,
+       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
+FROM pairs
+ORDER BY prev, next
+"""
+
+
 FUNNEL_CONVERSION_SQL = """
 WITH t1 AS (
   SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
@@ -255,6 +308,7 @@ ORDER BY cohort_week, week_offset
 QUERIES = [
     QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_SQL, "X7 weekly cohort retention matrix"),
     QuerySpec("funnel_conversion", funnel_conversion, FUNNEL_CONVERSION_SQL, "ordered 3-stage funnel (conditional-min formulation)"),
+    QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL, "first-order Markov transition matrix"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
