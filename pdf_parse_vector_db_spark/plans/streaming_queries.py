@@ -164,6 +164,45 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming/windows.enrich_with_dim): events enriched with the customer
+    dimension's market segment, rolled up per (segment, event_type).
+
+    Scale shape: the dim side broadcasts (re-read per micro-batch in
+    streaming, so dimension updates flow through); the event stream never
+    shuffles for the join — the only exchange carries the 5×5 rollup
+    keys. Value sum is exact integer cents, so the oracle hash can't
+    drift on float summation order."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = W.enrich_with_dim(ev, dim)
+    return (
+        enriched.groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("users"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0
+            ).alias("sum_value"),
+        )
+        .orderBy("segment", "event_type")
+    )
+
+
+EVENTS_BY_SEGMENT_SQL = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS users,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event sequences —
     the sequence-model prior a behavioral pipeline estimates before
@@ -309,6 +348,7 @@ QUERIES = [
     QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_SQL, "X7 weekly cohort retention matrix"),
     QuerySpec("funnel_conversion", funnel_conversion, FUNNEL_CONVERSION_SQL, "ordered 3-stage funnel (conditional-min formulation)"),
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL, "first-order Markov transition matrix"),
+    QuerySpec("events_by_segment", events_by_segment, EVENTS_BY_SEGMENT_SQL, "stream-static dim enrichment (batch twin)"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),

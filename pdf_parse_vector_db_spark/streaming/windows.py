@@ -90,6 +90,19 @@ def purchase_view_join(
     ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "v_ts")
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to an event stream (the lookup-join every behavioral
+    pipeline runs before feature extraction).
+
+    The static side is explicitly broadcast: in streaming, Spark re-plans
+    the join per micro-batch, so the dim table is read fresh each batch
+    (picking up dimension updates) and shipped to executors — the event
+    stream itself never shuffles for the join. Works identically on a
+    batch DataFrame (the oracle-checked twin, events_by_segment)."""
+    return events.join(F.broadcast(dim), on=on, how="inner")
+
+
 def dedup_events(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Streaming exact dedup (the X1 operator under continuous ingest):
     first occurrence per key wins, duplicates within the watermark horizon

@@ -68,6 +68,28 @@ def test_streaming_session_equals_batch(spark, events_stream_dir):
     )
 
 
+def test_streaming_enrichment_equals_batch(spark, events_stream_dir):
+    """Stream-static broadcast join: the per-micro-batch dim lookup must
+    produce the same enriched rollup as the batch twin (events_by_segment)."""
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    batch = (
+        W.enrich_with_dim(load_table(spark, SF, "events"), dim)
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stream_src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    streamed = _run_stream_to_memory(
+        spark,
+        W.enrich_with_dim(stream_src, dim).groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "t_enrich",
+    )
+    assert _rows(streamed, "segment") == _rows(batch, "segment")
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Duplicated landing files collapse to the batch-distinct row set, via
     dropDuplicatesWithinWatermark (bounded dedup state)."""
