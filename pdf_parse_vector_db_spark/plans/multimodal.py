@@ -42,13 +42,43 @@ FROM documents
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing: binary → typed media metadata (kinds
-    alternate image/video by doc parity). Rows-only: the fake decoder's
-    byte-math isn't worth porting to SQL; determinism is tested instead."""
+    alternate image/video by doc parity). Oracle-checked: the fake
+    decoder's dimensions are sha256-digest byte arithmetic, which the
+    DuckDB twin reproduces from the hex digest — so the Arrow batch
+    boundary, schema, and per-row decode all sit under the value hash."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     media = attach_binary(docs).withColumn(
         "kind", F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video")
     )
     return decode_media_meta(media).orderBy("doc_id")
+
+
+# digest byte k of the hex sha256 is hex chars [2k+1, 2k+2] — mirror of
+# operators/multimodal._fake_dims
+MULTIMODAL_DECODE_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS sha
+  FROM documents
+),
+b AS (
+  SELECT *,
+         ('0x' || substr(sha, 1, 2))::INT AS b0,
+         ('0x' || substr(sha, 3, 2))::INT AS b1,
+         ('0x' || substr(sha, 5, 2))::INT AS b2,
+         ('0x' || substr(sha, 7, 2))::INT AS b3
+  FROM m
+)
+SELECT doc_id, kind, n_bytes, sha AS sha256,
+       CAST(160 + (b0 % 8) * 80 AS INT) AS width,
+       CAST(120 + (b1 % 8) * 60 AS INT) AS height,
+       CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + b2 END AS INT) AS n_frames,
+       CAST(CASE WHEN kind = 'image' THEN 0 ELSE 8000 * (1 + b3 % 6) END AS INT) AS sample_rate
+FROM b
+ORDER BY doc_id
+"""
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,7 +104,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling UDTF accounting: sampled frame rows per kind."""
+    """Frame-sampling UDTF accounting: sampled frame rows per kind.
+    Oracle-checked: sampled-frame counts are ceil(n_frames / every_n) over
+    the digest-derived frame counts, reproduced by the DuckDB twin."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     media = attach_binary(docs).withColumn(
         "kind", F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video")
@@ -88,6 +120,28 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+         sha256(text) AS sha
+  FROM documents
+),
+f AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'image' THEN 1
+              ELSE 1 + ('0x' || substr(sha, 5, 2))::INT END AS n_frames
+  FROM m
+)
+SELECT kind,
+       CAST(sum((n_frames + 9) // 10) AS BIGINT) AS n_frames_sampled,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM f
+GROUP BY kind
+ORDER BY kind
+"""
 
 
 def clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,7 +218,7 @@ ORDER BY label
 QUERIES = [
     QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, "X6 binary metadata"),
     QuerySpec("clip_pair_filter", clip_pair_filter, CLIP_PAIR_FILTER_SQL, "X6 cross-modal cosine pair gate"),
-    QuerySpec("multimodal_decode", multimodal_decode, None, "X6 decode plumbing (rows-only)"),
-    QuerySpec("multimodal_features", multimodal_features, None, "X6 feature extraction (rows-only)"),
-    QuerySpec("multimodal_frames", multimodal_frames, None, "X6 frame sampling (rows-only)"),
+    QuerySpec("multimodal_decode", multimodal_decode, MULTIMODAL_DECODE_SQL, "X6 decode plumbing (digest-math oracle)"),
+    QuerySpec("multimodal_features", multimodal_features, None, "X6 feature extraction (rows-only: RNG features)"),
+    QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL, "X6 frame sampling (digest-math oracle)"),
 ]
