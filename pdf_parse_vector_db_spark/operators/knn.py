@@ -109,6 +109,67 @@ def knn_exact_blas(
     return scored.orderBy(F.col(score_name).asc()).limit(k)
 
 
+def mmr_rerank_groups(
+    cands: DataFrame,
+    lam: float = 0.7,
+    k: int = 5,
+    group_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k per query group
+    (Carbonell & Goldstein 1998): greedily select
+    argmax_d  λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s).
+
+    The greedy argmax is inherently sequential per group — the textbook
+    applyInPandas case: each group is one query's candidate list (fetch
+    depth × dim floats), so task memory is bounded by the fetch depth,
+    never the corpus. Pairwise sims are one GEMM per group. Deterministic:
+    scores round to 9 dp before argmax with an id tie-break, so results
+    are stable across partitionings and engines.
+
+    Returns (group_col, rank, id_col, score) with rank 1..k and `score`
+    the 6-dp MMR objective at selection time. λ=1 degenerates to plain
+    top-k by rel (asserted in tests/test_retrieval.py)."""
+    out_schema = f"{group_col} bigint, rank int, {id_col} bigint, score double"
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        v = v / norms
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        sims = v @ v.T
+        n = len(pdf)
+        avail = np.ones(n, dtype=bool)
+        max_sim = np.zeros(n, dtype=np.float64)
+        ranks, picks, scores = [], [], []
+        for r in range(min(k, n)):
+            score = lam * rel - (0.0 if r == 0 else 1.0 - lam) * max_sim
+            score = np.round(score, 9)
+            score[~avail] = -np.inf
+            best_score = score.max()
+            best = ids[score == best_score].min()
+            bidx = int(np.flatnonzero(ids == best)[0])
+            avail[bidx] = False
+            np.maximum(max_sim, sims[:, bidx], out=max_sim)
+            ranks.append(r + 1)
+            picks.append(int(best))
+            scores.append(round(float(best_score), 6))
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[: len(picks)].to_numpy(),
+                "rank": ranks,
+                id_col: picks,
+                "score": scores,
+            }
+        )
+
+    return cands.groupBy(group_col).applyInPandas(mmr, out_schema)
+
+
 def dedup_best_per_group(
     hits: DataFrame,
     group_col: str = "file_id",

@@ -541,6 +541,82 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops diagnostics: hot-key profile of the join/aggregation keys this
+    suite shuffles on — rows, distinct keys, the hottest key's row count,
+    its share, and the max/avg skew ratio. These are the numbers that
+    decide whether a key needs salting (operators/skew.py) or AQE skew-join
+    handling before a 100 TB run, produced as a constant-size report (one
+    row per audited key, whatever the input size).
+
+    Scale shape: each leg is a two-level aggregate — per-key counts
+    (map-side partial first) then a 1-row rollup — and the report is a
+    4-row union. Nothing wide ever reaches the driver."""
+    legs = []
+    for tbl, key in [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("events", "user_id"),
+    ]:
+        per = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(key))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        legs.append(
+            per.agg(
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("c").alias("max_rows"),
+            ).select(F.lit(f"{tbl}.{key}").alias("key"), "n_rows", "n_keys", "max_rows")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return (
+        out.withColumn(
+            "top_share", F.round(F.col("max_rows").cast("double") / F.col("n_rows"), 6)
+        )
+        .withColumn(
+            "skew_ratio",
+            F.round(
+                F.col("max_rows").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows"),
+                4,
+            ),
+        )
+        .orderBy("key")
+    )
+
+
+def _skew_leg_sql(tbl: str, key: str) -> str:
+    return (
+        f"SELECT '{tbl}.{key}' AS key, CAST(sum(c) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS max_rows "
+        f"FROM (SELECT count(*) AS c FROM {tbl} GROUP BY {key})"
+    )
+
+
+KEY_SKEW_AUDIT_SQL = f"""
+WITH legs AS (
+  {_skew_leg_sql('orders', 'o_custkey')}
+  UNION ALL
+  {_skew_leg_sql('lineitem', 'l_orderkey')}
+  UNION ALL
+  {_skew_leg_sql('lineitem', 'l_partkey')}
+  UNION ALL
+  {_skew_leg_sql('events', 'user_id')}
+)
+SELECT key, n_rows, n_keys, max_rows,
+       round(CAST(max_rows AS DOUBLE) / n_rows, 6) AS top_share,
+       round(CAST(max_rows AS DOUBLE) * n_keys / n_rows, 4) AS skew_ratio
+FROM legs
+ORDER BY key
+"""
+
+
 NGRAM_DIVERSITY_SQL = """
 WITH t AS (
   SELECT source,
@@ -703,6 +779,7 @@ QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),
     QuerySpec("ngram_diversity", ngram_diversity, NGRAM_DIVERSITY_SQL, "distinct-n / TTR diversity per source"),
+    QuerySpec("key_skew_audit", key_skew_audit, KEY_SKEW_AUDIT_SQL, "hot-key / skew-ratio report for shuffle keys"),
     QuerySpec(
         "zorder_skipping", zorder_skipping, ZORDER_SKIPPING_SQL, "Z-order data-skipping audit"
     ),

@@ -260,12 +260,54 @@ LIMIT {TOP_K}
 """
 
 
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4 diversified rerank: Maximal Marginal Relevance over the dense
+    leg — every 50th vector is a query; its top-20 same-label cosine
+    candidates are greedily re-cut to 5 trading relevance against
+    redundancy (λ=0.7). The standard answer to near-duplicate results
+    crowding a result page — directly motivated by the reference's
+    per-file dedup-then-top-5 step (extract_and_search.py best-per-file),
+    which is MMR's λ→1 limit with file identity as the similarity.
+
+    Scale shape: candidate fetch is the label-pruned join + per-query
+    top-20 window (same plan family as knn_topk_per_label); the greedy
+    stage sees only 20 rows × dim per group. Rows-only (greedy argmax
+    isn't SQL-expressible); invariants — λ=1 ≡ plain top-k, first pick =
+    argmax rel, diversity vs the plain cut — in tests/test_retrieval.py."""
+    from pdf_parse_vector_db_spark.operators.knn import mmr_rerank_groups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    cand = (
+        q.join(emb, on=(F.col("qlabel") == F.col("label")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rel", F.round(cosine_similarity(F.col("qvec"), F.col("embedding")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    top = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    return mmr_rerank_groups(
+        top.select("query_id", "vec_id", "embedding", "rel"), lam=0.7, k=5
+    ).orderBy("query_id", "rank")
+
+
 QUERIES = [
     QuerySpec(
         "bm25_topk",
         bm25_topk,
         BM25_TOPK_SQL,
         "hybrid retrieval, lexical leg: Okapi BM25 top-10",
+    ),
+    QuerySpec(
+        "mmr_rerank",
+        mmr_rerank,
+        None,
+        "MMR diversified rerank (rows-only: greedy applyInPandas)",
     ),
     QuerySpec(
         "hybrid_rrf",
