@@ -411,6 +411,64 @@ ORDER BY doc_id
 """
 
 
+def weighted_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document WEIGHTED inclusion sampling (Horvitz-Thompson style):
+    keep doc ⟺ hash-uniform(doc_id) < weight, with length-proportional
+    weights w = min(1, n_chars/1500) — the generalization of corpus_prep's
+    fixed-rate md5 gate to importance sampling (up-weight long documents
+    toward a token budget). Deterministic: same doc kept on every engine,
+    retry, and partition layout; no RNG state.
+
+    The audit reports per-source totals, realized keeps, and the
+    Horvitz-Thompson expected keep count (Σw, integer-micros exact) so
+    drift between realized and expected is visible at a glance."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    ) / F.lit(4294967296.0)
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(1500.0))
+    d = docs.select(
+        "source",
+        u.alias("u"),
+        w.alias("w"),
+    ).withColumn("keep", (F.col("u") < F.col("w")).cast("long"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("keep").alias("kept"),
+            F.round(
+                F.sum(F.round(F.col("w") * 1e6).cast("long")).cast("double") / 1e6, 4
+            ).alias("expected_kept"),
+            F.round(F.sum("keep").cast("double") / F.count(F.lit(1)), 4).alias(
+                "keep_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+WEIGHTED_SAMPLE_AUDIT_SQL = """
+WITH d AS (
+  SELECT source,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u,
+         least(CAST(1.0 AS DOUBLE), n_chars / CAST(1500.0 AS DOUBLE)) AS w
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       round(CAST(sum(CAST(round(w * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 4)
+         AS expected_kept,
+       round(CAST(sum(CASE WHEN u < w THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         AS keep_rate
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
 def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage audit: near-duplicate pairs (asymmetric shingle
     containment tier, same contract as containment_dups) whose members
@@ -505,5 +563,11 @@ QUERIES = [
         seq_length_histogram,
         SEQ_LENGTH_HISTOGRAM_SQL,
         "X5 power-of-two length histogram per lang",
+    ),
+    QuerySpec(
+        "weighted_sample_audit",
+        weighted_sample_audit,
+        WEIGHTED_SAMPLE_AUDIT_SQL,
+        "X5 Horvitz-Thompson weighted inclusion sampling audit",
     ),
 ]

@@ -203,6 +203,56 @@ ORDER BY 1, 2
 """
 
 
+#: scoring anchor: first instant after the fixture's event window (Jan 2024)
+#: — a FIXED anchor keeps the query deterministic and single-scan (a
+#: max(ts)-derived anchor would re-derive the events subtree or need a
+#: corpus-sized single-partition window)
+_DECAY_ANCHOR_EPOCH = 1706745600  # 2024-02-01 00:00:00 UTC
+_DECAY_HALF_LIFE_DAYS = 7.0
+
+
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user — the classic
+    recency-weighted feature every behavioral ranking model consumes:
+    score = Σ value · 2^(-age_days / half_life), 7-day half-life.
+
+    Cross-engine determinism: each decayed term rounds to integer micros
+    before the sum (both engines evaluate the identical pow/exp argument;
+    summation order then can't flip the hash). One scan, one (user_id)
+    exchange with map-side partial aggregation."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    # cast-to-double epoch keeps fractional seconds (unix_timestamp truncates
+    # to whole seconds and drifts vs DuckDB's epoch())
+    age_days = (F.lit(_DECAY_ANCHOR_EPOCH) - F.col("ts").cast("double")) / F.lit(
+        86400.0
+    )
+    term = F.col("value") * F.pow(F.lit(2.0), -age_days / F.lit(_DECAY_HALF_LIFE_DAYS))
+    return (
+        ev.withColumn("micros", F.round(term * 1e6).cast("long"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("micros").cast("double") / 1e6, 4).alias("score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+DECAYED_ENGAGEMENT_SQL = f"""
+WITH t AS (
+  SELECT user_id,
+         CAST(round(value * pow(2.0, -(({_DECAY_ANCHOR_EPOCH} - epoch(ts)) / 86400.0)
+                                     / {_DECAY_HALF_LIFE_DAYS}) * 1000000) AS BIGINT) AS micros
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(micros) AS DOUBLE) / 1000000, 4) AS score
+FROM t
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event sequences —
     the sequence-model prior a behavioral pipeline estimates before
@@ -349,6 +399,7 @@ QUERIES = [
     QuerySpec("funnel_conversion", funnel_conversion, FUNNEL_CONVERSION_SQL, "ordered 3-stage funnel (conditional-min formulation)"),
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL, "first-order Markov transition matrix"),
     QuerySpec("events_by_segment", events_by_segment, EVENTS_BY_SEGMENT_SQL, "stream-static dim enrichment (batch twin)"),
+    QuerySpec("decayed_engagement", decayed_engagement, DECAYED_ENGAGEMENT_SQL, "exponential time-decay engagement feature"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
