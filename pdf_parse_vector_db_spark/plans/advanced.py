@@ -426,6 +426,88 @@ ORDER BY court_level, origin
 """
 
 
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse CDC MERGE: apply a versioned changelog (updates, deletes,
+    inserts) to the document snapshot with latest-wins semantics — the
+    Delta/Iceberg `MERGE INTO` / `APPLY CHANGES` shape. A key's highest
+    version wins (here: the delete at v2 overrides the update at v1);
+    inserts land on previously-unseen keys. The changelog is synthesized
+    deterministically from the fixture so both engines derive identical
+    change streams.
+
+    Scale shape: latest-wins is ONE (key)-partitioned row_number over the
+    changelog (changelog-sized, not snapshot-sized); applying it to the
+    snapshot is an aggregate join on the tiny per-source op counts — the
+    snapshot itself never shuffles for the audit. (A full materialize
+    would be a left-anti + unionByName, same key partitioning.)"""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    upd = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "source", F.lit(1).alias("version"), F.lit("u").alias("op")
+    )
+    dele = docs.filter(F.col("doc_id") % 14 == 0).select(
+        "doc_id", "source", F.lit(2).alias("version"), F.lit("d").alias("op")
+    )
+    ins = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.lit(1).alias("version"),
+        F.lit("i").alias("op"),
+    )
+    log = upd.unionAll(dele).unionAll(ins)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("version"))
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    ops = latest.groupBy("source").agg(
+        F.sum((F.col("op") == "u").cast("long")).alias("updated"),
+        F.sum((F.col("op") == "d").cast("long")).alias("deleted"),
+        F.sum((F.col("op") == "i").cast("long")).alias("inserted"),
+    )
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("base_docs"))
+    return (
+        base.join(ops, on="source", how="left")
+        .fillna(0, subset=["updated", "deleted", "inserted"])
+        .withColumn(
+            "final_docs", F.col("base_docs") - F.col("deleted") + F.col("inserted")
+        )
+        .select("source", "base_docs", "updated", "deleted", "inserted", "final_docs")
+        .orderBy("source")
+    )
+
+
+CDC_APPLY_SQL = """
+WITH log AS (
+  SELECT doc_id, source, 1 AS version, 'u' AS op FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, source, 2 AS version, 'd' AS op FROM documents WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, 1 AS version, 'i' AS op
+  FROM documents WHERE doc_id % 11 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+),
+ops AS (
+  SELECT source,
+         CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+         CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS deleted,
+         CAST(sum(CASE WHEN op = 'i' THEN 1 ELSE 0 END) AS BIGINT) AS inserted
+  FROM latest GROUP BY source
+),
+base AS (SELECT source, CAST(count(*) AS BIGINT) AS base_docs FROM documents GROUP BY source)
+SELECT b.source, b.base_docs,
+       coalesce(o.updated, 0) AS updated,
+       coalesce(o.deleted, 0) AS deleted,
+       coalesce(o.inserted, 0) AS inserted,
+       b.base_docs - coalesce(o.deleted, 0) + coalesce(o.inserted, 0) AS final_docs
+FROM base b LEFT JOIN ops o ON b.source = o.source
+ORDER BY b.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Q8-shaped market share: 5-table join (3 broadcast dims + fact-fact) with a
 # conditional share aggregate — the join-reordering showcase. Catalyst +
@@ -785,6 +867,7 @@ QUERIES = [
     QuerySpec("first_chunks", first_chunks, FIRST_CHUNKS_SQL, "W3 positional first (min_by)"),
     QuerySpec("label_centroids", label_centroids, LABEL_CENTROIDS_SQL, "mean-pool centroids"),
     QuerySpec("upsert_chunks", upsert_chunks, UPSERT_CHUNKS_SQL, "upsert: anti-join + union"),
+    QuerySpec("cdc_apply", cdc_apply, CDC_APPLY_SQL, "CDC MERGE: latest-wins changelog apply audit"),
     QuerySpec("market_share", market_share, MARKET_SHARE_SQL, "Q8-shape 5-table share"),
     QuerySpec("late_order_priority", late_order_priority, LATE_ORDER_PRIORITY_SQL, "Q4-shape EXISTS"),
     QuerySpec("important_parts", important_parts, IMPORTANT_PARTS_SQL, "Q11-shape HAVING subquery"),
