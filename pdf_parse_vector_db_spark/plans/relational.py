@@ -679,6 +679,74 @@ ORDER BY l_returnflag
 """
 
 
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust cleaning: winsorize `value` at [p1, p99] per event
+    type and report raw vs clipped means — the tail-clipping step a
+    feature pipeline applies before normalization (vs dropping rows, which
+    robust_outliers covers).
+
+    Scale shape: percentiles aggregate to a |types|-row table that
+    BROADCASTS back for the clip — the clip pass stays map-side. (The
+    one-scan alternative — percentile as a window over each type's whole
+    partition — funnels n/|types| rows through single tasks; two scans +
+    broadcast is the right trade at 100 TB.) Means sum integer micros so
+    the hash can't drift on float order."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = ev.join(F.broadcast(p), on="event_type").select(
+        "event_type",
+        F.col("p01"),
+        F.col("p99"),
+        F.round(F.col("value") * 1e6).cast("long").alias("raw_micros"),
+        F.round(F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")) * 1e6)
+        .cast("long")
+        .alias("win_micros"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("p01"), 4).alias("p01"),
+            F.round(F.max("p99"), 4).alias("p99"),
+            F.round(F.sum("raw_micros").cast("double") / (F.count(F.lit(1)) * 1e6), 6).alias(
+                "mean_raw"
+            ),
+            F.round(F.sum("win_micros").cast("double") / (F.count(F.lit(1)) * 1e6), 6).alias(
+                "mean_winsorized"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZED_STATS_SQL = """
+WITH p AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT e.event_type, p.p01, p.p99,
+         CAST(round(e.value * 1000000) AS BIGINT) AS raw_micros,
+         CAST(round(least(greatest(e.value, p.p01), p.p99) * 1000000) AS BIGINT) AS win_micros
+  FROM events e JOIN p USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(p01), 4) AS p01,
+       round(max(p99), 4) AS p99,
+       round(CAST(sum(raw_micros) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_raw,
+       round(CAST(sum(win_micros) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_winsorized
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def ndv_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier vs exact, per event_type: HLL++ distinct-user counts and
     GK median-value estimates next to their exact answers, with the HLL
@@ -749,6 +817,7 @@ QUERIES = [
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "event-time tumbling hour (batch)"),
     QuerySpec("events_gapfill", events_gapfill, EVENTS_GAPFILL_SQL, "dense resample + LOCF gap-fill"),
     QuerySpec("price_percentiles", price_percentiles, PRICE_PERCENTILES_SQL, "exact ordered-statistic agg"),
+    QuerySpec("winsorized_stats", winsorized_stats, WINSORIZED_STATS_SQL, "p1/p99 winsorized robust means"),
     QuerySpec("ndv_sketch_accuracy", ndv_sketch_accuracy, None, "HLL++/GK sketch tier vs exact"),
     QuerySpec("ndv_exact", ndv_exact, NDV_EXACT_SQL, "exact NDV/median slice of the sketch query"),
 ]
