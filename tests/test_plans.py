@@ -288,3 +288,27 @@ def test_source_kl_single_corpus_scan(spark):
     table is read exactly ONCE in the executed plan."""
     body = _final_plan(spark, "source_kl_divergence")
     assert body.count("FileScan parquet") == 1, body
+
+
+def test_events_by_segment_dim_broadcasts(spark):
+    """Stream-static enrichment twin: the customer dim must join as a
+    BroadcastHashJoin — a shuffled join here would move the event stream."""
+    body = _final_plan(spark, "events_by_segment")
+    assert "BroadcastHashJoin" in body, body
+
+
+def test_winsorized_clip_is_broadcast(spark):
+    """The percentile table must broadcast back onto the event stream so
+    the clip pass stays map-side."""
+    body = _final_plan(spark, "winsorized_stats")
+    assert "BroadcastHashJoin" in body, body
+
+
+def test_cdc_apply_snapshot_never_shuffles_rows(spark):
+    """CDC latest-wins: the only row-level exchanges carry the changelog
+    (doc_id row_number) and the per-source agg keys — no exchange may
+    carry the snapshot's text column."""
+    body = _final_plan(spark, "cdc_apply")
+    for line in body.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
