@@ -203,6 +203,93 @@ ORDER BY 1, 2
 """
 
 
+def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over event baskets: items (props.k) seen by
+    the same user in the same hour form a basket; pairs with support ≥ 5
+    baskets ranked by lift = P(ab)/(P(a)P(b)) — the single-pass pair-count
+    core of Apriori/market-basket analysis, the co-occurrence signal
+    recommender training data is built from.
+
+    Scale shape: baskets dedup to distinct (user, hour, item) FIRST, so
+    the pair self-join is bounded by Σ basket_size² (items-per-basket is
+    small by construction), joined on the (user, hour) basket key — never
+    an unkeyed cross join. Counts are exact integers; support/lift are
+    int ratios, hash-stable."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    items = (
+        ev.select(
+            "user_id",
+            F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("hour"),
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    baskets = items.select("user_id", "hour").distinct().agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    ic = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select("user_id", "hour", F.col("item").alias("item_a"))
+    bb = items.select("user_id", "hour", F.col("item").alias("item_b"))
+    pc = (
+        a.join(bb, on=["user_id", "hour"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    scored = (
+        pc.join(ic.select(F.col("item").alias("item_a"), F.col("c").alias("c_a")), on="item_a")
+        .join(ic.select(F.col("item").alias("item_b"), F.col("c").alias("c_b")), on="item_b")
+        .crossJoin(F.broadcast(baskets))
+        .withColumn("support", F.round(F.col("c_ab").cast("double") / F.col("b"), 6))
+        .withColumn(
+            "lift",
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("b").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.select("item_a", "item_b", "c_ab", "c_a", "c_b", "support", "lift")
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(40)
+    )
+
+
+ITEM_COOCCURRENCE_SQL = """
+WITH items AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+b AS (SELECT CAST(count(*) AS BIGINT) AS b
+      FROM (SELECT DISTINCT user_id, hour FROM items)),
+ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
+pc AS (
+  SELECT a.item AS item_a, x.item AS item_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM items a JOIN items x ON a.user_id = x.user_id AND a.hour = x.hour
+  WHERE a.item < x.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT p.item_a, p.item_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+       round(CAST(p.c_ab AS DOUBLE) / b.b, 6) AS support,
+       round(CAST(p.c_ab AS DOUBLE) * b.b / (CAST(ca.c AS DOUBLE) * cb.c), 4) AS lift
+FROM pc p
+JOIN ic ca ON p.item_a = ca.item
+JOIN ic cb ON p.item_b = cb.item
+CROSS JOIN b
+ORDER BY lift DESC, item_a, item_b
+LIMIT 40
+"""
+
+
 #: scoring anchor: first instant after the fixture's event window (Jan 2024)
 #: — a FIXED anchor keeps the query deterministic and single-scan (a
 #: max(ts)-derived anchor would re-derive the events subtree or need a
@@ -400,6 +487,7 @@ QUERIES = [
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL, "first-order Markov transition matrix"),
     QuerySpec("events_by_segment", events_by_segment, EVENTS_BY_SEGMENT_SQL, "stream-static dim enrichment (batch twin)"),
     QuerySpec("decayed_engagement", decayed_engagement, DECAYED_ENGAGEMENT_SQL, "exponential time-decay engagement feature"),
+    QuerySpec("item_cooccurrence", item_cooccurrence, ITEM_COOCCURRENCE_SQL, "market-basket support/lift pair mining"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
