@@ -290,6 +290,67 @@ LIMIT 40
 """
 
 
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite user–item interaction-graph degree distribution: how many
+    users touch k distinct items and how many items are touched by k
+    distinct users — the sparsity profile read before training any
+    recommender/graph model (and the skew check for dup_components-style
+    propagation). Output is (side, degree, n) — constant-bounded by the
+    max degree, whatever the input size.
+
+    Scale shape: one distinct edge pass; each side is a two-level
+    aggregate (edges → per-node degree → per-degree count), all
+    partial-agg friendly."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    edges = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    udeg = (
+        edges.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("user").alias("side"), "degree", "n")
+    )
+    ideg = (
+        edges.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("item").alias("side"), "degree", "n")
+    )
+    return udeg.unionAll(ideg).orderBy("side", "degree")
+
+
+DEGREE_DISTRIBUTION_SQL = """
+WITH edges AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+udeg AS (
+  SELECT 'user' AS side, degree, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY 1)
+  GROUP BY 2
+),
+ideg AS (
+  SELECT 'item' AS side, degree, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT item, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY 1)
+  GROUP BY 2
+)
+SELECT side, degree, n FROM udeg
+UNION ALL
+SELECT side, degree, n FROM ideg
+ORDER BY side, degree
+"""
+
+
 #: scoring anchor: first instant after the fixture's event window (Jan 2024)
 #: — a FIXED anchor keeps the query deterministic and single-scan (a
 #: max(ts)-derived anchor would re-derive the events subtree or need a
@@ -488,6 +549,7 @@ QUERIES = [
     QuerySpec("events_by_segment", events_by_segment, EVENTS_BY_SEGMENT_SQL, "stream-static dim enrichment (batch twin)"),
     QuerySpec("decayed_engagement", decayed_engagement, DECAYED_ENGAGEMENT_SQL, "exponential time-decay engagement feature"),
     QuerySpec("item_cooccurrence", item_cooccurrence, ITEM_COOCCURRENCE_SQL, "market-basket support/lift pair mining"),
+    QuerySpec("degree_distribution", degree_distribution, DEGREE_DISTRIBUTION_SQL, "bipartite interaction-graph degree profile"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
