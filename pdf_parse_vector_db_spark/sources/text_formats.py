@@ -69,3 +69,15 @@ def write_csv(df: DataFrame, path: str) -> None:
         .option("timestampFormat", _TS_FMT)
         .csv(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """ORC scan with the registry schema pinned — the columnar interchange
+    format warehouse exports arrive in. Self-describing like parquet (no
+    inference pass), and Spark's native reader supports the same predicate
+    pushdown / column pruning, so plans keep their scan contracts."""
+    return spark.read.schema(DDL[table]).orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

@@ -17,12 +17,12 @@ def _sorted_rows(df, key):
     return [tuple(r) for r in df.orderBy(key).collect()]
 
 
-@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+@pytest.mark.parametrize("fmt", ["jsonl", "csv", "orc"])
 def test_events_round_trip(spark, tmp_path, fmt):
     src = load_table(spark, SF, "events")
     path = str(tmp_path / fmt)
-    write = tf.write_jsonl if fmt == "jsonl" else tf.write_csv
-    read = tf.read_jsonl if fmt == "jsonl" else tf.read_csv
+    write = {"jsonl": tf.write_jsonl, "csv": tf.write_csv, "orc": tf.write_orc}[fmt]
+    read = {"jsonl": tf.read_jsonl, "csv": tf.read_csv, "orc": tf.read_orc}[fmt]
     write(src, path)
     back = read(spark, path, "events")
     assert back.schema == src.schema
