@@ -405,6 +405,22 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+def dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 deep-graph tier: the SAME pair→cluster contract as
+    dup_components, computed by large-star/small-star contraction
+    (operators/components.connected_components_star) — O(log² n) rounds on
+    any topology vs diameter rounds for min-label propagation. Shares the
+    recursive-CTE oracle, so both algorithms are cross-checked against
+    the same transitive closure."""
+    from pdf_parse_vector_db_spark.operators.components import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = dedup.ngram_jaccard_pairs(docs, bucket=F.col("n_chars"), n=3, threshold=0.1)
+    return connected_components_star(pairs).orderBy("doc_id")
+
+
 def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1/X2 end-of-pipeline: for every near-dup cluster pick the survivor
     (keep-longest heuristic: max whitespace-token count, doc_id tie-break)
@@ -621,6 +637,7 @@ QUERIES = [
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
     QuerySpec("containment_dups", containment_dups, CONTAINMENT_DUPS_SQL, "X2 asymmetric shingle containment tier"),
     QuerySpec("dup_components", dup_components, DUP_COMPONENTS_SQL, "X1/X2 pair-to-cluster connected components"),
+    QuerySpec("dup_components_star", dup_components_star, DUP_COMPONENTS_SQL, "X1/X2 star-contraction CC (deep-graph tier)"),
     QuerySpec("dedup_keepers", dedup_keepers, DEDUP_KEEPERS_SQL, "X1/X2 keep-longest survivor per dup cluster"),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, None, "IVF(nlist,nprobe) ANN top-5 (rows-only)"),

@@ -68,3 +68,51 @@ def test_random_graphs_match_union_find(spark):
         got = _resolve(spark, pairs)
         want = _union_find(pairs)
         assert got == want, (pairs, got, want)
+
+
+def _resolve_star(spark, pairs):
+    from pdf_parse_vector_db_spark.operators.components import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    return {
+        r.doc_id: r.component_id
+        for r in connected_components_star(df).collect()
+    }
+
+
+def test_star_matches_propagation_on_basics(spark):
+    for pairs in (
+        [(1, 2), (2, 3), (10, 11)],
+        [(5, 6), (6, 7), (7, 5), (100, 200)],
+        [(i, i + 1) for i in range(1, 10)],
+    ):
+        assert _resolve_star(spark, pairs) == _resolve(spark, pairs)
+
+
+def test_star_handles_deep_path_graph(spark):
+    """The point of star contraction: a 60-node path (diameter 59) must
+    resolve to one component without 59 propagation rounds."""
+    got = _resolve_star(spark, [(i, i + 1) for i in range(1, 60)])
+    assert set(got.values()) == {1}
+    assert len(got) == 60
+
+
+def test_star_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(13)
+    for _ in range(4):
+        n_nodes = rng.randint(2, 40)
+        n_edges = rng.randint(1, 60)
+        pairs = [
+            (rng.randint(1, n_nodes), rng.randint(1, n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        got = _resolve_star(spark, pairs)
+        want = _union_find(pairs)
+        assert got == want, (pairs, got, want)
