@@ -122,10 +122,35 @@ def build_ivf(
 
 
 def write_ivf(index: IVFIndex, path: str) -> None:
-    """Persist the clustered corpus partitioned by cell — the IVF 'index
-    build' job. Search-time cluster pruning then becomes Parquet partition
-    pruning (zero I/O for unprobed cells)."""
-    index.clustered.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    """Persist the full index — the IVF 'build once, search many' job:
+    the clustered corpus partitioned by cell (search-time cluster pruning
+    becomes Parquet partition pruning, zero I/O for unprobed cells) plus
+    the nlist×dim centroid table as a tiny sidecar parquet, so a later
+    session reopens the index WITHOUT re-running the k-means fit (the
+    reference's Milvus collection load, extract_and_embed.py:41-57, is
+    this same open-by-name lifecycle)."""
+    index.clustered.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{path}/cells"
+    )
+    spark = index.clustered.sparkSession
+    rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(index.centroids)
+    ]
+    spark.createDataFrame(rows, "cid INT, cvec ARRAY<DOUBLE>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def read_ivf(spark, path: str, vec_col: str = "embedding") -> IVFIndex:
+    """Reopen a persisted IVF index: centroids from the sidecar (nlist×dim
+    driver floats), cells as a cluster_id-partitioned scan — so
+    `search()`'s cluster_id IN (...) filter partition-prunes against the
+    on-disk layout and unprobed cells are never read. No k-means re-fit,
+    no full-corpus pass."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    centroids = np.asarray([r.cvec for r in cent_rows], dtype=np.float64)
+    clustered = spark.read.parquet(f"{path}/cells")
+    return IVFIndex(centroids=centroids, clustered=clustered, vec_col=vec_col)
 
 
 @dataclass

@@ -108,3 +108,22 @@ def test_pq_adc_rerank_recall(spark, emb, query_vec):
     exact_scores = {r.vec_id: r.score for r in knn_exact(emb, query_vec, k=500).collect()}
     for r in approx.collect():
         assert abs(r.score - exact_scores[r.vec_id]) < 1e-9
+
+
+def test_ivf_persist_roundtrip(spark, emb, query_vec, tmp_path):
+    """write_ivf → read_ivf must reopen the index WITHOUT a re-fit and
+    answer identically; the reopened search must partition-prune (the
+    cells scan reads only probed cluster_id partitions)."""
+    idx = ann.build_ivf(emb, nlist=8)
+    path = str(tmp_path / "ivf")
+    ann.write_ivf(idx, path)
+    reopened = ann.read_ivf(spark, path)
+    want = [r.vec_id for r in idx.search(query_vec, k=5, nprobe=4).collect()]
+    got_df = reopened.search(query_vec, k=5, nprobe=4)
+    got = [r.vec_id for r in got_df.collect()]
+    assert got == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans, plan
+    pf = scans[0].split("PartitionFilters: ", 1)
+    assert len(pf) == 2 and "cluster_id" in pf[1].split("]", 1)[0], scans[0]
