@@ -679,6 +679,155 @@ ORDER BY l_returnflag
 """
 
 
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year —
+    the fact table joins BOTH dimension paths (customer-nation and
+    supplier-nation) with a disjunctive pair condition.
+
+    Scale shape: both nation dims broadcast; the only wide exchange is the
+    lineitem⋈orders fact-fact join; the pair filter applies before the
+    year rollup so non-qualifying rows never reach the agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("c_nk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n2, F.col("s_nationkey") == F.col("s_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+VOLUME_SHIPPING_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from OR-of-AND bracket conditions spanning
+    both join sides (brand × size × quantity) — the disjunctive-predicate
+    query that tests whether a planner can still prune and broadcast when
+    no single conjunct is globally true. Part dim broadcasts; the
+    disjunction evaluates post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(25, 50)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+DISCOUNTED_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 50)
+"""
+
+
+def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of above-average-
+    balance customers who never ordered — scalar-subquery threshold plus
+    anti join. The threshold attaches as a broadcast 1-row cross join (no
+    driver round-trip); the orders anti-join exchanges only custkeys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti"
+    )
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SALES_OPPORTUNITY_SQL = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier-robust cleaning: winsorize `value` at [p1, p99] per event
     type and report raw vs clipped means — the tail-clipping step a
@@ -818,6 +967,9 @@ QUERIES = [
     QuerySpec("events_gapfill", events_gapfill, EVENTS_GAPFILL_SQL, "dense resample + LOCF gap-fill"),
     QuerySpec("price_percentiles", price_percentiles, PRICE_PERCENTILES_SQL, "exact ordered-statistic agg"),
     QuerySpec("winsorized_stats", winsorized_stats, WINSORIZED_STATS_SQL, "p1/p99 winsorized robust means"),
+    QuerySpec("volume_shipping", volume_shipping, VOLUME_SHIPPING_SQL, "Q7 shape: bilateral nation-pair trade by year"),
+    QuerySpec("discounted_revenue", discounted_revenue, DISCOUNTED_REVENUE_SQL, "Q19 shape: OR-of-AND bracket revenue"),
+    QuerySpec("sales_opportunity", sales_opportunity, SALES_OPPORTUNITY_SQL, "Q22 shape: scalar-subquery threshold + anti join"),
     QuerySpec("ndv_sketch_accuracy", ndv_sketch_accuracy, None, "HLL++/GK sketch tier vs exact"),
     QuerySpec("ndv_exact", ndv_exact, NDV_EXACT_SQL, "exact NDV/median slice of the sketch query"),
 ]
