@@ -191,3 +191,83 @@ def high_water_marks(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-driven sessionization: the canonical EventTimeTimeout pattern.
+#
+# session_window (streaming/windows.py) covers declarative sessions; this
+# tier is the ARBITRARY-state variant a pipeline needs when the session
+# payload isn't an aggregate Spark knows (custom accumulators, path traces):
+# state = one open session per user, closed and EMITTED either when a new
+# event arrives past the gap (same-key path) or when the watermark passes
+# last_ts + gap with no successor (the timeout path — the case a pure
+# groupBy can't express). Append semantics: a session row is emitted
+# exactly once, when it closes; state per key is ONE session tuple,
+# evicted on timeout — bounded regardless of stream length.
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_last timestamp, "
+    "n_events bigint, sum_value double"
+)
+SESSION_STATE_SCHEMA = "start double, last double, n bigint, total double"
+
+
+def _session_update(gap_seconds: float):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        def emit(start, last, n, total):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [_dt.datetime.utcfromtimestamp(start)],
+                    "session_last": [_dt.datetime.utcfromtimestamp(last)],
+                    "n_events": [n],
+                    "sum_value": [round(total, 2)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield emit(start, last, n, total)
+            return
+
+        rows = pd.concat(list(pdfs))
+        ts = rows["ts"].map(lambda t: t.timestamp()).to_numpy()
+        order = ts.argsort(kind="stable")
+        ts = ts[order]
+        vals = rows["value"].to_numpy()[order]
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = ts[0], ts[0], 0, 0.0
+        for t, v in zip(ts, vals):
+            if t - last > gap_seconds:
+                yield emit(start, last, n, total)
+                start, last, n, total = t, t, 1, float(v)
+            else:
+                last = max(last, t)
+                n += 1
+                total += float(v)
+        state.update((float(start), float(last), int(n), float(total)))
+        state.setTimeoutTimestamp(int((last + gap_seconds) * 1000))
+
+    return update
+
+
+def sessionize_with_timeout(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Arbitrary-state sessionizer with event-time timeout eviction.
+    Requires a watermarked streaming DataFrame; emits each closed session
+    exactly once (append mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_update(gap_minutes * 60.0),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

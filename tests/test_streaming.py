@@ -371,3 +371,72 @@ def test_streaming_heavy_hitters_state_carries_across_batches(spark, tmp_path):
     for key, cands in by_key.items():
         assert len(cands) <= _MG_STREAM_K
     terms.unpersist()
+
+
+def test_sessionize_with_timeout_emits_closed_sessions(spark, tmp_path):
+    """T4 [ext]: EventTimeTimeout sessionization — a session row is emitted
+    exactly once, either when a successor event arrives past the gap
+    (same-key path) or when the watermark passes last+gap (timeout path,
+    inexpressible with a plain groupBy). Open sessions never emit."""
+    import datetime as dt
+
+    from pdf_parse_vector_db_spark.streaming.stateful import sessionize_with_timeout
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    emitted = str(tmp_path / "emitted")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode("append").parquet(landing)
+
+    def run():
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(landing)
+            .withWatermark("ts", "1 hour")
+        )
+        sdf = sessionize_with_timeout(src, gap_minutes=30)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(emitted)
+
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    m = dt.timedelta
+    # run 1: user 1 two events inside one session; user 2 one event
+    write(
+        [
+            (1, base, 1, "view", 1.0, "{}"),
+            (2, base + m(minutes=10), 1, "view", 2.0, "{}"),
+            (3, base + m(minutes=5), 2, "view", 5.0, "{}"),
+        ]
+    )
+    run()
+    # run 2: user 1 far-future event closes their first session on arrival
+    write([(4, base + m(hours=6), 1, "view", 3.0, "{}")])
+    run()
+    # run 3: unrelated user advances the watermark past user 2's timeout
+    write([(5, base + m(hours=8), 3, "view", 9.0, "{}")])
+    run()
+
+    rows = {
+        (r.user_id, r.session_start, r.session_last, r.n_events, r.sum_value)
+        for r in spark.read.parquet(emitted).collect()
+    }
+    # user 1's first session closes on arrival of the 06:00 successor; the
+    # 06:00 session and user 2's single-event session close via timeout once
+    # the final watermark (07:00) passes last+gap; user 3's session (timeout
+    # 08:30) stays open and must NOT emit
+    assert rows == {
+        (1, base, base + m(minutes=10), 2, 3.0),
+        (1, base + m(hours=6), base + m(hours=6), 1, 3.0),
+        (2, base + m(minutes=5), base + m(minutes=5), 1, 5.0),
+    }, rows
