@@ -141,6 +141,66 @@ def embedding_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def embedding_energy_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 embedding QA: per-label mean fraction of squared norm carried
+    by the first d dimensions (d = 8, 16, 32) — the truncation-safety
+    audit behind Matryoshka-style dimension reduction: if prefix energy is
+    high, a truncated index (smaller IVF/PQ footprint) loses little
+    recall. Pure codegen array folds; per-row fractions round to integer
+    micros before the mean so the hash is order-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sq = lambda col: F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
+    total = sq(v)
+    tiers = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("dim"),
+                F.when(total > 0, sq(F.slice(v, 1, d)) / total)
+                .otherwise(F.lit(0.0))
+                .alias("frac"),
+            )
+            for d in (8, 16, 32)
+        ]
+    )
+    rows = emb.select("label", F.explode(tiers).alias("t")).select(
+        "label",
+        F.col("t.dim").alias("dim"),
+        F.round(F.col("t.frac") * 1e6).cast("long").alias("micros"),
+    )
+    return (
+        rows.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("micros").cast("double") / (F.count(F.lit(1)) * 1e6), 6).alias(
+                "mean_energy"
+            ),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+EMBEDDING_ENERGY_SQL = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+f AS (
+  SELECT label, d.dim,
+         CAST(round(CASE WHEN list_sum(list_transform(v, x -> x * x)) > 0
+                         THEN list_sum(list_transform(v[1:d.dim], x -> x * x))
+                              / list_sum(list_transform(v, x -> x * x))
+                         ELSE 0.0 END * 1000000) AS BIGINT) AS micros
+  FROM e CROSS JOIN (SELECT unnest([8, 16, 32]) AS dim) d
+)
+SELECT label, dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(micros) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_energy
+FROM f
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3/X4: batch kNN join — every 20th vector is a query; top-3 same-label
     neighbors each, by cosine distance.
@@ -635,6 +695,7 @@ ORDER BY id_a, id_b
 
 QUERIES = [
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
+    QuerySpec("embedding_energy_retention", embedding_energy_retention, EMBEDDING_ENERGY_SQL, "X2/X3 prefix-energy truncation audit"),
     QuerySpec("containment_dups", containment_dups, CONTAINMENT_DUPS_SQL, "X2 asymmetric shingle containment tier"),
     QuerySpec("dup_components", dup_components, DUP_COMPONENTS_SQL, "X1/X2 pair-to-cluster connected components"),
     QuerySpec("dup_components_star", dup_components_star, DUP_COMPONENTS_SQL, "X1/X2 star-contraction CC (deep-graph tier)"),

@@ -290,6 +290,51 @@ LIMIT 40
 """
 
 
+def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: top-20 event-type trigram paths across
+    per-user timelines — the path statistics a behavioral model's
+    curriculum is sampled from (and the qualitative check that transition
+    probabilities compose sensibly beyond first order).
+
+    Scale shape: two lead() columns ride ONE (user_id, ts, event_id)
+    sort — the same exchange event_transitions uses; the trigram rollup
+    exchanges ≤ |types|³ keys; top-20 is a TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events", spread=True)
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        events.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(seq).alias("e2"),
+            F.lead("event_type", 2).over(seq).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        tri.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"), "n")
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+PATH_TRIGRAMS_SQL = """
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 20
+"""
+
+
 def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite user–item interaction-graph degree distribution: how many
     users touch k distinct items and how many items are touched by k
@@ -550,6 +595,7 @@ QUERIES = [
     QuerySpec("decayed_engagement", decayed_engagement, DECAYED_ENGAGEMENT_SQL, "exponential time-decay engagement feature"),
     QuerySpec("item_cooccurrence", item_cooccurrence, ITEM_COOCCURRENCE_SQL, "market-basket support/lift pair mining"),
     QuerySpec("degree_distribution", degree_distribution, DEGREE_DISTRIBUTION_SQL, "bipartite interaction-graph degree profile"),
+    QuerySpec("path_trigrams", path_trigrams, PATH_TRIGRAMS_SQL, "top event-type trigram paths"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
