@@ -201,6 +201,22 @@ ORDER BY label, dim
 """
 
 
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3: top-8 principal components' explained variance over the
+    embedding corpus — the dimensionality-reduction decision artifact,
+    computed the scalable way (operators/pca.py: per-partition sufficient
+    statistics, ~33 KB/partition to the driver, dim×dim eigh). Rows-only:
+    eigendecomposition has no SQL twin; numpy equivalence is the test
+    contract (tests/test_ann.py)."""
+    from pdf_parse_vector_db_spark.operators.pca import pca_explained_variance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = pca_explained_variance(emb, k=8)
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained double, cumulative double"
+    ).orderBy("component")
+
+
 def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3/X4: batch kNN join — every 20th vector is a query; top-3 same-label
     neighbors each, by cosine distance.
@@ -696,6 +712,7 @@ ORDER BY id_a, id_b
 QUERIES = [
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
     QuerySpec("embedding_energy_retention", embedding_energy_retention, EMBEDDING_ENERGY_SQL, "X2/X3 prefix-energy truncation audit"),
+    QuerySpec("embedding_pca_variance", embedding_pca_variance, None, "X2/X3 distributed PCA explained variance (rows-only)"),
     QuerySpec("containment_dups", containment_dups, CONTAINMENT_DUPS_SQL, "X2 asymmetric shingle containment tier"),
     QuerySpec("dup_components", dup_components, DUP_COMPONENTS_SQL, "X1/X2 pair-to-cluster connected components"),
     QuerySpec("dup_components_star", dup_components_star, DUP_COMPONENTS_SQL, "X1/X2 star-contraction CC (deep-graph tier)"),

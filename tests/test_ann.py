@@ -127,3 +127,25 @@ def test_ivf_persist_roundtrip(spark, emb, query_vec, tmp_path):
     assert scans, plan
     pf = scans[0].split("PartitionFilters: ", 1)
     assert len(pf) == 2 and "cluster_id" in pf[1].split("]", 1)[0], scans[0]
+
+
+def test_pca_matches_numpy(spark, emb):
+    """Distributed sufficient-statistics PCA must match a driver-side numpy
+    eigendecomposition of the same covariance to 6 dp."""
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.operators.pca import pca_explained_variance
+
+    got = pca_explained_variance(emb, k=8)
+    x = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = evals.sum()
+    assert len(got) == 8
+    for i, row in enumerate(got):
+        assert abs(row["eigenvalue"] - evals[i]) < 1e-4, (i, row, evals[i])
+        assert abs(row["explained"] - evals[i] / total) < 1e-6
+    cums = [row["cumulative"] for row in got]
+    assert cums == sorted(cums)
