@@ -469,6 +469,43 @@ ORDER BY source
 """
 
 
+def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sampling: exactly 3 docs per (source,
+    lang) cell, chosen by md5 hash rank — the "give me a bounded, stable
+    inspection sample from every stratum" op (eval-set seeding, manual QA
+    draws). Hash-ranked, not random: the same docs come back on every
+    engine, retry, and partition layout, and adding data only perturbs
+    cells whose hash frontier moved.
+
+    Scale shape: one row_number window partitioned by the stratum key —
+    a single exchange of (stratum, hash, id); no per-group limit collect,
+    no skew (rank cutoff applies within each partition's heap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "lang", F.col("rk").alias("rank"), "doc_id", "n_chars")
+        .orderBy("source", "lang", "rank")
+    )
+
+
+STRATIFIED_TOPK_SAMPLE_SQL = """
+SELECT source, lang, rk AS rank, doc_id, n_chars
+FROM (
+  SELECT source, lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+  FROM documents
+)
+WHERE rk <= 3
+ORDER BY source, lang, rank
+"""
+
+
 def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage audit: near-duplicate pairs (asymmetric shingle
     containment tier, same contract as containment_dups) whose members
@@ -569,5 +606,11 @@ QUERIES = [
         weighted_sample_audit,
         WEIGHTED_SAMPLE_AUDIT_SQL,
         "X5 Horvitz-Thompson weighted inclusion sampling audit",
+    ),
+    QuerySpec(
+        "stratified_topk_sample",
+        stratified_topk_sample,
+        STRATIFIED_TOPK_SAMPLE_SQL,
+        "X5 deterministic k-per-stratum hash-rank sample",
     ),
 ]
