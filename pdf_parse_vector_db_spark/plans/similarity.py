@@ -141,6 +141,54 @@ def embedding_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def dedup_tier_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 cross-tier evidence table: every exact-Jaccard pair annotated
+    with whether the portable MinHash-LSH tier surfaced it and its
+    portable-SimHash hamming distance — the per-pair audit a dedup
+    reviewer reads to judge tier recall before trusting the cheap tiers
+    at full scale. All three tiers are engine-portable, so the ENTIRE
+    cross-validation sits inside the oracle hash.
+
+    Scale shape: three bounded pair sets (each produced by its tier's
+    bucketed pipeline) joined on (id_a, id_b) — pair-table-sized joins,
+    never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    exact = dedup.ngram_jaccard_pairs(docs, bucket=F.col("n_chars"), n=3, threshold=0.1)
+    mh = dedup.minhash_portable_pairs(
+        docs, n=3, num_hashes=32, bands=8, threshold=0.1
+    ).select("id_a", "id_b", F.lit(True).alias("minhash_found"))
+    sh = dedup.simhash_portable_pairs(docs, max_hamming=64, bands=4).select(
+        "id_a", "id_b", "hamming"
+    )
+    return (
+        exact.join(mh, on=["id_a", "id_b"], how="left")
+        .join(sh, on=["id_a", "id_b"], how="left")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.coalesce(F.col("minhash_found"), F.lit(False)).alias("minhash_found"),
+            F.coalesce(F.col("hamming"), F.lit(-1)).alias("simhash_hamming"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _evidence_sql() -> str:
+    exact = NGRAM_JACCARD_DUPS_SQL
+    mh = MINHASH_PORTABLE_SQL
+    sh = dedup.simhash_portable_sql(max_hamming=64, bands=4)
+    return f"""
+SELECT e.id_a, e.id_b, e.jaccard,
+       m.id_a IS NOT NULL AS minhash_found,
+       coalesce(s.hamming, -1) AS simhash_hamming
+FROM ({exact}) e
+LEFT JOIN ({mh}) m ON e.id_a = m.id_a AND e.id_b = m.id_b
+LEFT JOIN ({sh}) s ON e.id_a = s.id_a AND e.id_b = s.id_b
+ORDER BY e.id_a, e.id_b
+"""
+
+
 def embedding_energy_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2/X3 embedding QA: per-label mean fraction of squared norm carried
     by the first d dimensions (d = 8, 16, 32) — the truncation-safety
@@ -713,6 +761,7 @@ QUERIES = [
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
     QuerySpec("embedding_energy_retention", embedding_energy_retention, EMBEDDING_ENERGY_SQL, "X2/X3 prefix-energy truncation audit"),
     QuerySpec("embedding_pca_variance", embedding_pca_variance, None, "X2/X3 distributed PCA explained variance (rows-only)"),
+    QuerySpec("dedup_tier_evidence", dedup_tier_evidence, _evidence_sql(), "X2 cross-tier pair evidence audit"),
     QuerySpec("containment_dups", containment_dups, CONTAINMENT_DUPS_SQL, "X2 asymmetric shingle containment tier"),
     QuerySpec("dup_components", dup_components, DUP_COMPONENTS_SQL, "X1/X2 pair-to-cluster connected components"),
     QuerySpec("dup_components_star", dup_components_star, DUP_COMPONENTS_SQL, "X1/X2 star-contraction CC (deep-graph tier)"),
