@@ -896,6 +896,126 @@ ORDER BY event_type
 """
 
 
+#: portable HLL geometry: m = 2^8 registers from a 60-bit md5-derived hash
+#: (15 hex chars — fits SIGNED 64-bit in both engines; 16 would overflow
+#: Spark's conv→BIGINT), leaving 52 bits for the rank pattern.
+_HLL_M = 256
+_HLL_WBITS = 52
+
+
+def hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom HyperLogLog with ENGINE-PORTABLE registers (Flajolet et al.
+    2007): bucket = low 8 bits of a 60-bit md5 hash, rank = leading-zero
+    count of the remaining 52 bits — every register value and the final
+    estimate are bit-identical across engines, so unlike the engine-
+    internal sketch in ndv_sketch_accuracy the ESTIMATE itself sits under
+    the oracle value hash.
+
+    Determinism trick: Σ 2^(-M_j) is accumulated as exact BIGINTs in
+    units of 2^-52 (shiftleft(1, 52 - M)), so float summation order can't
+    perturb the harmonic mean; the estimator formula then runs once per
+    group on exact integers. Scale shape: one (group, bucket) exchange
+    (≤ |groups|·256 keys after map-side max), then a |groups|-row agg —
+    the sketch property that makes distinct-counting mergeable at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    bucket = h % _HLL_M
+    w = F.expr("CAST(h / 256 AS BIGINT)")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.expr("bin(CAST(h / 256 AS BIGINT))"))
+    )
+    regs = (
+        ev.select("event_type", "user_id")
+        .withColumn("h", h)
+        .withColumn("bucket", bucket)
+        .withColumn("rho", rho)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    unit = float(1 << _HLL_WBITS)
+    per_group = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_WBITS} - M)")).alias("z_units"),
+    )
+    z_total = (
+        F.col("z_units").cast("double")
+        + (F.lit(_HLL_M) - F.col("present")).cast("double") * F.lit(unit)
+    )
+    e_raw = F.lit(alpha * _HLL_M * _HLL_M * unit) / z_total
+    v = F.lit(_HLL_M) - F.col("present")
+    estimate = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (v > 0), F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v)
+    ).otherwise(e_raw)
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_ndv"))
+    return (
+        per_group.withColumn("hll_ndv", F.round(estimate, 4))
+        .join(exact, on="event_type")
+        .withColumn(
+            "rel_err",
+            F.round(F.abs(F.col("hll_ndv") - F.col("exact_ndv")) / F.col("exact_ndv"), 4),
+        )
+        .select("event_type", "exact_ndv", "hll_ndv", "rel_err")
+        .orderBy("event_type")
+    )
+
+
+HLL_PORTABLE_SQL = f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type,
+         hv % {_HLL_M} AS bucket,
+         CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(hv // {_HLL_M})) END AS rho
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, max(rho) AS M FROM r GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS present,
+         CAST(sum(1::BIGINT << ({_HLL_WBITS} - M)) AS BIGINT) AS z_units
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type, present,
+         (CAST(z_units AS DOUBLE)
+          + ({_HLL_M} - present) * CAST({float(1 << _HLL_WBITS)} AS DOUBLE))
+           AS z_total
+  FROM g
+),
+e2 AS (
+  SELECT event_type, present,
+         CAST({0.7213 / (1 + 1.079 / _HLL_M)} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+           * CAST({float(1 << _HLL_WBITS)} AS DOUBLE) / z_total AS e_raw
+  FROM est
+),
+hll AS (
+  SELECT event_type,
+         round(CASE WHEN e_raw <= CAST({2.5 * _HLL_M} AS DOUBLE)
+                     AND ({_HLL_M} - present) > 0
+                    THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - present))
+                    ELSE e_raw END, 4) AS hll_ndv
+  FROM e2
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_ndv
+  FROM events GROUP BY 1
+)
+SELECT x.event_type, x.exact_ndv, l.hll_ndv,
+       round(abs(l.hll_ndv - x.exact_ndv) / x.exact_ndv, 4) AS rel_err
+FROM exact x JOIN hll l ON x.event_type = l.event_type
+ORDER BY x.event_type
+"""
+
+
 def ndv_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier vs exact, per event_type: HLL++ distinct-user counts and
     GK median-value estimates next to their exact answers, with the HLL
@@ -970,6 +1090,7 @@ QUERIES = [
     QuerySpec("volume_shipping", volume_shipping, VOLUME_SHIPPING_SQL, "Q7 shape: bilateral nation-pair trade by year"),
     QuerySpec("discounted_revenue", discounted_revenue, DISCOUNTED_REVENUE_SQL, "Q19 shape: OR-of-AND bracket revenue"),
     QuerySpec("sales_opportunity", sales_opportunity, SALES_OPPORTUNITY_SQL, "Q22 shape: scalar-subquery threshold + anti join"),
+    QuerySpec("hll_portable", hll_portable, HLL_PORTABLE_SQL, "portable HyperLogLog: estimate under the oracle hash"),
     QuerySpec("ndv_sketch_accuracy", ndv_sketch_accuracy, None, "HLL++/GK sketch tier vs exact"),
     QuerySpec("ndv_exact", ndv_exact, NDV_EXACT_SQL, "exact NDV/median slice of the sketch query"),
 ]
