@@ -290,6 +290,60 @@ LIMIT 40
 """
 
 
+def dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time distribution: seconds until the user's NEXT event, by
+    the type of the current event — the engagement metric behind session
+    design (the 30-minute gap constants in events_sessions come from
+    exactly this distribution's tail).
+
+    Scale shape: lead() rides the shared (user_id, ts, event_id)
+    sessionization sort; percentiles aggregate per event_type (5 groups)
+    with Spark's exact percentile ≅ DuckDB quantile_cont (the
+    price_percentiles parity convention, round 2)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events", spread=True)
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "event_type",
+            F.col("ts").cast("double").alias("t"),
+            F.lead(F.col("ts").cast("double")).over(seq).alias("t_next"),
+        )
+        .filter(F.col("t_next").isNotNull())
+        .select("event_type", (F.col("t_next") - F.col("t")).alias("gap_s"))
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_s"),
+            F.round(F.expr("percentile(gap_s, 0.99)"), 2).alias("p99_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DWELL_TIMES_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch(ts) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(gap_s, 0.5), 2) AS p50_s,
+       round(quantile_cont(gap_s, 0.9), 2) AS p90_s,
+       round(quantile_cont(gap_s, 0.99), 2) AS p99_s
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential pattern mining: top-20 event-type trigram paths across
     per-user timelines — the path statistics a behavioral model's
@@ -596,6 +650,7 @@ QUERIES = [
     QuerySpec("item_cooccurrence", item_cooccurrence, ITEM_COOCCURRENCE_SQL, "market-basket support/lift pair mining"),
     QuerySpec("degree_distribution", degree_distribution, DEGREE_DISTRIBUTION_SQL, "bipartite interaction-graph degree profile"),
     QuerySpec("path_trigrams", path_trigrams, PATH_TRIGRAMS_SQL, "top event-type trigram paths"),
+    QuerySpec("dwell_times", dwell_times, DWELL_TIMES_SQL, "inter-event dwell-time percentiles"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
