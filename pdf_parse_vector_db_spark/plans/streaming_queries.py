@@ -290,6 +290,82 @@ LIMIT 40
 """
 
 
+def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's credit splits
+    equally across the same user's views in the preceding hour (the
+    purchase_view_pairs join), rolled up per view-hour — the
+    touchpoint-value table a marketing/behavioral pipeline trains against.
+
+    Determinism: per-(purchase, hour) credit = views_in_hour / n_views is
+    rounded to integer micros BEFORE the hour rollup, so fractional
+    credits sum identically in both engines. Scale shape: the attribution
+    join is the event-time range join (watermark-bounded in streaming);
+    everything after aggregates pair-table-sized data."""
+    from pyspark.sql import Window
+
+    from pdf_parse_vector_db_spark.streaming.windows import purchase_view_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = purchase_view_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+    per_pb = (
+        pairs.withColumn(
+            "hour", F.floor(F.col("v_ts").cast("double") / 3600).cast("long")
+        )
+        .groupBy("purchase_id", "hour")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .withColumn("n", F.sum("k").over(Window.partitionBy("purchase_id")))
+        .withColumn(
+            "micros",
+            F.round(F.col("k").cast("double") / F.col("n") * 1e6).cast("long"),
+        )
+    )
+    return (
+        per_pb.groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchase_hours"),
+            F.round(F.sum("micros").cast("double") / 1e6, 6).alias("credit"),
+        )
+        .orderBy("hour")
+    )
+
+
+ATTRIBUTION_CREDIT_SQL = """
+WITH pairs AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts, v.ts AS v_ts
+  FROM events p JOIN events v
+    ON p.user_id = v.user_id
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+  WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+),
+per_pb AS (
+  SELECT purchase_id,
+         CAST(floor(epoch(v_ts) / 3600) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS k
+  FROM pairs
+  GROUP BY 1, 2
+),
+with_n AS (
+  SELECT purchase_id, hour, k,
+         CAST(sum(k) OVER (PARTITION BY purchase_id) AS BIGINT) AS n
+  FROM per_pb
+),
+credited AS (
+  SELECT hour,
+         CAST(round(CAST(k AS DOUBLE) / n * 1000000) AS BIGINT) AS micros
+  FROM with_n
+)
+SELECT hour,
+       CAST(count(*) AS BIGINT) AS n_purchase_hours,
+       round(CAST(sum(micros) AS DOUBLE) / 1000000, 6) AS credit
+FROM credited
+GROUP BY hour
+ORDER BY hour
+"""
+
+
 def dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dwell-time distribution: seconds until the user's NEXT event, by
     the type of the current event — the engagement metric behind session
@@ -651,6 +727,7 @@ QUERIES = [
     QuerySpec("degree_distribution", degree_distribution, DEGREE_DISTRIBUTION_SQL, "bipartite interaction-graph degree profile"),
     QuerySpec("path_trigrams", path_trigrams, PATH_TRIGRAMS_SQL, "top event-type trigram paths"),
     QuerySpec("dwell_times", dwell_times, DWELL_TIMES_SQL, "inter-event dwell-time percentiles"),
+    QuerySpec("attribution_credit", attribution_credit, ATTRIBUTION_CREDIT_SQL, "linear multi-touch attribution rollup"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
