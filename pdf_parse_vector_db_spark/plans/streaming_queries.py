@@ -290,6 +290,64 @@ LIMIT 40
 """
 
 
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU curve): for each calendar
+    day, the count of distinct users active in the trailing 7-day window.
+    COUNT(DISTINCT) has no sliding-window form in either engine, so the
+    scalable shape is the cover-set expansion: dedup to (day, user) FIRST
+    (the only corpus-sized agg), then each active-day fans out to the ≤7
+    window days it covers — the exchange carries at most 7 × |distinct
+    (day, user)| fixed-width rows, never raw events. Days after the last
+    event are clipped so the curve ends at the data."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    du = (
+        ev.select(
+            F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    last_day = du.agg(F.max("day").alias("last_day"))
+    covered = (
+        du.crossJoin(F.broadcast(last_day))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.least(F.col("day") + 6, F.col("last_day"))
+                )
+            ).alias("win_day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        covered.groupBy("win_day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .select(F.col("win_day").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events
+),
+last_d AS (SELECT max(day) AS last_day FROM du),
+covered AS (
+  SELECT DISTINCT u.win_day, user_id FROM (
+    SELECT unnest(range(day, least(day + 7, (SELECT last_day FROM last_d) + 1))) AS win_day,
+           user_id
+    FROM du
+  ) u
+)
+SELECT win_day AS day, CAST(count(*) AS BIGINT) AS wau
+FROM covered
+GROUP BY 1
+ORDER BY day
+"""
+
+
 def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: each purchase's credit splits
     equally across the same user's views in the preceding hour (the
@@ -728,6 +786,7 @@ QUERIES = [
     QuerySpec("path_trigrams", path_trigrams, PATH_TRIGRAMS_SQL, "top event-type trigram paths"),
     QuerySpec("dwell_times", dwell_times, DWELL_TIMES_SQL, "inter-event dwell-time percentiles"),
     QuerySpec("attribution_credit", attribution_credit, ATTRIBUTION_CREDIT_SQL, "linear multi-touch attribution rollup"),
+    QuerySpec("rolling_active_users", rolling_active_users, ROLLING_ACTIVE_USERS_SQL, "rolling 7-day distinct actives (WAU)"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
