@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pdf_parse_vector_db_spark.plans import advanced as _advanced
 from pdf_parse_vector_db_spark.plans import curation as _curation
 from pdf_parse_vector_db_spark.plans import ingest as _ingest
+from pdf_parse_vector_db_spark.plans import graph as _graph
 from pdf_parse_vector_db_spark.plans import registry as _registry
 from pdf_parse_vector_db_spark.plans import relational as _relational
 from pdf_parse_vector_db_spark.plans import retrieval as _retrieval
@@ -32,6 +33,7 @@ from pdf_parse_vector_db_spark.plans import privacy as _privacy
 from pdf_parse_vector_db_spark.plans import quality as _quality
 from pdf_parse_vector_db_spark.plans import search as _search
 from pdf_parse_vector_db_spark.plans import similarity as _similarity
+from pdf_parse_vector_db_spark.plans import sketches as _sketches
 from pdf_parse_vector_db_spark.plans import streaming_queries as _streaming_queries
 from pdf_parse_vector_db_spark.plans import textanalysis as _textanalysis
 
@@ -43,6 +45,8 @@ _MODULES = [
     _textanalysis,
     _curation,
     _similarity,
+    _sketches,
+    _graph,
     _retrieval,
     _metadata,
     _mixture,

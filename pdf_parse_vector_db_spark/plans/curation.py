@@ -1026,6 +1026,63 @@ LIMIT {_RERANK_K}
 """
 
 
+_COMPACT_TARGET = 65536  # bytes per output file; sf-scale analog of 512 MB
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: assign each input file (stand-in:
+    one document of n_chars bytes) to an output bin of ~_COMPACT_TARGET
+    bytes within its source partition, by exclusive-running-sum division —
+    the deterministic streaming bin-packing every table-maintenance job
+    (Iceberg rewrite_data_files, Delta OPTIMIZE) runs before query serving.
+    Emits the per-bin manifest a rewrite job would execute.
+
+    Scale shape: one window sum keyed by the write partition (source) in
+    file-name order — the same sort the file listing already has — then a
+    (source, bin) agg. No data moves; this plans the move. At 100 TB the
+    input is the table's file manifest (~millions of rows), not the data."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    from pyspark.sql.window import Window as W
+
+    excl = (
+        F.sum("n_chars")
+        .over(W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1))
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("bin", F.floor(F.coalesce(excl, F.lit(0)) / _COMPACT_TARGET))
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("bytes"),
+            F.round(F.sum("n_chars") / F.lit(float(_COMPACT_TARGET)) * 100, 4).alias(
+                "fill_pct"
+            ),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH sized AS (
+  SELECT source, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS excl
+  FROM documents
+)
+SELECT source,
+       CAST(floor(CAST(excl AS DOUBLE) / {_COMPACT_TARGET}) AS BIGINT) AS bin,
+       count(*) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS bytes,
+       round(CAST(sum(n_chars) AS DOUBLE) / {float(_COMPACT_TARGET)} * 100, 4)
+         AS fill_pct
+FROM sized
+GROUP BY 1, 2
+ORDER BY source, bin
+"""
+
+
 QUERIES = [
     QuerySpec(
         "edit_distance_dups",
@@ -1041,6 +1098,7 @@ QUERIES = [
         "X5 blocklist broadcast anti-join gate",
     ),
     QuerySpec("corpus_diff", corpus_diff, CORPUS_DIFF_SQL, "X1 corpus snapshot diff"),
+    QuerySpec("compaction_plan", compaction_plan, COMPACTION_PLAN_SQL, "small-files compaction bin-packing manifest"),
     QuerySpec(
         "dsir_importance",
         dsir_importance,

@@ -184,8 +184,152 @@ ORDER BY table_name
 """
 
 
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer table: group by
+    the quasi-identifier tuple (nation, market segment, account-balance
+    decile), then for each k threshold report how many equivalence classes
+    and rows fall below k — the rows a release would have to suppress or
+    generalize.
+
+    Scale shape: one hash-aggregate on the QI tuple (map-side partial),
+    then a tiny class-size histogram crossed with the 4-row k list — the
+    QI agg is the only data-sized exchange, and its key space (nations ×
+    segments × 10 deciles) is small and unskewed."""
+    cust = load_table(spark, sf_dir, "customer", spread=True)
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (2, 5, 10, 20)])).alias("k")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("classes"),
+            F.sum(F.when(F.col("class_size") < F.col("k"), 1).otherwise(0)).alias(
+                "violating_classes"
+            ),
+            F.sum(
+                F.when(F.col("class_size") < F.col("k"), F.col("class_size")).otherwise(0)
+            ).alias("rows_at_risk"),
+            F.round(
+                F.sum(
+                    F.when(F.col("class_size") < F.col("k"), F.col("class_size")).otherwise(0)
+                )
+                / F.sum("class_size")
+                * 100,
+                4,
+            ).alias("pct_at_risk"),
+        )
+        .orderBy("k")
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000.0) AS bal_bucket,
+         count(*) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+SELECT CAST(k AS INT) AS k,
+       count(*) AS classes,
+       CAST(sum(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_classes,
+       CAST(sum(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       round(CAST(sum(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS DOUBLE)
+             / sum(class_size) * 100, 4) AS pct_at_risk
+FROM classes CROSS JOIN ks
+GROUP BY k
+ORDER BY k
+"""
+
+
+#: inverse-CDF Laplace sampling from a DETERMINISTIC md5-derived uniform —
+#: the same engine-portable hash device as hll_portable
+#: (plans/relational.py:899-923), so the "noise" is bit-identical across
+#: engines and the query stays oracle-checkable. u in (0,1), never 0.5.
+_DP_EPSILONS = (0.1, 1.0)
+
+
+def _dp_uniform_spark(key: str) -> str:
+    return (
+        f"(CAST(conv(substring(md5({key}), 1, 15), 16, 10) AS BIGINT) % 999999 + 0.5)"
+        " / 1000000.0"
+    )
+
+
+def _dp_uniform_duck(key: str) -> str:
+    return (
+        f"((('0x' || substring(md5({key}), 1, 15))::BIGINT % 999999 + 0.5)"
+        " / 1000000.0)"
+    )
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-event-type counts via the
+    Laplace mechanism (Dwork et al. 2006): count + Lap(1/eps) noise for a
+    count query of sensitivity 1, at eps in {0.1, 1.0}.
+
+    The Laplace draw uses inverse-CDF sampling from a deterministic
+    md5-derived uniform (seeded by event_type and eps) instead of a PRNG —
+    NOT private in production, but it makes the mechanism's arithmetic
+    reproducible across engines and retries, which is what the correctness
+    gate needs; swapping the uniform for rand() recovers the real
+    mechanism unchanged. Scale: one partial-agg count plus per-group O(1)
+    noise math."""
+    events = load_table(spark, sf_dir, "events", spread=True)
+    base = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_count"))
+    out = base
+    for eps in _DP_EPSILONS:
+        tag = str(eps).replace(".", "_")
+        u = F.expr(_dp_uniform_spark(f"concat(event_type, ':{eps}')"))
+        shifted = u - F.lit(0.5)
+        noise = (
+            F.lit(-1.0 / eps)
+            * F.signum(shifted)
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(shifted))
+        )
+        out = out.withColumn(
+            f"noisy_eps{tag}", F.round(F.col("true_count") + noise, 4)
+        )
+    return out.orderBy("event_type")
+
+
+def _dp_noise_duck(eps: float) -> str:
+    u = _dp_uniform_duck(f"concat(event_type, ':{eps}')")
+    return (
+        f"(-1.0 / {eps}) * sign({u} - 0.5)"
+        f" * ln(1.0 - 2.0 * abs({u} - 0.5))"
+    )
+
+
+_DP_NOISE_DUCK = {eps: _dp_noise_duck(eps) for eps in _DP_EPSILONS}
+
+DP_NOISY_COUNTS_SQL = f"""
+SELECT event_type,
+       count(*) AS true_count,
+       round(count(*) + {_DP_NOISE_DUCK[0.1]}, 4) AS noisy_eps0_1,
+       round(count(*) + {_DP_NOISE_DUCK[1.0]}, 4) AS noisy_eps1_0
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec("pii_redaction", pii_redaction, PII_REDACTION_SQL, "X5 PII detect/mask audit"),
     QuerySpec("pseudonymize_events", pseudonymize_events, PSEUDONYMIZE_EVENTS_SQL, "X5 user-key pseudonymization"),
     QuerySpec("gdpr_delete_audit", gdpr_delete_audit, GDPR_DELETE_AUDIT_SQL, "X5 right-to-be-forgotten cascade audit"),
+    QuerySpec("k_anonymity_audit", k_anonymity_audit, K_ANONYMITY_AUDIT_SQL, "X5 k-anonymity QI class-size audit"),
+    QuerySpec("dp_noisy_counts", dp_noisy_counts, DP_NOISY_COUNTS_SQL, "X5 Laplace-mechanism DP counts (deterministic twin)"),
 ]

@@ -1,0 +1,277 @@
+"""Engine-portable approximate-query sketches (north-star §2.10 ext).
+
+Companions to hll_portable (plans/relational.py:899): each sketch here is
+built from md5-derived hashes that both engines compute bit-identically, so
+the APPROXIMATION ITSELF — not just the exact audit columns — sits under the
+driver's value hash. That is the difference from engine-internal sketches
+(approx_count_distinct, approx_percentile), whose internals differ per
+engine and can only be rows-only checked.
+
+* cms_heavy_hitters — Count-Min sketch (Cormode & Muthukrishnan 2005):
+  d=4 salted hash rows × w=512 counters; point estimate = min over rows of
+  the counter at the key's bucket. Guarantees est >= true and
+  est <= true + eps*N with eps = e/w. The query builds the sketch over the
+  events stream, then reads back estimates for the exact top-10 users and
+  reports the overestimate — the standard sketch-vs-truth audit.
+* hist_quantiles — fixed-grid equi-width histogram (1000 bins) quantile
+  estimator vs the exact interpolated percentile, per event type. The
+  histogram is THE mergeable one-pass quantile structure that survives any
+  partitioning; the audit column shows the grid-resolution error bound
+  (width/2) holds.
+
+Scale posture (100 TB):
+* cms: the sketch agg has a FIXED key space (4×512 = 2048 cells) with
+  map-side partial aggregation — each executor emits at most 2048 rows no
+  matter the input size, the textbook mergeable-summary shuffle shape. The
+  exact-counts side is the audit and would be dropped in production.
+* hist: two passes over events (min/max, then binned counts) but the
+  second agg's key space is |event_types| × 1000 — again a fixed-size
+  exchange independent of row count. The window over cumulative bin counts
+  orders ≤1000 rows per group.
+
+No reference citation: the reference has no sketching; driver-mandated
+extension (BASELINE.json north_star) modeled on the published CMS/HLL
+literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_parse_vector_db_spark.plans.registry import QuerySpec
+from pdf_parse_vector_db_spark.sources.registry import load_table
+
+_CMS_D = 4
+_CMS_W = 512
+_TOPN = 10
+
+
+def _cms_bucket_spark(i: int) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('{i}:', CAST(user_id AS STRING))), 1, 15),"
+        f" 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_bucket_duck(i: int) -> str:
+    return (
+        f"('0x' || substring(md5(concat('{i}:', CAST(user_id AS VARCHAR))), 1, 15))"
+        f"::BIGINT % {_CMS_W}"
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates for the exact top-10 users by event count,
+    with the sketch's signature one-sided error surfaced as `overestimate`.
+
+    The stack() fans each event into its d=4 (row, bucket) cells BEFORE the
+    aggregate, so the shuffle carries at most d*w=2048 distinct keys after
+    map-side combine — constant-size regardless of input rows."""
+    events = load_table(spark, sf_dir, "events", spread=True)
+    cells = ", ".join(f"{i}, {_cms_bucket_spark(i)}" for i in range(_CMS_D))
+    sketch = (
+        events.select(F.expr(f"stack({_CMS_D}, {cells}) AS (row_i, bucket)"))
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(_TOPN)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_cnt",
+        F.expr(f"stack({_CMS_D}, {cells}) AS (row_i, bucket)"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), on=["row_i", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .withColumn("overestimate", F.col("cms_est") - F.col("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+    )
+
+
+_CMS_CELLS_DUCK = " UNION ALL ".join(
+    f"SELECT {i} AS row_i, {_cms_bucket_duck(i)} AS bucket FROM events"
+    for i in range(_CMS_D)
+)
+_CMS_PROBE_DUCK = " UNION ALL ".join(
+    f"SELECT user_id, exact_cnt, {i} AS row_i, {_cms_bucket_duck(i)} AS bucket FROM top"
+    for i in range(_CMS_D)
+)
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH cells AS ({_CMS_CELLS_DUCK}),
+sketch AS (
+  SELECT row_i, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+),
+top AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events
+  GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT {_TOPN}
+),
+probes AS ({_CMS_PROBE_DUCK})
+SELECT p.user_id, p.exact_cnt, min(s.cnt) AS cms_est,
+       min(s.cnt) - p.exact_cnt AS overestimate
+FROM probes p JOIN sketch s USING (row_i, bucket)
+GROUP BY p.user_id, p.exact_cnt
+ORDER BY exact_cnt DESC, user_id
+"""
+
+
+_HIST_BINS = 1000
+_HQS = (0.5, 0.9, 0.99)
+
+
+def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram quantile estimates vs exact percentiles per
+    event type. Estimate for quantile q = center of the first bin whose
+    cumulative count reaches q*n; `max_grid_err` is the bin half-width the
+    estimate is guaranteed to stay within."""
+    events = load_table(spark, sf_dir, "events", spread=True)
+    stats = events.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        events.join(F.broadcast(stats), on="event_type")
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * _HIST_BINS
+                ),
+            ),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("bc"))
+    )
+    cum = binned.withColumn(
+        "cum",
+        F.sum("bc").over(
+            Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    ).join(F.broadcast(stats), on="event_type")
+    qbins = cum.groupBy("event_type", "mn", "mx", "n").agg(
+        *[
+            F.min(F.when(F.col("cum") >= F.col("n") * q, F.col("bin"))).alias(
+                f"qb{int(q * 100)}"
+            )
+            for q in _HQS
+        ]
+    )
+    exact = events.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"exact_p{int(q * 100)}")
+            for q in _HQS
+        ]
+    )
+    # estimate arithmetic runs in EXACT integer micros: the 2-dp inputs put
+    # ~10% of float estimates on a 4-dp half-way boundary, where Spark
+    # (BigDecimal of the shortest repr, HALF_UP) and DuckDB (binary value)
+    # round differently — integer div then /1e6 is bit-identical instead
+    mn_mi = F.expr("CAST(round(mn * 1000000) AS BIGINT)")
+    mx_mi = F.expr("CAST(round(mx * 1000000) AS BIGINT)")
+    out = (
+        qbins.join(exact, on="event_type")
+        .withColumn("mn_mi", mn_mi)
+        .withColumn("mx_mi", mx_mi)
+        .select(
+            "event_type",
+            F.col("n"),
+            *[
+                (
+                    F.expr(
+                        f"(mn_mi * {2 * _HIST_BINS} + (2 * qb{int(q * 100)} + 1)"
+                        f" * (mx_mi - mn_mi)) div {2 * _HIST_BINS}"
+                    )
+                    / 1000000.0
+                ).alias(f"est_p{int(q * 100)}")
+                for q in _HQS
+            ],
+            *[
+                F.round(F.col(f"exact_p{int(q * 100)}"), 4).alias(
+                    f"exact_p{int(q * 100)}"
+                )
+                for q in _HQS
+            ],
+            (
+                F.expr(f"(mx_mi - mn_mi) div {2 * _HIST_BINS}") / 1000000.0
+            ).alias("max_grid_err"),
+        )
+    )
+    return out.orderBy("event_type")
+
+
+# estimates in exact integer micros (see hist_quantiles docstring comment):
+# integer div by 2*bins then /1e6 — no float rounding anywhere
+_HQ_EST_DUCK = ",\n       ".join(
+    f"CAST((mn_mi * {2 * _HIST_BINS} + (2 * qb{int(q * 100)} + 1)"
+    f" * (mx_mi - mn_mi)) // {2 * _HIST_BINS} AS DOUBLE) / 1000000"
+    f" AS est_p{int(q * 100)}"
+    for q in _HQS
+)
+_HQ_QB_DUCK = ",\n         ".join(
+    f"min(CASE WHEN cum >= n * {q} THEN bin END) AS qb{int(q * 100)}" for q in _HQS
+)
+_HQ_EXACT_DUCK = ",\n       ".join(
+    f"round(quantile_cont(value, {q}), 4) AS exact_p{int(q * 100)}" for q in _HQS
+)
+
+HIST_QUANTILES_SQL = f"""
+WITH stats AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n
+  FROM events GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type,
+         least({_HIST_BINS - 1},
+               CAST(floor((e.value - s.mn) / (s.mx - s.mn) * {_HIST_BINS}) AS BIGINT))
+           AS bin,
+         count(*) AS bc
+  FROM events e JOIN stats s USING (event_type)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT b.event_type, b.bin, s.mn, s.mx, s.n,
+         sum(b.bc) OVER (PARTITION BY b.event_type ORDER BY b.bin
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM binned b JOIN stats s USING (event_type)
+),
+qbins AS (
+  SELECT event_type, mn, mx, n,
+         CAST(round(mn * 1000000) AS BIGINT) AS mn_mi,
+         CAST(round(mx * 1000000) AS BIGINT) AS mx_mi,
+         {_HQ_QB_DUCK}
+  FROM cum GROUP BY 1, 2, 3, 4
+),
+exact AS (
+  SELECT event_type,
+       {_HQ_EXACT_DUCK}
+  FROM events GROUP BY 1
+)
+SELECT q.event_type,
+       q.n,
+       {_HQ_EST_DUCK},
+       exact_p50, exact_p90, exact_p99,
+       CAST((mx_mi - mn_mi) // {2 * _HIST_BINS} AS DOUBLE) / 1000000
+         AS max_grid_err
+FROM qbins q JOIN exact USING (event_type)
+ORDER BY event_type
+"""
+
+
+QUERIES = [
+    QuerySpec("cms_heavy_hitters", cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL, "portable Count-Min sketch point estimates vs truth"),
+    QuerySpec("hist_quantiles", hist_quantiles, HIST_QUANTILES_SQL, "portable equi-width histogram quantiles vs exact"),
+]

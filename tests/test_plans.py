@@ -312,3 +312,37 @@ def test_cdc_apply_snapshot_never_shuffles_rows(spark):
     for line in body.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_cms_sketch_constant_size_exchange(spark):
+    """CMS: the sketch side must broadcast back onto the probe rows (2048
+    cells max), and the sketch build must partial-aggregate map-side —
+    the exchange carries (row_i, bucket) cells, never event rows."""
+    body = _final_plan(spark, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in body, body
+    assert body.count("HashAggregate") >= 2, body
+
+
+def test_hist_quantiles_stats_broadcast(spark):
+    """Histogram quantiles: the per-type (min, max, n) table must broadcast
+    onto the event scan for binning — no event-sized shuffle before the
+    fixed-size (type, bin) agg."""
+    body = _final_plan(spark, "hist_quantiles")
+    assert "BroadcastHashJoin" in body, body
+
+
+def test_pagerank_no_cartesian(spark):
+    """PageRank: the N-attach cross joins are 1-row broadcasts and every
+    rank iteration joins edges⋈ranks hash-to-hash — a CartesianProduct
+    anywhere means the unrolling regressed to all-pairs."""
+    body = _final_plan(spark, "pagerank_bipartite")
+    assert "CartesianProduct" not in body, body
+
+
+def test_compaction_plan_single_data_exchange(spark):
+    """Compaction planner: the window partitioning on source must be THE
+    data exchange; the (source, bin) agg reuses that clustering (source
+    is a prefix of the grouping), so exactly one hashpartitioning
+    exchange appears."""
+    body = _final_plan(spark, "compaction_plan")
+    assert body.count("Exchange hashpartitioning") == 1, body
