@@ -853,7 +853,165 @@ ORDER BY o_orderkey
 """
 
 
+def late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) adapted to the
+    fixture schema: late = shipped more than 90 days after the order date.
+    A supplier is charged with an order when it is the ONLY late supplier
+    on a multi-supplier order — Q21's EXISTS (another supplier) AND NOT
+    EXISTS (another LATE supplier) pair, decorrelated into one per-(order,
+    supplier) aggregate + one per-order aggregate: nlate = 1 AND nsupp >= 2
+    picks exactly the rows the correlated form keeps.
+
+    Scale shape: orders broadcast-prunes nothing here (every line needs its
+    order date) so the date attaches via a broadcast of the 2-column order
+    projection; then two partial-agg reductions ((orderkey, suppkey) →
+    orderkey) that shrink the data at each step; the supplier-name join
+    broadcasts. No correlated re-scan of lineitem — the EXISTS pair costs
+    one pass."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_supp = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).cast("int")
+            ).alias("late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"),
+        F.sum("late").alias("nlate"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("nlate") == 1) & (F.col("nsupp") >= 2))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("late_supp") == supplier["s_suppkey"])
+        .select("s_name", F.col("late_supp").alias("s_suppkey"), "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(10)
+    )
+
+
+LATE_SUPPLIERS_SQL = """
+WITH per_supp AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS nsupp, sum(late) AS nlate,
+         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM per_supp GROUP BY 1
+)
+SELECT s.s_name, s.s_suppkey, count(*) AS numwait
+FROM per_order p JOIN supplier s ON p.late_supp = s.s_suppkey
+WHERE p.nlate = 1 AND p.nsupp >= 2
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part in a region) with
+    lineitem standing in for partsupp: supply cost of (part, supplier) =
+    min extended price over their lines. The correlated scalar subquery
+    (cost = MIN(cost) over the part's EUROPE suppliers) decorrelates into
+    a per-part min + rejoin on (partkey, cost) — Catalyst's standard
+    rewrite, stated explicitly so both engines run the same dataflow.
+
+    Scale shape: the region→nation→supplier dim chain broadcasts; the
+    (part, supplier) cost table aggregates once off the lineitem scan;
+    the min-rejoin is fixed-width keys. ECONOMY parts prune at the part
+    scan (pushed filter)."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    eu_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_cost")
+    )
+    cand = (
+        cost.join(F.broadcast(eu_supp), cost["l_suppkey"] == eu_supp["s_suppkey"])
+        .join(
+            part.filter(F.col("p_type") == "ECONOMY").select(
+                "p_partkey", "p_brand"
+            ),
+            cost["l_partkey"] == F.col("p_partkey"),
+        )
+    )
+    best = (
+        cand.groupBy("p_partkey")
+        .agg(F.min("supply_cost").alias("min_cost"))
+        .withColumnRenamed("p_partkey", "bp_partkey")
+    )
+    return (
+        cand.join(
+            best,
+            (cand["p_partkey"] == best["bp_partkey"])
+            & (cand["supply_cost"] == best["min_cost"]),
+        )
+        .select(
+            cand["p_partkey"].alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("supply_cost", 2).alias("supply_cost"),
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH eu_supp AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.p_partkey, p.p_brand, e.s_name, e.n_name, e.s_acctbal, c.supply_cost
+  FROM cost c
+  JOIN eu_supp e ON c.l_suppkey = e.s_suppkey
+  JOIN part p ON c.l_partkey = p.p_partkey
+  WHERE p.p_type = 'ECONOMY'
+),
+best AS (SELECT p_partkey, min(supply_cost) AS min_cost FROM cand GROUP BY 1)
+SELECT c.p_partkey, c.p_brand, c.s_name, c.n_name,
+       round(c.supply_cost, 2) AS supply_cost,
+       round(c.s_acctbal, 2) AS s_acctbal
+FROM cand c JOIN best b
+  ON c.p_partkey = b.p_partkey AND c.supply_cost = b.min_cost
+ORDER BY s_acctbal DESC, c.p_partkey, c.s_name
+LIMIT 20
+"""
+
+
 QUERIES = [
+    QuerySpec("late_suppliers", late_suppliers, LATE_SUPPLIERS_SQL, "Q21 shape: only-late supplier on multi-supplier orders"),
+    QuerySpec("min_cost_supplier", min_cost_supplier, MIN_COST_SUPPLIER_SQL, "Q2 shape: correlated min-cost supplier per part, decorrelated"),
     QuerySpec("orders_moving_avg", orders_moving_avg, ORDERS_MOVING_AVG_SQL, "W6 RANGE-frame 7-day moving average"),
     QuerySpec("order_value_distribution", order_value_distribution, ORDER_VALUE_DISTRIBUTION_SQL, "W6 percent_rank/cume_dist/ntile shared window"),
     QuerySpec("cube_order_stats", cube_order_stats, CUBE_ORDER_STATS_SQL, "A8 CUBE multi-agg"),

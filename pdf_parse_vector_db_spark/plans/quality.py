@@ -775,8 +775,91 @@ SELECT * FROM zagg UNION ALL SELECT * FROM dagg ORDER BY layout
 """
 
 
+# deterministic boilerplate injection (same device as plans/privacy.py's PII
+# markers): every doc_id % 13 == 0 gains one of 3 rotating site banners, so
+# both engines derive the identical corpus and the detector's recall is
+# exactly checkable
+_BP_BANNER_SPARK = (
+    "CASE WHEN doc_id % 13 = 0 THEN concat('Cookie notice banner v', "
+    "CAST(doc_id % 3 AS STRING), ' please accept terms. ', text) ELSE text END"
+)
+_BP_BANNER_DUCK = (
+    "CASE WHEN doc_id % 13 = 0 THEN concat('Cookie notice banner v', "
+    "CAST(doc_id % 3 AS VARCHAR), ' please accept terms. ', text) ELSE text END"
+)
+_BP_PREFIX_LEN = 40
+_BP_MIN_DOCS = 3
+
+
+def boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style boilerplate detection: docs sharing a canonical
+    leading span (first 40 chars lowercased) with >= 3 other docs are
+    boilerplate-headed — the cookie-banner / nav-chrome signature that
+    line-level dedup removes before training. Reports per-source counts
+    plus how many distinct banners were found.
+
+    Scale shape: the prefix is a fixed 40-byte key, so the groupBy
+    exchanges 40 bytes per doc regardless of document size; the flag
+    rejoin broadcasts the (few) offending prefixes back onto the scan."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pref = F.lower(F.substring(F.expr(_BP_BANNER_SPARK), 1, _BP_PREFIX_LEN))
+    tagged = docs.select("doc_id", "source", pref.alias("prefix"))
+    hot = (
+        tagged.groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("pdocs"))
+        .filter(F.col("pdocs") >= _BP_MIN_DOCS)
+    )
+    flagged = tagged.join(
+        F.broadcast(hot.select("prefix", F.lit(1).alias("is_bp"))), on="prefix", how="left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(0))).alias("bp_docs"),
+            F.countDistinct(F.when(F.col("is_bp") == 1, F.col("prefix"))).alias(
+                "bp_banners"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.col("is_bp"), F.lit(0)))
+                / F.count(F.lit(1))
+                * 100,
+                4,
+            ).alias("bp_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+BOILERPLATE_PREFIXES_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id, source,
+         lower(substring({_BP_BANNER_DUCK}, 1, {_BP_PREFIX_LEN})) AS prefix
+  FROM documents
+),
+hot AS (
+  SELECT prefix FROM tagged GROUP BY prefix HAVING count(*) >= {_BP_MIN_DOCS}
+),
+flagged AS (
+  SELECT t.doc_id, t.source, t.prefix,
+         CASE WHEN h.prefix IS NOT NULL THEN 1 ELSE 0 END AS is_bp
+  FROM tagged t LEFT JOIN hot h ON t.prefix = h.prefix
+)
+SELECT source,
+       count(*) AS docs,
+       CAST(sum(is_bp) AS BIGINT) AS bp_docs,
+       CAST(count(DISTINCT CASE WHEN is_bp = 1 THEN prefix END) AS BIGINT)
+         AS bp_banners,
+       round(CAST(sum(is_bp) AS DOUBLE) / count(*) * 100, 4) AS bp_pct
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
+    QuerySpec("boilerplate_prefixes", boilerplate_prefixes, BOILERPLATE_PREFIXES_SQL, "RefinedWeb-style boilerplate-prefix detection"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),
     QuerySpec("ngram_diversity", ngram_diversity, NGRAM_DIVERSITY_SQL, "distinct-n / TTR diversity per source"),
     QuerySpec("key_skew_audit", key_skew_audit, KEY_SKEW_AUDIT_SQL, "hot-key / skew-ratio report for shuffle keys"),
