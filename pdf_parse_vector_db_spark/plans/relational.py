@@ -539,6 +539,49 @@ ORDER BY event_type
 """
 
 
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's native VARIANT type:
+    parse_json once into a variant column, typed extraction with
+    variant_get — the shredded-binary path that replaces per-field
+    get_json_object string re-parsing (one parse per row instead of one
+    per extraction; at 100 TB the difference is a full CPU pass per extra
+    field). Groups by k-decile of the extracted field; means computed in
+    exact integer micros (value is 2-dp, so float avg would sit on
+    half-way rounding boundaries across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+            "value",
+        )
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(
+                F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+EVENTS_VARIANT_STATS_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       count(*) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY k_bucket
+"""
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1083,6 +1126,7 @@ QUERIES = [
     QuerySpec("segment_stats", segment_stats, SEGMENT_STATS_SQL, "dim profile agg"),
     QuerySpec("brand_type_stats", brand_type_stats, BRAND_TYPE_STATS_SQL, "distinct agg"),
     QuerySpec("events_json_stats", events_json_stats, EVENTS_JSON_STATS_SQL, "JSON access"),
+    QuerySpec("events_variant_stats", events_variant_stats, EVENTS_VARIANT_STATS_SQL, "VARIANT-typed semi-structured extraction (parse once, typed get)"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "event-time tumbling hour (batch)"),
     QuerySpec("events_gapfill", events_gapfill, EVENTS_GAPFILL_SQL, "dense resample + LOCF gap-fill"),
     QuerySpec("price_percentiles", price_percentiles, PRICE_PERCENTILES_SQL, "exact ordered-statistic agg"),
