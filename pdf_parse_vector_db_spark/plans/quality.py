@@ -857,9 +857,71 @@ ORDER BY source
 """
 
 
+def point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: each purchase event fetched
+    against the SCD2 state dimension AS OF the purchase's event time —
+    the training-serving-skew-free feature lookup (every feature value is
+    what was knowable at the label's timestamp, never the future).
+    Reuses user_state_intervals as the versioned dimension and joins
+    purchases into their covering validity interval.
+
+    Scale shape: the equi key (user_id) carries the shuffle; the interval
+    predicate evaluates inside the matched user's handful of intervals,
+    so pair cost is Σ per-user intervals × purchases, never a cross
+    product. This is the standard PIT formulation (e.g. Feast's PIT
+    correctness contract) as one sort-merge join."""
+    intervals = user_state_intervals(spark, sf_dir).withColumnRenamed(
+        "user_id", "iv_user"
+    )
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(
+        (F.col("user_id") % 50 == 0) & (F.col("event_type") == "purchase")
+    ).select("user_id", "ts", "value")
+    j = purchases.join(
+        intervals,
+        (F.col("user_id") == F.col("iv_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy(F.col("state").alias("state_at_purchase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("avg_value"),
+        )
+        .orderBy("state_at_purchase")
+    )
+
+
+POINT_IN_TIME_STATE_SQL = f"""
+WITH iv AS ({USER_STATE_INTERVALS_SQL.rsplit('ORDER BY', 1)[0]}),
+p AS (
+  SELECT user_id, ts, value FROM events
+  WHERE user_id % 50 = 0 AND event_type = 'purchase'
+)
+SELECT iv.state AS state_at_purchase,
+       count(*) AS n_purchases,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(round(p.value * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) AS avg_value
+FROM p JOIN iv
+  ON p.user_id = iv.user_id
+ AND p.ts >= iv.valid_from
+ AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+GROUP BY 1
+ORDER BY state_at_purchase
+"""
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
     QuerySpec("boilerplate_prefixes", boilerplate_prefixes, BOILERPLATE_PREFIXES_SQL, "RefinedWeb-style boilerplate-prefix detection"),
+    QuerySpec("point_in_time_state", point_in_time_state, POINT_IN_TIME_STATE_SQL, "feature-store point-in-time join vs SCD2 dimension"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),
     QuerySpec("ngram_diversity", ngram_diversity, NGRAM_DIVERSITY_SQL, "distinct-n / TTR diversity per source"),
     QuerySpec("key_skew_audit", key_skew_audit, KEY_SKEW_AUDIT_SQL, "hot-key / skew-ratio report for shuffle keys"),

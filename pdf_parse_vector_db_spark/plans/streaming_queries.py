@@ -775,6 +775,101 @@ ORDER BY cohort_week, week_offset
 """
 
 
+_WM_BUCKET = 4096  # arrival-order bucket width for the two-level prefix max
+
+
+def watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy audit: how out-of-order is the stream, and what
+    would a given watermark drop? Lateness of an event = (max event-time
+    seen among EARLIER ARRIVALS) - (its own event time), with arrival
+    order = event_id. Reports per-type lateness percentiles and the drop
+    rate at a 10-minute watermark — the measurement that justifies the
+    withWatermark() constants in streaming/windows.py.
+
+    The naive formulation is a running max over one global arrival order —
+    a single-partition window. This plan computes the SAME quantity with
+    a two-level prefix max that stays parallel at 100 TB: (1) per-bucket
+    max over arrival buckets of 4096 events, (2) a prefix max over the
+    tiny bucket table, (3) a within-bucket running max; the true running
+    max is greatest(prefix of earlier buckets, within-bucket prefix).
+    The oracle states the naive global window directly — same values."""
+    from pyspark.sql.window import Window as Wd
+
+    ev = (
+        load_table(spark, sf_dir, "events", spread=True)
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+            (F.col("event_id") / _WM_BUCKET).cast("long").alias("b"),
+        )
+    )
+    bucket_max = ev.groupBy("b").agg(F.max("us").alias("bmax"))
+    prefix = bucket_max.withColumn(
+        "pmax",
+        F.max("bmax").over(
+            Wd.orderBy("b").rowsBetween(Wd.unboundedPreceding, -1)
+        ),
+    ).select("b", "pmax")
+    within = F.max("us").over(
+        Wd.partitionBy("b").orderBy("event_id").rowsBetween(Wd.unboundedPreceding, -1)
+    )
+    late = (
+        ev.withColumn("wmax", within)
+        .join(F.broadcast(prefix), on="b")
+        .withColumn(
+            "late_us",
+            F.greatest(
+                F.lit(0).cast("long"),
+                # greatest() skips NULL sides; NULL-NULL only at the global
+                # first arrival, where the clamp lands on 0 anyway
+                F.coalesce(F.greatest("wmax", "pmax"), F.lit(0).cast("long"))
+                - F.col("us"),
+            ),
+        )
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(late_us, 0.5)") / 1000000.0, 4).alias("p50_late_s"),
+            F.round(F.expr("percentile(late_us, 0.95)") / 1000000.0, 4).alias("p95_late_s"),
+            F.round(F.max("late_us") / 1000000.0, 4).alias("max_late_s"),
+            F.round(
+                F.sum(F.when(F.col("late_us") > 600 * 1000000, 1).otherwise(0))
+                / F.count(F.lit(1))
+                * 100,
+                4,
+            ).alias("dropped_at_10min_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WATERMARK_LATENESS_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+),
+w AS (
+  SELECT event_type, us,
+         greatest(0, coalesce(max(us) OVER (ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     - us) AS late_us
+  FROM ev
+)
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(late_us, 0.5) / 1000000.0, 4) AS p50_late_s,
+       round(quantile_cont(late_us, 0.95) / 1000000.0, 4) AS p95_late_s,
+       round(CAST(max(late_us) AS DOUBLE) / 1000000.0, 4) AS max_late_s,
+       round(CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 100, 4) AS dropped_at_10min_pct
+FROM w
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_SQL, "X7 weekly cohort retention matrix"),
     QuerySpec("funnel_conversion", funnel_conversion, FUNNEL_CONVERSION_SQL, "ordered 3-stage funnel (conditional-min formulation)"),
@@ -787,6 +882,7 @@ QUERIES = [
     QuerySpec("dwell_times", dwell_times, DWELL_TIMES_SQL, "inter-event dwell-time percentiles"),
     QuerySpec("attribution_credit", attribution_credit, ATTRIBUTION_CREDIT_SQL, "linear multi-touch attribution rollup"),
     QuerySpec("rolling_active_users", rolling_active_users, ROLLING_ACTIVE_USERS_SQL, "rolling 7-day distinct actives (WAU)"),
+    QuerySpec("watermark_lateness", watermark_lateness, WATERMARK_LATENESS_SQL, "out-of-orderness audit: lateness percentiles + watermark drop rate"),
     QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_SQL, "X8 sliding windows (batch twin)"),
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
