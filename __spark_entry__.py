@@ -36,12 +36,14 @@ from pdf_parse_vector_db_spark.plans import similarity as _similarity
 from pdf_parse_vector_db_spark.plans import sketches as _sketches
 from pdf_parse_vector_db_spark.plans import streaming_queries as _streaming_queries
 from pdf_parse_vector_db_spark.plans import textanalysis as _textanalysis
+from pdf_parse_vector_db_spark.plans import tpch_extra as _tpch_extra
 
 _MODULES = [
     _search,
     _ingest,
     _relational,
     _advanced,
+    _tpch_extra,
     _textanalysis,
     _curation,
     _similarity,
