@@ -757,7 +757,116 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic deduplication:
+# cluster the embedding space, compare pairs only WITHIN a cluster, and for
+# every pair above the similarity threshold drop the item CLOSER to the
+# cluster centroid (the paper keeps low centroid-similarity "edge" examples,
+# which preserve diversity). Here the fixture `label` plays the cluster id —
+# deterministic, so the whole algorithm sits under the oracle hash; in
+# production the cluster id comes from the IVF KMeans partitioner
+# (operators/ann.py), same plan shape.
+#
+# Scale posture (100 TB): pairwise cost is Σ cluster² (never corpus²) and
+# runs inside the blocked-BLAS kernel (operators/dedup.py:691) — one float64
+# GEMM per block pair, not per-row folds. The centroid aggregation has a
+# fixed key space (|clusters| × dim) with map-side partials, and centroids
+# broadcast back (|clusters| × dim doubles ≪ memory). The keep/drop election
+# is a pair-sized join, bounded by the near-dup pair count.
+#
+# Determinism: centroids are derived from integer-micros sums (exact,
+# order-independent), so both engines divide the SAME bigint by the SAME
+# count; cosines are rounded to 6 dp before every comparison (threshold and
+# centroid-rank), the discipline every X2 tier here uses.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_EPS = 0.30
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).withColumn("vmic", F.round(F.col("val") * 1e6).cast("bigint"))
+    csum = ex.groupBy("label", "pos").agg(
+        F.sum("vmic").alias("smic"), F.count(F.lit(1)).alias("n")
+    )
+    cent = csum.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "smic", "n"))),
+            lambda s: s["smic"].cast("double") / (s["n"].cast("double") * 1e6),
+        ).alias("cv")
+    )
+    cc = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine_similarity(F.col("embedding"), F.col("cv")), 6).alias("centroid_cos"),
+    )
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=_SEMDEDUP_EPS, bucket_col="label")
+    ca = cc.select(F.col("vec_id").alias("id_a"), F.col("centroid_cos").alias("cc_a"))
+    cb = cc.select(F.col("vec_id").alias("id_b"), F.col("centroid_cos").alias("cc_b"))
+    dropped = (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            F.when(
+                (F.col("cc_a") > F.col("cc_b"))
+                | ((F.col("cc_a") == F.col("cc_b")) & (F.col("id_a") > F.col("id_b"))),
+                F.col("id_a"),
+            )
+            .otherwise(F.col("id_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        cc.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "centroid_cos",
+            F.col("dropped").isNull().alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT vec_id, label,
+              generate_subscripts(v, 1) AS pos,
+              CAST(round(unnest(v) * 1e6) AS BIGINT) AS vmic
+       FROM e),
+csum AS (SELECT label, pos, CAST(sum(vmic) AS BIGINT) AS smic, count(*) AS n
+         FROM ex GROUP BY label, pos),
+cent AS (SELECT label,
+                list(CAST(smic AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) ORDER BY pos) AS cv
+         FROM csum GROUP BY label),
+cc AS (SELECT e.vec_id, e.label,
+              round(list_cosine_similarity(e.v, cent.cv), 6) AS centroid_cos
+       FROM e JOIN cent ON e.label = cent.label),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_EPS}),
+dropped AS (SELECT DISTINCT
+                   CASE WHEN (ca.centroid_cos > cb.centroid_cos)
+                          OR (ca.centroid_cos = cb.centroid_cos AND p.id_a > p.id_b)
+                        THEN p.id_a ELSE p.id_b END AS vec_id
+            FROM pairs p
+            JOIN cc ca ON p.id_a = ca.vec_id
+            JOIN cc cb ON p.id_b = cb.vec_id)
+SELECT cc.vec_id, cc.label, cc.centroid_cos,
+       cc.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_kept
+FROM cc
+ORDER BY vec_id
+"""
+
+
 QUERIES = [
+    QuerySpec("semdedup", semdedup, SEMDEDUP_SQL, "X2 SemDeDup semantic dedup (cluster-bounded pairwise + centroid-rank keep/drop)"),
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
     QuerySpec("embedding_energy_retention", embedding_energy_retention, EMBEDDING_ENERGY_SQL, "X2/X3 prefix-energy truncation audit"),
     QuerySpec("embedding_pca_variance", embedding_pca_variance, None, "X2/X3 distributed PCA explained variance (rows-only)"),

@@ -271,7 +271,141 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Portable Bloom filter (Bloom 1970) — the third classic mergeable summary,
+# next to CMS (frequency) and HLL (cardinality): set MEMBERSHIP with
+# one-sided error. k=4 salted md5 hashes into m=16384 bits; the filter is
+# the DISTINCT set of lit bit positions, a fixed-size (≤ m rows) exchange
+# with map-side partials no matter the input row count — the same mergeable
+# shape Spark's native bloom_filter_agg builds JVM-side (that one is the
+# production twin; its serialized bits aren't cross-engine comparable, which
+# is why this audit derives the bits from md5 so the WHOLE filter sits under
+# the oracle hash).
+#
+# The audit: build over the distinct lineitem order keys, probe (a) every
+# true member — zero false negatives is the structural guarantee the query
+# proves — and (b) an equal-sized disjoint key set (keys + 10^7), whose hit
+# rate IS the realized false-positive rate, reported next to the
+# (1 - e^{-kn/m})^k prediction. Probing joins the probe keys' k positions
+# against the broadcast filter; at scale that is a broadcast-hash join with
+# a 16384-row build side.
+# --------------------------------------------------------------------------
+
+_BF_K = 4
+_BF_M = 16384
+_BF_SHIFT = 10_000_000
+
+
+def _bf_pos_spark(i: int, key: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('{i}:', CAST({key} AS STRING))), 1, 15),"
+        f" 16, 10) AS BIGINT) % {_BF_M}"
+    )
+
+
+def _bf_pos_duck(i: int, key: str) -> str:
+    return (
+        f"('0x' || substring(md5(concat('{i}:', CAST({key} AS VARCHAR))), 1, 15))"
+        f"::BIGINT % {_BF_M}"
+    )
+
+
+def bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    keys = li.select(F.col("l_orderkey").alias("key")).distinct()
+
+    def stack_positions(df, key_expr):
+        cells = ", ".join(_bf_pos_spark(i, key_expr) for i in range(_BF_K))
+        return df.select("key", F.expr(f"stack({_BF_K}, {cells}) AS (pos)"))
+
+    bits = stack_positions(keys, "key").select("pos").distinct()
+
+    members = keys.withColumn("is_member", F.lit(True))
+    ghosts = keys.select((F.col("key") + _BF_SHIFT).alias("key")).withColumn(
+        "is_member", F.lit(False)
+    )
+    probes = members.unionByName(ghosts)
+    cells = ", ".join(f"is_member, {_bf_pos_spark(i, 'key')}" for i in range(_BF_K))
+    probe_pos = probes.select(
+        "key", F.expr(f"stack({_BF_K}, {cells}) AS (is_member, pos)")
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits.withColumn("lit_bit", F.lit(1))), on="pos", how="left")
+        .groupBy("key", "is_member")
+        .agg(F.sum(F.coalesce(F.col("lit_bit"), F.lit(0))).alias("hit_bits"))
+        .withColumn("claimed", (F.col("hit_bits") == _BF_K).cast("int"))
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    return (
+        hits.groupBy("is_member")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum("claimed").alias("n_claimed"),
+            F.round(F.sum("claimed").cast("double") / F.count(F.lit(1)), 6).alias("hit_rate"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .withColumn(
+            "predicted_fpr",
+            F.round(
+                F.pow(
+                    F.lit(1.0)
+                    - F.exp(
+                        -F.lit(float(_BF_K))
+                        * (F.col("n_probed").cast("double") / _BF_M)
+                    ),
+                    F.lit(float(_BF_K)),
+                ),
+                6,
+            ),
+        )
+        .select("is_member", "n_probed", "n_claimed", "hit_rate", "bits_set", "predicted_fpr")
+        .orderBy("is_member")
+    )
+
+
+def _bf_sql() -> str:
+    build_cells = "\n      UNION ALL\n      ".join(
+        f"SELECT {_bf_pos_duck(i, 'key')} AS pos FROM keys" for i in range(_BF_K)
+    )
+    probe_cells = "\n      UNION ALL\n      ".join(
+        f"SELECT key, is_member, {_bf_pos_duck(i, 'key')} AS pos FROM probes"
+        for i in range(_BF_K)
+    )
+    return f"""
+WITH keys AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+bits AS (SELECT DISTINCT pos FROM (
+      {build_cells})),
+probes AS (
+  SELECT key, TRUE AS is_member FROM keys
+  UNION ALL
+  SELECT key + {_BF_SHIFT} AS key, FALSE AS is_member FROM keys),
+probe_pos AS (
+      {probe_cells}),
+hits AS (
+  SELECT p.key, p.is_member,
+         sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS hit_bits
+  FROM probe_pos p LEFT JOIN bits b USING (pos)
+  GROUP BY p.key, p.is_member),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+SELECT is_member,
+       CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(CASE WHEN hit_bits = {_BF_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_claimed,
+       round(CAST(sum(CASE WHEN hit_bits = {_BF_K} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hit_rate,
+       nb.bits_set,
+       round(pow(1.0 - exp(-{float(_BF_K)} * (CAST(count(*) AS DOUBLE) / {_BF_M})),
+                 {float(_BF_K)}), 6) AS predicted_fpr
+FROM hits CROSS JOIN nb
+GROUP BY is_member, nb.bits_set
+ORDER BY is_member
+"""
+
+
+BLOOM_FILTER_AUDIT_SQL = _bf_sql()
+
+
 QUERIES = [
     QuerySpec("cms_heavy_hitters", cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL, "portable Count-Min sketch point estimates vs truth"),
     QuerySpec("hist_quantiles", hist_quantiles, HIST_QUANTILES_SQL, "portable equi-width histogram quantiles vs exact"),
+    QuerySpec("bloom_filter_audit", bloom_filter_audit, BLOOM_FILTER_AUDIT_SQL, "portable Bloom filter: zero-FN proof + realized vs predicted FPR"),
 ]

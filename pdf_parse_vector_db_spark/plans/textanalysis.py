@@ -845,8 +845,78 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# X5: tokenizer vocabulary coverage / OOV-rate audit. The question a
+# tokenizer team asks before training: with a top-V frequency vocabulary,
+# what fraction of each document's tokens falls out-of-vocabulary? Vocab =
+# top-1000 corpus terms (count desc, term asc — a total order, so both
+# engines elect the same boundary terms); per-doc OOV rate is one division
+# of two exact counts, reproducible to the bit.
+#
+# Scale (100 TB): the term-frequency agg is partial+final over the token
+# stream (map-side combine shrinks to |vocab| keys); top-V is
+# TakeOrderedAndProject (never a full sort); the 1000-term vocab broadcasts
+# back onto the token stream, so the only doc-grain shuffle is the final
+# groupBy(doc_id) — the same key the corpus is naturally laid out on.
+# --------------------------------------------------------------------------
+
+_VOCAB_V = 1000
+
+
+def vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(_VOCAB_V)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), on="term", how="left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_OOV_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM tok GROUP BY term
+  ORDER BY count(*) DESC, term
+  LIMIT {_VOCAB_V}
+)
+SELECT doc_id, lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (term)
+GROUP BY doc_id, lang
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("corpus_prep", corpus_prep, CORPUS_PREP_SQL, "X1+X5 composite training-data prep"),
+    QuerySpec("vocab_oov", vocab_oov, VOCAB_OOV_SQL, "X5 vocab-coverage / OOV-rate audit"),
     QuerySpec("pack_training_sequences", pack_training_sequences, None, "X5 greedy sequence packing (rows-only)"),
     QuerySpec("gopher_quality", gopher_quality, GOPHER_QUALITY_SQL, "X5 Gopher-rule quality gate"),
     QuerySpec("repetition_stats", repetition_stats, REPETITION_STATS_SQL, "X5 within-doc repetition metrics (Gopher A1.1 skeleton)"),
