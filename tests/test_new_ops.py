@@ -1,0 +1,100 @@
+"""Property contracts for the round-2 additions: SemDeDup, portable Bloom
+filter, vocab-OOV audit, triangle counting (oracle equality is covered by
+tests/test_oracle.py; these pin the algorithmic invariants)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pdf_parse_vector_db_spark.operators import dedup
+from pdf_parse_vector_db_spark.plans.graph import nation_triangles
+from pdf_parse_vector_db_spark.plans.similarity import _SEMDEDUP_EPS, semdedup
+from pdf_parse_vector_db_spark.plans.sketches import bloom_filter_audit
+from pdf_parse_vector_db_spark.plans.textanalysis import vocab_oov
+from pdf_parse_vector_db_spark.sources.registry import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_semdedup_drops_only_paired_and_keeps_edge_examples(spark):
+    rows = semdedup(spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, threshold=_SEMDEDUP_EPS, bucket_col="label"
+    ).collect()
+    paired = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    by_id = {r.vec_id: r for r in rows}
+
+    # 1. anything not in a near-dup pair is untouched
+    for r in rows:
+        if r.vec_id not in paired:
+            assert r.is_kept, f"unpaired vec {r.vec_id} was dropped"
+
+    # 2. SemDeDup keeps the LOW centroid-similarity member of each pair:
+    #    the per-label minimum (centroid_cos, vec_id) among paired vecs can
+    #    never be the "closer" one in any of its pairs, so it survives
+    labels = {by_id[v].label for v in paired}
+    for lab in labels:
+        in_lab = [by_id[v] for v in paired if by_id[v].label == lab]
+        keeper = min(in_lab, key=lambda r: (r.centroid_cos, r.vec_id))
+        assert keeper.is_kept
+
+    # 3. something was actually deduplicated at this threshold
+    assert any(not r.is_kept for r in rows)
+
+    # 4. every dropped vec is the centroid-closer member of at least one pair
+    for r in rows:
+        if not r.is_kept:
+            assert r.vec_id in paired
+
+
+def test_bloom_filter_no_false_negatives_and_sane_fpr(spark):
+    rows = {r.is_member: r for r in bloom_filter_audit(spark, SF_SMOKE).collect()}
+    members, ghosts = rows[True], rows[False]
+    # structural guarantee: a Bloom filter has NO false negatives
+    assert members.n_claimed == members.n_probed
+    assert members.hit_rate == 1.0
+    # realized FPR should be in the neighborhood of the (1-e^{-kn/m})^k
+    # prediction — allow generous slack (hash family isn't independent)
+    assert ghosts.hit_rate <= max(5 * ghosts.predicted_fpr, 0.02)
+    assert 0 < members.bits_set <= 16384
+
+
+def test_nation_triangles_matches_bruteforce(spark):
+    res = {r.nation: r.n_triangles for r in nation_triangles(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    supp = load_table(spark, SF_SMOKE, "supplier")
+    nation = {r.n_nationkey: r.n_name for r in load_table(spark, SF_SMOKE, "nation").collect()}
+    edges = {
+        (min(r.c_nationkey, r.s_nationkey), max(r.c_nationkey, r.s_nationkey))
+        for r in (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .select("c_nationkey", "s_nationkey")
+            .collect()
+        )
+        if r.c_nationkey != r.s_nationkey
+    }
+    nodes = sorted({n for e in edges for n in e})
+    expected: dict[str, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            for n in (a, b, c):
+                expected[nation[n]] = expected.get(nation[n], 0) + 1
+    assert res == expected
+    assert sum(expected.values()) % 3 == 0
+
+
+def test_vocab_oov_bounds(spark):
+    rows = vocab_oov(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == docs
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
+    # the top-1000 vocab must cover a meaningful share of the token stream
+    total = sum(r.n_tokens for r in rows)
+    oov = sum(r.n_oov for r in rows)
+    assert oov < total
