@@ -346,3 +346,65 @@ def test_compaction_plan_single_data_exchange(spark):
     exchange appears."""
     body = _final_plan(spark, "compaction_plan")
     assert body.count("Exchange hashpartitioning") == 1, body
+
+
+def test_profit_by_nation_dims_broadcast(spark):
+    """Q9-shape: part/supplier/nation must all broadcast — the lineitem
+    scan shuffles only for the orders join and the final 2-key agg."""
+    body = _final_plan(spark, "profit_by_nation")
+    assert body.count("BroadcastHashJoin") >= 3, body
+
+
+def test_excess_stock_suppliers_semi_join(spark):
+    """Q20-shape: the supplier gate must plan as a LeftSemi join — a full
+    inner join + distinct would materialize the per-part quantities."""
+    body = _final_plan(spark, "excess_stock_suppliers")
+    assert "LeftSemi" in body, body
+
+
+def test_parts_supplier_counts_anti_join(spark):
+    """Q16-shape: the NOT IN exclusion must be a broadcast LeftAnti over
+    the (partkey, suppkey) pairs — never a shuffled subtract."""
+    body = _final_plan(spark, "parts_supplier_counts")
+    assert "LeftAnti" in body and "BroadcastHashJoin" in body, body
+
+
+def test_large_volume_customers_topk(spark):
+    """Q18-shape: the final ORDER BY ... LIMIT 20 must be
+    TakeOrderedAndProject, not a global sort of the joined result."""
+    body = _final_plan(spark, "large_volume_customers")
+    assert "TakeOrderedAndProject" in body, body
+
+
+def test_vocab_oov_broadcast_vocab(spark):
+    """Vocab OOV: the top-V vocab must come back to the token stream as a
+    broadcast join (1000-row build side), and the top-V itself must be
+    TakeOrderedAndProject — no full sort of the term-frequency table."""
+    body = _final_plan(spark, "vocab_oov")
+    assert "BroadcastHashJoin" in body, body
+    assert "TakeOrderedAndProject" in body, body
+
+
+def test_semdedup_blas_kernel_and_broadcast_centroids(spark):
+    """SemDeDup: pairwise cosine must run in the blocked applyInPandas BLAS
+    kernel (FlatMapGroupsInPandas), and centroids must broadcast back onto
+    the embeddings — |clusters| x dim rows never justify a shuffle."""
+    body = _final_plan(spark, "semdedup")
+    assert "FlatMapGroupsInPandas" in body, body
+    assert "BroadcastHashJoin" in body, body
+
+
+def test_bloom_filter_broadcast_bits(spark):
+    """Bloom audit: probing joins each probe position against the <= m-row
+    filter as a broadcast build side; the probe stream never shuffles for
+    membership."""
+    body = _final_plan(spark, "bloom_filter_audit")
+    assert "BroadcastHashJoin" in body, body
+
+
+def test_nation_triangles_no_cartesian(spark):
+    """Triangles: the ordered a<b<c enumeration must stay a hash join on
+    shared endpoints — CartesianProduct means the edge-ordering trick
+    regressed to all-triples."""
+    body = _final_plan(spark, "nation_triangles")
+    assert "CartesianProduct" not in body, body
