@@ -546,7 +546,114 @@ ORDER BY p.id_a, p.id_b
 """
 
 
+# --------------------------------------------------------------------------
+# T5-style span-corruption planning (Raffel et al. 2020 §3.1.4): pick ~5% of
+# token positions as span STARTS from a deterministic md5 uniform (so the
+# plan — unlike rand() — is retry-safe, engine-portable, and sits under the
+# oracle hash; swapping the hash for rand() recovers the production
+# sampler), extend each start over a fixed 3-token span, and account the
+# mask: masked tokens are the union of spans (overlaps collapse), sentinels
+# are maximal masked runs (each run becomes ONE sentinel token in the
+# corrupted sequence, the T5 encoding). Union and run detection are two
+# windows over the per-doc token order — no self-join: covered(i) =
+# any start in [i-2, i] (a ROWS BETWEEN 2 PRECEDING window, positions are
+# dense by construction), run-start = covered AND NOT lag(covered).
+#
+# Scale: tokens explode map-side; both windows partition by doc_id and
+# share one (doc_id, pos) sort; the final agg returns one row per doc on
+# the same key — a single exchange end to end.
+# --------------------------------------------------------------------------
+
+_SPAN_LEN = 3  # fixed span length (mean-3 spans, deterministic variant)
+_SPAN_START_PCT = 5  # start probability: md5-uniform % 100 < 5
+
+
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("pos", "term"),
+    )
+    start = (
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',"
+            " CAST(pos AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % 100
+        < _SPAN_START_PCT
+    ).cast("int")
+    w_cover = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(_SPAN_LEN - 1), 0)
+    w_lag = W.partitionBy("doc_id").orderBy("pos")
+    marked = (
+        tok.withColumn("is_start", start)
+        .withColumn("covered", (F.max("is_start").over(w_cover) == 1).cast("int"))
+        .withColumn(
+            "run_start",
+            (
+                (F.col("covered") == 1)
+                & (F.coalesce(F.lag("covered").over(w_lag), F.lit(0)) == 0)
+            ).cast("int"),
+        )
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("is_start").alias("n_starts"),
+            F.sum("covered").alias("n_masked"),
+            F.sum("run_start").alias("n_sentinels"),
+        )
+        .withColumn(
+            "mask_ratio",
+            F.round(F.col("n_masked").cast("double") / F.col("n_tokens"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPAN_CORRUPTION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         generate_subscripts(toks, 1) - 1 AS pos,
+         unnest(toks) AS term
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 100
+                   < {_SPAN_START_PCT}
+              THEN 1 ELSE 0 END AS is_start
+  FROM tok),
+covered AS (
+  SELECT doc_id, pos, is_start,
+         CASE WHEN max(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN {_SPAN_LEN - 1} PRECEDING AND CURRENT ROW) = 1
+              THEN 1 ELSE 0 END AS covered
+  FROM marked),
+runs AS (
+  SELECT doc_id, pos, is_start, covered,
+         CASE WHEN covered = 1
+               AND coalesce(lag(covered) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS run_start
+  FROM covered)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(is_start) AS BIGINT) AS n_starts,
+       CAST(sum(covered) AS BIGINT) AS n_masked,
+       CAST(sum(run_start) AS BIGINT) AS n_sentinels,
+       round(CAST(sum(covered) AS DOUBLE) / count(*), 6) AS mask_ratio
+FROM runs
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
+    QuerySpec("span_corruption_plan", span_corruption_plan, SPAN_CORRUPTION_SQL, "X5 T5-style span-corruption mask accounting"),
     QuerySpec(
         "split_leakage",
         split_leakage,

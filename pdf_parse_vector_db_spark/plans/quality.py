@@ -918,8 +918,80 @@ ORDER BY state_at_purchase
 """
 
 
+# --------------------------------------------------------------------------
+# Chi-square independence audit (Pearson 1900) between customer market
+# segment and order priority — the stock "are these two categoricals
+# actually independent?" check a feature-selection pass runs before
+# one-hot-encoding both. Everything derives from ONE (segment, priority)
+# contingency agg: row/column marginals are windows over the 25-cell table,
+# not corpus re-scans. The chi2 total is summed in integer micros (exact,
+# order-independent) so the statistic itself sits under the oracle hash;
+# per-cell expected counts come from identical integer marginals in both
+# engines. Scale: the fact join shuffles once on custkey; the contingency
+# agg is |segments|x|priorities| keys with map-side partials — constant
+# size regardless of input rows.
+# --------------------------------------------------------------------------
+
+
+def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.withColumn("row_n", F.sum("n").over(W.partitionBy("c_mktsegment"))) \
+        .withColumn("col_n", F.sum("n").over(W.partitionBy("o_orderpriority"))) \
+        .withColumn("grand", F.sum("n").over(W.partitionBy()))
+    contrib = tot.withColumn(
+        "expected",
+        F.col("row_n").cast("double") * F.col("col_n") / F.col("grand"),
+    ).withColumn(
+        "contrib_mic",
+        F.round(
+            F.pow(F.col("n") - F.col("expected"), F.lit(2.0)) / F.col("expected") * 1e6
+        ).cast("bigint"),
+    )
+    return contrib.groupBy().agg(
+        F.round(F.sum("contrib_mic") / 1e6, 4).alias("chi2"),
+        ((F.countDistinct("c_mktsegment") - 1) * (F.countDistinct("o_orderpriority") - 1)).alias("dof"),
+        F.max("grand").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+SEGMENT_PRIORITY_CHI2_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+tot AS (
+  SELECT *,
+         sum(n) OVER (PARTITION BY c_mktsegment) AS row_n,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS col_n,
+         sum(n) OVER () AS grand
+  FROM cells),
+contrib AS (
+  SELECT *,
+         CAST(round(pow(n - CAST(row_n AS DOUBLE) * col_n / grand, 2)
+                    / (CAST(row_n AS DOUBLE) * col_n / grand) * 1e6) AS BIGINT)
+           AS contrib_mic
+  FROM tot)
+SELECT round(CAST(sum(contrib_mic) AS BIGINT) / 1e6, 4) AS chi2,
+       CAST((count(DISTINCT c_mktsegment) - 1)
+            * (count(DISTINCT o_orderpriority) - 1) AS BIGINT) AS dof,
+       CAST(max(grand) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM contrib
+"""
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
+    QuerySpec("segment_priority_chi2", segment_priority_chi2, SEGMENT_PRIORITY_CHI2_SQL, "Pearson chi-square independence audit over one contingency agg"),
     QuerySpec("boilerplate_prefixes", boilerplate_prefixes, BOILERPLATE_PREFIXES_SQL, "RefinedWeb-style boilerplate-prefix detection"),
     QuerySpec("point_in_time_state", point_in_time_state, POINT_IN_TIME_STATE_SQL, "feature-store point-in-time join vs SCD2 dimension"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),
