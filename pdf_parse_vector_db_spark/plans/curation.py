@@ -963,6 +963,143 @@ LIMIT {_BPE_TOP}
 
 
 # ---------------------------------------------------------------------------
+# BPE merge LEARNING, 3 unrolled rounds (Sennrich et al. 2016 §3.2) — the
+# full trainer loop, not just the round-1 statistic (bpe_pair_counts above).
+# Each round: (1) count adjacent symbol pairs over the current per-word
+# symbol sequences, weighted by word frequency; (2) elect the best pair
+# under a TOTAL order (count desc, pair asc — both engines pick the same
+# merge even on ties); (3) apply the merge with a boundary-safe string
+# replace. Words are kept as '  '-separated symbol strings with a leading/
+# trailing space, so every symbol is delimited by its own spaces and
+# replace(' a  b ', ' ab ') can never match across symbol or word
+# boundaries; greedy left-to-right non-overlapping replace is the same
+# semantics in Spark, DuckDB, and the reference BPE implementation.
+#
+# Unrolling a FIXED number of iterations is this repo's standard way to
+# make a data-dependent loop oracle-checkable (see plans/graph.py
+# pagerank_bipartite); the elected merge re-enters the plan as a 1-row
+# broadcast, never via driver collect. Scale: the vocab relation (distinct
+# filtered words + counts) is tiny relative to the corpus — the token
+# explode + word-count agg is the only corpus-sized stage; every round
+# after that exchanges |vocab| short strings and |pairs| fixed-width keys
+# with map-side partials.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+#: adjacent symbol pairs from the double-space representation in `s`,
+#: symbols array bound ONCE via the array() trick (no per-position re-split)
+_SYM_PAIRS = (
+    "flatten(transform(array(split(trim(s), '  ')), syms -> "
+    "CASE WHEN size(syms) >= 2 THEN "
+    "transform(sequence(0, size(syms) - 2), i -> concat(syms[i], ' ', syms[i + 1])) "
+    "ELSE array(CAST(NULL AS STRING)) END))"
+)
+
+_APPLY_MERGE = (
+    "replace(s, concat(' ', split_part(pair, ' ', 1), '  ', split_part(pair, ' ', 2), ' '),"
+    " concat(' ', split_part(pair, ' ', 1), split_part(pair, ' ', 2), ' '))"
+)
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    )
+    words = (
+        tok.filter(
+            F.col("w").rlike("^[a-z]+$") & F.length("w").between(2, 12)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        "cnt",
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), '  '), ' ')"
+        ).alias("s"),
+    )
+    outs = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            cur.select("cnt", F.explode(F.expr(_SYM_PAIRS)).alias("pair"))
+            .filter(F.col("pair").isNotNull())
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("wcnt"))
+        )
+        best = pairs.orderBy(F.desc("wcnt"), F.asc("pair")).limit(1)
+        outs.append(best.select(F.lit(r).alias("merge_round"), "pair", "wcnt"))
+        if r < _BPE_ROUNDS:
+            cur = (
+                cur.crossJoin(F.broadcast(best.select("pair")))
+                .withColumn("s", F.expr(_APPLY_MERGE))
+                .drop("pair")
+            )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("merge_round")
+
+
+def _bpe_round_sql(i: int) -> str:
+    prev = f"s{i - 1}"
+    return f"""
+p{i} AS (
+  SELECT u.pair, CAST(sum(u.cnt) AS BIGINT) AS wcnt
+  FROM (SELECT cnt,
+               unnest(list_transform(range(1, len(syms)),
+                      j -> syms[j] || ' ' || syms[j + 1])) AS pair
+        FROM (SELECT cnt, string_split(trim(s), '  ') AS syms FROM {prev})) u
+  GROUP BY u.pair),
+b{i} AS (SELECT pair, wcnt FROM p{i} ORDER BY wcnt DESC, pair LIMIT 1)"""
+
+
+def _bpe_apply_sql(i: int) -> str:
+    return f"""
+s{i} AS (
+  SELECT cnt,
+         replace(s, ' ' || split_part(b{i}.pair, ' ', 1) || '  '
+                     || split_part(b{i}.pair, ' ', 2) || ' ',
+                    ' ' || split_part(b{i}.pair, ' ', 1)
+                     || split_part(b{i}.pair, ' ', 2) || ' ') AS s
+  FROM s{i - 1}, b{i})"""
+
+
+BPE_LEARN_MERGES_SQL = (
+    """
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok
+  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) BETWEEN 2 AND 12
+  GROUP BY w),
+s0 AS (
+  SELECT cnt,
+         ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+                i -> substring(w, i, 1)), '  ') || ' ' AS s
+  FROM words),"""
+    + _bpe_round_sql(1)
+    + ","
+    + _bpe_apply_sql(1)
+    + ","
+    + _bpe_round_sql(2)
+    + ","
+    + _bpe_apply_sql(2)
+    + ","
+    + _bpe_round_sql(3)
+    + """
+SELECT 1 AS merge_round, pair, wcnt FROM b1
+UNION ALL SELECT 2, pair, wcnt FROM b2
+UNION ALL SELECT 3, pair, wcnt FROM b3
+ORDER BY merge_round
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Two-stage retrieval rerank (over-fetch + refine, generalized)
 # ---------------------------------------------------------------------------
 
@@ -1084,6 +1221,12 @@ ORDER BY source, bin
 
 
 QUERIES = [
+    QuerySpec(
+        "bpe_learn_merges",
+        bpe_learn_merges,
+        BPE_LEARN_MERGES_SQL,
+        "X14 BPE merge learning: 3 unrolled elect-and-apply rounds",
+    ),
     QuerySpec(
         "edit_distance_dups",
         edit_distance_dups,
