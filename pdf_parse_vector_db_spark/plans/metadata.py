@@ -250,8 +250,62 @@ def _table_stats_sql() -> str:
 TABLE_STATS_SQL = _table_stats_sql()
 
 
+# --------------------------------------------------------------------------
+# U5 user-defined AGGREGATE surface (SURVEY §2.8 — the one UDF class the
+# reference never exercises): a pandas GROUPED_AGG UDAF computing the
+# per-priority geometric mean of order totals. GROUPED_AGG hands the whole
+# group to one Arrow batch (no partial aggregation), and the log-sum runs
+# in integer micros with explicit round-half-up — independent of Arrow
+# batch row order, so even the Python aggregate sits under the oracle hash.
+# Scale: one shuffle on the grouping key; groups stream through Arrow.
+# The pure-Catalyst twin is exp(avg(ln(x))) — prefer it in production; this
+# query exists to prove the UDAF extension point works and stays exact.
+# --------------------------------------------------------------------------
+
+
+def geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(v):
+        import numpy as np
+
+        x = v.to_numpy(dtype="float64")
+        smic = int(np.floor(np.log(x) * 1e6 + 0.5).astype("int64").sum())
+        g = np.exp(smic / (len(x) * 1e6))
+        return float(np.floor(g * 1e6 + 0.5) / 1e6)
+
+    # module-level `from __future__ import annotations` stringifies hints,
+    # which pandas_udf's GROUPED_AGG inference rejects — set them directly
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf("double")(_geomean)
+
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg — the count comes from a second agg joined on
+    # the (5-row) grouping key, a broadcast-sized reconciliation
+    gm = orders.groupBy("o_orderpriority").agg(
+        geomean(F.col("o_totalprice")).alias("geomean_price")
+    )
+    cnts = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    return gm.join(cnts, on="o_orderpriority").orderBy("o_orderpriority")
+
+
+GEOMEAN_UDAF_SQL = """
+SELECT o_orderpriority,
+       floor(exp(CAST(sum(CAST(floor(ln(o_totalprice) * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE)
+                 / (count(*) * 1e6)) * 1e6 + 0.5) / 1e6 AS geomean_price,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = [
     QuerySpec("doc_metadata", doc_metadata, DOC_METADATA_SQL, "F10/F11 metadata extraction"),
+    QuerySpec("geomean_udaf", geomean_udaf, GEOMEAN_UDAF_SQL, "U5 pandas GROUPED_AGG UDAF, integer-micros exact"),
     QuerySpec("table_stats", table_stats, TABLE_STATS_SQL, "ANALYZE-style column profiling (nulls/NDV/min/max)"),
     QuerySpec("full_decision_pipeline", full_decision_pipeline, None, "T3+U2 cascade→LLM-stub pipeline"),
     QuerySpec("conclusion_positional", conclusion_positional, CONCLUSION_POSITIONAL_SQL, "F7 positional fallback tier"),

@@ -1109,7 +1109,38 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# SQL front door: the SAME ANSI text runs through spark.sql() AND the DuckDB
+# oracle, character for character — the dialect-common subset (CTEs, joins,
+# window ranking, round) parses identically in both engines. This is the
+# API-parity proof that a SQL-first user of the engine needs no DataFrame
+# code at all; Catalyst plans the text exactly like the equivalent
+# DataFrame chain (broadcast dims, windowed top-3 per group).
+# --------------------------------------------------------------------------
+
+SQL_FRONT_DOOR = """
+WITH ranked AS (
+  SELECT n_name, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+SELECT n_name AS nation, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM ranked
+WHERE rn <= 3
+ORDER BY nation, rn
+"""
+
+
+def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(SQL_FRONT_DOOR)
+
+
 QUERIES = [
+    QuerySpec("sql_front_door", sql_front_door, SQL_FRONT_DOOR, "identical ANSI text through spark.sql and the oracle"),
     QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL, "TPC-H Q1 shape"),
     QuerySpec("revenue_forecast", revenue_forecast, REVENUE_FORECAST_SQL, "TPC-H Q6 shape"),
     QuerySpec("shipping_priority", shipping_priority, SHIPPING_PRIORITY_SQL, "TPC-H Q3 shape"),

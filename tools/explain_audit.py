@@ -52,6 +52,14 @@ AUDIT = {
     "cdc_apply": "changelog-sized row_number; snapshot only aggregates, never shuffles rows",
     "collocation_pmi": "zip_with bigrams (no self-join); totals roll up from aggs, not corpus re-scans; TakeOrderedAndProject top-50",
     "source_kl_divergence": "ONE token explode; term/source/corpus marginals all derive from the (source,term) agg",
+    "profit_by_nation": "Q9 shape: part/supplier/nation all BroadcastHashJoin; lineitem shuffles only for orders join + 2-key agg",
+    "semdedup": "cluster-bounded blocked-BLAS pairwise (FlatMapGroupsInPandas); integer-micros centroids broadcast back",
+    "bloom_filter_audit": "<= m-row filter as broadcast build side; probe stream never shuffles for membership",
+    "vocab_oov": "top-V vocab via TakeOrderedAndProject, broadcast back onto the token stream",
+    "nation_triangles": "fact->dim graph contraction before the ordered a<b<c triangle join; no CartesianProduct",
+    "bpe_learn_merges": "unrolled elect-and-apply rounds; each merge re-enters as a 1-row broadcast, never a collect",
+    "span_corruption_plan": "both mask windows share one (doc_id, pos) sort; single exchange end to end",
+    "segment_priority_chi2": "constant-size contingency agg; marginals as windows over 25 cells, not corpus re-scans",
 }
 
 
