@@ -118,6 +118,105 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# Sorted-neighborhood record linkage (Hernández & Stolfo 1995) — the
+# SORT-based blocking tier next to the HASH-banded edit_distance_dups
+# above: sort the corpus on a canonical key, then compare each record only
+# with its w successors inside the sorted order. Distributed form is
+# "blocked SNM": partition by a short key prefix, sort WITHIN the block,
+# and slide the window with lead() — pair cost is N·w instead of Σ block²,
+# and the only exchange is the (prefix, key) sort. Verification reuses the
+# thresholded Levenshtein. Same planted-twin device as the edit tier so
+# true matches exist; the SQL twin computes the identical window pairs.
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 4
+
+
+def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    twins = docs.filter(F.col("doc_id") % _EDIT_TWIN_MOD == 0).select(
+        (F.col("doc_id") + _EDIT_TWIN_OFFSET).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.greatest(F.length("text") - 6, F.lit(0))
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    keyed = corpus.select(
+        "doc_id", canon.alias("c"), F.substring(canon, 1, 2).alias("blk")
+    )
+    w = W.partitionBy("blk").orderBy("c", "doc_id")
+    with_leads = keyed.select(
+        "doc_id",
+        "c",
+        F.array(
+            *[F.lead(F.struct("doc_id", "c"), i).over(w) for i in range(1, _SNM_WINDOW + 1)]
+        ).alias("nbrs"),
+    )
+    pairs = (
+        with_leads.select("doc_id", "c", F.explode("nbrs").alias("nb"))
+        .filter(F.col("nb").isNotNull())
+        .select(
+            F.least("doc_id", F.col("nb.doc_id")).alias("id_a"),
+            F.greatest("doc_id", F.col("nb.doc_id")).alias("id_b"),
+            F.levenshtein(F.col("c"), F.col("nb.c"), _EDIT_MAX_DIST).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _EDIT_MAX_DIST))
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("dist").cast("bigint").alias("dist")
+    ).orderBy("id_a", "id_b")
+
+
+def _snm_lead_cols() -> str:
+    return ",\n         ".join(
+        f"lead(doc_id, {i}) OVER win AS id{i}, lead(c, {i}) OVER win AS c{i}"
+        for i in range(1, _SNM_WINDOW + 1)
+    )
+
+
+def _snm_pair_union() -> str:
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, c, id{i} AS nb_id, c{i} AS nb_c FROM leads WHERE id{i} IS NOT NULL"
+        for i in range(1, _SNM_WINDOW + 1)
+    )
+
+
+SNM_CANDIDATE_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_EDIT_TWIN_OFFSET},
+         substring(text, 1, greatest(length(text) - 6, 0))
+  FROM documents WHERE doc_id % {_EDIT_TWIN_MOD} = 0
+),
+keyed AS (
+  SELECT doc_id,
+         {_CANON_SQL.format(col='text')} AS c,
+         substring({_CANON_SQL.format(col='text')}, 1, 2) AS blk
+  FROM corpus
+),
+leads AS (
+  SELECT doc_id, c,
+         {_snm_lead_cols()}
+  FROM keyed
+  WINDOW win AS (PARTITION BY blk ORDER BY c, doc_id)
+),
+pairs AS (
+  {_snm_pair_union()}
+)
+SELECT least(doc_id, nb_id) AS id_a,
+       greatest(doc_id, nb_id) AS id_b,
+       CAST(levenshtein(c, nb_c) AS BIGINT) AS dist
+FROM pairs
+WHERE levenshtein(c, nb_c) <= {_EDIT_MAX_DIST}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-domain caps (RefinedWeb shape)
 # ---------------------------------------------------------------------------
 
@@ -1232,6 +1331,12 @@ QUERIES = [
         edit_distance_dups,
         EDIT_DISTANCE_DUPS_SQL,
         "X2 edit-distance near-dup tier (banded blocking + threshold Levenshtein)",
+    ),
+    QuerySpec(
+        "snm_candidate_pairs",
+        snm_candidate_pairs,
+        SNM_CANDIDATE_PAIRS_SQL,
+        "X2/X9 sorted-neighborhood record linkage (N·w sort-based blocking)",
     ),
     QuerySpec("domain_caps", domain_caps, DOMAIN_CAPS_SQL, "X5 per-source document quota"),
     QuerySpec(
