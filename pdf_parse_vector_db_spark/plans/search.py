@@ -354,8 +354,81 @@ def search_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Pre-filter vs post-filter retrieval audit. The reference pushes the
+# court_level predicate INTO the store during ANN search
+# (extract_and_search.py:104-110: `filter="court_level == N"` evaluated
+# inside Milvus) rather than filtering the hit list client-side. This query
+# demonstrates WHY that choice matters: post-filtering a fixed fetch_k=100
+# unfiltered candidate set can return fewer / worse results than filtering
+# before the top-k, because candidates of other labels crowd out true
+# matches. Our engine's equivalent of the pushed filter is
+# predicate-pushdown + partition pruning on the label column (PLANS.md
+# knn_topk); the post-filter leg here is the anti-pattern, quantified.
+# Both legs are exact and deterministic, so the whole audit — including
+# the recall loss — sits under the oracle hash.
+# --------------------------------------------------------------------------
+
+
+def knn_prepost_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    scored = emb.crossJoin(q).withColumn(
+        "dist", l2_distance(F.col("embedding"), F.col("qvec"))
+    )
+    w = Window.orderBy("dist", "vec_id")
+    pre = (
+        scored.filter(F.col("label") == TARGET_LABEL)
+        .orderBy("dist", "vec_id")
+        .limit(5)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", F.col("vec_id").alias("pre_id"), F.round("dist", 4).alias("pre_score"))
+    )
+    post = (
+        scored.orderBy("dist", "vec_id")
+        .limit(100)
+        .filter(F.col("label") == TARGET_LABEL)
+        .orderBy("dist", "vec_id")
+        .limit(5)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", F.col("vec_id").alias("post_id"), F.round("dist", 4).alias("post_score"))
+    )
+    return pre.join(post, on="rank", how="left").orderBy("rank")
+
+
+KNN_PREPOST_FILTER_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec) AS dist
+  FROM embeddings e CROSS JOIN q
+),
+pre AS (
+  SELECT row_number() OVER (ORDER BY dist, vec_id) AS rank,
+         vec_id AS pre_id, round(dist, 4) AS pre_score
+  FROM (SELECT * FROM scored WHERE label = {TARGET_LABEL}
+        ORDER BY dist, vec_id LIMIT 5)
+),
+fetched AS (
+  SELECT * FROM scored ORDER BY dist, vec_id LIMIT 100
+),
+post AS (
+  SELECT row_number() OVER (ORDER BY dist, vec_id) AS rank,
+         vec_id AS post_id, round(dist, 4) AS post_score
+  FROM (SELECT * FROM fetched WHERE label = {TARGET_LABEL}
+        ORDER BY dist, vec_id LIMIT 5)
+)
+SELECT pre.rank, pre_id, pre_score, post_id, post_score
+FROM pre LEFT JOIN post ON pre.rank = post.rank
+ORDER BY pre.rank
+"""
+
+
 QUERIES = [
     QuerySpec("knn_topk", knn_topk, KNN_TOPK_SQL, "J1/P2/W1 filtered exact kNN top-5"),
+    QuerySpec("knn_prepost_filter", knn_prepost_filter, KNN_PREPOST_FILTER_SQL, "pushed-filter vs post-filter retrieval audit"),
     QuerySpec("search_response", search_response, None, "S8 nested JSON response (rows-only)"),
     QuerySpec("search_response_flat", search_response_flat, SEARCH_RESPONSE_FLAT_SQL, "S8 response values, flattened + oracle-checked"),
     QuerySpec("search_ingested", search_ingested, None, "full-circle ingest->search (rows-only)"),
