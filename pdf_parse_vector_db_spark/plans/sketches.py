@@ -404,8 +404,106 @@ ORDER BY is_member
 BLOOM_FILTER_AUDIT_SQL = _bf_sql()
 
 
+# --------------------------------------------------------------------------
+# Join-size estimation by Count-Min inner product (Cormode & Muthukrishnan
+# 2005 §4.2): |R ⋈_k S| = Σ_k f_R(k)·f_S(k), estimated per sketch row as
+# the inner product of the two frequency rows and taken as min over the d
+# rows — a one-sided overestimate, like CMS point queries. This is the
+# sketch a cost-based planner consults BEFORE choosing a join strategy:
+# two fixed 2048-cell summaries replace scanning either table again. The
+# inner product joins the sketches on (row_i, bucket) — a constant-size
+# co-group regardless of input rows — and every quantity is an exact
+# integer, so the estimator itself sits under the oracle hash. The exact
+# side (the true orders⋈lineitem pair count) is the audit.
+# --------------------------------------------------------------------------
+
+
+def _cms_key_bucket_spark(i: int, key: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('{i}:', CAST({key} AS STRING))), 1, 15),"
+        f" 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_key_bucket_duck(i: int, key: str) -> str:
+    return (
+        f"('0x' || substring(md5(concat('{i}:', CAST({key} AS VARCHAR))), 1, 15))"
+        f"::BIGINT % {_CMS_W}"
+    )
+
+
+def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+
+    def sketch(df, key):
+        cells = ", ".join(f"{i}, {_cms_key_bucket_spark(i, key)}" for i in range(_CMS_D))
+        return (
+            df.select(F.expr(f"stack({_CMS_D}, {cells}) AS (row_i, bucket)"))
+            .groupBy("row_i", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    sl = sketch(li, "l_orderkey").withColumnRenamed("cnt", "cnt_l")
+    so = sketch(orders, "o_orderkey").withColumnRenamed("cnt", "cnt_o")
+    ests = (
+        sl.join(so, on=["row_i", "bucket"])
+        .groupBy("row_i")
+        .agg(F.sum(F.col("cnt_l") * F.col("cnt_o")).alias("est_pairs"))
+    )
+    exact = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).agg(F.count(F.lit(1)).alias("exact_pairs"))
+    est_min = ests.agg(F.min("est_pairs").alias("est_min"))
+    return (
+        ests.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est_min))
+        .select(
+            "row_i",
+            "est_pairs",
+            "est_min",
+            "exact_pairs",
+            (F.col("est_pairs") - F.col("exact_pairs")).alias("overestimate"),
+        )
+        .orderBy("row_i")
+    )
+
+
+def _cms_join_sql() -> str:
+    def cells(key, src):
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT {i} AS row_i, {_cms_key_bucket_duck(i, key)} AS bucket FROM {src}"
+            for i in range(_CMS_D)
+        )
+
+    return f"""
+WITH sl AS (
+  SELECT row_i, bucket, CAST(count(*) AS BIGINT) AS cnt_l FROM (
+      {cells('l_orderkey', 'lineitem')}) GROUP BY row_i, bucket),
+so AS (
+  SELECT row_i, bucket, CAST(count(*) AS BIGINT) AS cnt_o FROM (
+      {cells('o_orderkey', 'orders')}) GROUP BY row_i, bucket),
+ests AS (
+  SELECT sl.row_i, CAST(sum(cnt_l * cnt_o) AS BIGINT) AS est_pairs
+  FROM sl JOIN so ON sl.row_i = so.row_i AND sl.bucket = so.bucket
+  GROUP BY sl.row_i),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_pairs
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+est_min AS (SELECT CAST(min(est_pairs) AS BIGINT) AS est_min FROM ests)
+SELECT row_i, est_pairs, est_min, exact_pairs,
+       CAST(est_pairs - exact_pairs AS BIGINT) AS overestimate
+FROM ests CROSS JOIN exact CROSS JOIN est_min
+ORDER BY row_i
+"""
+
+
+CMS_JOIN_SIZE_SQL = _cms_join_sql()
+
+
 QUERIES = [
     QuerySpec("cms_heavy_hitters", cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL, "portable Count-Min sketch point estimates vs truth"),
     QuerySpec("hist_quantiles", hist_quantiles, HIST_QUANTILES_SQL, "portable equi-width histogram quantiles vs exact"),
     QuerySpec("bloom_filter_audit", bloom_filter_audit, BLOOM_FILTER_AUDIT_SQL, "portable Bloom filter: zero-FN proof + realized vs predicted FPR"),
+    QuerySpec("cms_join_size", cms_join_size, CMS_JOIN_SIZE_SQL, "CMS inner-product join-cardinality estimate vs exact"),
 ]

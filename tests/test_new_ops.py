@@ -98,3 +98,17 @@ def test_vocab_oov_bounds(spark):
     total = sum(r.n_tokens for r in rows)
     oov = sum(r.n_oov for r in rows)
     assert oov < total
+
+
+def test_cms_join_size_one_sided(spark):
+    from pdf_parse_vector_db_spark.plans.sketches import cms_join_size
+
+    rows = cms_join_size(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    exact = rows[0].exact_pairs
+    assert exact > 0
+    for r in rows:
+        # CMS inner product NEVER underestimates the true join size
+        assert r.est_pairs >= exact
+        assert r.est_min >= exact
+        assert r.overestimate == r.est_pairs - exact
