@@ -870,7 +870,103 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Rolling z-score rate anomalies — the monitoring query a streaming
+# pipeline alerts from: per event type, compare each hour's event count to
+# the trailing-24h mean/std over a DENSE hourly spine (missing hours count
+# as 0 — a silent outage IS an anomaly, which a sparse rollup would hide).
+# Mean and variance derive from integer sums (Σx, Σx²) over the ROWS frame,
+# so both engines divide the same exact integers — no float-accumulation
+# drift reaches the hash. Flagged rows (|z| ≥ 2.5 with a full window)
+# bound the result; at scale the hourly pre-agg partial-aggregates
+# map-side and the window state per (type) partition is one 24-row frame.
+# --------------------------------------------------------------------------
+
+_ANOM_W = 24
+_ANOM_Z = 2.5
+
+
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = span.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))).alias("hour")
+    )
+    spine = ev.select("event_type").distinct().crossJoin(hours)
+    dense = spine.join(hourly, on=["event_type", "hour"], how="left").select(
+        "event_type", "hour", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy("hour").rowsBetween(-_ANOM_W, -1)
+    stats = dense.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n_w"),
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+    ).filter(F.col("n_w") == _ANOM_W)
+    mean = F.col("s1").cast("double") / _ANOM_W
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / _ANOM_W) / (
+        _ANOM_W - 1
+    )
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        stats.withColumn("z", F.round(z, 4))
+        .filter((F.abs("z") >= _ANOM_Z) & (var > 0))
+        .select("event_type", "hour", "cnt", F.round(mean, 4).alias("mean_24h"), "z")
+        .orderBy("event_type", "hour")
+    )
+
+
+HOURLY_ANOMALIES_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+spine AS (
+  SELECT t.event_type, h.hour
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN hours h),
+dense AS (
+  SELECT s.event_type, s.hour, coalesce(cnt, 0) AS cnt
+  FROM spine s LEFT JOIN hourly USING (event_type, hour)),
+stats AS (
+  SELECT event_type, hour, cnt,
+         count(*) OVER w AS n_w,
+         sum(cnt) OVER w AS s1,
+         sum(cnt * cnt) OVER w AS s2
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {_ANOM_W} PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour, cnt,
+       round(CAST(s1 AS DOUBLE) / {_ANOM_W}, 4) AS mean_24h,
+       round((cnt - CAST(s1 AS DOUBLE) / {_ANOM_W})
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / {_ANOM_W})
+                    / {_ANOM_W - 1}), 4) AS z
+FROM stats
+WHERE n_w = {_ANOM_W}
+  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / {_ANOM_W}) / {_ANOM_W - 1} > 0
+  AND abs(round((cnt - CAST(s1 AS DOUBLE) / {_ANOM_W})
+                / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / {_ANOM_W})
+                       / {_ANOM_W - 1}), 4)) >= {_ANOM_Z}
+ORDER BY event_type, hour
+"""
+
+
 QUERIES = [
+    QuerySpec("hourly_anomalies", hourly_anomalies, HOURLY_ANOMALIES_SQL, "rolling z-score rate anomalies over the dense hourly spine"),
     QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_SQL, "X7 weekly cohort retention matrix"),
     QuerySpec("funnel_conversion", funnel_conversion, FUNNEL_CONVERSION_SQL, "ordered 3-stage funnel (conditional-min formulation)"),
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL, "first-order Markov transition matrix"),
