@@ -1009,7 +1009,113 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view delta maintenance):
+# SUM/COUNT are self-maintainable aggregates — a maintained view absorbs a
+# changelog of inserts and deletes as signed partial aggregates and NEVER
+# rescans the base relation; that is the same algebraic-merge property
+# Spark's own partial+final hash aggregation exploits map-side. The query
+# runs BOTH paths — (base agg ⊎ signed delta agg) and a full recompute over
+# the post-changelog state — and surfaces them side by side, so the oracle
+# hash pins their equality. Money stays in exact integer cents; the
+# simulated changelog is deterministic (date split for inserts,
+# key-mod-97 for deletes). Scale: the maintained path touches only
+# |changelog| rows + |groups| maintained rows — the point of IVM; the
+# recompute leg exists purely as the audit and would be dropped in
+# production.
+# --------------------------------------------------------------------------
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    base = orders.filter(F.col("o_orderdate") < cut)
+    inserts = orders.filter(F.col("o_orderdate") >= cut)
+    deletes = base.filter(F.col("o_orderkey") % 97 == 0)
+
+    base_agg = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(cents).alias("cents")
+    )
+    delta = (
+        inserts.select("o_orderpriority", F.lit(1).alias("sign"), cents.alias("c"))
+        .unionByName(
+            deletes.select("o_orderpriority", F.lit(-1).alias("sign"), cents.alias("c"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("sign").alias("cnt"), F.sum(F.col("sign") * F.col("c")).alias("cents"))
+    )
+    maintained = (
+        base_agg.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cnt").alias("maintained_cnt"), F.sum("cents").alias("maintained_cents"))
+    )
+    current = base.join(deletes.select("o_orderkey"), on="o_orderkey", how="left_anti").unionByName(
+        inserts
+    )
+    recomputed = current.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("recomputed_cnt"), F.sum(cents).alias("recomputed_cents")
+    )
+    return (
+        maintained.join(recomputed, on="o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "maintained_cnt",
+            "recomputed_cnt",
+            "maintained_cents",
+            "recomputed_cents",
+            (
+                (F.col("maintained_cnt") == F.col("recomputed_cnt"))
+                & (F.col("maintained_cents") == F.col("recomputed_cents"))
+            ).alias("consistent"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+INCREMENTAL_AGG_MAINTENANCE_SQL = """
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+inserts AS (
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+deletes AS (SELECT * FROM base WHERE o_orderkey % 97 = 0),
+base_agg AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM base GROUP BY 1),
+delta AS (
+  SELECT o_orderpriority, CAST(sum(sign) AS BIGINT) AS cnt,
+         CAST(sum(sign * c) AS BIGINT) AS cents
+  FROM (SELECT o_orderpriority, 1 AS sign,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM inserts
+        UNION ALL
+        SELECT o_orderpriority, -1 AS sign,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM deletes)
+  GROUP BY 1),
+maintained AS (
+  SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS maintained_cnt,
+         CAST(sum(cents) AS BIGINT) AS maintained_cents
+  FROM (SELECT * FROM base_agg UNION ALL SELECT * FROM delta)
+  GROUP BY 1),
+current_state AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+  UNION ALL SELECT * FROM inserts),
+recomputed AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS recomputed_cnt,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS recomputed_cents
+  FROM current_state GROUP BY 1)
+SELECT m.o_orderpriority, maintained_cnt, recomputed_cnt,
+       maintained_cents, recomputed_cents,
+       maintained_cnt = recomputed_cnt AND maintained_cents = recomputed_cents
+         AS consistent
+FROM maintained m JOIN recomputed r ON m.o_orderpriority = r.o_orderpriority
+ORDER BY m.o_orderpriority
+"""
+
+
 QUERIES = [
+    QuerySpec("incremental_agg_maintenance", incremental_agg_maintenance, INCREMENTAL_AGG_MAINTENANCE_SQL, "IVM: signed-delta maintained aggregates vs recompute"),
     QuerySpec("late_suppliers", late_suppliers, LATE_SUPPLIERS_SQL, "Q21 shape: only-late supplier on multi-supplier orders"),
     QuerySpec("min_cost_supplier", min_cost_supplier, MIN_COST_SUPPLIER_SQL, "Q2 shape: correlated min-cost supplier per part, decorrelated"),
     QuerySpec("orders_moving_avg", orders_moving_avg, ORDERS_MOVING_AVG_SQL, "W6 RANGE-frame 7-day moving average"),
