@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pdf_parse_vector_db_spark.plans import advanced as _advanced
 from pdf_parse_vector_db_spark.plans import curation as _curation
+from pdf_parse_vector_db_spark.plans import evaluation as _evaluation
 from pdf_parse_vector_db_spark.plans import ingest as _ingest
 from pdf_parse_vector_db_spark.plans import graph as _graph
 from pdf_parse_vector_db_spark.plans import registry as _registry
@@ -29,12 +30,14 @@ from pdf_parse_vector_db_spark.plans import retrieval as _retrieval
 from pdf_parse_vector_db_spark.plans import metadata as _metadata
 from pdf_parse_vector_db_spark.plans import mixture as _mixture
 from pdf_parse_vector_db_spark.plans import multimodal as _multimodal
+from pdf_parse_vector_db_spark.plans import postings as _postings
 from pdf_parse_vector_db_spark.plans import privacy as _privacy
 from pdf_parse_vector_db_spark.plans import quality as _quality
 from pdf_parse_vector_db_spark.plans import search as _search
 from pdf_parse_vector_db_spark.plans import similarity as _similarity
 from pdf_parse_vector_db_spark.plans import sketches as _sketches
 from pdf_parse_vector_db_spark.plans import streaming_queries as _streaming_queries
+from pdf_parse_vector_db_spark.plans import temporal as _temporal
 from pdf_parse_vector_db_spark.plans import textanalysis as _textanalysis
 from pdf_parse_vector_db_spark.plans import tpch_extra as _tpch_extra
 
@@ -46,16 +49,19 @@ _MODULES = [
     _tpch_extra,
     _textanalysis,
     _curation,
+    _evaluation,
     _similarity,
     _sketches,
     _graph,
     _retrieval,
+    _postings,
     _metadata,
     _mixture,
     _multimodal,
     _privacy,
     _quality,
     _streaming_queries,
+    _temporal,
 ]
 
 _SPECS = _registry.collect(*_MODULES)
