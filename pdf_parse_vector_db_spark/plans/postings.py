@@ -1,0 +1,273 @@
+"""Positional inverted index + prefix-filter set-similarity join.
+
+The reference serves every read through a dense-vector index
+(extract_and_search.py:94-131); the classic text-side complement is the
+*inverted index* — the structure under every lexical retrieval and
+set-similarity system. This module builds one as a DataFrame (a postings
+relation, not a server-side structure) and runs the two canonical
+consumers on it:
+
+- ``phrase_search``     — exact phrase match ("table hash") via adjacency
+                          self-join on positional postings.
+- ``proximity_search``  — two terms within a ±3-token window, the NEAR
+                          operator of classical IR.
+- ``ppjoin_near_dups``  — exact-Jaccard set-similarity self-join with
+                          AllPairs/PPJoin prefix filtering (Bayardo et
+                          al. 2007; Xiao et al. 2008, both public):
+                          candidates must share a token in their
+                          rarest-first prefixes, which bounds the pair
+                          space without losing a single true pair
+                          (completeness is exactly what the all-pairs
+                          DuckDB oracle cross-checks).
+
+Scale shape (100 TB):
+
+- The postings build is a scan-bound explode; **only postings of the
+  queried terms shuffle** — the term filter sits between the explode and
+  the exchange, so a 2-term phrase query moves bytes proportional to those
+  two posting lists, never to the corpus. That is the Catalyst analog of
+  seeking two posting lists in Lucene.
+- The adjacency/proximity join shuffles both (tiny) posting lists on
+  doc_id — co-partitioned, no broadcast needed, no skew (a term's
+  per-doc positions are bounded by doc length).
+- PPJoin's candidate join is keyed on *prefix tokens only*: each doc
+  contributes |d| − ⌈t·|d|⌉ + 1 rarest tokens, so the self-join's fan-out
+  is Σ_token prefix-df² over low-df tokens — the 1/t-approximation of the
+  output size, not corpus². The global token order (ascending document
+  frequency) comes from a vocabulary-sized side table; its rank window is
+  bounded by |vocab|, and the verification join touches full token sets
+  only for surviving candidates.
+
+Float discipline: jaccard is rounded to 6 dp in both engines; the
+threshold compares the ROUNDED value so both engines keep identical pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .registry import QuerySpec
+
+PHRASE = ("table", "hash")
+NEAR_TERMS = ("vector", "merge")
+NEAR_DIST = 3
+TOP_DOCS = 20
+JACC_T = 0.95
+
+_TOKS_EXPR = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+_TOKS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional postings relation: (doc_id, pos, term), pos 0-based."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return docs.select(
+        "doc_id", F.posexplode(F.expr(_TOKS_EXPR)).alias("pos", "term")
+    )
+
+
+_POSTINGS_SQL = f"""
+  SELECT doc_id,
+         generate_subscripts(toks, 1) AS pos,
+         unnest(toks) AS term
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+"""
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing the exact phrase, ranked by occurrence count.
+
+    Postings of the two words are filtered BEFORE the doc_id exchange;
+    the adjacency condition is p2.pos == p1.pos + 1.
+    """
+    post = _postings(spark, sf_dir)
+    p1 = post.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    p2 = post.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos2")
+    )
+    return (
+        p1.join(p2, (p1.doc_id == p2.doc_id) & (p2.pos2 == p1.pos1 + 1))
+        .groupBy(p1.doc_id)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(TOP_DOCS)
+    )
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH post AS ({_POSTINGS_SQL})
+SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM post p1 JOIN post p2
+  ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+WHERE p1.term = '{PHRASE[0]}' AND p2.term = '{PHRASE[1]}'
+GROUP BY p1.doc_id
+ORDER BY n_hits DESC, p1.doc_id ASC
+LIMIT {TOP_DOCS}
+"""
+
+
+def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs where the two terms co-occur within ±NEAR_DIST tokens.
+
+    Counts qualifying position pairs per doc — the NEAR/k operator.
+    """
+    post = _postings(spark, sf_dir)
+    p1 = post.filter(F.col("term") == NEAR_TERMS[0]).select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    p2 = post.filter(F.col("term") == NEAR_TERMS[1]).select(
+        "doc_id", F.col("pos").alias("pos2")
+    )
+    return (
+        p1.join(
+            p2,
+            (p1.doc_id == p2.doc_id)
+            & (F.abs(p2.pos2 - p1.pos1) <= NEAR_DIST),
+        )
+        .groupBy(p1.doc_id)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("doc_id"))
+        .limit(TOP_DOCS)
+    )
+
+
+PROXIMITY_SEARCH_SQL = f"""
+WITH post AS ({_POSTINGS_SQL})
+SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM post p1 JOIN post p2
+  ON p1.doc_id = p2.doc_id AND abs(p2.pos - p1.pos) <= {NEAR_DIST}
+WHERE p1.term = '{NEAR_TERMS[0]}' AND p2.term = '{NEAR_TERMS[1]}'
+GROUP BY p1.doc_id
+ORDER BY n_pairs DESC, p1.doc_id ASC
+LIMIT {TOP_DOCS}
+"""
+
+
+def ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc set-similarity summary at Jaccard ≥ JACC_T over word sets.
+
+    AllPairs/PPJoin shape: (1) distinct word sets, (2) global rarest-first
+    token order from the document-frequency table, (3) per-doc prefix of
+    the |d| − ⌈t·|d|⌉ + 1 rarest tokens, (4) candidate pairs = prefix
+    self-join on token, (5) exact-intersection verify restricted to
+    candidates, (6) per-doc rollup (partner count + max jaccard). The
+    oracle is the unpruned all-pairs join — any pair lost to over-pruning
+    would hash-mismatch.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOKS_EXPR))).alias("term")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # global order over the vocabulary-sized df table (bounded window)
+    rank = df.withColumn(
+        "trank", F.row_number().over(Window.orderBy("df", "term"))
+    ).select("term", "trank")
+    ordered = (
+        tok.join(F.broadcast(rank), "term")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("trank"))
+        )
+    )
+    prefix = ordered.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(JACC_T) * F.col("n")) + 1
+    ).select("doc_id", "term")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    # verify: exact intersection for candidates only
+    ta = tok.select(F.col("doc_id").alias("id_a"), "term")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "term")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    pairs = (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jacc",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jacc") >= JACC_T)
+    )
+    both = pairs.select(F.col("id_a").alias("doc_id"), "jacc").unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"), "jacc")
+    )
+    return (
+        both.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partners"),
+            F.max("jacc").alias("max_jacc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PPJOIN_NEAR_DUPS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+), tok AS (
+  SELECT doc_id, len(toks) AS n, unnest(toks) AS term FROM t
+), pair AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         count(*) AS inter
+  FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), keep AS (
+  SELECT id_a, id_b,
+         round(inter / CAST(na + nb - inter AS DOUBLE), 6) AS jacc
+  FROM pair
+  WHERE round(inter / CAST(na + nb - inter AS DOUBLE), 6) >= {JACC_T}
+), sides AS (
+  SELECT id_a AS doc_id, jacc FROM keep
+  UNION ALL
+  SELECT id_b AS doc_id, jacc FROM keep
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners, max(jacc) AS max_jacc
+FROM sides
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = [
+    QuerySpec(
+        "phrase_search",
+        phrase_search,
+        PHRASE_SEARCH_SQL,
+        "exact-phrase retrieval via positional-postings adjacency join",
+    ),
+    QuerySpec(
+        "proximity_search",
+        proximity_search,
+        PROXIMITY_SEARCH_SQL,
+        "NEAR/k proximity retrieval over positional postings",
+    ),
+    QuerySpec(
+        "ppjoin_near_dups",
+        ppjoin_near_dups,
+        PPJOIN_NEAR_DUPS_SQL,
+        "PPJoin prefix-filter exact-Jaccard set-similarity self-join",
+    ),
+]
