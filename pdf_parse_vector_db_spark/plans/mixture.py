@@ -411,6 +411,56 @@ ORDER BY doc_id
 """
 
 
+def es_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis (2006, public) weighted reservoir sample:
+    k orders drawn WITHOUT replacement with probability proportional to
+    o_totalprice, via the order-sampling identity — give each row the key
+    u^(1/w) (equivalently rank by ln(u)/w, monotone) for hash-uniform
+    u ∈ (0,1), keep the k largest keys.
+
+    Determinism: u = (md5-derived 32-bit int + 0.5) / 2^32 — no RNG state,
+    so the same sample materializes on every engine, retry, and partition
+    layout (the property that makes weighted sampling safe to re-run
+    mid-pipeline at 100 TB). The weight is normalized by 1e5 so keys have
+    ~unit magnitude before the 6-dp round; ordering uses the ROUNDED key
+    with an orderkey tie-break so both engines cut the same k rows.
+
+    Scale shape: key assignment is a pure map; the k-largest cut is
+    orderBy+limit → TakeOrderedAndProject (per-partition k-heaps + a k-row
+    driver merge), never a global sort.
+    """
+    k = 50
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / (F.col("o_totalprice") / F.lit(1e5)), 6)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+ES_WEIGHTED_RESERVOIR_SQL = """
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS price,
+       round(ln((('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                / 4294967296.0)
+             / (o_totalprice / 100000.0), 6) AS es_key
+FROM orders
+ORDER BY es_key DESC, o_orderkey ASC
+LIMIT 50
+"""
+
+
 def weighted_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document WEIGHTED inclusion sampling (Horvitz-Thompson style):
     keep doc ⟺ hash-uniform(doc_id) < weight, with length-proportional
@@ -719,5 +769,11 @@ QUERIES = [
         stratified_topk_sample,
         STRATIFIED_TOPK_SAMPLE_SQL,
         "X5 deterministic k-per-stratum hash-rank sample",
+    ),
+    QuerySpec(
+        "es_weighted_reservoir",
+        es_weighted_reservoir,
+        ES_WEIGHTED_RESERVOIR_SQL,
+        "X5 Efraimidis-Spirakis weight-proportional reservoir sample (deterministic keys)",
     ),
 ]

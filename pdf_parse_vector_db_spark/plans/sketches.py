@@ -501,9 +501,152 @@ ORDER BY row_i
 CMS_JOIN_SIZE_SQL = _cms_join_sql()
 
 
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch + set-overlap estimation
+# (Bar-Yossef et al. 2002; Beyer et al. 2007 — public literature). The
+# mergeable-sketch family's answer to "how much does corpus A overlap
+# corpus B": keep the k smallest hash values per set; the k-th minimum θ
+# estimates the distinct count as (k−1)/θ, the merged sketch estimates the
+# union, and the fraction of merged-sketch members present in BOTH input
+# sketches estimates Jaccard — so |A∩B| ≈ J · |A∪B| without ever comparing
+# the sets. Sketch size is k rows per set regardless of corpus size; the
+# sketches of disjoint partitions merge by "union then re-cut to k", which
+# is exactly a k-row TakeOrdered — the same merge HLL/CMS rely on.
+#
+# Portability: h(x) = first 15 hex chars of md5(x) as a BIGINT in
+# [0, 2^60); the normalizing constant 2^60 is an exact double, so the
+# (k−1)/θ math is bit-identical across engines. Exact counts ride along
+# as the audit columns, like every sketch query here.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 128
+_KMV_SRC = ("src0", "src1")
+_KMV_NORM = float(2**60)
+
+
+def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV estimates of |A|, |B|, |A∪B|, |A∩B| over word-3-gram shingle
+    sets of two sources, with exact counts as audit columns.
+
+    Scale shape: the per-source shingle stream reduces to distinct
+    (source, hash) map-side; each sketch is the k smallest hashes per
+    source (a per-source TakeOrdered, k rows out); every estimate is
+    arithmetic over ≤ 2k+1 rows. The exact audit columns are the only
+    corpus-sized aggregation and exist to grade the sketch.
+    """
+    from pdf_parse_vector_db_spark.functions.text import shingles_expr
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    a, b = _KMV_SRC
+    vals = (
+        docs.filter(F.col("source").isin(list(_KMV_SRC)))
+        .select("source", F.explode(shingles_expr("text")).alias("sh"))
+        .select(
+            "source",
+            F.expr(
+                "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    ranked = vals.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("source").orderBy("v"))
+    ).filter(F.col("rn") <= _KMV_K)
+    theta = ranked.filter(F.col("rn") == _KMV_K).select(
+        "source", (F.col("v") / F.lit(_KMV_NORM)).alias("theta")
+    )
+    est_sizes = theta.select(
+        "source", (F.lit(_KMV_K - 1) / F.col("theta")).alias("est")
+    )
+    merged = (
+        ranked.select("v")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("v")))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    theta_u = merged.filter(F.col("rn") == _KMV_K).select(
+        (F.lit(_KMV_K - 1) / (F.col("v") / F.lit(_KMV_NORM))).alias("est_union")
+    )
+    in_a = ranked.filter(F.col("source") == a).select("v")
+    in_b = ranked.filter(F.col("source") == b).select("v")
+    j_est = (
+        merged.join(in_a, "v").join(in_b, "v").agg(
+            (F.count(F.lit(1)) / F.lit(_KMV_K)).alias("j_est")
+        )
+    )
+    exact = vals.groupBy("v").agg(F.count(F.lit(1)).alias("nsrc")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum((F.col("nsrc") == 2).cast("int")).cast("bigint").alias("exact_inter"),
+    )
+    est_a = est_sizes.filter(F.col("source") == a).select(F.col("est").alias("est_a"))
+    est_b = est_sizes.filter(F.col("source") == b).select(F.col("est").alias("est_b"))
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(theta_u)
+        .crossJoin(j_est)
+        .crossJoin(exact)
+        .select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            F.round("est_a", 2).alias("est_a"),
+            F.round("est_b", 2).alias("est_b"),
+            F.round("est_union", 2).alias("est_union"),
+            F.round(F.col("j_est") * F.col("est_union"), 2).alias("est_inter"),
+            "exact_union",
+            "exact_inter",
+        )
+    )
+
+
+def _kmv_sql() -> str:
+    a, b = _KMV_SRC
+    from pdf_parse_vector_db_spark.functions.text import shingles_sql
+
+    sh_sql = f"unnest({shingles_sql('text')})"
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT source,
+         ('0x' || substring(md5(sh), 1, 15))::BIGINT AS v
+  FROM (SELECT source, {sh_sql} AS sh
+        FROM documents WHERE source IN ('{a}', '{b}'))
+), ranked AS (
+  SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS rn
+  FROM vals QUALIFY rn <= {_KMV_K}
+), est_sizes AS (
+  SELECT source, ({_KMV_K} - 1) / (v / {_KMV_NORM!r}) AS est
+  FROM ranked WHERE rn = {_KMV_K}
+), merged AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn
+  FROM (SELECT DISTINCT v FROM ranked) QUALIFY rn <= {_KMV_K}
+), theta_u AS (
+  SELECT ({_KMV_K} - 1) / (v / {_KMV_NORM!r}) AS est_union
+  FROM merged WHERE rn = {_KMV_K}
+), j_est AS (
+  SELECT count(*) * 1.0 / {_KMV_K} AS j_est
+  FROM merged m
+  JOIN (SELECT v FROM ranked WHERE source = '{a}') sa USING (v)
+  JOIN (SELECT v FROM ranked WHERE source = '{b}') sb USING (v)
+), exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+  FROM (SELECT v, count(*) AS nsrc FROM vals GROUP BY v)
+)
+SELECT CAST({_KMV_K} AS INTEGER) AS k,
+       round((SELECT est FROM est_sizes WHERE source = '{a}'), 2) AS est_a,
+       round((SELECT est FROM est_sizes WHERE source = '{b}'), 2) AS est_b,
+       round(est_union, 2) AS est_union,
+       round(j_est * est_union, 2) AS est_inter,
+       exact_union, exact_inter
+FROM theta_u CROSS JOIN j_est CROSS JOIN exact
+"""
+
+
+KMV_OVERLAP_SQL = _kmv_sql()
+
+
 QUERIES = [
     QuerySpec("cms_heavy_hitters", cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL, "portable Count-Min sketch point estimates vs truth"),
     QuerySpec("hist_quantiles", hist_quantiles, HIST_QUANTILES_SQL, "portable equi-width histogram quantiles vs exact"),
     QuerySpec("bloom_filter_audit", bloom_filter_audit, BLOOM_FILTER_AUDIT_SQL, "portable Bloom filter: zero-FN proof + realized vs predicted FPR"),
     QuerySpec("cms_join_size", cms_join_size, CMS_JOIN_SIZE_SQL, "CMS inner-product join-cardinality estimate vs exact"),
+    QuerySpec("kmv_overlap", kmv_overlap, KMV_OVERLAP_SQL, "KMV k-min-values sketch: union/intersection estimates vs exact"),
 ]

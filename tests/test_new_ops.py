@@ -112,3 +112,47 @@ def test_cms_join_size_one_sided(spark):
         assert r.est_pairs >= exact
         assert r.est_min >= exact
         assert r.overestimate == r.est_pairs - exact
+
+
+def test_kmv_overlap_estimates_within_error(spark):
+    """KMV stderr is ~1/sqrt(k) (~8.8% at k=128); assert a 3-sigma band on
+    the union estimate and sanity on the derived intersection estimate."""
+    from pdf_parse_vector_db_spark.plans.sketches import _KMV_K, kmv_overlap
+
+    r = kmv_overlap(spark, SF_SMOKE).collect()[0]
+    assert r.k == _KMV_K
+    rel = 3.0 / (_KMV_K ** 0.5)
+    assert abs(r.est_union - r.exact_union) <= rel * r.exact_union, r
+    # intersection estimate: nonnegative, bounded by the smaller side's est
+    assert 0.0 <= r.est_inter <= min(r.est_a, r.est_b) * (1 + rel), r
+
+
+def test_max_open_orders_matches_bruteforce(spark):
+    """Sweep-line result == naive per-day interval counting."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from pdf_parse_vector_db_spark.plans.temporal import max_open_orders
+
+    out = {r.month: r.max_open for r in max_open_orders(spark, SF_SMOKE).collect()}
+
+    orders = {
+        r.o_orderkey: r.o_orderdate
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    }
+    close = {}
+    for r in load_table(spark, SF_SMOKE, "lineitem").collect():
+        k = r.l_orderkey
+        if k in orders:
+            close[k] = max(close.get(k, r.l_shipdate), r.l_shipdate)
+    iv = [(orders[k], max(orders[k], close[k])) for k in close]
+    lo = min(o for o, _ in iv)
+    hi = max(c for _, c in iv) + timedelta(days=1)
+    per_month = defaultdict(int)
+    d = lo
+    while d <= hi:
+        open_cnt = sum(1 for o, c in iv if o <= d <= c)
+        m = d.strftime("%Y-%m")
+        per_month[m] = max(per_month[m], open_cnt)
+        d += timedelta(days=1)
+    assert out == dict(per_month)
