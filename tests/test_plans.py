@@ -408,3 +408,57 @@ def test_nation_triangles_no_cartesian(spark):
     regressed to all-triples."""
     body = _final_plan(spark, "nation_triangles")
     assert "CartesianProduct" not in body, body
+
+
+def test_classifier_auc_histogram_window(spark):
+    """AUC: the centroid attaches as a 1-row broadcast, and the rank
+    window's input is the distinct-score aggregate (bounded histogram),
+    never the per-row stream — the distributed-AUC scale claim."""
+    body = _final_plan(spark, "classifier_auc")
+    assert "BroadcastNestedLoopJoin" in body or "BroadcastExchange" in body, body
+    # window must sit above a HashAggregate (the score group-by), and the
+    # plan must contain partial aggregation (>= 2 HashAggregate stages)
+    assert "Window" in body and body.count("HashAggregate") >= 2, body
+
+
+def test_retrieval_relevance_panel_broadcast(spark):
+    """The 5-row query panel must broadcast onto the corpus scan; a
+    shuffled join here would move the embedding column corpus-wide."""
+    body = _final_plan(spark, "retrieval_relevance")
+    assert "BroadcastNestedLoopJoin" in body, body
+    assert "CartesianProduct" not in body, body
+
+
+def test_phrase_search_filters_before_join(spark):
+    """Lexical retrieval: the two term filters must apply between the
+    explode and the doc_id exchange (posting-list seek, not corpus join),
+    and the join must be an equi-join."""
+    body = _final_plan(spark, "phrase_search")
+    assert "CartesianProduct" not in body, body
+    assert "posexplode" in body or "Generate" in body, body
+    # both term literals appear as filter conditions in the executed plan
+    assert "table" in body and "hash" in body, body
+    assert "TakeOrderedAndProject" in body, body
+
+
+def test_ppjoin_no_cartesian_and_broadcast_sides(spark):
+    """PPJoin: candidates come from a token equi-join over prefixes; the
+    df-rank and size tables ride as broadcasts."""
+    body = _final_plan(spark, "ppjoin_near_dups")
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastHashJoin" in body, body
+
+
+def test_max_open_orders_window_over_daily_agg(spark):
+    """Sweep-line: the running-sum window input must be the per-day delta
+    aggregate (calendar-bounded), not per-interval rows."""
+    body = _final_plan(spark, "max_open_orders")
+    assert "Window" in body and body.count("HashAggregate") >= 2, body
+
+
+def test_es_reservoir_topk_not_global_sort(spark):
+    """ES reservoir: the k-largest-keys cut must be TakeOrderedAndProject
+    (per-partition heaps), never a full sort of the weighted stream."""
+    body = _final_plan(spark, "es_weighted_reservoir")
+    assert "TakeOrderedAndProject" in body, body
+    assert "Sort " not in body.replace("TakeOrderedAndProject", ""), body

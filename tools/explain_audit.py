@@ -60,6 +60,13 @@ AUDIT = {
     "bpe_learn_merges": "unrolled elect-and-apply rounds; each merge re-enters as a 1-row broadcast, never a collect",
     "span_corruption_plan": "both mask windows share one (doc_id, pos) sort; single exchange end to end",
     "segment_priority_chi2": "constant-size contingency agg; marginals as windows over 25 cells, not corpus re-scans",
+    "classifier_auc": "per-dim centroid agg broadcast back (1-row BNLJ); rank window input is the score histogram agg, never per-row",
+    "retrieval_relevance": "5-row query panel broadcast onto the corpus scan; per-query window after rank<=10 cut",
+    "phrase_search": "term equality filters applied between explode and exchange; equi-join on doc_id, no CartesianProduct",
+    "ppjoin_near_dups": "prefix-token equi-join candidates; df-rank and size tables broadcast; no CartesianProduct",
+    "max_open_orders": "sweep-line: running-sum window input is the per-day delta agg joined to the calendar spine",
+    "kmv_overlap": "k-row sketches via per-source rank windows over distinct hashes; estimates join as 1-row broadcasts",
+    "es_weighted_reservoir": "TakeOrderedAndProject on the rounded ES key — per-partition k-heaps, no global sort",
 }
 
 
