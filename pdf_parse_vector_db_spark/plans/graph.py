@@ -203,7 +203,101 @@ ORDER BY nation
 """
 
 
+_KCORE_K = 90
+_KCORE_ROUNDS = 3
+
+
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 unrolled rounds of k-core peeling (k=90) on the part co-order
+    graph (parts are adjacent when some order contains both).
+
+    k-core decomposition (Seidman 1983, public) repeatedly deletes nodes
+    of degree < k; the fixpoint is the k-core. Like PageRank above, a
+    FIXED unroll keeps the dataflow finite and oracle-comparable — and
+    three rounds is exactly the Pregel shape a fixpoint loop would
+    iterate, so the per-round plan (degree agg → alive filter →
+    edge semi-join) is the scale-relevant artifact. Emits one row per
+    round: survivors and surviving edges.
+
+    Scale shape: each round is a map-side-combined degree count over edge
+    endpoints plus two semi-joins of edges against the (shrinking) alive
+    set; the alive set broadcasts once it fits, and AQE picks that up
+    automatically. The co-order edge build is the only corpus-sized
+    shuffle (distinct on a fixed-width pair key).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem", spread=True)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+    )
+    rounds = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("x").alias("n"))
+            .unionAll(edges.select(F.col("y").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = deg.filter(F.col("c") >= _KCORE_K).select("n")
+        edges = edges.join(
+            alive.withColumnRenamed("n", "x"), "x", "left_semi"
+        ).join(alive.withColumnRenamed("n", "y"), "y", "left_semi")
+        rounds.append(
+            alive.agg(F.count(F.lit(1)).cast("bigint").alias("nodes")).crossJoin(
+                edges.agg(F.count(F.lit(1)).cast("bigint").alias("edges"))
+            ).select(F.lit(r).cast("int").alias("round"), "nodes", "edges")
+        )
+    out = rounds[0]
+    for r_df in rounds[1:]:
+        out = out.unionAll(r_df)
+    return out.orderBy("round")
+
+
+def _kcore_sql() -> str:
+    parts = [
+        """
+e0 AS (
+  SELECT DISTINCT a.p AS x, b.p AS y
+  FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+    ON a.o = b.o AND a.p < b.p
+)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""
+a{r} AS (
+  SELECT n FROM (
+    SELECT n, count(*) AS c FROM (
+      SELECT x AS n FROM e{r - 1} UNION ALL SELECT y FROM e{r - 1}
+    ) GROUP BY n
+  ) WHERE c >= {_KCORE_K}
+), e{r} AS (
+  SELECT e.x, e.y FROM e{r - 1} e
+  JOIN a{r} ax ON e.x = ax.n
+  JOIN a{r} ay ON e.y = ay.n
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM a{r}) AS nodes,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS edges"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + selects + "\nORDER BY round"
+
+
+KCORE_PEEL_SQL = _kcore_sql()
+
+
 QUERIES = [
     QuerySpec("pagerank_bipartite", pagerank_bipartite, PAGERANK_BIPARTITE_SQL, "3-iteration unrolled PageRank on the interaction graph"),
     QuerySpec("nation_triangles", nation_triangles, NATION_TRIANGLES_SQL, "ordered-join triangle counting on the contracted trade graph"),
+    QuerySpec("kcore_peel", kcore_peel, KCORE_PEEL_SQL, "3-round unrolled k-core peeling on the part co-order graph"),
 ]

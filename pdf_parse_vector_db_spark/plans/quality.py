@@ -963,6 +963,148 @@ def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def segment_priority_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and normalized MI) between customer market
+    segment and order priority — the information-theoretic complement of
+    the chi-square audit above, over the SAME constant-size contingency
+    aggregate. MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))); NMI normalizes by
+    √(H(X)·H(Y)) so 0 = independent, 1 = deterministic.
+
+    Determinism: every probability derives from exact BIGINT cell counts;
+    the only floats are per-cell ln() contributions, summed as integer
+    nanos so summation order can never move the 6-dp result.
+
+    Scale shape: identical to chi2 — one |segments|×|priorities| agg with
+    map-side partials; everything after runs on ≤25 rows.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = (
+        cells.withColumn("row_n", F.sum("n").over(W.partitionBy("c_mktsegment")))
+        .withColumn("col_n", F.sum("n").over(W.partitionBy("o_orderpriority")))
+        .withColumn("grand", F.sum("n").over(W.partitionBy()))
+    )
+    p = F.col("n").cast("double") / F.col("grand")
+    mi_cell = p * F.log(
+        F.col("n").cast("double") * F.col("grand") / (F.col("row_n") * F.col("col_n"))
+    )
+    # entropy contributions count each row/col marginal once per cell if
+    # summed naively — divide by the marginal's cell multiplicity instead
+    # of deduplicating (same total, stays one stream)
+    rmult = F.count(F.lit(1)).over(W.partitionBy("c_mktsegment"))
+    cmult = F.count(F.lit(1)).over(W.partitionBy("o_orderpriority"))
+    pr = F.col("row_n").cast("double") / F.col("grand")
+    pc = F.col("col_n").cast("double") / F.col("grand")
+    staged = tot.select(
+        F.round(mi_cell * 1e9).cast("bigint").alias("mi_nano"),
+        F.round(-pr * F.log(pr) / rmult * 1e9).cast("bigint").alias("hr_nano"),
+        F.round(-pc * F.log(pc) / cmult * 1e9).cast("bigint").alias("hc_nano"),
+    )
+    return staged.agg(
+        F.round(F.sum("mi_nano") / 1e9, 6).alias("mi_nats"),
+        F.round(
+            (F.sum("mi_nano") / 1e9)
+            / F.sqrt((F.sum("hr_nano") / 1e9) * (F.sum("hc_nano") / 1e9)),
+            6,
+        ).alias("nmi"),
+    )
+
+
+SEGMENT_PRIORITY_MI_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+tot AS (
+  SELECT *,
+         sum(n) OVER (PARTITION BY c_mktsegment) AS row_n,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS col_n,
+         sum(n) OVER () AS grand,
+         count(*) OVER (PARTITION BY c_mktsegment) AS rmult,
+         count(*) OVER (PARTITION BY o_orderpriority) AS cmult
+  FROM cells),
+staged AS (
+  SELECT
+    CAST(round(CAST(n AS DOUBLE) / grand
+               * ln(CAST(n AS DOUBLE) * grand / (CAST(row_n AS DOUBLE) * col_n))
+               * 1e9) AS BIGINT) AS mi_nano,
+    CAST(round(-(CAST(row_n AS DOUBLE) / grand)
+               * ln(CAST(row_n AS DOUBLE) / grand) / rmult * 1e9) AS BIGINT)
+      AS hr_nano,
+    CAST(round(-(CAST(col_n AS DOUBLE) / grand)
+               * ln(CAST(col_n AS DOUBLE) / grand) / cmult * 1e9) AS BIGINT)
+      AS hc_nano
+  FROM tot)
+SELECT round(CAST(sum(mi_nano) AS BIGINT) / 1e9, 6) AS mi_nats,
+       round((CAST(sum(mi_nano) AS BIGINT) / 1e9)
+             / sqrt((CAST(sum(hr_nano) AS BIGINT) / 1e9)
+                    * (CAST(sum(hc_nano) AS BIGINT) / 1e9)), 6) AS nmi
+FROM staged
+"""
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice (Newcomb 1881 /
+    Benford 1938, public): per digit 1-9, the observed share vs the
+    log10(1 + 1/d) expectation — the standard screen for fabricated or
+    truncated numeric columns in ingested data.
+
+    First digit extracted arithmetically (floor(p / 10^floor(log10 p)))
+    so no engine-specific number formatting is involved. One 9-key
+    aggregate with map-side partials; share math on 9 rows.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    d = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10(F.col("o_totalprice"))))
+    ).cast("int")
+    digits = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = digits.withColumn("total", F.sum("n").over(W.partitionBy()))
+    return tot.select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("obs_share"),
+        F.round(F.log10(1 + 1 / F.col("digit").cast("double")), 6).alias("exp_share"),
+        F.round(
+            F.col("n").cast("double") / F.col("total")
+            - F.log10(1 + 1 / F.col("digit").cast("double")),
+            6,
+        ).alias("deviation"),
+    ).orderBy("digit")
+
+
+BENFORD_AUDIT_SQL = """
+WITH digits AS (
+  SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice)))) AS INTEGER)
+           AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1),
+tot AS (SELECT *, sum(n) OVER () AS total FROM digits)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+       round(log10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS exp_share,
+       round(CAST(n AS DOUBLE) / total
+             - log10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS deviation
+FROM tot
+ORDER BY digit
+"""
+
+
 SEGMENT_PRIORITY_CHI2_SQL = """
 WITH cells AS (
   SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n
@@ -992,6 +1134,8 @@ FROM contrib
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
     QuerySpec("segment_priority_chi2", segment_priority_chi2, SEGMENT_PRIORITY_CHI2_SQL, "Pearson chi-square independence audit over one contingency agg"),
+    QuerySpec("segment_priority_mi", segment_priority_mi, SEGMENT_PRIORITY_MI_SQL, "mutual information + NMI over the same contingency agg (integer-nanos exact)"),
+    QuerySpec("benford_audit", benford_audit, BENFORD_AUDIT_SQL, "Benford first-digit distribution audit of order totals"),
     QuerySpec("boilerplate_prefixes", boilerplate_prefixes, BOILERPLATE_PREFIXES_SQL, "RefinedWeb-style boilerplate-prefix detection"),
     QuerySpec("point_in_time_state", point_in_time_state, POINT_IN_TIME_STATE_SQL, "feature-store point-in-time join vs SCD2 dimension"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),

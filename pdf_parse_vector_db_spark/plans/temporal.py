@@ -101,11 +101,209 @@ ORDER BY 1
 """
 
 
+_AC_MAX_LAG = 7
+
+
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 Pearson autocorrelation of daily revenue — the seasonality
+    screen run over every metric stream before modeling it.
+
+    Exactness: daily revenue reduces to integer dollars (cents summed as
+    BIGINT, then integer-divided), so every Pearson sufficient statistic
+    (Σx, Σxy, Σx², n) is an exact integer on both engines; the only float
+    math is the final closed-form correlation over those integers —
+    identical doubles in, identical 6-dp result out. Never uses a
+    float `corr()` aggregate, whose merge order is engine-dependent.
+
+    Scale shape: the corpus-sized work is one (date)-keyed agg with
+    map-side partials; the lag window and the 7 sufficient-statistic
+    aggregates run on the dense calendar spine (calendar-bounded, a few
+    thousand rows), zero-filled so gaps don't silently splice the series.
+    """
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+        )
+        .select("d", F.expr("cents div 100").alias("x"))
+    )
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    series = spine.join(daily, "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = series.select(
+        "x", *[F.lag("x", k).over(w).alias(f"y{k}") for k in range(1, _AC_MAX_LAG + 1)]
+    )
+    stack_expr = ", ".join(
+        f"named_struct('lag', {k}, 'x', x, 'y', y{k})" for k in range(1, _AC_MAX_LAG + 1)
+    )
+    pairs = (
+        lagged.select(F.explode(F.expr(f"array({stack_expr})")).alias("s"))
+        .select("s.lag", "s.x", "s.y")
+        .filter(F.col("y").isNotNull())
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
+    return stats.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r"),
+    ).orderBy("lag")
+
+
+def _autocorr_sql() -> str:
+    lag_cols = ", ".join(
+        f"lag(x, {k}) OVER (ORDER BY d) AS y{k}" for k in range(1, _AC_MAX_LAG + 1)
+    )
+    pair_selects = " UNION ALL ".join(
+        f"SELECT {k} AS lag, x, y{k} AS y FROM lagged WHERE y{k} IS NOT NULL"
+        for k in range(1, _AC_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100 AS x
+  FROM orders GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT min(d) FROM daily), (SELECT max(d) FROM daily),
+           INTERVAL 1 DAY)) AS DATE) AS d
+), series AS (
+  SELECT s.d, coalesce(daily.x, 0) AS x FROM spine s LEFT JOIN daily USING (d)
+), lagged AS (
+  SELECT x, {lag_cols} FROM series
+), pairs AS ({pair_selects}),
+stats AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6) AS r
+FROM stats
+ORDER BY lag
+"""
+
+
+REVENUE_AUTOCORRELATION_SQL = _autocorr_sql()
+
+
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of monthly revenue vs month index — grouped
+    closed-form linear regression from sufficient statistics, the
+    map-reduce regression pattern (one pass collects Σt, Σy, Σty, Σt²
+    per group; slope/intercept are O(groups) algebra afterwards).
+
+    Exactness: monthly revenue is integer dollars and the month index is
+    a small integer, so all sufficient statistics are exact BIGINTs; the
+    closed-form division is the only float step.
+    """
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+        )
+        .select("nation", "t", F.expr("cents div 100").alias("y"))
+    )
+    stats = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    n, st, sy = [F.col(c).cast("double") for c in ("n", "st", "sy")]
+    sty, stt = [F.col(c).cast("double") for c in ("sty", "stt")]
+    slope = (n * sty - st * sy) / (n * stt - st * st)
+    return stats.select(
+        "nation",
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * st) / n, 2).alias("intercept"),
+    ).orderBy("nation")
+
+
+REVENUE_TREND_OLS_SQL = """
+WITH monthly AS (
+  SELECT n_name AS nation,
+         (CAST(year(o_orderdate) AS BIGINT) - 1992) * 12
+           + CAST(month(o_orderdate) AS BIGINT) - 1 AS t,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100 AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), stats AS (
+  SELECT nation,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(t * y) AS BIGINT) AS sty, CAST(sum(t * t) AS BIGINT) AS stt
+  FROM monthly GROUP BY nation
+)
+SELECT nation, n AS n_months,
+       round((n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+             / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st), 4) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - ((n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+                 / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)) * st)
+             / n, 2) AS intercept
+FROM stats
+ORDER BY nation
+"""
+
+
 QUERIES = [
     QuerySpec(
         "max_open_orders",
         max_open_orders,
         MAX_OPEN_ORDERS_SQL,
         "sweep-line max concurrent open orders per month over a dense day spine",
+    ),
+    QuerySpec(
+        "revenue_autocorrelation",
+        revenue_autocorrelation,
+        REVENUE_AUTOCORRELATION_SQL,
+        "lag-1..7 Pearson autocorrelation from exact integer sufficient statistics",
+    ),
+    QuerySpec(
+        "revenue_trend_ols",
+        revenue_trend_ols,
+        REVENUE_TREND_OLS_SQL,
+        "grouped closed-form OLS trend from one-pass sufficient statistics",
     ),
 ]

@@ -156,3 +156,107 @@ def test_max_open_orders_matches_bruteforce(spark):
         per_month[m] = max(per_month[m], open_cnt)
         d += timedelta(days=1)
     assert out == dict(per_month)
+
+
+def test_mutual_information_matches_python(spark):
+    """MI/NMI == direct recomputation from the exact contingency table."""
+    import math
+    from collections import Counter
+
+    from pdf_parse_vector_db_spark.plans.quality import segment_priority_mi
+
+    got = segment_priority_mi(spark, SF_SMOKE).collect()[0]
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderpriority").collect()
+    cust = {r.c_custkey: r.c_mktsegment for r in load_table(spark, SF_SMOKE, "customer").collect()}
+    cells = Counter((cust[r.o_custkey], r.o_orderpriority) for r in orders if r.o_custkey in cust)
+    N = sum(cells.values())
+    row = Counter(); col = Counter()
+    for (s, p), n in cells.items():
+        row[s] += n; col[p] += n
+    mi = sum(n / N * math.log(n * N / (row[s] * col[p])) for (s, p), n in cells.items())
+    hr = -sum(v / N * math.log(v / N) for v in row.values())
+    hc = -sum(v / N * math.log(v / N) for v in col.values())
+    assert abs(got.mi_nats - mi) < 1e-5
+    assert abs(got.nmi - mi / (hr * hc) ** 0.5) < 1e-5
+    assert got.mi_nats >= 0.0 and 0.0 <= got.nmi <= 1.0
+
+
+def test_benford_shares_well_formed(spark):
+    from pdf_parse_vector_db_spark.plans.quality import benford_audit
+
+    rows = benford_audit(spark, SF_SMOKE).collect()
+    assert set(r.digit for r in rows) <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    assert all(abs(r.deviation - (r.obs_share - r.exp_share)) < 1e-5 for r in rows)
+
+
+def test_autocorrelation_matches_numpy(spark):
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.plans.temporal import revenue_autocorrelation
+
+    got = {r.lag: r.r for r in revenue_autocorrelation(spark, SF_SMOKE).collect()}
+    assert set(got) == set(range(1, 8))
+    assert all(-1.0 <= v <= 1.0 for v in got.values())
+
+    # rebuild the integer-dollar daily series independently
+    import collections
+    from datetime import timedelta
+
+    cents = collections.Counter()
+    for r in load_table(spark, SF_SMOKE, "orders").collect():
+        cents[r.o_orderdate.date()] += round(r.o_totalprice * 100)
+    lo, hi = min(cents), max(cents)
+    series = []
+    d = lo
+    while d <= hi:
+        series.append(cents.get(d, 0) // 100)
+        d += timedelta(days=1)
+    x = np.array(series, dtype=np.float64)
+    for k in (1, 7):
+        a, b = x[k:], x[:-k]
+        r = np.corrcoef(a, b)[0, 1]
+        assert abs(got[k] - r) < 1e-4, (k, got[k], r)
+
+
+def test_ols_slope_matches_numpy(spark):
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.plans.temporal import revenue_trend_ols
+
+    rows = revenue_trend_ols(spark, SF_SMOKE).collect()
+    assert rows
+    # independent recompute for the first nation
+    target = rows[0].nation
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    cust = {r.c_custkey: r.c_nationkey for r in load_table(spark, SF_SMOKE, "customer").collect()}
+    nation = {r.n_nationkey: r.n_name for r in load_table(spark, SF_SMOKE, "nation").collect()}
+    import collections
+
+    monthly = collections.Counter()
+    for r in orders:
+        if nation.get(cust.get(r.o_custkey)) == target:
+            t = (r.o_orderdate.year - 1992) * 12 + r.o_orderdate.month - 1
+            monthly[t] += round(r.o_totalprice * 100)
+    t = np.array(sorted(monthly), dtype=np.float64)
+    y = np.array([monthly[int(i)] // 100 for i in sorted(monthly)], dtype=np.float64)
+    slope, intercept = np.polyfit(t, y, 1)
+    got = rows[0]
+    assert got.n_months == len(t)
+    assert abs(got.slope - slope) < 1e-2
+    assert abs(got.intercept - intercept) < 1.0
+
+
+def test_kcore_peel_is_monotone_and_valid(spark):
+    from pdf_parse_vector_db_spark.plans.graph import _KCORE_K, kcore_peel
+
+    rows = kcore_peel(spark, SF_SMOKE).collect()
+    assert [r.round for r in rows] == [1, 2, 3]
+    nodes = [r.nodes for r in rows]
+    edges = [r.edges for r in rows]
+    assert nodes == sorted(nodes, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+    # a surviving round-1 node had degree >= k in the ORIGINAL graph
+    if nodes[0]:
+        assert edges[0] * 2 >= nodes[0] * 1  # every survivor touches an edge
