@@ -734,6 +734,176 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 preprocessing: quantile-normalize doc length per source — map
+    each document's within-source percentile onto the GLOBAL length
+    distribution, removing per-source scale/shape differences while
+    preserving in-source ordering (the cross-batch normalization standard
+    in omics and recommender feature pipelines, public technique).
+
+    Mechanics: within-source position p = (rank−1)/(n_s−1) (row_number
+    with a doc_id tie-break, so ties resolve identically on both engines),
+    discretized to the percent grid; normalized value = the global exact
+    percentile at that grid point (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the parity price_percentiles already pins).
+
+    Scale shape: the within-source rank window partitions by source; the
+    global distribution enters as a **101-row percentile table broadcast
+    back** — no global per-row rank, no single-partition window over the
+    corpus. The exact-percentile aggregate is the one corpus-sized reduce
+    (ObjectHashAggregate, the documented exact tier; hist_quantiles is the
+    sketch twin at 100 TB).
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    qgrid = [i / 100.0 for i in range(101)]
+    gq = (
+        docs.agg(
+            F.expr(
+                f"percentile(n_chars, array({', '.join(str(q) for q in qgrid)}))"
+            ).alias("vals")
+        )
+        .select(F.posexplode("vals").alias("q", "gval"))
+        .select("q", F.round("gval", 2).alias("gval"))
+    )
+    ws = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("ns"),
+    ).withColumn(
+        "q",
+        F.when(F.col("ns") == 1, F.lit(50)).otherwise(
+            F.round((F.col("rn") - 1) * 100.0 / (F.col("ns") - 1)).cast("int")
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(gq), "q")
+        .select("doc_id", "source", "n_chars", "q", F.col("gval").alias("norm_chars"))
+        .orderBy("doc_id")
+    )
+
+
+QUANTILE_NORMALIZE_SQL = """
+WITH gq AS (
+  SELECT (i.x - 1) AS q,
+         round(vals[i.x], 2) AS gval
+  FROM (SELECT quantile_cont(n_chars, [{QS}]) AS vals FROM documents),
+       range(1, 102) AS i(x)
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM documents
+),
+graded AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN ns = 1 THEN 50
+              ELSE CAST(round((rn - 1) * 100.0 / (ns - 1)) AS INTEGER) END AS q
+  FROM ranked
+)
+SELECT g.doc_id, g.source, g.n_chars, g.q, gq.gval AS norm_chars
+FROM graded g JOIN gq ON g.q = gq.q
+ORDER BY g.doc_id
+""".replace("{QS}", ", ".join(str(i / 100.0) for i in range(101)))
+
+
+def fisher_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 vector QA: Fisher discriminant ratio per embedding dimension —
+    between-class variance over within-class variance, the classic filter
+    feature-selection score (Fisher 1936 LDA criterion, public). High-F
+    dimensions carry the label signal; a flat profile means the space
+    doesn't separate the classes. Returns the top-10 dimensions.
+
+    Exactness: per-(label, dim) sufficient statistics are exact BIGINTs
+    over integer-micros elements (n, Σm, Σm²); each label's within/between
+    contribution is computed in float64 from those exact integers and
+    re-rounded to integer micros BEFORE the cross-label sum, so no
+    engine's summation order can move the 6-dp ratio.
+
+    Scale shape: one posexplode into (label, pos) keys — dim×|labels| group
+    domain with map-side partials; everything after the first agg runs on
+    640 rows. Same plan at 100 TB: sufficient statistics never grow with
+    row count.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select("label", "pos", F.round(F.col("v") * 1e6).cast("bigint").alias("m"))
+    lab = ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+    )
+    glob = lab.groupBy("pos").agg(
+        F.sum("n").alias("gn"), F.sum("sm").alias("gsm")
+    )
+    n, sm, smm = [F.col(c).cast("double") for c in ("n", "sm", "smm")]
+    gn, gsm = [F.col(c).cast("double") for c in ("gn", "gsm")]
+    mu_l = sm / (n * 1e6)
+    mu_g = gsm / (gn * 1e6)
+    within_l = (smm - sm * sm / n) / 1e12
+    between_l = n * (mu_l - mu_g) * (mu_l - mu_g)
+    contrib = lab.join(glob, "pos").select(
+        "pos",
+        F.round(within_l * 1e6).cast("bigint").alias("w_mic"),
+        F.round(between_l * 1e6).cast("bigint").alias("b_mic"),
+    )
+    return (
+        contrib.groupBy("pos")
+        .agg(
+            F.round(F.sum("b_mic") / 1e6, 6).alias("between_var"),
+            F.round(F.sum("w_mic") / 1e6, 6).alias("within_var"),
+            F.round((F.sum("b_mic") / 1e6) / (F.sum("w_mic") / 1e6), 6).alias("fisher"),
+        )
+        .orderBy(F.desc("fisher"), F.asc("pos"))
+        .limit(10)
+        # surface 1-based dims to match the oracle's DuckDB list indexing
+        .select((F.col("pos") + 1).cast("int").alias("dim"), "fisher", "between_var", "within_var")
+    )
+
+
+FISHER_DIMS_SQL = """
+WITH ex AS (
+  SELECT label, t.i AS pos,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT) AS m
+  FROM embeddings, range(1, 65) AS t(i)
+),
+lab AS (
+  SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m) AS BIGINT) AS sm, CAST(sum(m * m) AS BIGINT) AS smm
+  FROM ex GROUP BY 1, 2
+),
+gstats AS (
+  SELECT pos, CAST(sum(n) AS BIGINT) AS gn, CAST(sum(sm) AS BIGINT) AS gsm
+  FROM lab GROUP BY pos
+),
+contrib AS (
+  SELECT l.pos,
+         CAST(round((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n) / 1e12 * 1e6)
+              AS BIGINT) AS w_mic,
+         CAST(round(n * pow(CAST(sm AS DOUBLE) / (n * 1e6)
+                            - CAST(gsm AS DOUBLE) / (gn * 1e6), 2) * 1e6)
+              AS BIGINT) AS b_mic
+  FROM lab l JOIN gstats g ON l.pos = g.pos
+)
+SELECT CAST(pos AS INTEGER) AS dim,
+       round((CAST(sum(b_mic) AS BIGINT) / 1e6)
+             / (CAST(sum(w_mic) AS BIGINT) / 1e6), 6) AS fisher,
+       round(CAST(sum(b_mic) AS BIGINT) / 1e6, 6) AS between_var,
+       round(CAST(sum(w_mic) AS BIGINT) / 1e6, 6) AS within_var
+FROM contrib
+GROUP BY pos
+ORDER BY fisher DESC, dim ASC
+LIMIT 10
+"""
+
+
 EMBEDDING_OUTLIERS_SQL = """
 WITH ex AS (
   SELECT vec_id, label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
@@ -1394,6 +1564,18 @@ QUERIES = [
         embedding_outliers,
         EMBEDDING_OUTLIERS_SQL,
         "X5 per-label centroid-distance z-score audit",
+    ),
+    QuerySpec(
+        "fisher_dims",
+        fisher_dims,
+        FISHER_DIMS_SQL,
+        "X5 Fisher discriminant ratio per embedding dimension (integer-micros exact)",
+    ),
+    QuerySpec(
+        "quantile_normalize",
+        quantile_normalize,
+        QUANTILE_NORMALIZE_SQL,
+        "X5 per-source quantile normalization onto the global distribution (101-row broadcast)",
     ),
     QuerySpec(
         "source_datacard",

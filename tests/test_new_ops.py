@@ -260,3 +260,50 @@ def test_kcore_peel_is_monotone_and_valid(spark):
     # a surviving round-1 node had degree >= k in the ORIGINAL graph
     if nodes[0]:
         assert edges[0] * 2 >= nodes[0] * 1  # every survivor touches an edge
+
+
+def test_fisher_dims_matches_numpy(spark):
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.plans.curation import fisher_dims
+
+    rows = fisher_dims(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    M = np.round(np.array([r.embedding for r in emb], dtype=np.float64) * 1e6)
+    lab = np.array([r.label for r in emb])
+    best = rows[0]
+    col = M[:, best.dim - 1] / 1e6
+    mu = col.mean()
+    within = sum(((col[lab == l] - col[lab == l].mean()) ** 2).sum() for l in set(lab))
+    between = sum(len(col[lab == l]) * (col[lab == l].mean() - mu) ** 2 for l in set(lab))
+    assert abs(best.fisher - between / within) < 1e-3
+    # descending order and positive variances
+    fs = [r.fisher for r in rows]
+    assert fs == sorted(fs, reverse=True)
+    assert all(r.within_var > 0 and r.between_var >= 0 for r in rows)
+
+
+def test_quantile_normalize_preserves_order_and_hits_grid(spark):
+    from collections import defaultdict
+
+    from pdf_parse_vector_db_spark.plans.curation import quantile_normalize
+
+    rows = quantile_normalize(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs
+    by_src = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.q <= 100
+        by_src[r.source].append(r)
+    glob = sorted(r.n_chars for r in rows)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r.n_chars, r.doc_id))
+        qs = [r.q for r in rs]
+        ns = [r.norm_chars for r in rs]
+        # monotone: a longer doc never maps to a smaller normalized value
+        assert qs == sorted(qs) and ns == sorted(ns)
+        # endpoints hit the global extremes
+        assert rs[0].q == 0 and rs[-1].q == 100
+        assert rs[0].norm_chars == glob[0] and rs[-1].norm_chars == glob[-1]
