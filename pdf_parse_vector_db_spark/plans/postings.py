@@ -54,7 +54,7 @@ PHRASE = ("table", "hash")
 NEAR_TERMS = ("vector", "merge")
 NEAR_DIST = 3
 TOP_DOCS = 20
-JACC_T = 0.95
+JACC_T = 0.8
 
 _TOKS_EXPR = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
 _TOKS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
@@ -147,8 +147,29 @@ LIMIT {TOP_DOCS}
 """
 
 
+#: token-set builders — word TRIGRAMS, not unigrams: the fixture draws
+#: every doc from one ~100-word vocabulary, so unigram sets overlap almost
+#: completely (measured: J ≥ 0.5 for >40% of ALL pairs — candidate space
+#: ≈ all-pairs and ANY exact set-similarity join degenerates; the first
+#: cut of this operator used unigrams and clocked 50 s at sf0.1). Word
+#: 3-gram sets have a ~30k Zipfian-df vocabulary — the regime prefix
+#: filtering is designed for: measured Σ prefix-df² at sf0.1 is 1.3M
+#: (vs 12.5M all-pairs), and the t=0.8 survivors are exactly the
+#: generator's planted near-duplicate pairs.
+_NGRAMS_EXPR = (
+    "transform(array(" + _TOKS_EXPR + "), tk -> "
+    "if(size(tk) < 3, array(), array_distinct(transform(sequence(1, size(tk) - 2), "
+    "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', element_at(tk, i + 2))))))[0]"
+)
+_NGRAMS_SQL = (
+    "CASE WHEN len(tk) < 3 THEN [] ELSE "
+    "list_distinct(list_transform(range(1, len(tk) - 1), "
+    "i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) END"
+)
+
+
 def ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc set-similarity summary at Jaccard ≥ JACC_T over word sets.
+    """Per-doc set-similarity summary at Jaccard ≥ JACC_T over word-trigram sets.
 
     AllPairs/PPJoin shape: (1) distinct word sets, (2) global rarest-first
     token order from the document-frequency table, (3) per-doc prefix of
@@ -159,8 +180,15 @@ def ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     would hash-mismatch.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    # trigram strings collapse to 8-byte xxhash64 keys immediately: every
+    # downstream exchange (df count, rank join, prefix self-join, verify
+    # join) carries fixed-width ints, never ~20-byte trigram strings. A
+    # hash collision would need two of the ~30k distinct trigrams to agree
+    # on 64 bits (p ≈ 2e-11) — the engine-internal risk every hash-keyed
+    # dedup tier here accepts (cf. operators/dedup.py).
     tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(_TOKS_EXPR))).alias("term")
+        "doc_id",
+        F.explode(F.expr(f"transform({_NGRAMS_EXPR}, g -> xxhash64(g))")).alias("term"),
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -225,8 +253,10 @@ def ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PPJOIN_NEAR_DUPS_SQL = f"""
-WITH t AS (
-  SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+WITH raw AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+), t AS (
+  SELECT doc_id, {_NGRAMS_SQL} AS toks FROM raw
 ), tok AS (
   SELECT doc_id, len(toks) AS n, unnest(toks) AS term FROM t
 ), pair AS (

@@ -51,9 +51,7 @@ def test_ppjoin_prefix_actually_prunes(spark):
     # rebuild the candidate stage exactly as the operator does
     from pyspark.sql import Window
 
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(pg._TOKS_EXPR))).alias("term")
-    )
+    tok = docs.select("doc_id", F.explode(F.expr(pg._NGRAMS_EXPR)).alias("term"))
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     rank = dfreq.withColumn(
