@@ -914,8 +914,101 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (Rabin-style CDC; Muthitacharoen et al.
+# 2001 "LBFS", public). The storage-tier complement of the document/span
+# dedup tiers above: split every text at content-derived boundaries (hash
+# of an 8-char window has first hex nibble '0' → ~1/16 cut probability,
+# ~16-char expected chunks), fingerprint each chunk, and measure corpus
+# redundancy as bytes_total / bytes_distinct. Because boundaries derive
+# from CONTENT, an insertion early in a document shifts only the chunks it
+# touches — unlike fixed-size blocks, where one inserted byte re-aligns
+# (and re-uploads) everything after it.
+# ---------------------------------------------------------------------------
+
+_CDC_CANON = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+_CDC_CANON_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus CDC-dedup accounting: one row with chunk counts, byte
+    totals, the dedup ratio, and the most-replicated chunk's frequency.
+
+    Scale shape: boundary detection, slicing, and fingerprinting are all
+    per-document array algebra inside one generator expression (the
+    winnowing discipline above — canon and the cut array each bind ONCE),
+    so the subplan is shuffle-free; the only exchange carries 16-byte
+    chunk fingerprints + a length, grouped with map-side partials. That
+    is exactly how a dedup store scales: content never shuffles, only
+    fingerprints do.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    chunks_expr = (
+        f"explode(flatten(transform(array({_CDC_CANON}), c -> "
+        "if(length(c) < 8, array(c), "
+        "flatten(transform(array(array_distinct(concat(array(1), "
+        "transform(filter(sequence(1, length(c) - 7), "
+        "p -> substring(md5(substring(c, p, 8)), 1, 1) = '0'), p -> p + 8), "
+        "array(length(c) + 1)))), cuts -> "
+        "transform(sequence(1, size(cuts) - 1), "
+        "i -> substring(c, element_at(cuts, i), "
+        "element_at(cuts, i + 1) - element_at(cuts, i)))))))))"
+    )
+    ch = docs.select(F.expr(chunks_expr).alias("chunk")).select(
+        F.md5("chunk").alias("fp"), F.length("chunk").alias("ln")
+    )
+    g = ch.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("ln").alias("ln")
+    )
+    return g.agg(
+        F.sum("cnt").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("ln")).cast("bigint").alias("bytes_total"),
+        F.sum("ln").cast("bigint").alias("bytes_distinct"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("ln")).cast("double") / F.sum("ln"), 4
+        ).alias("dedup_ratio"),
+        F.max("cnt").cast("bigint").alias("max_dup"),
+    )
+
+
+CDC_CHUNK_DEDUP_SQL = f"""
+WITH c AS (
+  SELECT {_CDC_CANON_DUCK} AS c FROM documents
+), cut AS (
+  SELECT c,
+         CASE WHEN length(c) < 8 THEN NULL ELSE
+           list_sort(list_distinct([1]
+             || list_transform(list_filter(range(1, length(c) - 7 + 1),
+                  p -> substring(md5(substring(c, p, 8)), 1, 1) = '0'),
+                  p -> p + 8)
+             || [length(c) + 1]))
+         END AS cuts
+  FROM c
+), chunks AS (
+  SELECT unnest(CASE WHEN cuts IS NULL THEN [c] ELSE
+           list_transform(range(1, len(cuts)),
+                          i -> substring(c, cuts[i], cuts[i + 1] - cuts[i]))
+         END) AS chunk
+  FROM cut
+), fps AS (
+  SELECT md5(chunk) AS fp, length(chunk) AS ln FROM chunks
+), g AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS cnt, min(ln) AS ln FROM fps GROUP BY fp
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(cnt * ln) AS BIGINT) AS bytes_total,
+       CAST(sum(ln) AS BIGINT) AS bytes_distinct,
+       round(CAST(sum(cnt * ln) AS DOUBLE) / sum(ln), 4) AS dedup_ratio,
+       CAST(max(cnt) AS BIGINT) AS max_dup
+FROM g
+"""
+
+
 QUERIES = [
     QuerySpec("corpus_prep", corpus_prep, CORPUS_PREP_SQL, "X1+X5 composite training-data prep"),
+    QuerySpec("cdc_chunk_dedup", cdc_chunk_dedup, CDC_CHUNK_DEDUP_SQL, "X1 content-defined-chunking storage dedup accounting"),
     QuerySpec("vocab_oov", vocab_oov, VOCAB_OOV_SQL, "X5 vocab-coverage / OOV-rate audit"),
     QuerySpec("pack_training_sequences", pack_training_sequences, None, "X5 greedy sequence packing (rows-only)"),
     QuerySpec("gopher_quality", gopher_quality, GOPHER_QUALITY_SQL, "X5 Gopher-rule quality gate"),

@@ -307,3 +307,45 @@ def test_quantile_normalize_preserves_order_and_hits_grid(spark):
         # endpoints hit the global extremes
         assert rs[0].q == 0 and rs[-1].q == 100
         assert rs[0].norm_chars == glob[0] and rs[-1].norm_chars == glob[-1]
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The CDC property: inserting bytes at the FRONT of a document only
+    disturbs the chunks near the edit — most chunk fingerprints survive,
+    unlike fixed-size blocking where everything downstream re-aligns."""
+    import hashlib
+
+    def cdc_chunks(c: str) -> list[str]:
+        if len(c) < 8:
+            return [c]
+        cuts = sorted(
+            {1}
+            | {
+                p + 8
+                for p in range(1, len(c) - 6)
+                if hashlib.md5(c[p - 1 : p + 7].encode()).hexdigest()[0] == "0"
+            }
+            | {len(c) + 1}
+        )
+        return [c[cuts[i] - 1 : cuts[i + 1] - 1] for i in range(len(cuts) - 1)]
+
+    base = load_table(spark, SF_SMOKE, "documents").select("text").first().text
+    canon = " ".join(base.strip().lower().split())
+    mutated = "inserted preamble " + canon
+    a = {hashlib.md5(ch.encode()).hexdigest() for ch in cdc_chunks(canon)}
+    b = {hashlib.md5(ch.encode()).hexdigest() for ch in cdc_chunks(mutated)}
+    shared = len(a & b) / len(a)
+    assert shared > 0.6, shared
+
+    # and the registered query agrees with the same Python reference on
+    # corpus totals
+    from pdf_parse_vector_db_spark.plans.textanalysis import cdc_chunk_dedup
+
+    row = cdc_chunk_dedup(spark, SF_SMOKE).collect()[0]
+    texts = [r.text for r in load_table(spark, SF_SMOKE, "documents").collect()]
+    all_chunks = [
+        ch for t in texts for ch in cdc_chunks(" ".join(t.strip().lower().split()))
+    ]
+    assert row.n_chunks == len(all_chunks)
+    assert row.bytes_total == sum(len(c) for c in all_chunks)
+    assert row.n_distinct == len({hashlib.md5(c.encode()).hexdigest() for c in all_chunks})
