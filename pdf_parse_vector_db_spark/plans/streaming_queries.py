@@ -965,8 +965,154 @@ ORDER BY event_type, hour
 """
 
 
+_DEBOUNCE_GAP_S = 5
+
+
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst debouncing: collapse each burst of same-(user, event_type)
+    events (consecutive gaps ≤ 5 s) to its first event — the
+    double-click / retry-storm cleaner every event pipeline runs before
+    counting anything. Gaps-and-islands semantics, NOT a naive
+    "drop-if-within-5s-of-previous": an event opens a new burst exactly
+    when its gap from the previous event exceeds the threshold, so a long
+    chain of 4-second gaps still collapses to ONE kept event.
+
+    Per (event_type): events seen, events kept, drop share. One
+    (user_id, event_type) sort-exchange for the lag; the rollup is a
+    |types|-key agg.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events", spread=True)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    flagged = events.withColumn(
+        "is_first",
+        (us - F.lag(us).over(w) > _DEBOUNCE_GAP_S * 1_000_000)
+        | F.lag("ts").over(w).isNull(),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("is_first").cast("long")).cast("bigint").alias("n_kept"),
+            F.round(
+                1.0 - F.sum(F.col("is_first").cast("long")) / F.count(F.lit(1)), 6
+            ).alias("drop_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_DEBOUNCE_SQL = f"""
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_DEBOUNCE_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS is_first
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_first) AS BIGINT) AS n_kept,
+       round(1.0 - CAST(sum(is_first) AS DOUBLE) / count(*), 6) AS drop_share
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+_CEP_WINDOW_S = 1800
+
+
+def cep_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event pattern detection with per-event time bounds — the
+    MATCH_RECOGNIZE shape: view → first click within 30 min OF THAT VIEW →
+    first purchase within 30 min OF THAT CLICK, per user. Differs from
+    funnel_conversion (global conditional mins) because every stage's
+    window anchors on the matched predecessor EVENT, not on the user.
+
+    One row: anchors, stage-2 matches, full matches, completion rate.
+
+    Scale shape: both stage joins are user-keyed range joins — after the
+    first exchange on user_id everything is co-partitioned, and the range
+    predicate bounds the per-user pair fan-out to events within a 30-min
+    band (the shipments_in_window bucketing applies verbatim if a band
+    join is needed at 100 TB).
+    """
+    events = load_table(spark, sf_dir, "events", spread=True)
+    base = events.select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts)").alias("s"),
+    )
+    v = base.filter(F.col("et") == "view").select("user_id", F.col("s").alias("vs"))
+    c = base.filter(F.col("et") == "click").select("user_id", F.col("s").alias("cs"))
+    p = base.filter(F.col("et") == "purchase").select("user_id", F.col("s").alias("ps"))
+    vc = (
+        v.join(
+            c,
+            (v.user_id == c.user_id)
+            & (c.cs > v.vs)
+            & (c.cs <= v.vs + _CEP_WINDOW_S * 1_000_000),
+        )
+        .groupBy(v.user_id, "vs")
+        .agg(F.min("cs").alias("cs"))
+    )
+    vcp = (
+        vc.join(
+            p,
+            (vc.user_id == p.user_id)
+            & (p.ps > vc.cs)
+            & (p.ps <= vc.cs + _CEP_WINDOW_S * 1_000_000),
+        )
+        .groupBy(vc.user_id, "vs", "cs")
+        .agg(F.min("ps").alias("ps"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_views"))
+        .crossJoin(vc.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click")))
+        .crossJoin(vcp.agg(F.count(F.lit(1)).cast("bigint").alias("n_full_match")))
+        .select(
+            "n_views",
+            "n_view_click",
+            "n_full_match",
+            F.round(F.col("n_full_match") / F.col("n_views").cast("double"), 6).alias(
+                "completion_rate"
+            ),
+        )
+    )
+
+
+CEP_PATTERN_FUNNEL_SQL = f"""
+WITH v AS (SELECT user_id, epoch_us(ts) AS vs FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, epoch_us(ts) AS cs FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS ps FROM events WHERE event_type = 'purchase'),
+vc AS (
+  SELECT v.user_id, v.vs, min(c.cs) AS cs
+  FROM v JOIN c ON v.user_id = c.user_id
+             AND c.cs > v.vs AND c.cs <= v.vs + {_CEP_WINDOW_S} * 1000000
+  GROUP BY 1, 2
+),
+vcp AS (
+  SELECT vc.user_id, vc.vs, vc.cs, min(p.ps) AS ps
+  FROM vc JOIN p ON vc.user_id = p.user_id
+              AND p.ps > vc.cs AND p.ps <= vc.cs + {_CEP_WINDOW_S} * 1000000
+  GROUP BY 1, 2, 3
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_views,
+       (SELECT CAST(count(*) AS BIGINT) FROM vc) AS n_view_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM vcp) AS n_full_match,
+       round((SELECT count(*) FROM vcp) * 1.0
+             / (SELECT count(*) FROM v), 6) AS completion_rate
+"""
+
+
 QUERIES = [
     QuerySpec("hourly_anomalies", hourly_anomalies, HOURLY_ANOMALIES_SQL, "rolling z-score rate anomalies over the dense hourly spine"),
+    QuerySpec("event_debounce", event_debounce, EVENT_DEBOUNCE_SQL, "gaps-and-islands burst debouncing per (user, type)"),
+    QuerySpec("cep_pattern_funnel", cep_pattern_funnel, CEP_PATTERN_FUNNEL_SQL, "MATCH_RECOGNIZE-shape time-anchored pattern funnel"),
     QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_SQL, "X7 weekly cohort retention matrix"),
     QuerySpec("funnel_conversion", funnel_conversion, FUNNEL_CONVERSION_SQL, "ordered 3-stage funnel (conditional-min formulation)"),
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL, "first-order Markov transition matrix"),

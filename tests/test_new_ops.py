@@ -349,3 +349,49 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
     assert row.n_chunks == len(all_chunks)
     assert row.bytes_total == sum(len(c) for c in all_chunks)
     assert row.n_distinct == len({hashlib.md5(c.encode()).hexdigest() for c in all_chunks})
+
+
+def test_event_debounce_islands_semantics(spark):
+    """Debounce == gaps-and-islands recomputed in Python: a kept event is
+    exactly an island head (gap to predecessor > 5 s or none)."""
+    from collections import defaultdict
+
+    from pdf_parse_vector_db_spark.plans.streaming_queries import (
+        _DEBOUNCE_GAP_S,
+        event_debounce,
+    )
+
+    got = {r.event_type: (r.n_events, r.n_kept) for r in event_debounce(spark, SF_SMOKE).collect()}
+
+    seqs = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        seqs[(r.user_id, r.event_type)].append((r.ts, r.event_id))
+    totals = defaultdict(lambda: [0, 0])
+    for (u, et), evs in seqs.items():
+        evs.sort()
+        prev = None
+        for ts, _ in evs:
+            totals[et][0] += 1
+            if prev is None or (ts - prev).total_seconds() > _DEBOUNCE_GAP_S:
+                totals[et][1] += 1
+            prev = ts
+    assert got == {et: tuple(v) for et, v in totals.items()}
+
+
+def test_cep_funnel_tighter_than_global_funnel(spark):
+    """Per-event time anchoring can only match a subset of what the
+    unbounded global funnel admits per user."""
+    from pdf_parse_vector_db_spark.plans.streaming_queries import (
+        cep_pattern_funnel,
+        funnel_conversion,
+    )
+
+    cep = cep_pattern_funnel(spark, SF_SMOKE).collect()[0]
+    glob = funnel_conversion(spark, SF_SMOKE).collect()[0]
+    assert cep.n_views >= cep.n_view_click >= cep.n_full_match >= 0
+    assert 0.0 <= cep.completion_rate <= 1.0
+    # every fully-matched CEP chain implies that user completed the global
+    # funnel too, so distinct CEP users <= global completers; weaker but
+    # collectable proxy: if the global funnel found nobody, CEP can't either
+    if glob.users_purchase_after_click == 0:
+        assert cep.n_full_match == 0
