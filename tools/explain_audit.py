@@ -63,10 +63,19 @@ AUDIT = {
     "classifier_auc": "per-dim centroid agg broadcast back (1-row BNLJ); rank window input is the score histogram agg, never per-row",
     "retrieval_relevance": "5-row query panel broadcast onto the corpus scan; per-query window after rank<=10 cut",
     "phrase_search": "term equality filters applied between explode and exchange; equi-join on doc_id, no CartesianProduct",
-    "ppjoin_near_dups": "prefix-token equi-join candidates; df-rank and size tables broadcast; no CartesianProduct",
     "max_open_orders": "sweep-line: running-sum window input is the per-day delta agg joined to the calendar spine",
     "kmv_overlap": "k-row sketches via per-source rank windows over distinct hashes; estimates join as 1-row broadcasts",
     "es_weighted_reservoir": "TakeOrderedAndProject on the rounded ES key — per-partition k-heaps, no global sort",
+    "kcore_peel": "per-round degree agg + alive semi-joins; AQE broadcasts the shrinking alive set",
+    "segment_priority_mi": "one contingency agg; MI/entropy as integer-nanos sums over 25 cells",
+    "revenue_autocorrelation": "lag window over the calendar spine only; Pearson from exact integer sufficient stats",
+    "revenue_trend_ols": "grouped OLS from one-pass sufficient statistics; dims broadcast",
+    "fisher_dims": "dim×label sufficient-stat agg; everything after runs on 640 rows",
+    "quantile_normalize": "101-row global percentile table broadcast; per-source rank windows, no global per-row rank",
+    "cdc_chunk_dedup": "chunking+fingerprinting map-side in one generator; only 16-byte fps exchange",
+    "event_debounce": "one (user,type) sort exchange for the lag; |types|-key rollup",
+    "cep_pattern_funnel": "user-keyed range joins, co-partitioned after the first exchange",
+    "ppjoin_near_dups": "prefix-token equi-join candidates over hashed trigram keys; no CartesianProduct",
 }
 
 
