@@ -1005,6 +1005,121 @@ def hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL the distributed-distinct workhorse,
+    demonstrated under the oracle hash: registers are mergeable by
+    register-wise MAX, and merging the five per-event-type sketches gives
+    the EXACT same registers — hence the exact same estimate — as
+    sketching the union stream directly. That associativity is what lets
+    100 TB of partitions sketch independently and combine at any fan-in
+    without a second pass over data.
+
+    One row: merged-sketch estimate, direct-sketch estimate, their
+    equality flag (must be true by construction — the audit would catch
+    any nonassociative 'sketch' masquerading as mergeable), exact
+    distinct, and the relative error.
+    """
+    ev = _t(spark, sf_dir, "events")
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    rho = F.when(F.expr(f"CAST(h / {_HLL_M} AS BIGINT)") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.expr(f"bin(CAST(h / {_HLL_M} AS BIGINT))"))
+    )
+    base = (
+        ev.select("event_type", "user_id")
+        .withColumn("h", h)
+        .withColumn("bucket", F.col("h") % _HLL_M)
+        .withColumn("rho", rho)
+    )
+    per_group = base.groupBy("event_type", "bucket").agg(F.max("rho").alias("M"))
+    merged = per_group.groupBy("bucket").agg(F.max("M").alias("M"))
+    direct = base.groupBy("bucket").agg(F.max("rho").alias("M"))
+
+    def estimate(regs: DataFrame, name: str) -> DataFrame:
+        alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+        unit = float(1 << _HLL_WBITS)
+        g = regs.agg(
+            F.count(F.lit(1)).alias("present"),
+            F.sum(F.expr(f"shiftleft(1L, {_HLL_WBITS} - M)")).alias("z_units"),
+        )
+        z_total = (
+            F.col("z_units").cast("double")
+            + (F.lit(_HLL_M) - F.col("present")).cast("double") * F.lit(unit)
+        )
+        e_raw = F.lit(alpha * _HLL_M * _HLL_M * unit) / z_total
+        v = F.lit(_HLL_M) - F.col("present")
+        est = F.when(
+            (e_raw <= 2.5 * _HLL_M) & (v > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+        ).otherwise(e_raw)
+        return g.select(F.round(est, 4).alias(name))
+
+    exact = ev.agg(F.countDistinct("user_id").cast("bigint").alias("exact_ndv"))
+    return (
+        estimate(merged, "est_merged")
+        .crossJoin(estimate(direct, "est_direct"))
+        .crossJoin(exact)
+        .select(
+            "est_merged",
+            "est_direct",
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_consistent"),
+            "exact_ndv",
+            F.round(
+                F.abs(F.col("est_merged") - F.col("exact_ndv")) / F.col("exact_ndv"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+_HLL_REGS_SQL = f"""
+  SELECT event_type,
+         hv % {_HLL_M} AS bucket,
+         CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(hv // {_HLL_M})) END AS rho
+  FROM (SELECT event_type,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM events)
+"""
+
+
+def _hll_est_sql(regs_cte: str, name: str) -> str:
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    unit = float(1 << _HLL_WBITS)
+    return f"""
+  SELECT round(CASE WHEN e_raw <= CAST({2.5 * _HLL_M} AS DOUBLE) AND ({_HLL_M} - present) > 0
+                    THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - present))
+                    ELSE e_raw END, 4) AS {name}
+  FROM (
+    SELECT present,
+           CAST({alpha} AS DOUBLE) * {_HLL_M} * {_HLL_M} * CAST({unit} AS DOUBLE)
+             / (CAST(z_units AS DOUBLE) + ({_HLL_M} - present) * CAST({unit} AS DOUBLE))
+             AS e_raw
+    FROM (
+      SELECT CAST(count(*) AS BIGINT) AS present,
+             CAST(sum(1::BIGINT << ({_HLL_WBITS} - M)) AS BIGINT) AS z_units
+      FROM {regs_cte}
+    )
+  )
+"""
+
+
+HLL_MERGE_AUDIT_SQL = f"""
+WITH r AS ({_HLL_REGS_SQL}),
+pg AS (SELECT event_type, bucket, max(rho) AS M FROM r GROUP BY 1, 2),
+merged_regs AS (SELECT bucket, max(M) AS M FROM pg GROUP BY bucket),
+direct_regs AS (SELECT bucket, max(rho) AS M FROM r GROUP BY bucket),
+em AS ({_hll_est_sql("merged_regs", "est_merged")}),
+ed AS ({_hll_est_sql("direct_regs", "est_direct")}),
+exact AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_ndv FROM events)
+SELECT est_merged, est_direct,
+       est_merged = est_direct AS merge_consistent,
+       exact_ndv,
+       round(abs(est_merged - exact_ndv) / exact_ndv, 4) AS rel_err
+FROM em CROSS JOIN ed CROSS JOIN exact
+"""
+
+
 HLL_PORTABLE_SQL = f"""
 WITH h AS (
   SELECT event_type, user_id,
@@ -1166,6 +1281,7 @@ QUERIES = [
     QuerySpec("discounted_revenue", discounted_revenue, DISCOUNTED_REVENUE_SQL, "Q19 shape: OR-of-AND bracket revenue"),
     QuerySpec("sales_opportunity", sales_opportunity, SALES_OPPORTUNITY_SQL, "Q22 shape: scalar-subquery threshold + anti join"),
     QuerySpec("hll_portable", hll_portable, HLL_PORTABLE_SQL, "portable HyperLogLog: estimate under the oracle hash"),
+    QuerySpec("hll_merge_audit", hll_merge_audit, HLL_MERGE_AUDIT_SQL, "HLL register-merge associativity: merged-from-groups == direct sketch"),
     QuerySpec("ndv_sketch_accuracy", ndv_sketch_accuracy, None, "HLL++/GK sketch tier vs exact"),
     QuerySpec("ndv_exact", ndv_exact, NDV_EXACT_SQL, "exact NDV/median slice of the sketch query"),
 ]

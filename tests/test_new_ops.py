@@ -395,3 +395,12 @@ def test_cep_funnel_tighter_than_global_funnel(spark):
     # collectable proxy: if the global funnel found nobody, CEP can't either
     if glob.users_purchase_after_click == 0:
         assert cep.n_full_match == 0
+
+
+def test_hll_merge_is_associative(spark):
+    from pdf_parse_vector_db_spark.plans.relational import hll_merge_audit
+
+    r = hll_merge_audit(spark, SF_SMOKE).collect()[0]
+    assert r.merge_consistent
+    assert r.est_merged == r.est_direct
+    assert r.rel_err < 0.25  # m=256 → stderr ~6.5%; generous 3-4 sigma
