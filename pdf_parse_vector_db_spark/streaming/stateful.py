@@ -271,3 +271,63 @@ def sessionize_with_timeout(events: DataFrame, gap_minutes: int = 30) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming debounce: the stateful twin of the batch gaps-and-islands
+# operator (plans/streaming_queries.event_debounce). State per
+# (user_id, event_type) key is ONE scalar — the last event's timestamp in
+# microseconds — so the state store is O(active keys) on an unbounded
+# stream. An event is emitted iff its gap from the key's previous event
+# exceeds the threshold (a burst head); everything else is swallowed.
+# Contract: per-key in-order delivery (the standard debounce assumption;
+# pair with a watermark + sort-within-batch upstream when the transport
+# reorders).
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_OUTPUT_SCHEMA = "event_id bigint, user_id bigint, event_type string"
+DEBOUNCE_STATE_SCHEMA = "last_us bigint"
+
+
+def _debounce_update(gap_seconds: float):
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs))
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        us = (rows["ts"].astype("int64")).to_numpy()  # pandas ns → keep relative
+        ids = rows["event_id"].to_numpy()
+        last = state.get[0] if state.exists else None
+        kept = []
+        for i in range(len(rows)):
+            t = int(us[i]) // 1000  # ns → µs
+            if last is None or t - last > gap_us:
+                kept.append(int(ids[i]))
+            last = t
+        state.update((int(last),))
+        if kept:
+            yield pd.DataFrame(
+                {
+                    "event_id": kept,
+                    "user_id": [int(key[0])] * len(kept),
+                    "event_type": [str(key[1])] * len(kept),
+                }
+            )
+
+    return update
+
+
+def debounce_stream(events: DataFrame, gap_seconds: int = 5) -> DataFrame:
+    """Emit only burst-head events per (user, type); bounded per-key state.
+    Same islands the batch event_debounce counts — tests assert equality."""
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        _debounce_update(float(gap_seconds)),
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -440,3 +440,50 @@ def test_sessionize_with_timeout_emits_closed_sessions(spark, tmp_path):
         (1, base + m(hours=6), base + m(hours=6), 1, 3.0),
         (2, base + m(minutes=5), base + m(minutes=5), 1, 5.0),
     }, rows
+
+
+def test_debounce_stream_matches_batch_islands(spark, tmp_path):
+    """Streaming debounce across TWO micro-batches == the batch
+    gaps-and-islands head set: per-key state (last event ts) carries a
+    burst straddling the batch boundary, so the stream must NOT re-emit a
+    head for the continuation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pdf_parse_vector_db_spark.plans.streaming_queries import _DEBOUNCE_GAP_S
+    from pdf_parse_vector_db_spark.streaming.stateful import debounce_stream
+
+    ev = load_table(spark, SF, "events")
+    # two landing files split on the time median — per-key order preserved
+    landing = str(tmp_path / "debounce_landing")
+    mid = ev.approxQuantile("event_id", [0.5], 0)[0]
+    ev.filter(F.col("event_id") <= mid).write.parquet(landing)
+    ev.filter(F.col("event_id") > mid).write.mode("append").parquet(landing)
+
+    q = (
+        debounce_stream(
+            spark.readStream.schema(EVENTS_SCHEMA).parquet(landing),
+            gap_seconds=_DEBOUNCE_GAP_S,
+        )
+        .writeStream.format("memory")
+        .queryName("t_debounce")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r.event_id for r in spark.table("t_debounce").collect()}
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    heads = {
+        r.event_id
+        for r in ev.withColumn(
+            "is_first",
+            (us - F.lag(us).over(w) > _DEBOUNCE_GAP_S * 1_000_000)
+            | F.lag("ts").over(w).isNull(),
+        )
+        .filter("is_first")
+        .collect()
+    }
+    assert streamed == heads
