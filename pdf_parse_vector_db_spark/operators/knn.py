@@ -130,7 +130,9 @@ def mmr_rerank_groups(
     are stable across partitionings and engines.
 
     Returns (group_col, rank, id_col, score) with rank 1..k and `score`
-    the 6-dp MMR objective at selection time. λ=1 degenerates to plain
+    the 9-dp MMR objective exactly as used for selection (surfacing the
+    selection value avoids a second rounding, whose half-way boundaries
+    the two engines break differently). λ=1 degenerates to plain
     top-k by rel (asserted in tests/test_retrieval.py)."""
     out_schema = f"{group_col} bigint, rank int, {id_col} bigint, score double"
 
@@ -157,7 +159,7 @@ def mmr_rerank_groups(
             np.maximum(max_sim, sims[:, bidx], out=max_sim)
             ranks.append(r + 1)
             picks.append(int(best))
-            scores.append(round(float(best_score), 6))
+            scores.append(float(best_score))  # already 9-dp rounded
         return pd.DataFrame(
             {
                 group_col: pdf[group_col].iloc[: len(picks)].to_numpy(),

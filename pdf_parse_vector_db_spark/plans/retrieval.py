@@ -296,6 +296,67 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _mmr_sql(lam: float = 0.7, k: int = 5, depth: int = 20) -> str:
+    """Unrolled-greedy MMR oracle (the bpe_learn_merges device): each of
+    the k selection rounds is one CTE pair — penalty update (running max
+    similarity to the selected set) + argmax pick with the operator's
+    exact discipline (9-dp round before argmax, min-id tie-break, 6-dp
+    surfaced score). (1.0 - {lam}) is written as an expression, not a
+    collapsed literal, so both engines use the identical double."""
+    parts = [
+        f"""q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id % 50 = 7
+), cand0 AS (
+  SELECT q.query_id, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS rel
+  FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.query_id
+), cand AS (
+  SELECT query_id, vec_id, v, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM cand0
+  ) WHERE rn <= {depth}
+), s1 AS (
+  SELECT query_id, vec_id, v, round({lam} * rel, 9) AS sc
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY round({lam} * rel, 9) DESC, vec_id ASC) = 1
+)"""
+    ]
+    for r in range(2, k + 1):
+        prev_pool = "cand c" if r == 2 else f"m{r - 1} c"
+        # the operator's running max starts at 0.0 (np.zeros), so negative
+        # cosines never reduce the penalty below zero — clamp to match
+        ms = (
+            f"greatest(0.0, list_cosine_similarity(c.v, s.v))"
+            if r == 2
+            else f"greatest(c.ms, list_cosine_similarity(c.v, s.v))"
+        )
+        parts.append(
+            f"""m{r} AS (
+  SELECT c.query_id, c.vec_id, c.v, c.rel, {ms} AS ms
+  FROM {prev_pool} JOIN s{r - 1} s USING (query_id)
+  WHERE c.vec_id <> s.vec_id
+), s{r} AS (
+  SELECT query_id, vec_id, v,
+         round({lam} * rel - (1.0 - {lam}) * ms, 9) AS sc
+  FROM m{r}
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round({lam} * rel - (1.0 - {lam}) * ms, 9) DESC, vec_id ASC) = 1
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({r} AS INTEGER) AS rank, vec_id, sc AS score FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects + "\nORDER BY query_id, rank"
+
+
+MMR_RERANK_SQL = _mmr_sql()
+
+
 QUERIES = [
     QuerySpec(
         "bm25_topk",
@@ -306,8 +367,8 @@ QUERIES = [
     QuerySpec(
         "mmr_rerank",
         mmr_rerank,
-        None,
-        "MMR diversified rerank (rows-only: greedy applyInPandas)",
+        MMR_RERANK_SQL,
+        "MMR diversified rerank (greedy applyInPandas; unrolled-greedy oracle)",
     ),
     QuerySpec(
         "hybrid_rrf",
