@@ -822,9 +822,13 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 extension: greedy sequence packing — per-language, docs in doc_id
     order packed into 256-whitespace-token training sequences (the step
     between corpus prep and the training job; see operators/packing.py).
-    Output is sequence-level accounting incl. padding waste. Rows-only:
-    the greedy fold is order-dependent per group, not SQL-expressible;
-    its semantics are golden- and property-tested in tests/test_packing.py."""
+    Output is sequence-level accounting incl. padding waste. The greedy
+    fold is order-dependent per group — not expressible as a single-pass
+    window — but IS expressible as a recursive CTE that closes one
+    sequence per recursion level (boundary = largest prefix fitting the
+    budget, via the per-group cumulative sum), which is exactly what the
+    DuckDB oracle does; semantics are additionally golden- and
+    property-tested in tests/test_packing.py."""
     from pdf_parse_vector_db_spark.operators.packing import pack_sequences
 
     budget = 256
@@ -1006,11 +1010,49 @@ FROM g
 """
 
 
+
+
+PACK_TRAINING_SEQUENCES_SQL = """
+WITH RECURSIVE d AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS pos,
+         sum(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+           OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+  FROM documents
+),
+maxp AS (SELECT lang, max(pos) AS mx FROM d GROUP BY lang),
+seqs AS (
+  SELECT l.lang, 0 AS seq_id, CAST(1 AS BIGINT) AS start_pos,
+         coalesce((SELECT max(d2.pos) FROM d d2
+                   WHERE d2.lang = l.lang AND d2.cum <= 256), CAST(1 AS BIGINT)) AS end_pos
+  FROM (SELECT DISTINCT lang FROM d) l
+  UNION ALL
+  SELECT s.lang, s.seq_id + 1, s.end_pos + 1,
+         coalesce((SELECT max(d2.pos) FROM d d2
+                   WHERE d2.lang = s.lang AND d2.pos > s.end_pos
+                     AND d2.cum - (SELECT d3.cum FROM d d3
+                                   WHERE d3.lang = s.lang AND d3.pos = s.end_pos) <= 256),
+                  s.end_pos + 1) AS end_pos
+  FROM seqs s JOIN maxp m ON s.lang = m.lang
+  WHERE s.end_pos < m.mx
+)
+SELECT d.lang, CAST(s.seq_id AS INTEGER) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_tokens) AS BIGINT) AS seq_tokens,
+       CAST(CASE WHEN sum(d.n_tokens) < 256 THEN 256 - sum(d.n_tokens)
+                 ELSE 0 END AS BIGINT) AS padding_waste
+FROM d JOIN seqs s ON d.lang = s.lang AND d.pos BETWEEN s.start_pos AND s.end_pos
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec("corpus_prep", corpus_prep, CORPUS_PREP_SQL, "X1+X5 composite training-data prep"),
     QuerySpec("cdc_chunk_dedup", cdc_chunk_dedup, CDC_CHUNK_DEDUP_SQL, "X1 content-defined-chunking storage dedup accounting"),
     QuerySpec("vocab_oov", vocab_oov, VOCAB_OOV_SQL, "X5 vocab-coverage / OOV-rate audit"),
-    QuerySpec("pack_training_sequences", pack_training_sequences, None, "X5 greedy sequence packing (rows-only)"),
+    QuerySpec("pack_training_sequences", pack_training_sequences, PACK_TRAINING_SEQUENCES_SQL, "X5 greedy sequence packing (recursive-CTE oracle closes one sequence per level)"),
     QuerySpec("gopher_quality", gopher_quality, GOPHER_QUALITY_SQL, "X5 Gopher-rule quality gate"),
     QuerySpec("repetition_stats", repetition_stats, REPETITION_STATS_SQL, "X5 within-doc repetition metrics (Gopher A1.1 skeleton)"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "X5 TF-IDF top terms per source"),
