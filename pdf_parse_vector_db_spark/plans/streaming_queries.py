@@ -1109,6 +1109,40 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_views,
 """
 
 
+
+
+def purchase_view_left_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream LEFT OUTER attribution join
+    (streaming/windows.purchase_view_left_join): every purchase, paired
+    with each prior-hour view OR null-padded when none exists.
+    tests/test_streaming.py replays the same plan function under
+    readStream with watermarks on both sides (multi-batch, so the
+    watermark actually advances) and asserts identical rows — including
+    the null-padded ones, which only a correct outer-join state machine
+    produces."""
+    from pdf_parse_vector_db_spark.streaming.windows import purchase_view_left_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return purchase_view_left_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    ).orderBy("purchase_id", "v_ts")
+
+
+PURCHASE_VIEW_LEFT_PAIRS_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS p_ts,
+       v.ts AS v_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY purchase_id, v_ts
+"""
+
+
 QUERIES = [
     QuerySpec("hourly_anomalies", hourly_anomalies, HOURLY_ANOMALIES_SQL, "rolling z-score rate anomalies over the dense hourly spine"),
     QuerySpec("event_debounce", event_debounce, EVENT_DEBOUNCE_SQL, "gaps-and-islands burst debouncing per (user, type)"),
@@ -1129,4 +1163,5 @@ QUERIES = [
     QuerySpec("events_sessions", events_sessions, EVENTS_SESSIONS_SQL, "X8 session windows (batch twin)"),
     QuerySpec("events_tumbling_daily", events_tumbling_daily, EVENTS_TUMBLING_DAILY_SQL, "X8 tumbling windows (batch twin)"),
     QuerySpec("purchase_view_pairs", purchase_view_pairs, PURCHASE_VIEW_PAIRS_SQL, "stream-stream join (batch twin)"),
+    QuerySpec("purchase_view_left_pairs", purchase_view_left_pairs, PURCHASE_VIEW_LEFT_PAIRS_SQL, "stream-stream LEFT OUTER join with watermark null-padding (batch twin)"),
 ]

@@ -116,3 +116,30 @@ def dedup_events(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     if events.isStreaming:
         return events.dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def purchase_view_left_join(
+    purchases: DataFrame, views: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: like purchase_view_join, but a
+    purchase with NO qualifying view still emits — with a null v_ts —
+    once the view-side watermark guarantees no match can still arrive
+    (v_ts ≤ p_ts, so the row finalizes when the watermark passes p_ts).
+    That deferred null-padding is the defining outer-join mechanic of
+    Structured Streaming: correctness depends on BOTH watermarks plus the
+    event-time range condition bounding state, exactly as in the inner
+    variant. On batch inputs it degenerates to a plain left join — the
+    oracle-checked twin (purchase_view_left_pairs)."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = views.select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "v_ts")

@@ -487,3 +487,66 @@ def test_debounce_stream_matches_batch_islands(spark, tmp_path):
         .collect()
     }
     assert streamed == heads
+
+
+def test_left_outer_stream_join_matches_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream join across multiple micro-batches equals
+    the batch left join — INCLUDING null-padded rows, which streaming only
+    emits once the watermark proves no match can arrive. A far-future
+    sentinel view (user with no purchases) in the last file pushes the
+    final watermark past every real purchase so all outer rows flush."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.streaming.windows import (
+        purchase_view_left_join,
+        with_watermark,
+    )
+
+    ev = load_table(spark, SF, "events")
+    landing = str(tmp_path / "left_landing")
+    mid = ev.approxQuantile("event_id", [0.5], 0)[0]
+    ev.filter(F.col("event_id") <= mid).write.parquet(landing)
+    ev.filter(F.col("event_id") > mid).write.mode("append").parquet(landing)
+    # The global watermark is the MIN across both input watermarks, so a
+    # sentinel must advance BOTH the view side and the purchase side; and
+    # outer rows flush one batch AFTER the watermark that releases them,
+    # so a second, later sentinel file provides that extra batch.
+    def _sentinels(days, base_id):
+        one = ev.agg(F.max("ts").alias("mx"))
+        mk = lambda et, off: one.select(
+            F.lit(base_id + off).alias("event_id"),
+            (F.col("mx") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(10**9).alias("user_id"),
+            F.lit(et).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        return mk("view", 0).unionAll(mk("purchase", 1))
+
+    _sentinels(30, 10**9).write.mode("append").parquet(landing)
+    _sentinels(60, 10**9 + 10).write.mode("append").parquet(landing)
+
+    src = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(landing)
+    q = (
+        purchase_view_left_join(
+            with_watermark(src.filter(F.col("event_type") == "purchase"), "10 minutes"),
+            with_watermark(src.filter(F.col("event_type") == "view"), "10 minutes"),
+        )
+        .writeStream.format("memory")
+        .queryName("t_left_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.table("t_left_join").filter(F.col("user_id") < 10**9)
+
+    from pdf_parse_vector_db_spark.plans.streaming_queries import purchase_view_left_pairs
+
+    batch = purchase_view_left_pairs(spark, SF)
+    key = lambda r: (r.purchase_id, r.v_ts)
+    s_rows = sorted(map(key, streamed.collect()))
+    b_rows = sorted(map(key, batch.collect()))
+    assert s_rows == b_rows
+    # and the outer mechanic actually fired: some purchases are null-padded
+    assert any(v is None for _, v in b_rows)
