@@ -1050,6 +1050,88 @@ FROM staged
 """
 
 
+def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract verification in the Deequ style (AWS
+    Deequ / "Automating large-scale data quality verification", Schelter
+    et al. 2018 VLDB, public): a fixed constraint suite evaluated over the
+    orders table in one report — completeness, uniqueness, value range,
+    closed domain, referential integrity, freshness. One row per
+    constraint: (check_name, metric, passed).
+
+    Scale shape: each constraint is a scan-level aggregate with map-side
+    partials (uniqueness is the one exchange — a count-distinct on the
+    key); the referential check is a broadcast anti-join probe. The report
+    union is 6 one-row frames. This is the nightly gate a 100 TB ingest
+    runs before publishing a partition.
+    """
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    cust = load_table(spark, sf_dir, "customer")
+    base = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.countDistinct("o_orderkey").alias("dist_key"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("bad_status"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_d"),
+    )
+    orphans = orders.join(
+        F.broadcast(cust),
+        orders.o_custkey == cust.c_custkey,
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("orphans"))
+    rep = base.crossJoin(orphans)
+    checks = [
+        ("completeness_o_custkey", 1.0 - F.col("null_cust") / F.col("n"), F.col("null_cust") == 0),
+        ("uniqueness_o_orderkey", F.col("dist_key") / F.col("n"), F.col("dist_key") == F.col("n")),
+        ("range_o_totalprice_positive", F.col("bad_price").cast("double"), F.col("bad_price") == 0),
+        ("domain_o_orderstatus", F.col("bad_status").cast("double"), F.col("bad_status") == 0),
+        ("referential_custkey", F.col("orphans").cast("double"), F.col("orphans") == 0),
+        ("freshness_orderdate_1998", F.year("max_d").cast("double"), F.year("max_d") >= 1998),
+    ]
+    out = None
+    for name, metric, passed in checks:
+        one = rep.select(
+            F.lit(name).alias("check_name"),
+            F.round(metric, 6).alias("metric"),
+            passed.alias("passed"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("check_name")
+
+
+DATA_CONTRACT_AUDIT_SQL = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dist_key,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+         max(CAST(o_orderdate AS DATE)) AS max_d
+  FROM orders
+), orph AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphans
+  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+), rep AS (SELECT * FROM base CROSS JOIN orph)
+SELECT * FROM (
+  SELECT 'completeness_o_custkey' AS check_name,
+         round(1.0 - CAST(null_cust AS DOUBLE) / n, 6) AS metric, null_cust = 0 AS passed FROM rep
+  UNION ALL
+  SELECT 'uniqueness_o_orderkey', round(CAST(dist_key AS DOUBLE) / n, 6), dist_key = n FROM rep
+  UNION ALL
+  SELECT 'range_o_totalprice_positive', round(CAST(bad_price AS DOUBLE), 6), bad_price = 0 FROM rep
+  UNION ALL
+  SELECT 'domain_o_orderstatus', round(CAST(bad_status AS DOUBLE), 6), bad_status = 0 FROM rep
+  UNION ALL
+  SELECT 'referential_custkey', round(CAST(orphans AS DOUBLE), 6), orphans = 0 FROM rep
+  UNION ALL
+  SELECT 'freshness_orderdate_1998', round(CAST(year(max_d) AS DOUBLE), 6), year(max_d) >= 1998 FROM rep
+)
+ORDER BY check_name
+"""
+
+
 def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit of o_totalprice (Newcomb 1881 /
     Benford 1938, public): per digit 1-9, the observed share vs the
@@ -1136,6 +1218,7 @@ QUERIES = [
     QuerySpec("segment_priority_chi2", segment_priority_chi2, SEGMENT_PRIORITY_CHI2_SQL, "Pearson chi-square independence audit over one contingency agg"),
     QuerySpec("segment_priority_mi", segment_priority_mi, SEGMENT_PRIORITY_MI_SQL, "mutual information + NMI over the same contingency agg (integer-nanos exact)"),
     QuerySpec("benford_audit", benford_audit, BENFORD_AUDIT_SQL, "Benford first-digit distribution audit of order totals"),
+    QuerySpec("data_contract_audit", data_contract_audit, DATA_CONTRACT_AUDIT_SQL, "Deequ-style declarative constraint suite in one report"),
     QuerySpec("boilerplate_prefixes", boilerplate_prefixes, BOILERPLATE_PREFIXES_SQL, "RefinedWeb-style boilerplate-prefix detection"),
     QuerySpec("point_in_time_state", point_in_time_state, POINT_IN_TIME_STATE_SQL, "feature-store point-in-time join vs SCD2 dimension"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),
