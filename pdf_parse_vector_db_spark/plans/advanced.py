@@ -1114,6 +1114,85 @@ ORDER BY m.o_orderpriority
 """
 
 
+def mv_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view rewrite consistency: the lakehouse pattern of
+    answering a coarse aggregate from a pre-aggregated summary table
+    instead of the base fact. Builds the (month, nation) revenue MV from
+    orders joined to customer/nation, then answers "yearly revenue per
+    nation" BOTH ways — rolled up from the MV and directly from base —
+    and surfaces per-row equality. Exact by construction: revenue
+    accumulates as integer cents, and a sum of partial sums equals the
+    direct sum exactly (the associativity that makes MV rollups sound; a
+    float MV would NOT audit clean, which is the point of doing it in
+    cents).
+
+    Scale shape: the MV is months×nations rows — the rewrite path
+    aggregates ~2k rows instead of the fact table; the base path is the
+    one corpus-sized agg (the audit's ground truth). Dims broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    mv = joined.groupBy(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month"),
+        F.col("n_name").alias("nation"),
+    ).agg(F.sum(cents).alias("cents"))
+    from_mv = mv.groupBy(
+        F.substring("month", 1, 4).alias("year"), "nation"
+    ).agg(F.sum("cents").alias("mv_cents"))
+    from_base = joined.groupBy(
+        F.date_format(F.col("o_orderdate"), "yyyy").alias("year"),
+        F.col("n_name").alias("nation"),
+    ).agg(F.sum(cents).alias("base_cents"))
+    return (
+        from_mv.join(from_base, ["year", "nation"], "full_outer")
+        .select(
+            "year",
+            "nation",
+            (F.coalesce(F.col("mv_cents"), F.lit(0)) / F.lit(100.0)).alias("rev_mv"),
+            (F.coalesce(F.col("base_cents"), F.lit(0)) / F.lit(100.0)).alias("rev_base"),
+            (
+                F.coalesce(F.col("mv_cents"), F.lit(-1))
+                == F.coalesce(F.col("base_cents"), F.lit(-2))
+            ).alias("consistent"),
+        )
+        .orderBy("year", "nation")
+    )
+
+
+MV_REWRITE_AUDIT_SQL = """
+WITH joined AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         strftime(o_orderdate, '%Y') AS year,
+         n_name AS nation,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+), mv AS (
+  SELECT month, nation, CAST(sum(cents) AS BIGINT) AS cents
+  FROM joined GROUP BY 1, 2
+), from_mv AS (
+  SELECT substring(month, 1, 4) AS year, nation, CAST(sum(cents) AS BIGINT) AS mv_cents
+  FROM mv GROUP BY 1, 2
+), from_base AS (
+  SELECT year, nation, CAST(sum(cents) AS BIGINT) AS base_cents
+  FROM joined GROUP BY 1, 2
+)
+SELECT coalesce(m.year, b.year) AS year,
+       coalesce(m.nation, b.nation) AS nation,
+       coalesce(m.mv_cents, 0) / 100.0 AS rev_mv,
+       coalesce(b.base_cents, 0) / 100.0 AS rev_base,
+       coalesce(m.mv_cents, -1) = coalesce(b.base_cents, -2) AS consistent
+FROM from_mv m FULL OUTER JOIN from_base b USING (year, nation)
+ORDER BY year, nation
+"""
+
+
 QUERIES = [
     QuerySpec("incremental_agg_maintenance", incremental_agg_maintenance, INCREMENTAL_AGG_MAINTENANCE_SQL, "IVM: signed-delta maintained aggregates vs recompute"),
     QuerySpec("late_suppliers", late_suppliers, LATE_SUPPLIERS_SQL, "Q21 shape: only-late supplier on multi-supplier orders"),
@@ -1138,4 +1217,5 @@ QUERIES = [
     QuerySpec("customer_order_distribution", customer_order_distribution, CUSTOMER_ORDER_DISTRIBUTION_SQL, "Q13-shape LEFT OUTER histogram"),
     QuerySpec("nation_cust_supp_coverage", nation_cust_supp_coverage, NATION_CUST_SUPP_COVERAGE_SQL, "FULL OUTER coverage join"),
     QuerySpec("skewed_best_per_user", skewed_best_per_user, SKEWED_BEST_PER_USER_SQL, "A1 dedup via salted two-stage window"),
+    QuerySpec("mv_rewrite_audit", mv_rewrite_audit, MV_REWRITE_AUDIT_SQL, "materialized-view rewrite vs base-fact consistency (integer-cents exact)"),
 ]
