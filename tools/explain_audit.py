@@ -76,6 +76,10 @@ AUDIT = {
     "event_debounce": "one (user,type) sort exchange for the lag; |types|-key rollup",
     "cep_pattern_funnel": "user-keyed range joins, co-partitioned after the first exchange",
     "ppjoin_near_dups": "prefix-token equi-join candidates over hashed trigram keys; no CartesianProduct",
+    "hll_merge_audit": "register-wise max re-agg: merged and direct sketches share the (bucket) key space",
+    "data_contract_audit": "each constraint a scan-level partial agg; referential check is a broadcast anti-join",
+    "mv_rewrite_audit": "rewrite path aggregates the months×nations MV, not the fact; dims broadcast",
+    "purchase_view_left_pairs": "time-band left join; at stream time both watermarks bound the state",
 }
 
 
