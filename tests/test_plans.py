@@ -462,3 +462,27 @@ def test_es_reservoir_topk_not_global_sort(spark):
     body = _final_plan(spark, "es_weighted_reservoir")
     assert "TakeOrderedAndProject" in body, body
     assert "Sort " not in body.replace("TakeOrderedAndProject", ""), body
+
+
+def test_hll_merge_audit_no_cartesian_blowup(spark):
+    """HLL merge audit: sketch aggregation is (bucket)-keyed with partial
+    aggregation; the 1-row estimates combine via broadcast loop joins."""
+    body = _final_plan(spark, "hll_merge_audit")
+    assert "CartesianProduct" not in body, body
+    assert body.count("HashAggregate") >= 4, body
+
+
+def test_data_contract_referential_is_broadcast_anti(spark):
+    """Contract audit: the FK-orphan probe must be a broadcast anti-join —
+    the fact side never shuffles for a constraint check."""
+    body = _final_plan(spark, "data_contract_audit")
+    assert "LeftAnti" in body, body
+    assert "BroadcastHashJoin" in body or "BroadcastExchange" in body, body
+
+
+def test_mv_rewrite_dims_broadcast(spark):
+    """MV rewrite: customer/nation dims broadcast; the only corpus-sized
+    agg is the base-path ground truth."""
+    body = _final_plan(spark, "mv_rewrite_audit")
+    assert "BroadcastHashJoin" in body, body
+    assert "CartesianProduct" not in body, body
