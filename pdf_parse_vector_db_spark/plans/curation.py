@@ -1489,6 +1489,171 @@ ORDER BY source, bin
 """
 
 
+_HRW_N = 8
+
+
+def rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment audit (Thaler &
+    Ravishankar 1998, public — the consistent-hashing family): each doc
+    goes to the shard with the max md5(doc, shard) weight. The property
+    that matters operationally: growing the cluster N -> N+1 moves only
+    ~1/(N+1) of the keys (every moved key moves TO the new shard), versus
+    mod-N hashing which reshuffles almost everything. The audit assigns
+    every doc under N=8 and N=9 and reports, per N=8 shard, how many docs
+    stayed vs moved — all moved docs land on shard 8 by construction,
+    which the oracle equality pins.
+
+    Scale shape: assignment is a pure per-row map (N hash evaluations
+    folded with array algebra — no explode, no shuffle); the audit agg is
+    an 8-key rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+
+    def argmax_shard(n: int) -> str:
+        return (
+            f"CAST(array_position(transform(sequence(0, {n - 1}), "
+            f"s -> md5(concat(CAST(doc_id AS STRING), ':', CAST(s AS STRING)))), "
+            f"array_max(transform(sequence(0, {n - 1}), "
+            f"s -> md5(concat(CAST(doc_id AS STRING), ':', CAST(s AS STRING)))))) - 1 AS INT)"
+        )
+
+    assigned = docs.select(
+        F.expr(argmax_shard(_HRW_N)).alias("shard8"),
+        F.expr(argmax_shard(_HRW_N + 1)).alias("shard9"),
+    )
+    return (
+        assigned.groupBy("shard8")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("shard9") != F.col("shard8")).cast("long"))
+            .cast("bigint")
+            .alias("moved"),
+            F.sum((F.col("shard9") == _HRW_N).cast("long"))
+            .cast("bigint")
+            .alias("moved_to_new"),
+            F.round(
+                F.sum((F.col("shard9") != F.col("shard8")).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("moved_frac"),
+        )
+        .orderBy("shard8")
+    )
+
+
+def _hrw_sql(n: int) -> str:
+    return (
+        f"CAST(list_position(list_transform(range(0, {n}), "
+        f"s -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))), "
+        f"list_max(list_transform(range(0, {n}), "
+        f"s -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))))) - 1 AS INTEGER)"
+    )
+
+
+RENDEZVOUS_SHARDING_SQL = f"""
+WITH assigned AS (
+  SELECT {_hrw_sql(_HRW_N)} AS shard8,
+         {_hrw_sql(_HRW_N + 1)} AS shard9
+  FROM documents
+)
+SELECT shard8,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+       CAST(sum(CASE WHEN shard9 = {_HRW_N} THEN 1 ELSE 0 END) AS BIGINT) AS moved_to_new,
+       round(CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS moved_frac
+FROM assigned
+GROUP BY shard8
+ORDER BY shard8
+"""
+
+
+def pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Pareto skyline of suppliers on (unit cost, ship delay) —
+    the classic skyline operator (Borzsonyi et al. 2001, public): a
+    supplier is on the frontier iff no same-nation supplier is BOTH
+    strictly cheaper and strictly faster.
+
+    Both metrics are exact integers (milli-units via integer division),
+    so the frontier is bit-deterministic. The 2-D skyline is computed the
+    scale-correct way: sort by cost within nation, running strict-prefix
+    min of delay (RANGE frame excludes equal costs), keep rows whose
+    delay beats every strictly-cheaper supplier's — O(n log n) per
+    nation, not the O(n^2) dominance join; skylines are mergeable
+    (the frontier of a union is inside the union of frontiers), which is
+    the 100 TB partition-then-merge path.
+    """
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("qty"),
+            F.sum(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))).alias("delay_days"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_suppkey",
+            F.expr("(cents * 1000) div qty").alias("cost_milli"),
+            F.expr("(delay_days * 1000) div n").alias("delay_milli"),
+        )
+    )
+    named = per_supp.join(
+        F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey
+    ).join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("cost_milli")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sky = named.withColumn("best_delay", F.min("delay_milli").over(w)).filter(
+        F.col("best_delay").isNull() | (F.col("delay_milli") <= F.col("best_delay"))
+    )
+    return sky.select(
+        F.col("n_name").alias("nation"),
+        F.col("s_name").alias("supplier"),
+        "cost_milli",
+        "delay_milli",
+    ).orderBy("nation", "cost_milli", "supplier")
+
+
+PARETO_SUPPLIERS_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS delay_days,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey
+), m AS (
+  SELECT l_suppkey,
+         (cents * 1000) // qty AS cost_milli,
+         (delay_days * 1000) // n AS delay_milli
+  FROM per_supp
+), named AS (
+  SELECT n_name AS nation, s_name AS supplier, cost_milli, delay_milli
+  FROM m
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+), sky AS (
+  SELECT *,
+         min(delay_milli) OVER (PARTITION BY nation ORDER BY cost_milli
+                                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_delay
+  FROM named
+)
+SELECT nation, supplier, cost_milli, delay_milli
+FROM sky
+WHERE best_delay IS NULL OR delay_milli <= best_delay
+ORDER BY nation, cost_milli, supplier
+"""
+
+
 QUERIES = [
     QuerySpec(
         "bpe_learn_merges",
@@ -1582,5 +1747,17 @@ QUERIES = [
         source_datacard,
         SOURCE_DATACARD_SQL,
         "X5 per-source datasheet composite (counts, span, lang entropy)",
+    ),
+    QuerySpec(
+        "rendezvous_sharding",
+        rendezvous_sharding,
+        RENDEZVOUS_SHARDING_SQL,
+        "X22 rendezvous-hash shard assignment + 1/(N+1) reassignment audit",
+    ),
+    QuerySpec(
+        "pareto_suppliers",
+        pareto_suppliers,
+        PARETO_SUPPLIERS_SQL,
+        "X7 per-nation Pareto skyline via strict-prefix running min (exact integers)",
     ),
 ]

@@ -404,3 +404,34 @@ def test_hll_merge_is_associative(spark):
     assert r.merge_consistent
     assert r.est_merged == r.est_direct
     assert r.rel_err < 0.25  # m=256 → stderr ~6.5%; generous 3-4 sigma
+
+
+def test_rendezvous_moves_only_to_new_shard(spark):
+    from pdf_parse_vector_db_spark.plans.curation import _HRW_N, rendezvous_sharding
+
+    rows = rendezvous_sharding(spark, SF_SMOKE).collect()
+    total = sum(r.n_docs for r in rows)
+    moved = sum(r.moved for r in rows)
+    # every moved doc moved TO the new shard — the HRW guarantee
+    assert all(r.moved == r.moved_to_new for r in rows)
+    # expected move fraction 1/(N+1) ~ 11%; binomial 5-sigma slack
+    exp = total / (_HRW_N + 1)
+    sd = (total * (1 / (_HRW_N + 1)) * (_HRW_N / (_HRW_N + 1))) ** 0.5
+    assert abs(moved - exp) <= 5 * sd, (moved, exp, sd)
+
+
+def test_pareto_frontier_is_undominated_and_complete(spark):
+    from collections import defaultdict
+
+    from pdf_parse_vector_db_spark.plans.curation import pareto_suppliers
+
+    sky = pareto_suppliers(spark, SF_SMOKE).collect()
+    assert sky
+    by_nation = defaultdict(list)
+    for r in sky:
+        by_nation[r.nation].append((r.cost_milli, r.delay_milli))
+    for nation, pts in by_nation.items():
+        for i, (c1, d1) in enumerate(pts):
+            for j, (c2, d2) in enumerate(pts):
+                if i != j:
+                    assert not (c2 < c1 and d2 < d1), (nation, pts[i], pts[j])
