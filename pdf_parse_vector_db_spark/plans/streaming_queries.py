@@ -1143,10 +1143,196 @@ ORDER BY purchase_id, v_ts
 """
 
 
+
+
+_CUPED_SPLIT = "2024-01-16"
+
+
+def cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics with CUPED variance reduction (Deng,
+    Xu, Kohavi & Walker, WSDM 2013 — public): users hash-split into two
+    variants; the post-period metric Y is adjusted by the pre-period
+    covariate X via theta = cov(X,Y)/var(X), shrinking variance by the
+    squared correlation without biasing the treatment effect. One row:
+    per-variant means, raw and adjusted z statistics, realized variance
+    reduction.
+
+    Exactness: X and Y are integer cents per user; every moment
+    (Σx, Σy, Σxy, Σx², Σy², per variant and pooled) is an exact BIGINT,
+    so theta, the adjusted means, and both z statistics are identical
+    doubles on both engines. Scale shape: one (user)-keyed agg over the
+    scan, then all algebra on per-variant sufficient statistics — the
+    same one-pass pattern as revenue_trend_ols.
+    """
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < F.lit(_CUPED_SPLIT).cast("timestamp"),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.lit(_CUPED_SPLIT).cast("timestamp"),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) % 2"
+            ).cast("int"),
+        )
+    )
+    stats = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pooled = stats.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+    )
+    # theta from pooled moments (double algebra over exact ints)
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
+    th = pooled.select(
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("theta"),
+        (sx / n).alias("mx"),
+        (((n * syy - sy * sy) / n / n)).alias("var_y_pop"),
+        (((n * sxx - sx * sx) / n / n)).alias("var_x_pop"),
+        ((n * sxy - sx * sy) / n / n).alias("cov_xy_pop"),
+    )
+    j = stats.crossJoin(F.broadcast(th))
+    per_var = j.select(
+        "variant",
+        F.col("n").cast("bigint").alias("nv"),
+        (F.col("sy").cast("double") / F.col("n")).alias("mean_y"),
+        (
+            (F.col("sy").cast("double") - F.col("theta") * (F.col("sx").cast("double") - F.col("n") * F.col("mx")))
+            / F.col("n")
+        ).alias("mean_y_adj"),
+        (
+            (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("var_y"),
+        (
+            (
+                F.col("n").cast("double") * F.col("syy")
+                - F.col("sy").cast("double") * F.col("sy")
+                - 2 * F.col("theta") * (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+                + F.col("theta") * F.col("theta")
+                * (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("var_y_adj"),
+        "theta",
+        "var_y_pop",
+        "cov_xy_pop",
+        "var_x_pop",
+    )
+    a = per_var.filter(F.col("variant") == 0).alias("a")
+    b = per_var.filter(F.col("variant") == 1).alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.nv").alias("n_a"),
+        F.col("b.nv").alias("n_b"),
+        F.round(F.col("a.theta"), 6).alias("theta"),
+        F.round((F.col("b.mean_y") - F.col("a.mean_y")) / 100.0, 4).alias("diff_raw"),
+        F.round((F.col("b.mean_y_adj") - F.col("a.mean_y_adj")) / 100.0, 4).alias("diff_adj"),
+        F.round(
+            (F.col("b.mean_y") - F.col("a.mean_y"))
+            / F.sqrt(F.col("a.var_y") / F.col("a.nv") + F.col("b.var_y") / F.col("b.nv")),
+            4,
+        ).alias("z_raw"),
+        F.round(
+            (F.col("b.mean_y_adj") - F.col("a.mean_y_adj"))
+            / F.sqrt(
+                F.col("a.var_y_adj") / F.col("a.nv") + F.col("b.var_y_adj") / F.col("b.nv")
+            ),
+            4,
+        ).alias("z_adj"),
+        F.round(
+            1.0
+            - (F.col("a.cov_xy_pop") * F.col("a.cov_xy_pop"))
+            / (F.col("a.var_x_pop") * F.col("a.var_y_pop")),
+            6,
+        ).alias("var_ratio_theory"),
+    )
+
+
+CUPED_AB_TEST_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS INTEGER) AS variant
+  FROM events GROUP BY user_id
+), stats AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY variant
+), pooled AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+         CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxy) AS BIGINT) AS sxy,
+         CAST(sum(sxx) AS BIGINT) AS sxx, CAST(sum(syy) AS BIGINT) AS syy
+  FROM stats
+), th AS (
+  SELECT (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+           / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS theta,
+         CAST(sx AS DOUBLE) / n AS mx,
+         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy) / n / n AS var_y_pop,
+         (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) / n / n AS var_x_pop,
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / n / n AS cov_xy_pop
+  FROM pooled
+), per_var AS (
+  SELECT variant, n AS nv,
+         CAST(sy AS DOUBLE) / n AS mean_y,
+         (CAST(sy AS DOUBLE) - th.theta * (CAST(sx AS DOUBLE) - n * th.mx)) / n AS mean_y_adj,
+         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * (n - 1)) AS var_y,
+         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy
+          - 2 * th.theta * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+          + th.theta * th.theta * (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+           / (CAST(n AS DOUBLE) * (n - 1)) AS var_y_adj,
+         th.theta, th.var_y_pop, th.var_x_pop, th.cov_xy_pop
+  FROM stats CROSS JOIN th
+)
+SELECT a.nv AS n_a, b.nv AS n_b,
+       round(a.theta, 6) AS theta,
+       round((b.mean_y - a.mean_y) / 100.0, 4) AS diff_raw,
+       round((b.mean_y_adj - a.mean_y_adj) / 100.0, 4) AS diff_adj,
+       round((b.mean_y - a.mean_y)
+             / sqrt(a.var_y / a.nv + b.var_y / b.nv), 4) AS z_raw,
+       round((b.mean_y_adj - a.mean_y_adj)
+             / sqrt(a.var_y_adj / a.nv + b.var_y_adj / b.nv), 4) AS z_adj,
+       round(1.0 - (a.cov_xy_pop * a.cov_xy_pop)
+                   / (a.var_x_pop * a.var_y_pop), 6) AS var_ratio_theory
+FROM (SELECT * FROM per_var WHERE variant = 0) a
+CROSS JOIN (SELECT * FROM per_var WHERE variant = 1) b
+"""
+
+
 QUERIES = [
     QuerySpec("hourly_anomalies", hourly_anomalies, HOURLY_ANOMALIES_SQL, "rolling z-score rate anomalies over the dense hourly spine"),
     QuerySpec("event_debounce", event_debounce, EVENT_DEBOUNCE_SQL, "gaps-and-islands burst debouncing per (user, type)"),
     QuerySpec("cep_pattern_funnel", cep_pattern_funnel, CEP_PATTERN_FUNNEL_SQL, "MATCH_RECOGNIZE-shape time-anchored pattern funnel"),
+    QuerySpec("cuped_ab_test", cuped_ab_test, CUPED_AB_TEST_SQL, "CUPED variance-reduced A/B analysis from exact integer moments"),
     QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_SQL, "X7 weekly cohort retention matrix"),
     QuerySpec("funnel_conversion", funnel_conversion, FUNNEL_CONVERSION_SQL, "ordered 3-stage funnel (conditional-min formulation)"),
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL, "first-order Markov transition matrix"),

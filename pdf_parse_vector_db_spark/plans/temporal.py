@@ -287,6 +287,81 @@ ORDER BY nation
 """
 
 
+
+
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of two classical forecasters over monthly revenue —
+    seasonal naive (predict month t with month t−12) vs 3-month moving
+    average — scored by MAPE. The eval harness every metrics pipeline
+    runs before trusting a forecast; here it doubles as a window-lag
+    showcase where every number is integer-exact: monthly revenue is
+    integer dollars, predictions use integer division, and the per-month
+    absolute percentage error is computed in integer milli-units, so the
+    final MAPE is identical across engines with no float-summation
+    hazard.
+
+    Scale shape: one (month)-keyed agg over orders; the lag windows run
+    on the bounded monthly series.
+    """
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    monthly = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+        )
+        .select("month", F.expr("cents div 100").alias("y"))
+    )
+    w = Window.orderBy("month")
+    lagged = monthly.select(
+        "month",
+        "y",
+        F.lag("y", 12).over(w).alias("snaive"),
+        ((F.lag("y", 1).over(w) + F.lag("y", 2).over(w) + F.lag("y", 3).over(w)))
+        .alias("ma3_sum"),
+    ).withColumn("ma3", F.expr("ma3_sum div 3"))
+    ape = lambda pred: F.expr(f"abs({pred} - y) * 1000 div y")
+    legs = []
+    for method, pred in (("seasonal_naive", "snaive"), ("moving_avg_3", "ma3")):
+        legs.append(
+            lagged.filter(F.col(pred).isNotNull())
+            .agg(
+                F.lit(method).alias("method"),
+                F.count(F.lit(1)).cast("bigint").alias("n_months"),
+                F.round(F.sum(ape(pred)).cast("double") / F.count(F.lit(1)) / 1000.0, 4).alias(
+                    "mape"
+                ),
+            )
+        )
+    return legs[0].unionAll(legs[1]).orderBy("method")
+
+
+FORECAST_BACKTEST_SQL = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100 AS y
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT month, y,
+         lag(y, 12) OVER (ORDER BY month) AS snaive,
+         (lag(y, 1) OVER (ORDER BY month) + lag(y, 2) OVER (ORDER BY month)
+          + lag(y, 3) OVER (ORDER BY month)) // 3 AS ma3
+  FROM monthly
+)
+SELECT * FROM (
+  SELECT 'seasonal_naive' AS method,
+         CAST(count(*) AS BIGINT) AS n_months,
+         round(CAST(sum(abs(snaive - y) * 1000 // y) AS DOUBLE) / count(*) / 1000.0, 4) AS mape
+  FROM lagged WHERE snaive IS NOT NULL
+  UNION ALL
+  SELECT 'moving_avg_3',
+         CAST(count(*) AS BIGINT),
+         round(CAST(sum(abs(ma3 - y) * 1000 // y) AS DOUBLE) / count(*) / 1000.0, 4)
+  FROM lagged WHERE ma3 IS NOT NULL
+)
+ORDER BY method
+"""
+
+
 QUERIES = [
     QuerySpec(
         "max_open_orders",
@@ -305,5 +380,11 @@ QUERIES = [
         revenue_trend_ols,
         REVENUE_TREND_OLS_SQL,
         "grouped closed-form OLS trend from one-pass sufficient statistics",
+    ),
+    QuerySpec(
+        "forecast_backtest",
+        forecast_backtest,
+        FORECAST_BACKTEST_SQL,
+        "seasonal-naive vs MA3 MAPE backtest, integer-exact error accounting",
     ),
 ]
