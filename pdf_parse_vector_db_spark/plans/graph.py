@@ -296,8 +296,223 @@ a{r} AS (
 KCORE_PEEL_SQL = _kcore_sql()
 
 
+_LPA_ROUNDS = 3
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 unrolled rounds of synchronous label propagation (Raghavan et
+    al. 2007, public) on the part co-order graph — the cheap community
+    detector: every node starts as its own label; each round it adopts
+    the most frequent label among its neighbors (ties → smallest label,
+    so the rounds are deterministic and oracle-comparable). Emits the 20
+    largest round-3 communities.
+
+    Scale shape per round: edges join the |nodes|-row label table on the
+    neighbor key (co-partitioned after the first exchange), then a
+    (node, label) count with map-side partials and a per-node argmax
+    window over that count table — never over raw edges. Synchronous LPA
+    as Pregel-style joins, the GraphX lowering.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem", spread=True)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+    )
+    edges = und.unionAll(und.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    from pyspark.sql.window import Window as W
+
+    for _ in range(_LPA_ROUNDS):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "y"), "y"
+        ).select(F.col("x").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = W.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), F.asc("label"))
+        .limit(20)
+        .select(F.col("label").alias("community"), "n_nodes")
+    )
+
+
+def _lpa_sql() -> str:
+    head = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+und AS (SELECT DISTINCT a.p AS x, b.p AS y FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+edges AS (SELECT x, y FROM und UNION ALL SELECT y, x FROM und),
+l0 AS (SELECT DISTINCT x AS node, x AS label FROM edges)"""
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS (
+  SELECT e.x AS node, l.label, count(*) AS c
+  FROM edges e JOIN l{r - 1} l ON e.y = l.node
+  GROUP BY 1, 2
+), l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+)""")
+    return (
+        head
+        + ","
+        + ",".join(rounds)
+        + f"""
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+FROM l{_LPA_ROUNDS}
+GROUP BY label
+ORDER BY n_nodes DESC, community ASC
+LIMIT 20"""
+    )
+
+
+LABEL_PROPAGATION_SQL = _lpa_sql()
+
+
+_SSSP_HOPS = 3
+_SSSP_SOURCE = 0  # nationkey of the source
+
+
+def sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop single-source shortest path on the weighted nation
+    trade graph (edge weight = the pair's average nonnegative transit
+    time in integer milli-days): 3 unrolled Bellman-Ford relaxations from nation
+    0 — the Pregel SSSP shape as joins, with exact integer path costs so
+    the whole distance table sits under the oracle hash. Unreachable
+    (within 3 hops) nations are omitted.
+    """
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .agg(
+            # per-row clamp: the synthetic generator allows shipdates before
+            # the order date; transit time is floored at 0 so edge weights
+            # are proper nonnegative costs
+            F.expr(
+                "sum(greatest(datediff(l_shipdate, o_orderdate), 0)) * 1000"
+                " div count(*)"
+            ).alias("w")
+        )
+    )
+    edges = pairs.select("u", "v", "w").unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    dist = edges.select(F.col("u").alias("node")).distinct().select(
+        "node",
+        F.when(F.col("node") == _SSSP_SOURCE, F.lit(0).cast("bigint")).otherwise(
+            F.lit(None).cast("bigint")
+        ).alias("d"),
+    )
+    for _ in range(_SSSP_HOPS):
+        relax = (
+            edges.join(dist.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+            .filter(F.col("du").isNotNull())
+            .select(F.col("v").alias("node"), (F.col("du") + F.col("w")).alias("cand"))
+        )
+        dist = (
+            dist.join(relax.groupBy("node").agg(F.min("cand").alias("best")), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("d"), F.lit(2**62)),
+                    F.coalesce(F.col("best"), F.lit(2**62)),
+                ).alias("d"),
+            )
+            .select(
+                "node", F.when(F.col("d") < 2**62, F.col("d")).alias("d")
+            )
+        )
+    return (
+        dist.filter(F.col("d").isNotNull())
+        .join(F.broadcast(nation), F.col("node") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.col("d").alias("dist_milli"))
+        .orderBy("dist_milli", "nation")
+    )
+
+
+def _sssp_sql() -> str:
+    head = f"""
+WITH pairs AS (
+  SELECT least(c_nationkey, s_nationkey) AS u,
+         greatest(c_nationkey, s_nationkey) AS v,
+         CAST(sum(greatest(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)), 0)) * 1000
+              // count(*) AS BIGINT) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+  GROUP BY 1, 2
+),
+edges AS (SELECT u, v, w FROM pairs UNION ALL SELECT v, u, w FROM pairs),
+d0 AS (
+  SELECT node, CASE WHEN node = {_SSSP_SOURCE} THEN CAST(0 AS BIGINT) END AS d
+  FROM (SELECT DISTINCT u AS node FROM edges)
+)"""
+    rounds = []
+    for r in range(1, _SSSP_HOPS + 1):
+        rounds.append(f"""
+r{r} AS (
+  SELECT e.v AS node, min(d.d + e.w) AS best
+  FROM edges e JOIN d{r - 1} d ON e.u = d.node
+  WHERE d.d IS NOT NULL
+  GROUP BY e.v
+), d{r} AS (
+  SELECT d.node,
+         CASE WHEN least(coalesce(d.d, 4611686018427387904),
+                         coalesce(r.best, 4611686018427387904))
+                   < 4611686018427387904
+              THEN least(coalesce(d.d, 4611686018427387904),
+                         coalesce(r.best, 4611686018427387904)) END AS d
+  FROM d{r - 1} d LEFT JOIN r{r} r ON d.node = r.node
+)""")
+    return (
+        head
+        + ","
+        + ",".join(rounds)
+        + f"""
+SELECT n_name AS nation, d AS dist_milli
+FROM d{_SSSP_HOPS} JOIN nation ON node = n_nationkey
+WHERE d IS NOT NULL
+ORDER BY dist_milli, nation"""
+    )
+
+
+SSSP_BOUNDED_SQL = _sssp_sql()
+
+
 QUERIES = [
     QuerySpec("pagerank_bipartite", pagerank_bipartite, PAGERANK_BIPARTITE_SQL, "3-iteration unrolled PageRank on the interaction graph"),
     QuerySpec("nation_triangles", nation_triangles, NATION_TRIANGLES_SQL, "ordered-join triangle counting on the contracted trade graph"),
     QuerySpec("kcore_peel", kcore_peel, KCORE_PEEL_SQL, "3-round unrolled k-core peeling on the part co-order graph"),
+    QuerySpec("label_propagation", label_propagation, LABEL_PROPAGATION_SQL, "3-round synchronous LPA communities (min-label tie-break)"),
+    QuerySpec("sssp_bounded", sssp_bounded, SSSP_BOUNDED_SQL, "3-hop Bellman-Ford SSSP with exact integer path costs"),
 ]

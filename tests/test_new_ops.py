@@ -435,3 +435,59 @@ def test_pareto_frontier_is_undominated_and_complete(spark):
             for j, (c2, d2) in enumerate(pts):
                 if i != j:
                     assert not (c2 < c1 and d2 < d1), (nation, pts[i], pts[j])
+
+
+def test_sssp_bounded_matches_networkx_free_bruteforce(spark):
+    """3-hop Bellman-Ford == Python dict relaxation on the same graph."""
+    from pdf_parse_vector_db_spark.plans.graph import _SSSP_HOPS, _SSSP_SOURCE, sssp_bounded
+
+    got = {r.nation: r.dist_milli for r in sssp_bounded(spark, SF_SMOKE).collect()}
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = {r.c_custkey: r.c_nationkey for r in load_table(spark, SF_SMOKE, "customer").collect()}
+    supp = {r.s_suppkey: r.s_nationkey for r in load_table(spark, SF_SMOKE, "supplier").collect()}
+    names = {r.n_nationkey: r.n_name for r in load_table(spark, SF_SMOKE, "nation").collect()}
+    ordmap = {r.o_orderkey: r.o_custkey for r in orders.collect()}
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0])
+    odate = {r.o_orderkey: r.o_orderdate for r in orders.collect()}
+    for r in li.collect():
+        cn, sn = cust[ordmap[r.l_orderkey]], supp[r.l_suppkey]
+        if cn != sn:
+            key = (min(cn, sn), max(cn, sn))
+            # date-granularity difference, matching Spark datediff()
+            acc[key][0] += max((r.l_shipdate.date() - odate[r.l_orderkey].date()).days, 0)
+            acc[key][1] += 1
+    def _tdiv(a, b):  # truncate-toward-zero, matching Spark's `div`
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    w = {k: _tdiv(v[0] * 1000, v[1]) for k, v in acc.items()}
+    edges = defaultdict(list)
+    for (u, v), wt in w.items():
+        edges[u].append((v, wt))
+        edges[v].append((u, wt))
+    dist = {n: (0 if n == _SSSP_SOURCE else None) for n in edges}
+    for _ in range(_SSSP_HOPS):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            if d is None:
+                continue
+            for v, wt in edges[u]:
+                if nxt[v] is None or d + wt < nxt[v]:
+                    nxt[v] = d + wt
+        dist = nxt
+    expected = {names[n]: d for n, d in dist.items() if d is not None}
+    assert got == expected
+
+
+def test_label_propagation_round3_is_valid_labeling(spark):
+    from pdf_parse_vector_db_spark.plans.graph import label_propagation
+
+    rows = label_propagation(spark, SF_SMOKE).collect()
+    assert rows
+    sizes = [r.n_nodes for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert sum(sizes) <= 2000  # bounded by node count; top-20 cut
