@@ -80,6 +80,12 @@ AUDIT = {
     "data_contract_audit": "each constraint a scan-level partial agg; referential check is a broadcast anti-join",
     "mv_rewrite_audit": "rewrite path aggregates the months×nations MV, not the fact; dims broadcast",
     "purchase_view_left_pairs": "time-band left join; at stream time both watermarks bound the state",
+    "rendezvous_sharding": "HRW assignment as per-row array algebra — no explode, no shuffle before the 8-key rollup",
+    "pareto_suppliers": "skyline via per-nation RANGE-frame running min, not a dominance self-join",
+    "cuped_ab_test": "one user-keyed agg; all CUPED algebra on per-variant sufficient stats",
+    "forecast_backtest": "lag windows over the bounded monthly series; one (month) agg over orders",
+    "label_propagation": "per-round argmax window over the (node,label) count table, never raw edges",
+    "sssp_bounded": "unrolled relax join+min-agg rounds; dims broadcast in graph construction",
 }
 
 
