@@ -1213,12 +1213,101 @@ FROM contrib
 """
 
 
+_GRID_MIN_TOKENS = [10, 20, 40]
+_GRID_MAX_AVG_LEN = [6.0, 8.0, 10.0]
+
+
+def quality_grid_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold grid search in ONE scan: evaluate every combination of
+    quality-gate parameters (min token count × max mean token length)
+    against the corpus simultaneously — per-doc metrics are computed
+    once, the 9-combo config array explodes map-side, and each config
+    accumulates its own retained-docs/retained-tokens partials. The
+    single-pass-multi-config pattern is how parameter sweeps stay
+    affordable at 100 TB: G configs cost one scan + a G-key agg, not G
+    scans.
+
+    Output: one row per config with retained counts and retention rates.
+    """
+    from pdf_parse_vector_db_spark.functions.text import quality_metrics_expr
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    q = quality_metrics_expr("text")
+    base = docs.select(
+        q["n_tokens"].alias("n_tokens"), q["avg_token_len"].alias("avg_len")
+    )
+    combos = ", ".join(
+        f"named_struct('min_tokens', {mt}, 'max_avg_len', CAST({mal} AS DOUBLE))"
+        for mt in _GRID_MIN_TOKENS
+        for mal in _GRID_MAX_AVG_LEN
+    )
+    swept = base.select(
+        "n_tokens", "avg_len", F.explode(F.expr(f"array({combos})")).alias("cfg")
+    ).select(
+        F.col("cfg.min_tokens").alias("min_tokens"),
+        F.col("cfg.max_avg_len").alias("max_avg_len"),
+        "n_tokens",
+        (
+            (F.col("n_tokens") >= F.col("cfg.min_tokens"))
+            & (F.col("avg_len") <= F.col("cfg.max_avg_len"))
+        ).alias("keep"),
+    )
+    return (
+        swept.groupBy("min_tokens", "max_avg_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum(F.col("keep").cast("long")).cast("bigint").alias("kept_docs"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.round(
+                F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("min_tokens", "max_avg_len")
+    )
+
+
+def _grid_sql() -> str:
+    from pdf_parse_vector_db_spark.functions.text import quality_metrics_sql
+
+    m = quality_metrics_sql("text")
+    combos = " UNION ALL ".join(
+        f"SELECT {mt} AS min_tokens, CAST({mal} AS DOUBLE) AS max_avg_len"
+        for mt in _GRID_MIN_TOKENS
+        for mal in _GRID_MAX_AVG_LEN
+    )
+    return f"""
+WITH base AS (
+  SELECT {m['n_tokens']} AS n_tokens, {m['avg_token_len']} AS avg_len
+  FROM documents
+), cfg AS ({combos}), swept AS (
+  SELECT cfg.min_tokens, cfg.max_avg_len, base.n_tokens,
+         base.n_tokens >= cfg.min_tokens AND base.avg_len <= cfg.max_avg_len AS keep
+  FROM base CROSS JOIN cfg
+)
+SELECT min_tokens, max_avg_len,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS keep_rate
+FROM swept
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUALITY_GRID_SWEEP_SQL = _grid_sql()
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
     QuerySpec("segment_priority_chi2", segment_priority_chi2, SEGMENT_PRIORITY_CHI2_SQL, "Pearson chi-square independence audit over one contingency agg"),
     QuerySpec("segment_priority_mi", segment_priority_mi, SEGMENT_PRIORITY_MI_SQL, "mutual information + NMI over the same contingency agg (integer-nanos exact)"),
     QuerySpec("benford_audit", benford_audit, BENFORD_AUDIT_SQL, "Benford first-digit distribution audit of order totals"),
     QuerySpec("data_contract_audit", data_contract_audit, DATA_CONTRACT_AUDIT_SQL, "Deequ-style declarative constraint suite in one report"),
+    QuerySpec("quality_grid_sweep", quality_grid_sweep, QUALITY_GRID_SWEEP_SQL, "single-scan multi-config threshold grid evaluation"),
     QuerySpec("boilerplate_prefixes", boilerplate_prefixes, BOILERPLATE_PREFIXES_SQL, "RefinedWeb-style boilerplate-prefix detection"),
     QuerySpec("point_in_time_state", point_in_time_state, POINT_IN_TIME_STATE_SQL, "feature-store point-in-time join vs SCD2 dimension"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),
