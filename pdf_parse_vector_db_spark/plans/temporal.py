@@ -362,6 +362,100 @@ ORDER BY method
 """
 
 
+_BT_VALID_AT = "2024-01-15 00:00:00"
+_BT_TXN_1 = "2024-01-20 00:00:00"
+_BT_TXN_2 = "2024-02-01 00:00:00"
+
+
+def bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of query (Snodgrass's two-axis temporal model,
+    public): every fact carries a VALID time (when it was true) and a
+    TRANSACTION time (when the warehouse learned it). Here the events
+    table plays the changelog: recorded = ts, valid = ts minus a
+    deterministic hash lateness (0-2 h), modeling late-arriving facts.
+    The query answers "what was each user's state at valid time V" twice
+    — as of transaction time T1 and as of T2 — and flags users whose
+    answer CHANGED between the two reads: the late-correction impact
+    report that tells a pipeline which downstream partitions to restate.
+
+    Scale shape: each as-of leg is one (user)-keyed rank window over the
+    doubly-filtered changelog; the compare is a user-keyed outer join of
+    the two one-row-per-user legs.
+    """
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    lateness = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', "
+        "CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 7200"
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.expr("unix_micros(ts)").alias("recorded_us"),
+        (F.expr("unix_micros(ts)") - lateness * 1_000_000).alias("valid_us"),
+    )
+    v_us = F.expr(f"unix_micros(TIMESTAMP '{_BT_VALID_AT}')")
+
+    def as_of(txn: str, out: str) -> DataFrame:
+        t_us = F.expr(f"unix_micros(TIMESTAMP '{txn}')")
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("valid_us"), F.desc("recorded_us"), F.desc("event_id")
+        )
+        return (
+            base.filter((F.col("valid_us") <= v_us) & (F.col("recorded_us") <= t_us))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("state").alias(out))
+        )
+
+    t1 = as_of(_BT_TXN_1, "state_t1")
+    t2 = as_of(_BT_TXN_2, "state_t2")
+    return (
+        t1.join(t2, "user_id", "full_outer")
+        .select(
+            "user_id",
+            "state_t1",
+            "state_t2",
+            (~F.col("state_t1").eqNullSafe(F.col("state_t2"))).alias("restated"),
+        )
+        .orderBy("user_id")
+    )
+
+
+BITEMPORAL_ASOF_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type AS state,
+         epoch_us(ts) AS recorded_us,
+         epoch_us(ts) - (('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' ||
+                          CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 7200) * 1000000
+           AS valid_us
+  FROM events
+), t1 AS (
+  SELECT user_id, state AS state_t1 FROM (
+    SELECT user_id, state,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY valid_us DESC, recorded_us DESC, event_id DESC) AS rn
+    FROM base
+    WHERE valid_us <= epoch_us(TIMESTAMP '{_BT_VALID_AT}')
+      AND recorded_us <= epoch_us(TIMESTAMP '{_BT_TXN_1}')
+  ) WHERE rn = 1
+), t2 AS (
+  SELECT user_id, state AS state_t2 FROM (
+    SELECT user_id, state,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY valid_us DESC, recorded_us DESC, event_id DESC) AS rn
+    FROM base
+    WHERE valid_us <= epoch_us(TIMESTAMP '{_BT_VALID_AT}')
+      AND recorded_us <= epoch_us(TIMESTAMP '{_BT_TXN_2}')
+  ) WHERE rn = 1
+)
+SELECT coalesce(t1.user_id, t2.user_id) AS user_id, state_t1, state_t2,
+       NOT (state_t1 IS NOT DISTINCT FROM state_t2) AS restated
+FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = [
     QuerySpec(
         "max_open_orders",
@@ -386,5 +480,11 @@ QUERIES = [
         forecast_backtest,
         FORECAST_BACKTEST_SQL,
         "seasonal-naive vs MA3 MAPE backtest, integer-exact error accounting",
+    ),
+    QuerySpec(
+        "bitemporal_asof",
+        bitemporal_asof,
+        BITEMPORAL_ASOF_SQL,
+        "bitemporal as-of read at two transaction times + restatement flags",
     ),
 ]
