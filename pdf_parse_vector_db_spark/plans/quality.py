@@ -1301,6 +1301,149 @@ ORDER BY 1, 2
 QUALITY_GRID_SWEEP_SQL = _grid_sql()
 
 
+_EMD_SRC = ("src0", "src1")
+
+
+def length_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth mover's distance (Wasserstein-1) between two sources'
+    document-length distributions — the transport-cost complement of
+    source_kl_divergence (KL sees ratio differences, EMD sees HOW FAR
+    mass must move). Computed exactly as ∫|F1 − F2| over the merged value
+    axis: per distinct length, the running CDF gap times the gap to the
+    next length — every term a ratio of exact integers.
+
+    Scale shape: lengths reduce to a (value → per-source count) histogram
+    first (map-side partials; domain bounded by distinct lengths), and
+    the CDF window runs over that bounded histogram.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    a, b = _EMD_SRC
+    hist = (
+        docs.filter(F.col("source").isin(list(_EMD_SRC)))
+        .groupBy("n_chars")
+        .agg(
+            F.sum((F.col("source") == a).cast("long")).alias("ca"),
+            F.sum((F.col("source") == b).cast("long")).alias("cb"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    tot = hist.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    steps = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .withColumn("next_v", F.lead("n_chars").over(W.orderBy("n_chars")))
+        .filter(F.col("next_v").isNotNull())
+        .select(
+            (
+                F.abs(
+                    F.col("cuma").cast("double") / F.col("na")
+                    - F.col("cumb").cast("double") / F.col("nb")
+                )
+                * (F.col("next_v") - F.col("n_chars"))
+            ).alias("seg")
+        )
+    )
+    return steps.agg(
+        F.round(F.sum(F.round(F.col("seg") * 1e6)).cast("bigint") / 1e6, 4).alias("emd_chars")
+    )
+
+
+LENGTH_EMD_SQL = f"""
+WITH hist AS (
+  SELECT n_chars,
+         CAST(sum(CASE WHEN source = '{_EMD_SRC[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN source = '{_EMD_SRC[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM documents WHERE source IN ('{_EMD_SRC[0]}', '{_EMD_SRC[1]}')
+  GROUP BY n_chars
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM hist
+), steps AS (
+  SELECT abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)
+           * (next_v - n_chars) AS seg
+  FROM (
+    SELECT n_chars,
+           sum(ca) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+           sum(cb) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+           lead(n_chars) OVER (ORDER BY n_chars) AS next_v
+    FROM hist
+  ) CROSS JOIN tot
+  WHERE next_v IS NOT NULL
+)
+SELECT round(CAST(sum(CAST(round(seg * 1e6) AS BIGINT)) AS BIGINT) / 1e6, 4) AS emd_chars
+FROM steps
+"""
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue concentration
+    (Gini 1912, public) — the inequality audit behind "do 20% of
+    customers carry 80% of revenue". Uses the rank formula
+    G = Σ(2i − n − 1)·x_(i) / (n·Σx) over revenue-sorted customers
+    WITHIN each nation, so the rank window partitions by nation — never
+    a global per-row sort. Every term is an exact integer (revenue in
+    cents, ranks, counts); the one division happens per nation at the
+    end.
+    """
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("nation").orderBy("cents", "o_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("nation"))
+    )
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast("double")
+                / (F.max("n") * F.sum("cents")).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )
+
+
+REVENUE_GINI_SQL = """
+WITH per_cust AS (
+  SELECT n_name AS nation, o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT nation, cents,
+         row_number() OVER (PARTITION BY nation ORDER BY cents, o_custkey) AS i,
+         count(*) OVER (PARTITION BY nation) AS n
+  FROM per_cust
+)
+SELECT nation,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       round(CAST(sum((2 * i - n - 1) * cents) AS DOUBLE)
+             / (CAST(max(n) AS DOUBLE) * sum(cents)), 6) AS gini
+FROM ranked
+GROUP BY nation
+ORDER BY nation
+"""
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
     QuerySpec("segment_priority_chi2", segment_priority_chi2, SEGMENT_PRIORITY_CHI2_SQL, "Pearson chi-square independence audit over one contingency agg"),
@@ -1308,6 +1451,8 @@ QUERIES = [
     QuerySpec("benford_audit", benford_audit, BENFORD_AUDIT_SQL, "Benford first-digit distribution audit of order totals"),
     QuerySpec("data_contract_audit", data_contract_audit, DATA_CONTRACT_AUDIT_SQL, "Deequ-style declarative constraint suite in one report"),
     QuerySpec("quality_grid_sweep", quality_grid_sweep, QUALITY_GRID_SWEEP_SQL, "single-scan multi-config threshold grid evaluation"),
+    QuerySpec("length_emd", length_emd, LENGTH_EMD_SQL, "1-D Wasserstein distance between source length distributions (CDF-gap exact)"),
+    QuerySpec("revenue_gini", revenue_gini, REVENUE_GINI_SQL, "per-nation Gini revenue-concentration audit (exact integer rank formula)"),
     QuerySpec("boilerplate_prefixes", boilerplate_prefixes, BOILERPLATE_PREFIXES_SQL, "RefinedWeb-style boilerplate-prefix detection"),
     QuerySpec("point_in_time_state", point_in_time_state, POINT_IN_TIME_STATE_SQL, "feature-store point-in-time join vs SCD2 dimension"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),

@@ -491,3 +491,48 @@ def test_label_propagation_round3_is_valid_labeling(spark):
     sizes = [r.n_nodes for r in rows]
     assert sizes == sorted(sizes, reverse=True)
     assert sum(sizes) <= 2000  # bounded by node count; top-20 cut
+
+
+def test_length_emd_matches_scipy_free_reference(spark):
+    """Exact 1-D Wasserstein == the sorted-sample integral computed in
+    Python over the same two samples."""
+    from pdf_parse_vector_db_spark.plans.quality import _EMD_SRC, length_emd
+
+    got = length_emd(spark, SF_SMOKE).collect()[0].emd_chars
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    a = sorted(r.n_chars for r in docs if r.source == _EMD_SRC[0])
+    b = sorted(r.n_chars for r in docs if r.source == _EMD_SRC[1])
+    xs = sorted(set(a) | set(b))
+    import bisect
+
+    emd = 0.0
+    for lo, hi in zip(xs, xs[1:]):
+        fa = bisect.bisect_right(a, lo) / len(a)
+        fb = bisect.bisect_right(b, lo) / len(b)
+        emd += abs(fa - fb) * (hi - lo)
+    assert abs(got - emd) < 1e-3, (got, emd)
+
+
+def test_gini_bounds_and_formula(spark):
+    from pdf_parse_vector_db_spark.plans.quality import revenue_gini
+
+    rows = revenue_gini(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -0.01 <= r.gini <= 1.0
+    # recompute one nation directly
+    import collections
+
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    cust = {c.c_custkey: c.c_nationkey for c in load_table(spark, SF_SMOKE, "customer").collect()}
+    nation = {n.n_nationkey: n.n_name for n in load_table(spark, SF_SMOKE, "nation").collect()}
+    target = rows[0].nation
+    rev = collections.Counter()
+    for o in orders:
+        if nation.get(cust.get(o.o_custkey)) == target:
+            rev[o.o_custkey] += round(o.o_totalprice * 100)
+    xs = sorted(rev.values())
+    n = len(xs)
+    g = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * sum(xs))
+    assert abs(rows[0].gini - g) < 1e-5
