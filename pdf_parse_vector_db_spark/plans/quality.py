@@ -1444,6 +1444,108 @@ ORDER BY nation
 """
 
 
+def null_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Imputation quality with built-in ground truth: deterministically
+    mask 10% of orders (hash gate), repair the masked categorical
+    (o_orderpriority ← per-segment mode of the UNMASKED rows, min-label
+    tie-break) and the masked numeric (o_totalprice ← per-segment exact
+    median of unmasked), then grade the repairs against the true values
+    we hid. The masked-and-recover device turns data cleaning — usually
+    unauditable — into a measured operator: per segment, categorical
+    accuracy and numeric MAE.
+
+    Scale shape: train-side stats are one segment-keyed agg (mode via a
+    (segment, priority) count + argmax window over ≤25 rows; median via
+    the exact-percentile aggregate, hist_quantiles being the sketch twin);
+    repairs join back as a ≤5-row broadcast.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    cust = load_table(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (
+            F.expr(
+                "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) % 10"
+            )
+            == 0
+        ).alias("is_masked"),
+    )
+    train = base.filter(~F.col("is_masked"))
+    mode = (
+        train.groupBy("segment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("segment").orderBy(F.desc("c"), F.asc("o_orderpriority"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("segment", F.col("o_orderpriority").alias("imp_priority"))
+    )
+    med = train.groupBy("segment").agg(
+        F.expr("percentile(cents, 0.5)").alias("imp_cents")
+    )
+    masked = base.filter(F.col("is_masked"))
+    return (
+        masked.join(F.broadcast(mode), "segment")
+        .join(F.broadcast(med), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_masked"),
+            F.round(
+                F.sum((F.col("o_orderpriority") == F.col("imp_priority")).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("cat_accuracy"),
+            F.round(
+                F.sum(F.abs(F.col("cents") - F.col("imp_cents"))) / F.count(F.lit(1)) / 100.0,
+                2,
+            ).alias("num_mae"),
+        )
+        .orderBy("segment")
+    )
+
+
+NULL_REPAIR_AUDIT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, c_mktsegment AS segment, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+           AS is_masked
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), train AS (SELECT * FROM base WHERE NOT is_masked),
+mode AS (
+  SELECT segment, o_orderpriority AS imp_priority FROM (
+    SELECT segment, o_orderpriority,
+           row_number() OVER (PARTITION BY segment
+                              ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+    FROM train GROUP BY segment, o_orderpriority
+  ) WHERE rn = 1
+), med AS (
+  SELECT segment, quantile_cont(cents, 0.5) AS imp_cents FROM train GROUP BY segment
+)
+SELECT m.segment,
+       CAST(count(*) AS BIGINT) AS n_masked,
+       round(CAST(sum(CASE WHEN m.o_orderpriority = mo.imp_priority THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS cat_accuracy,
+       round(sum(abs(m.cents - me.imp_cents)) / count(*) / 100.0, 2) AS num_mae
+FROM (SELECT * FROM base WHERE is_masked) m
+JOIN mode mo ON m.segment = mo.segment
+JOIN med me ON m.segment = me.segment
+GROUP BY m.segment
+ORDER BY m.segment
+"""
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
     QuerySpec("segment_priority_chi2", segment_priority_chi2, SEGMENT_PRIORITY_CHI2_SQL, "Pearson chi-square independence audit over one contingency agg"),
@@ -1453,6 +1555,7 @@ QUERIES = [
     QuerySpec("quality_grid_sweep", quality_grid_sweep, QUALITY_GRID_SWEEP_SQL, "single-scan multi-config threshold grid evaluation"),
     QuerySpec("length_emd", length_emd, LENGTH_EMD_SQL, "1-D Wasserstein distance between source length distributions (CDF-gap exact)"),
     QuerySpec("revenue_gini", revenue_gini, REVENUE_GINI_SQL, "per-nation Gini revenue-concentration audit (exact integer rank formula)"),
+    QuerySpec("null_repair_audit", null_repair_audit, NULL_REPAIR_AUDIT_SQL, "mask-and-recover imputation audit (mode + exact-median repairs, graded)"),
     QuerySpec("boilerplate_prefixes", boilerplate_prefixes, BOILERPLATE_PREFIXES_SQL, "RefinedWeb-style boilerplate-prefix detection"),
     QuerySpec("point_in_time_state", point_in_time_state, POINT_IN_TIME_STATE_SQL, "feature-store point-in-time join vs SCD2 dimension"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),
