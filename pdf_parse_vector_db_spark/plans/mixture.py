@@ -702,6 +702,94 @@ ORDER BY doc_id
 """
 
 
+def correlated_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-preserving (correlated) sampling vs independent row sampling
+    (universe sampling in the AQP literature — e.g. BlinkDB/Quickr,
+    public): sampling BOTH fact tables by the same hash of the JOIN KEY
+    (custkey) keeps every sampled customer's orders AND their lineitems,
+    so join results over the sample are unbiased; sampling each table's
+    ROWS independently at the same rate destroys the join (an order
+    survives without its lineitems with prob (1-p), and the join
+    cardinality collapses to ~p² of truth). The audit measures both
+    strategies' retained join cardinality against the full join.
+
+    One row: full join size, correlated-sample join size (≈ p of full),
+    independent-sample join size (≈ p² of full), and the realized ratios
+    — the numbers that justify key-correlated sampling at 100 TB.
+    """
+    p_pct = 20  # sampling rate, percent
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    cust_gate = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+        )
+        < p_pct
+    )
+    row_gate_o = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('o:', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+        )
+        < p_pct
+    )
+    row_gate_l = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('l:', CAST(l_orderkey AS STRING), ':', "
+            "CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+        )
+        < p_pct
+    )
+    full = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    corr = li.join(orders.filter(cust_gate), li.l_orderkey == orders.o_orderkey)
+    indep = li.filter(row_gate_l).join(
+        orders.filter(row_gate_o), li.l_orderkey == orders.o_orderkey
+    )
+    return (
+        full.agg(F.count(F.lit(1)).cast("bigint").alias("full_join"))
+        .crossJoin(corr.agg(F.count(F.lit(1)).cast("bigint").alias("corr_join")))
+        .crossJoin(indep.agg(F.count(F.lit(1)).cast("bigint").alias("indep_join")))
+        .select(
+            "full_join",
+            "corr_join",
+            "indep_join",
+            F.round(F.col("corr_join") / F.col("full_join").cast("double"), 4).alias(
+                "corr_ratio"
+            ),
+            F.round(F.col("indep_join") / F.col("full_join").cast("double"), 4).alias(
+                "indep_ratio"
+            ),
+        )
+    )
+
+
+CORRELATED_SAMPLE_AUDIT_SQL = """
+WITH co AS (
+  SELECT * FROM orders
+  WHERE ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+), ro AS (
+  SELECT * FROM orders
+  WHERE ('0x' || substring(md5('o:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+), rl AS (
+  SELECT * FROM lineitem
+  WHERE ('0x' || substring(md5('l:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+                              CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+), f AS (
+  SELECT CAST(count(*) AS BIGINT) AS full_join
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), c AS (
+  SELECT CAST(count(*) AS BIGINT) AS corr_join
+  FROM lineitem JOIN co ON l_orderkey = o_orderkey
+), i AS (
+  SELECT CAST(count(*) AS BIGINT) AS indep_join
+  FROM rl JOIN ro ON l_orderkey = o_orderkey
+)
+SELECT full_join, corr_join, indep_join,
+       round(CAST(corr_join AS DOUBLE) / full_join, 4) AS corr_ratio,
+       round(CAST(indep_join AS DOUBLE) / full_join, 4) AS indep_ratio
+FROM f CROSS JOIN c CROSS JOIN i
+"""
+
+
 QUERIES = [
     QuerySpec("span_corruption_plan", span_corruption_plan, SPAN_CORRUPTION_SQL, "X5 T5-style span-corruption mask accounting"),
     QuerySpec(
@@ -775,5 +863,11 @@ QUERIES = [
         es_weighted_reservoir,
         ES_WEIGHTED_RESERVOIR_SQL,
         "X5 Efraimidis-Spirakis weight-proportional reservoir sample (deterministic keys)",
+    ),
+    QuerySpec(
+        "correlated_sample_audit",
+        correlated_sample_audit,
+        CORRELATED_SAMPLE_AUDIT_SQL,
+        "X5 join-preserving key-correlated sampling vs independent row sampling",
     ),
 ]

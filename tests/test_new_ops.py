@@ -536,3 +536,17 @@ def test_gini_bounds_and_formula(spark):
     n = len(xs)
     g = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * sum(xs))
     assert abs(rows[0].gini - g) < 1e-5
+
+
+def test_correlated_sampling_preserves_joins(spark):
+    """Key-correlated sampling keeps ~p of the join; independent row
+    sampling collapses it to ~p² — the measured justification."""
+    from pdf_parse_vector_db_spark.plans.mixture import correlated_sample_audit
+
+    r = correlated_sample_audit(spark, SF_SMOKE).collect()[0]
+    p = 0.20
+    assert r.full_join > 0
+    # binomial-ish slack: correlated ratio near p, independent near p^2
+    assert abs(r.corr_ratio - p) < 0.08, r
+    assert abs(r.indep_ratio - p * p) < 0.04, r
+    assert r.indep_ratio < r.corr_ratio
