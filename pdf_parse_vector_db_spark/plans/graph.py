@@ -235,6 +235,15 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
         .distinct()
+        # loop-invariant input of an unrolled iteration: every round's
+        # degree agg, semi-joins, AND the per-round count aggregates
+        # re-derive this subplan from scratch otherwise (the edge build
+        # alone ran ~8x at sf0.1). localCheckpoint materializes the
+        # contracted |E|-row relation once and TRUNCATES lineage — unlike
+        # .cache(), whose InMemoryRelation pins the pre-AQE plan of every
+        # downstream join (measured 8.4 s -> 73 s!). Standard Pregel/
+        # GraphX practice: persist the edge relation, iterate on top.
+        .localCheckpoint()
     )
     rounds = []
     for r in range(1, _KCORE_ROUNDS + 1):
@@ -324,7 +333,9 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
         .distinct()
     )
-    edges = und.unionAll(und.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    edges = und.unionAll(
+        und.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).localCheckpoint()  # loop-invariant — see kcore_peel
     labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -424,7 +435,7 @@ def sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select("u", "v", "w").unionAll(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    )
+    ).localCheckpoint()  # loop-invariant — see kcore_peel
     dist = edges.select(F.col("u").alias("node")).distinct().select(
         "node",
         F.when(F.col("node") == _SSSP_SOURCE, F.lit(0).cast("bigint")).otherwise(
