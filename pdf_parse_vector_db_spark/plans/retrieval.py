@@ -357,6 +357,169 @@ def _mmr_sql(lam: float = 0.7, k: int = 5, depth: int = 20) -> str:
 MMR_RERANK_SQL = _mmr_sql()
 
 
+TA_DEPTH = 100
+
+
+def threshold_algorithm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fagin's Threshold Algorithm (Fagin, Lotem & Naor 2001, public) —
+    top-k over two ranked score lists WITHOUT scanning either to the
+    bottom: take each list's depth-d prefix, random-access the missing
+    score for every prefix member, fuse, and certify via the threshold
+    T = (d-th lexical score) + (d-th dense score): once the k-th fused
+    candidate scores ≥ T, no unseen doc can beat it. The query emits the
+    TA top-5 (fused = max-normalized BM25 + cosine) alongside the
+    exhaustively-computed top-5 and two audit flags: `certified` (the TA
+    stopping rule held at depth d) and `matches_full` (it really did
+    equal the full answer — the implication TA guarantees).
+
+    Scale shape: each leg's prefix is a TakeOrderedAndProject; the
+    "random access" is a hash join of the ≤2d candidate ids against the
+    score relations; only the audit's exhaustive leg touches every score
+    (and exists to grade TA, exactly like the sketch-vs-exact queries).
+    """
+    bm = _bm25_scored(spark, sf_dir)
+    mx = bm.agg(F.max("bm25").alias("mx"))
+    lexn = bm.crossJoin(F.broadcast(mx)).select(
+        F.col("doc_id").alias("id"), F.round(F.col("bm25") / F.col("mx"), 6).alias("s_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("q_vec")
+        )
+    )
+    dense = (
+        emb.crossJoin(qvec)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("q_vec")), 6).alias(
+                "s_vec"
+            ),
+        )
+    )
+    lex_prefix = lexn.orderBy(F.desc("s_lex"), F.asc("id")).limit(TA_DEPTH)
+    vec_prefix = dense.orderBy(F.desc("s_vec"), F.asc("id")).limit(TA_DEPTH)
+    # threshold from the d-th entry of each prefix
+    t_lex = lex_prefix.agg(F.min("s_lex").alias("t_lex"))
+    t_vec = vec_prefix.agg(F.min("s_vec").alias("t_vec"))
+    cand = lex_prefix.select("id").unionAll(vec_prefix.select("id")).distinct()
+    fused_prefix = (
+        cand.join(lexn, "id", "left")
+        .join(dense, "id", "left")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(F.col("s_lex"), F.lit(0.0))
+                + F.coalesce(F.col("s_vec"), F.lit(0.0)),
+                6,
+            ).alias("fused"),
+        )
+        .orderBy(F.desc("fused"), F.asc("id"))
+        .limit(TOP_K)
+    )
+    # exhaustive ground truth over the full outer join of both score lists
+    full = (
+        lexn.join(dense, "id", "full_outer")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(F.col("s_lex"), F.lit(0.0))
+                + F.coalesce(F.col("s_vec"), F.lit(0.0)),
+                6,
+            ).alias("fused_full"),
+        )
+        .orderBy(F.desc("fused_full"), F.asc("id"))
+        .limit(TOP_K)
+    )
+    from pyspark.sql.window import Window as W
+
+    ta = fused_prefix.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("fused"), F.asc("id")))
+    )
+    fu = full.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("fused_full"), F.asc("id")))
+    )
+    kth = ta.agg(F.min("fused").alias("kth"))
+    return (
+        ta.join(fu.select("rank", F.col("id").alias("full_id"), "fused_full"), "rank")
+        .crossJoin(F.broadcast(t_lex))
+        .crossJoin(F.broadcast(t_vec))
+        .crossJoin(F.broadcast(kth))
+        .select(
+            "rank",
+            F.col("id").alias("doc_id"),
+            "fused",
+            (F.col("kth") >= F.round(F.col("t_lex") + F.col("t_vec"), 6)).alias(
+                "certified"
+            ),
+            (F.col("id") == F.col("full_id")).alias("matches_full"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _ta_sql() -> str:
+    bm25_cte = HYBRID_RRF_SQL.split("bm25 AS (")[1].split("),\nlex AS")[0]
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM doclen),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('dup', 'vector', 'merge', 'spark')
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+bm25 AS ({bm25_cte}),
+lexn AS (
+  SELECT doc_id AS id, round(bm25 / (SELECT max(bm25) FROM bm25), 6) AS s_lex
+  FROM bm25
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS q_vec FROM e WHERE vec_id = {QUERY_VEC_ID}),
+dense AS (
+  SELECT e.vec_id AS id, round(list_cosine_similarity(e.v, q.q_vec), 6) AS s_vec
+  FROM e CROSS JOIN q WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+lex_prefix AS (
+  SELECT id, s_lex FROM lexn ORDER BY s_lex DESC, id LIMIT {TA_DEPTH}
+),
+vec_prefix AS (
+  SELECT id, s_vec FROM dense ORDER BY s_vec DESC, id LIMIT {TA_DEPTH}
+),
+cand AS (SELECT DISTINCT id FROM (SELECT id FROM lex_prefix UNION ALL SELECT id FROM vec_prefix)),
+fused_prefix AS (
+  SELECT c.id,
+         round(coalesce(l.s_lex, 0.0) + coalesce(d.s_vec, 0.0), 6) AS fused
+  FROM cand c LEFT JOIN lexn l ON c.id = l.id LEFT JOIN dense d ON c.id = d.id
+  ORDER BY fused DESC, c.id LIMIT {TOP_K}
+),
+fullj AS (
+  SELECT coalesce(l.id, d.id) AS id,
+         round(coalesce(l.s_lex, 0.0) + coalesce(d.s_vec, 0.0), 6) AS fused_full
+  FROM lexn l FULL OUTER JOIN dense d ON l.id = d.id
+  ORDER BY fused_full DESC, id LIMIT {TOP_K}
+),
+ta AS (SELECT id, fused, row_number() OVER (ORDER BY fused DESC, id) AS rank FROM fused_prefix),
+fu AS (SELECT id AS full_id, fused_full, row_number() OVER (ORDER BY fused_full DESC, id) AS rank FROM fullj)
+SELECT ta.rank, ta.id AS doc_id, ta.fused,
+       (SELECT min(fused) FROM ta)
+         >= round((SELECT min(s_lex) FROM lex_prefix)
+                  + (SELECT min(s_vec) FROM vec_prefix), 6) AS certified,
+       ta.id = fu.full_id AS matches_full
+FROM ta JOIN fu USING (rank)
+ORDER BY ta.rank
+"""
+
+
+THRESHOLD_ALGORITHM_TOPK_SQL = _ta_sql()
+
+
 QUERIES = [
     QuerySpec(
         "bm25_topk",
@@ -375,5 +538,11 @@ QUERIES = [
         hybrid_rrf,
         HYBRID_RRF_SQL,
         "hybrid retrieval: RRF fusion of BM25 and cosine legs",
+    ),
+    QuerySpec(
+        "threshold_algorithm_topk",
+        threshold_algorithm_topk,
+        THRESHOLD_ALGORITHM_TOPK_SQL,
+        "Fagin TA top-k over two ranked lists with a stopping-rule certificate",
     ),
 ]

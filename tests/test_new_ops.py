@@ -550,3 +550,16 @@ def test_correlated_sampling_preserves_joins(spark):
     assert abs(r.corr_ratio - p) < 0.08, r
     assert abs(r.indep_ratio - p * p) < 0.04, r
     assert r.indep_ratio < r.corr_ratio
+
+
+def test_threshold_algorithm_certificate_implies_equality(spark):
+    """The TA guarantee: when the stopping rule certifies, the prefix-only
+    answer must equal the exhaustive one."""
+    from pdf_parse_vector_db_spark.plans.retrieval import threshold_algorithm_topk
+
+    rows = threshold_algorithm_topk(spark, SF_SMOKE).collect()
+    assert rows
+    if rows[0].certified:
+        assert all(r.matches_full for r in rows)
+    fs = [r.fused for r in rows]
+    assert fs == sorted(fs, reverse=True)
