@@ -456,6 +456,105 @@ ORDER BY user_id
 """
 
 
+def revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accrual revenue recognition: prorate each order's total evenly
+    across its open interval (order date through last shipment) and
+    compare, per month, BOOKED revenue (all cents at order date) with
+    RECOGNIZED revenue (cents spread over delivery) — the deferral
+    report every finance pipeline reconciles.
+
+    Integer-exact proration: per-day amount = cents div n_days, with the
+    division remainder assigned to the first day, so each order's daily
+    pieces sum EXACTLY to its booked cents — the invariant the oracle
+    hash enforces globally (Σ booked == Σ recognized).
+
+    Scale shape: the day explode fans each order into interval-length
+    rows — linear in order-days, the irreducible grain of daily accrual
+    — and immediately aggregates map-side to (month) keys. No windows,
+    no joins beyond the order-close lookup.
+    """
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    close = lineitem.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close"))
+    iv = orders.join(close, orders.o_orderkey == close.l_orderkey).select(
+        F.col("o_orderdate").cast("date").alias("open_d"),
+        F.greatest(
+            F.col("o_orderdate").cast("date"), F.col("close").cast("date")
+        ).alias("close_d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    days = iv.select(
+        "cents",
+        (F.datediff("close_d", "open_d") + 1).cast("bigint").alias("n_days"),
+        F.posexplode(F.expr("sequence(open_d, close_d, interval 1 day)")).alias(
+            "pos", "d"
+        ),
+    )
+    piece = F.expr("cents div n_days") + F.when(
+        F.col("pos") == 0, F.col("cents") % F.col("n_days")
+    ).otherwise(F.lit(0))
+    recognized = (
+        days.select(F.date_format("d", "yyyy-MM").alias("month"), piece.alias("p"))
+        .groupBy("month")
+        .agg(F.sum("p").alias("rec_cents"))
+    )
+    booked = (
+        iv.select(F.date_format("open_d", "yyyy-MM").alias("month"), "cents")
+        .groupBy("month")
+        .agg(F.sum("cents").alias("book_cents"))
+    )
+    return (
+        booked.join(recognized, "month", "full_outer")
+        .select(
+            "month",
+            (F.coalesce(F.col("book_cents"), F.lit(0)) / 100.0).alias("booked"),
+            (F.coalesce(F.col("rec_cents"), F.lit(0)) / 100.0).alias("recognized"),
+            (
+                (
+                    F.coalesce(F.col("rec_cents"), F.lit(0))
+                    - F.coalesce(F.col("book_cents"), F.lit(0))
+                )
+                / 100.0
+            ).alias("deferral_shift"),
+        )
+        .orderBy("month")
+    )
+
+
+REVENUE_RECOGNITION_SQL = """
+WITH close AS (
+  SELECT l_orderkey, max(l_shipdate) AS close FROM lineitem GROUP BY l_orderkey
+), iv AS (
+  SELECT CAST(o_orderdate AS DATE) AS open_d,
+         greatest(CAST(o_orderdate AS DATE), CAST(close AS DATE)) AS close_d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN close ON o_orderkey = l_orderkey
+), expanded AS (
+  SELECT cents,
+         CAST(date_diff('day', open_d, close_d) + 1 AS BIGINT) AS n_days,
+         generate_subscripts(ds, 1) - 1 AS pos,
+         unnest(ds) AS d
+  FROM (SELECT *, generate_series(open_d, close_d, INTERVAL 1 DAY) AS ds FROM iv)
+), recognized AS (
+  SELECT strftime(CAST(d AS DATE), '%Y-%m') AS month,
+         CAST(sum(cents // n_days
+                  + CASE WHEN pos = 0 THEN cents % n_days ELSE 0 END) AS BIGINT)
+           AS rec_cents
+  FROM expanded GROUP BY 1
+), booked AS (
+  SELECT strftime(open_d, '%Y-%m') AS month,
+         CAST(sum(cents) AS BIGINT) AS book_cents
+  FROM iv GROUP BY 1
+)
+SELECT coalesce(b.month, r.month) AS month,
+       coalesce(b.book_cents, 0) / 100.0 AS booked,
+       coalesce(r.rec_cents, 0) / 100.0 AS recognized,
+       (coalesce(r.rec_cents, 0) - coalesce(b.book_cents, 0)) / 100.0 AS deferral_shift
+FROM booked b FULL OUTER JOIN recognized r ON b.month = r.month
+ORDER BY month
+"""
+
+
 QUERIES = [
     QuerySpec(
         "max_open_orders",
@@ -486,5 +585,11 @@ QUERIES = [
         bitemporal_asof,
         BITEMPORAL_ASOF_SQL,
         "bitemporal as-of read at two transaction times + restatement flags",
+    ),
+    QuerySpec(
+        "revenue_recognition",
+        revenue_recognition,
+        REVENUE_RECOGNITION_SQL,
+        "interval-prorated accrual vs booked revenue (integer-exact pieces)",
     ),
 ]

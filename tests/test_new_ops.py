@@ -563,3 +563,16 @@ def test_threshold_algorithm_certificate_implies_equality(spark):
         assert all(r.matches_full for r in rows)
     fs = [r.fused for r in rows]
     assert fs == sorted(fs, reverse=True)
+
+
+def test_revenue_recognition_conserves_cents(spark):
+    """Proration invariant: total recognized == total booked exactly."""
+    from pdf_parse_vector_db_spark.plans.temporal import revenue_recognition
+
+    rows = revenue_recognition(spark, SF_SMOKE).collect()
+    assert abs(sum(r.recognized for r in rows) - sum(r.booked for r in rows)) < 1e-6
+    assert abs(sum(r.deferral_shift for r in rows)) < 1e-6
+    # recognition shifts revenue later: the first months are net-negative
+    # shifted (booked > recognized) and some later month is net-positive
+    assert any(r.deferral_shift < 0 for r in rows)
+    assert any(r.deferral_shift > 0 for r in rows)
