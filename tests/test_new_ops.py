@@ -576,3 +576,62 @@ def test_revenue_recognition_conserves_cents(spark):
     # shifted (booked > recognized) and some later month is net-positive
     assert any(r.deferral_shift < 0 for r in rows)
     assert any(r.deferral_shift > 0 for r in rows)
+
+
+def test_cuped_matches_numpy(spark):
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.plans.streaming_queries import (
+        _CUPED_SPLIT,
+        cuped_ab_test,
+    )
+
+    got = cuped_ab_test(spark, SF_SMOKE).collect()[0]
+
+    import collections
+    import datetime
+    import hashlib
+
+    split = datetime.datetime.fromisoformat(_CUPED_SPLIT)
+    agg = collections.defaultdict(lambda: [0, 0])
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        cents = round(r.value * 100)
+        if r.ts < split:
+            agg[r.user_id][0] += cents
+        else:
+            agg[r.user_id][1] += cents
+    xs, ys, var = [], [], []
+    for uid, (x, y) in agg.items():
+        v = int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+        xs.append(x); ys.append(y); var.append(v)
+    x = np.array(xs, float); y = np.array(ys, float); v = np.array(var)
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    assert abs(got.theta - theta) < 1e-4
+    y_adj = y - theta * (x - x.mean())
+    diff_adj = (y_adj[v == 1].mean() - y_adj[v == 0].mean()) / 100.0
+    assert abs(got.diff_adj - diff_adj) < 1e-2
+    assert got.n_a == int((v == 0).sum()) and got.n_b == int((v == 1).sum())
+    # CUPED must not inflate variance: adjusted |z| direction consistent
+    assert 0.0 <= got.var_ratio_theory <= 1.0
+
+
+def test_forecast_backtest_mape_recomputed(spark):
+    import collections
+
+    from pdf_parse_vector_db_spark.plans.temporal import forecast_backtest
+
+    got = {r.method: (r.n_months, r.mape) for r in forecast_backtest(spark, SF_SMOKE).collect()}
+    monthly = collections.Counter()
+    for r in load_table(spark, SF_SMOKE, "orders").collect():
+        monthly[r.o_orderdate.strftime("%Y-%m")] += round(r.o_totalprice * 100)
+    months = sorted(monthly)
+    y = [monthly[m] // 100 for m in months]
+    sn = [(abs(y[i - 12] - y[i]) * 1000) // y[i] for i in range(12, len(y))]
+    ma = [
+        (abs((y[i - 1] + y[i - 2] + y[i - 3]) // 3 - y[i]) * 1000) // y[i]
+        for i in range(3, len(y))
+    ]
+    assert got["seasonal_naive"][0] == len(sn)
+    assert abs(got["seasonal_naive"][1] - sum(sn) / len(sn) / 1000.0) < 1e-3
+    assert got["moving_avg_3"][0] == len(ma)
+    assert abs(got["moving_avg_3"][1] - sum(ma) / len(ma) / 1000.0) < 1e-3
