@@ -135,3 +135,62 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "kind": kinds, "frame_idx": idxs})
 
     return meta.mapInPandas(sample, "doc_id bigint, kind string, frame_idx int")
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, kind string, src_w int, src_h int, dst_w int, dst_h int, "
+    "scale double, out_bytes bigint, out_sha string"
+)
+
+
+def resize_media(
+    media: DataFrame, max_side: int = 224, real_decoder: bool = False
+) -> DataFrame:
+    """mapInPandas resize: binary content → aspect-preserving thumbnail
+    metadata + resized-payload digest (the preprocessing step before any
+    vision encoder, which expects a bounded max side).
+
+    real_decoder=True is where Pillow's `Image.resize` plugs in — not
+    available in this container → NotImplementedError. The deterministic
+    fake derives source dims from the content hash (same device as
+    decode_media_meta), computes the REAL aspect-preserving target
+    geometry (that arithmetic IS the production logic), and stands in for
+    the pixel resample with a size-proportional slice of the source bytes
+    re-hashed — deterministic, so the whole stage sits under the oracle
+    hash. Pure map stage: no shuffle, payloads never leave their
+    partition.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decoder:
+                raise NotImplementedError(
+                    "real resampling requires Pillow (not in container); "
+                    "use real_decoder=False for the deterministic fake"
+                )
+            out = {k: [] for k in (
+                "doc_id", "kind", "src_w", "src_h", "dst_w", "dst_h",
+                "scale", "out_bytes", "out_sha",
+            )}
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None else b""
+                digest = hashlib.sha256(content).digest()
+                w, h, _, _ = _fake_dims(digest, rec.kind)
+                scale = min(1.0, max_side / max(w, h))
+                dw, dh = max(1, int(w * scale)), max(1, int(h * scale))
+                # fake resample: keep a scale^2-proportional prefix of the
+                # payload (pixel count shrinks quadratically), re-digest
+                keep = max(1, int(len(content) * scale * scale))
+                resized = content[:keep]
+                out["doc_id"].append(rec.doc_id)
+                out["kind"].append(rec.kind)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["dst_w"].append(dw)
+                out["dst_h"].append(dh)
+                out["scale"].append(round(scale, 6))
+                out["out_bytes"].append(len(resized))
+                out["out_sha"].append(hashlib.sha256(resized).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "kind", "content").mapInPandas(resize, RESIZE_SCHEMA)

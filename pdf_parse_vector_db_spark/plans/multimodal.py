@@ -12,6 +12,7 @@ from pdf_parse_vector_db_spark.operators.multimodal import (
     decode_media_meta,
     extract_features,
     frame_sample,
+    resize_media,
 )
 from pdf_parse_vector_db_spark.plans.registry import QuerySpec
 from pdf_parse_vector_db_spark.sources.registry import load_table
@@ -215,10 +216,54 @@ ORDER BY label
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 resize plumbing: aspect-preserving thumbnail geometry + resized
+    payload digest via mapInPandas (operators/multimodal.resize_media).
+    The geometry arithmetic is the production logic; the pixel resample is
+    the documented deterministic fake (digest of a scale²-proportional
+    byte prefix), so the WHOLE stage — including the fake — sits under
+    the oracle hash. Oracle caveat: DuckDB's sha256 is VARCHAR-only, so
+    the byte-prefix equals the char-prefix only because the fixture text
+    is ASCII; real binary payloads keep the Spark side unchanged and drop
+    the oracle to rows-only."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return resize_media(attach_binary(docs)).orderBy("doc_id")
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH m AS (
+  SELECT doc_id, 'image' AS kind, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS sha
+  FROM documents
+), dims AS (
+  SELECT doc_id, kind, text, n_bytes,
+         160 + (('0x' || substring(sha, 1, 2))::INT % 8) * 80 AS src_w,
+         120 + (('0x' || substring(sha, 3, 2))::INT % 8) * 60 AS src_h
+  FROM m
+), geo AS (
+  SELECT doc_id, kind, text, n_bytes, src_w, src_h,
+         least(1.0, 224.0 / greatest(src_w, src_h)) AS scale
+  FROM dims
+)
+SELECT doc_id, kind,
+       CAST(src_w AS INTEGER) AS src_w, CAST(src_h AS INTEGER) AS src_h,
+       CAST(greatest(1, floor(src_w * scale)) AS INTEGER) AS dst_w,
+       CAST(greatest(1, floor(src_h * scale)) AS INTEGER) AS dst_h,
+       round(scale, 6) AS scale,
+       CAST(greatest(1, floor(n_bytes * scale * scale)) AS BIGINT) AS out_bytes,
+       sha256(substring(text, 1, CAST(greatest(1, floor(n_bytes * scale * scale)) AS BIGINT)))
+         AS out_sha
+FROM geo
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, "X6 binary metadata"),
     QuerySpec("clip_pair_filter", clip_pair_filter, CLIP_PAIR_FILTER_SQL, "X6 cross-modal cosine pair gate"),
     QuerySpec("multimodal_decode", multimodal_decode, MULTIMODAL_DECODE_SQL, "X6 decode plumbing (digest-math oracle)"),
     QuerySpec("multimodal_features", multimodal_features, None, "X6 feature extraction (rows-only: RNG features)"),
     QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL, "X6 frame sampling (digest-math oracle)"),
+    QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, "X6 aspect-preserving resize plumbing (digest-math oracle)"),
 ]

@@ -635,3 +635,18 @@ def test_forecast_backtest_mape_recomputed(spark):
     assert abs(got["seasonal_naive"][1] - sum(sn) / len(sn) / 1000.0) < 1e-3
     assert got["moving_avg_3"][0] == len(ma)
     assert abs(got["moving_avg_3"][1] - sum(ma) / len(ma) / 1000.0) < 1e-3
+
+
+def test_multimodal_resize_geometry(spark):
+    from pdf_parse_vector_db_spark.plans.multimodal import multimodal_resize
+
+    rows = multimodal_resize(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert max(r.dst_w, r.dst_h) <= 224
+        assert 1 <= r.out_bytes
+        # aspect ratio preserved within integer truncation
+        if r.scale < 1.0:
+            assert abs(r.dst_w / r.dst_h - r.src_w / r.src_h) < 0.05
+        else:
+            assert (r.dst_w, r.dst_h) == (r.src_w, r.src_h)
