@@ -645,8 +645,9 @@ def test_multimodal_resize_geometry(spark):
     for r in rows:
         assert max(r.dst_w, r.dst_h) <= 224
         assert 1 <= r.out_bytes
-        # aspect ratio preserved within integer truncation
+        # aspect ratio preserved within the one-pixel truncation bound
         if r.scale < 1.0:
-            assert abs(r.dst_w / r.dst_h - r.src_w / r.src_h) < 0.05
+            tol = (r.src_w / r.src_h) / r.dst_h + 1e-9
+            assert abs(r.dst_w / r.dst_h - r.src_w / r.src_h) <= tol
         else:
             assert (r.dst_w, r.dst_h) == (r.src_w, r.src_h)
