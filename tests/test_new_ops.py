@@ -647,7 +647,7 @@ def test_multimodal_resize_geometry(spark):
         assert 1 <= r.out_bytes
         # aspect ratio preserved within the one-pixel truncation bound
         if r.scale < 1.0:
-            tol = (r.src_w / r.src_h) / r.dst_h + 1e-9
+            tol = (1 + r.src_w / r.src_h) / r.dst_h + 1e-9
             assert abs(r.dst_w / r.dst_h - r.src_w / r.src_h) <= tol
         else:
             assert (r.dst_w, r.dst_h) == (r.src_w, r.src_h)
