@@ -86,6 +86,11 @@ AUDIT = {
     "forecast_backtest": "lag windows over the bounded monthly series; one (month) agg over orders",
     "label_propagation": "per-round argmax window over the (node,label) count table, never raw edges",
     "sssp_bounded": "unrolled relax join+min-agg rounds; dims broadcast in graph construction",
+    "threshold_algorithm_topk": "both prefixes TakeOrderedAndProject; random access = hash joins of <=2d candidate ids",
+    "revenue_recognition": "day explode aggregates map-side to month keys; no windows",
+    "correlated_sample_audit": "all three join legs hash joins; sampling gates are scan-level filters",
+    "multimodal_resize": "pure mapInPandas stage; payloads never leave their partition",
+    "bitemporal_asof": "each as-of leg one user-keyed rank window over the doubly-filtered changelog",
 }
 
 
