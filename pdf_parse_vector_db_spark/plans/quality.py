@@ -1546,6 +1546,106 @@ ORDER BY m.segment
 """
 
 
+_MERKLE_COARSE = 16
+_MERKLE_LEAF = 256
+
+
+def merkle_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy replica comparison via Merkle-style range digests (the
+    Cassandra/Dynamo repair mechanism, public): each replica reduces every
+    key range to a commutative XOR digest of its row hashes; comparing
+    digests finds diverging ranges WITHOUT shipping rows — coarse level
+    first, then only the dirty coarse bucket's leaves. The audit builds
+    "replica B" as the orders table with ONE deterministically-chosen row
+    mutated (+1 cent), diffs both digest levels, and reports exactly the
+    ranges a repair job would re-sync: one dirty coarse bucket of 16 and
+    one dirty leaf of 256 — a 17-digest exchange localizing a single
+    corrupt row among tens of thousands.
+
+    Scale shape: row hashing is a pure map; each digest level is one
+    fixed-key-space XOR aggregate with map-side partials (XOR is
+    commutative/associative — the same mergeability contract as the
+    sketch family). Bytes exchanged per replica: |buckets| digests,
+    independent of table size.
+    """
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # the mutated row: the smallest orderkey whose md5 starts with '0'
+    target = base.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    ).agg(F.min("o_orderkey").alias("tk"))
+    replica_b = base.crossJoin(F.broadcast(target)).select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderkey") == F.col("tk"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+
+    def digests(df, side):
+        h = F.expr(
+            "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':', "
+            "CAST(cents AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        hashed = df.select(
+            (F.col("o_orderkey") % _MERKLE_COARSE).alias("coarse"),
+            (F.col("o_orderkey") % _MERKLE_LEAF).alias("leaf"),
+            h.alias("h"),
+        )
+        c = hashed.groupBy("coarse").agg(F.expr("bit_xor(h)").alias(f"d_{side}")).select(
+            F.lit(0).alias("level"), F.col("coarse").alias("bucket"), f"d_{side}"
+        )
+        l = hashed.groupBy("leaf").agg(F.expr("bit_xor(h)").alias(f"d_{side}")).select(
+            F.lit(1).alias("level"), F.col("leaf").alias("bucket"), f"d_{side}"
+        )
+        return c.unionAll(l)
+
+    joined = digests(base, "a").join(digests(replica_b, "b"), ["level", "bucket"], "full_outer")
+    return (
+        joined.filter(~F.col("d_a").eqNullSafe(F.col("d_b")))
+        .select(F.col("level").cast("int").alias("level"), F.col("bucket").cast("int").alias("bucket"))
+        .orderBy("level", "bucket")
+    )
+
+
+MERKLE_DIFF_AUDIT_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), target AS (
+  SELECT min(o_orderkey) AS tk FROM base
+  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+), rb AS (
+  SELECT o_orderkey,
+         cents + CASE WHEN o_orderkey = (SELECT tk FROM target) THEN 1 ELSE 0 END AS cents
+  FROM base
+), ha AS (
+  SELECT o_orderkey % {_MERKLE_COARSE} AS coarse, o_orderkey % {_MERKLE_LEAF} AS leaf,
+         ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM base
+), hb AS (
+  SELECT o_orderkey % {_MERKLE_COARSE} AS coarse, o_orderkey % {_MERKLE_LEAF} AS leaf,
+         ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM rb
+), da AS (
+  SELECT 0 AS level, coarse AS bucket, bit_xor(h) AS d_a FROM ha GROUP BY coarse
+  UNION ALL
+  SELECT 1, leaf, bit_xor(h) FROM ha GROUP BY leaf
+), db AS (
+  SELECT 0 AS level, coarse AS bucket, bit_xor(h) AS d_b FROM hb GROUP BY coarse
+  UNION ALL
+  SELECT 1, leaf, bit_xor(h) FROM hb GROUP BY leaf
+)
+SELECT CAST(level AS INTEGER) AS level, CAST(bucket AS INTEGER) AS bucket
+FROM da JOIN db USING (level, bucket)
+WHERE d_a IS DISTINCT FROM d_b
+ORDER BY level, bucket
+"""
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
     QuerySpec("segment_priority_chi2", segment_priority_chi2, SEGMENT_PRIORITY_CHI2_SQL, "Pearson chi-square independence audit over one contingency agg"),
@@ -1556,6 +1656,7 @@ QUERIES = [
     QuerySpec("length_emd", length_emd, LENGTH_EMD_SQL, "1-D Wasserstein distance between source length distributions (CDF-gap exact)"),
     QuerySpec("revenue_gini", revenue_gini, REVENUE_GINI_SQL, "per-nation Gini revenue-concentration audit (exact integer rank formula)"),
     QuerySpec("null_repair_audit", null_repair_audit, NULL_REPAIR_AUDIT_SQL, "mask-and-recover imputation audit (mode + exact-median repairs, graded)"),
+    QuerySpec("merkle_diff_audit", merkle_diff_audit, MERKLE_DIFF_AUDIT_SQL, "anti-entropy Merkle range digests localizing a single mutated row"),
     QuerySpec("boilerplate_prefixes", boilerplate_prefixes, BOILERPLATE_PREFIXES_SQL, "RefinedWeb-style boilerplate-prefix detection"),
     QuerySpec("point_in_time_state", point_in_time_state, POINT_IN_TIME_STATE_SQL, "feature-store point-in-time join vs SCD2 dimension"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),

@@ -651,3 +651,18 @@ def test_multimodal_resize_geometry(spark):
             assert abs(r.dst_w / r.dst_h - r.src_w / r.src_h) <= tol
         else:
             assert (r.dst_w, r.dst_h) == (r.src_w, r.src_h)
+
+
+def test_merkle_diff_localizes_single_mutation(spark):
+    """Exactly one dirty coarse bucket and one dirty leaf — the 17-digest
+    localization guarantee for a single corrupted row."""
+    from pdf_parse_vector_db_spark.plans.quality import merkle_diff_audit
+
+    rows = merkle_diff_audit(spark, SF_SMOKE).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r.level, []).append(r.bucket)
+    assert len(by_level.get(0, [])) == 1
+    assert len(by_level.get(1, [])) == 1
+    # the dirty leaf folds into the dirty coarse bucket (leaf mod 16)
+    assert by_level[1][0] % 16 == by_level[0][0]
