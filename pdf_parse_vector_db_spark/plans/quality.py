@@ -1646,6 +1646,84 @@ ORDER BY level, bucket
 """
 
 
+def length_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the same two sources'
+    length distributions — EMD's sibling statistic (sup-norm of the CDF
+    gap instead of its integral), the standard drift detector between a
+    training corpus and fresh data. Emits D, the n/m sizes, the α=0.05
+    critical value c(α)·√((n+m)/nm) with c(0.05)=1.358, and the reject
+    flag. Same bounded-histogram CDF machinery as length_emd: group to
+    per-length counts first, one window over distinct lengths.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    a, b = _EMD_SRC
+    hist = (
+        docs.filter(F.col("source").isin(list(_EMD_SRC)))
+        .groupBy("n_chars")
+        .agg(
+            F.sum((F.col("source") == a).cast("long")).alias("ca"),
+            F.sum((F.col("source") == b).cast("long")).alias("cb"),
+        )
+    )
+    tot = hist.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    gaps = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .select(
+            "na",
+            "nb",
+            F.abs(
+                F.col("cuma").cast("double") / F.col("na")
+                - F.col("cumb").cast("double") / F.col("nb")
+            ).alias("gap"),
+        )
+    )
+    out = gaps.groupBy("na", "nb").agg(F.round(F.max("gap"), 6).alias("ks_d"))
+    crit = 1.358 * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double") / (F.col("na") * F.col("nb"))
+    )
+    return out.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        "ks_d",
+        F.round(crit, 6).alias("crit_05"),
+        (F.col("ks_d") > F.round(crit, 6)).alias("reject_same_dist"),
+    )
+
+
+LENGTH_KS_TEST_SQL = f"""
+WITH hist AS (
+  SELECT n_chars,
+         CAST(sum(CASE WHEN source = '{_EMD_SRC[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN source = '{_EMD_SRC[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM documents WHERE source IN ('{_EMD_SRC[0]}', '{_EMD_SRC[1]}')
+  GROUP BY n_chars
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM hist
+), gaps AS (
+  SELECT na, nb,
+         abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) AS gap
+  FROM (
+    SELECT n_chars,
+           sum(ca) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+           sum(cb) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+    FROM hist
+  ) CROSS JOIN tot
+)
+SELECT na AS n_a, nb AS n_b,
+       round(max(gap), 6) AS ks_d,
+       round(1.358 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)), 6) AS crit_05,
+       round(max(gap), 6) > round(1.358 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)), 6)
+         AS reject_same_dist
+FROM gaps
+GROUP BY na, nb
+"""
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
     QuerySpec("segment_priority_chi2", segment_priority_chi2, SEGMENT_PRIORITY_CHI2_SQL, "Pearson chi-square independence audit over one contingency agg"),
@@ -1654,6 +1732,7 @@ QUERIES = [
     QuerySpec("data_contract_audit", data_contract_audit, DATA_CONTRACT_AUDIT_SQL, "Deequ-style declarative constraint suite in one report"),
     QuerySpec("quality_grid_sweep", quality_grid_sweep, QUALITY_GRID_SWEEP_SQL, "single-scan multi-config threshold grid evaluation"),
     QuerySpec("length_emd", length_emd, LENGTH_EMD_SQL, "1-D Wasserstein distance between source length distributions (CDF-gap exact)"),
+    QuerySpec("length_ks_test", length_ks_test, LENGTH_KS_TEST_SQL, "two-sample Kolmogorov-Smirnov drift test over the same CDF machinery"),
     QuerySpec("revenue_gini", revenue_gini, REVENUE_GINI_SQL, "per-nation Gini revenue-concentration audit (exact integer rank formula)"),
     QuerySpec("null_repair_audit", null_repair_audit, NULL_REPAIR_AUDIT_SQL, "mask-and-recover imputation audit (mode + exact-median repairs, graded)"),
     QuerySpec("merkle_diff_audit", merkle_diff_audit, MERKLE_DIFF_AUDIT_SQL, "anti-entropy Merkle range digests localizing a single mutated row"),

@@ -666,3 +666,22 @@ def test_merkle_diff_localizes_single_mutation(spark):
     assert len(by_level.get(1, [])) == 1
     # the dirty leaf folds into the dirty coarse bucket (leaf mod 16)
     assert by_level[1][0] % 16 == by_level[0][0]
+
+
+def test_ks_matches_python(spark):
+    import bisect
+
+    from pdf_parse_vector_db_spark.plans.quality import _EMD_SRC, length_ks_test
+
+    r = length_ks_test(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    a = sorted(d.n_chars for d in docs if d.source == _EMD_SRC[0])
+    b = sorted(d.n_chars for d in docs if d.source == _EMD_SRC[1])
+    xs = sorted(set(a) | set(b))
+    d_stat = max(
+        abs(bisect.bisect_right(a, x) / len(a) - bisect.bisect_right(b, x) / len(b))
+        for x in xs
+    )
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert abs(r.ks_d - d_stat) < 1e-5
+    assert r.reject_same_dist == (r.ks_d > r.crit_05)
