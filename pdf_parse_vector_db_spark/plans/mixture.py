@@ -790,6 +790,83 @@ FROM f CROSS JOIN c CROSS JOIN i
 """
 
 
+_APPORTION_BUDGET = 1000
+
+
+def apportion_sample_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment (public electoral method):
+    turn fractional per-language sampling shares into INTEGER slot counts
+    that sum EXACTLY to the budget — the step lang_temperature_mix leaves
+    open (its expected_docs are fractional; a sampler needs whole docs).
+    Quota = budget·share; every lang gets floor(quota); the leftover
+    slots go to the largest remainders (doc-count tie-break, then lang,
+    so the allocation is deterministic on both engines).
+
+    Exactness: quotas are rationals over exact integers — remainders
+    compare as budget·docs % total (exact BIGINT modulo), never as
+    floats, so ranking can't be perturbed by rounding. Scale shape: one
+    |langs|-row agg; the remainder ranking is a window over ≤|langs|
+    rows.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("docs"))
+    tot = counts.agg(F.sum("docs").alias("total"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "docs",
+        "total",
+        F.expr(f"({_APPORTION_BUDGET}L * docs) div total").alias("floor_slots"),
+        F.expr(f"({_APPORTION_BUDGET}L * docs) % total").alias("rem_num"),
+    )
+    leftover = base.agg(
+        (F.lit(_APPORTION_BUDGET) - F.sum("floor_slots")).alias("left")
+    )
+    ranked = base.crossJoin(F.broadcast(leftover)).withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("rem_num"), F.desc("docs"), F.asc("lang"))),
+    )
+    return (
+        ranked.select(
+            "lang",
+            "docs",
+            (
+                F.col("floor_slots")
+                + F.when(F.col("rk") <= F.col("left"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("slots"),
+            F.round(
+                F.lit(_APPORTION_BUDGET) * F.col("docs") / F.col("total").cast("double"),
+                4,
+            ).alias("exact_quota"),
+        )
+        .orderBy("lang")
+    )
+
+
+APPORTION_SAMPLE_SLOTS_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY lang
+), tot AS (SELECT CAST(sum(docs) AS BIGINT) AS total FROM counts),
+base AS (
+  SELECT lang, docs, total,
+         ({_APPORTION_BUDGET} * docs) // total AS floor_slots,
+         ({_APPORTION_BUDGET} * docs) % total AS rem_num
+  FROM counts CROSS JOIN tot
+), leftover AS (
+  SELECT {_APPORTION_BUDGET} - CAST(sum(floor_slots) AS BIGINT) AS leftover FROM base
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem_num DESC, docs DESC, lang ASC) AS rk
+  FROM base CROSS JOIN leftover
+)
+SELECT lang, docs,
+       CAST(floor_slots + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS slots,
+       round({_APPORTION_BUDGET} * CAST(docs AS DOUBLE) / total, 4) AS exact_quota
+FROM ranked
+ORDER BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("span_corruption_plan", span_corruption_plan, SPAN_CORRUPTION_SQL, "X5 T5-style span-corruption mask accounting"),
     QuerySpec(
@@ -869,5 +946,11 @@ QUERIES = [
         correlated_sample_audit,
         CORRELATED_SAMPLE_AUDIT_SQL,
         "X5 join-preserving key-correlated sampling vs independent row sampling",
+    ),
+    QuerySpec(
+        "apportion_sample_slots",
+        apportion_sample_slots,
+        APPORTION_SAMPLE_SLOTS_SQL,
+        "X5 Hamilton largest-remainder integer slot apportionment (exact modular remainders)",
     ),
 ]

@@ -685,3 +685,16 @@ def test_ks_matches_python(spark):
     assert r.n_a == len(a) and r.n_b == len(b)
     assert abs(r.ks_d - d_stat) < 1e-5
     assert r.reject_same_dist == (r.ks_d > r.crit_05)
+
+
+def test_apportionment_sums_to_budget_and_is_fair(spark):
+    from pdf_parse_vector_db_spark.plans.mixture import (
+        _APPORTION_BUDGET,
+        apportion_sample_slots,
+    )
+
+    rows = apportion_sample_slots(spark, SF_SMOKE).collect()
+    assert sum(r.slots for r in rows) == _APPORTION_BUDGET
+    for r in rows:
+        # Hamilton's quota property: every allocation within 1 of its quota
+        assert abs(r.slots - r.exact_quota) < 1.0
