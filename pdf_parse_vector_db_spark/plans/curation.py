@@ -1654,6 +1654,129 @@ ORDER BY nation, cost_milli, supplier
 """
 
 
+_ENC_COLS = ("o_orderstatus", "o_orderpriority")
+_ENC_BUCKET = 1024
+
+
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-design advisor: per column, the statistics that decide a
+    columnar encoding — NDV (dictionary), exact run count in key order
+    (run-length), average width (plain) — and the recommended encoding by
+    estimated bytes. The ANALYZE-style pass a table-maintenance service
+    runs before rewriting files.
+
+    Exact runs at scale, two-level: rows bucket by key range; each
+    bucket counts its internal runs with a bucket-PARTITIONED lag window
+    (never a global per-row sort), and bucket boundary continuations are
+    subtracted via one lag over the bounded bucket table (first/last
+    values per bucket by min_by/max_by). Total = Σ bucket runs − Σ
+    boundary merges — bit-equal to the single-sequence count.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    legs = []
+    for col in _ENC_COLS:
+        b = orders.select(
+            F.expr(f"o_orderkey div {_ENC_BUCKET}").alias("bkt"),
+            "o_orderkey",
+            F.col(col).alias("v"),
+        )
+        wb = W.partitionBy("bkt").orderBy("o_orderkey")
+        runs_in = b.withColumn("prev", F.lag("v").over(wb)).groupBy("bkt").agg(
+            (
+                F.sum((~F.col("v").eqNullSafe(F.col("prev"))).cast("long"))
+            ).alias("runs_b"),
+            F.expr("min_by(v, o_orderkey)").alias("first_v"),
+            F.expr("max_by(v, o_orderkey)").alias("last_v"),
+        )
+        wk = W.orderBy("bkt")
+        merged = runs_in.withColumn("prev_last", F.lag("last_v").over(wk)).agg(
+            F.sum("runs_b").alias("runs_raw"),
+            F.sum(
+                F.col("first_v").eqNullSafe(F.col("prev_last")).cast("long")
+            ).alias("boundary_merges"),
+        )
+        stats = b.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("v").alias("ndv"),
+            F.sum(F.length("v")).alias("bytes_plain"),
+            F.max(F.length("v")).alias("w_max"),
+        )
+        legs.append(
+            stats.crossJoin(merged).select(
+                F.lit(col).alias("col_name"),
+                F.col("n").cast("bigint").alias("n"),
+                F.col("ndv").cast("bigint").alias("ndv"),
+                (F.col("runs_raw") - F.col("boundary_merges")).cast("bigint").alias("runs"),
+                F.col("bytes_plain").cast("bigint").alias("bytes_plain"),
+                (
+                    F.col("ndv") * F.col("w_max")
+                    + F.expr("n * (CAST(ceil(log2(ndv + 1)) AS BIGINT)) div 8")
+                ).cast("bigint").alias("bytes_dict"),
+                (
+                    (F.col("runs_raw") - F.col("boundary_merges")) * (F.col("w_max") + 4)
+                ).cast("bigint").alias("bytes_rle"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    rec = F.when(
+        (F.col("bytes_rle") <= F.col("bytes_dict"))
+        & (F.col("bytes_rle") <= F.col("bytes_plain")),
+        F.lit("rle"),
+    ).when(F.col("bytes_dict") <= F.col("bytes_plain"), F.lit("dict")).otherwise(
+        F.lit("plain")
+    )
+    return out.withColumn("recommended", rec).orderBy("col_name")
+
+
+def _enc_leg_sql(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS col_name,
+         s.n, s.ndv,
+         CAST(m.runs_raw - m.boundary_merges AS BIGINT) AS runs,
+         s.bytes_plain,
+         CAST(s.ndv * s.w_max + s.n * CAST(ceil(log2(s.ndv + 1)) AS BIGINT) // 8 AS BIGINT)
+           AS bytes_dict,
+         CAST((m.runs_raw - m.boundary_merges) * (s.w_max + 4) AS BIGINT) AS bytes_rle
+  FROM (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS ndv,
+           CAST(sum(length({col})) AS BIGINT) AS bytes_plain,
+           CAST(max(length({col})) AS BIGINT) AS w_max
+    FROM orders
+  ) s CROSS JOIN (
+    SELECT CAST(sum(runs_b) AS BIGINT) AS runs_raw,
+           CAST(sum(CASE WHEN merged THEN 1 ELSE 0 END) AS BIGINT) AS boundary_merges
+    FROM (
+      SELECT runs_b,
+             first_v IS NOT DISTINCT FROM lag(last_v) OVER (ORDER BY bkt) AS merged
+      FROM (
+        SELECT bkt,
+               CAST(sum(CASE WHEN v IS DISTINCT FROM prev THEN 1 ELSE 0 END) AS BIGINT) AS runs_b,
+               min_by(v, o_orderkey) AS first_v,
+               max_by(v, o_orderkey) AS last_v
+        FROM (
+          SELECT o_orderkey // {_ENC_BUCKET} AS bkt, o_orderkey, {col} AS v,
+                 lag({col}) OVER (PARTITION BY o_orderkey // {_ENC_BUCKET}
+                                  ORDER BY o_orderkey) AS prev
+          FROM orders
+        ) GROUP BY bkt
+      )
+    )
+  ) m"""
+
+
+ENCODING_ADVISOR_SQL = (
+    "SELECT *, CASE WHEN bytes_rle <= bytes_dict AND bytes_rle <= bytes_plain THEN 'rle' "
+    "WHEN bytes_dict <= bytes_plain THEN 'dict' ELSE 'plain' END AS recommended FROM ("
+    + " UNION ALL ".join(_enc_leg_sql(c) for c in _ENC_COLS)
+    + ") ORDER BY col_name"
+)
+
+
 QUERIES = [
     QuerySpec(
         "bpe_learn_merges",
@@ -1759,5 +1882,11 @@ QUERIES = [
         pareto_suppliers,
         PARETO_SUPPLIERS_SQL,
         "X7 per-nation Pareto skyline via strict-prefix running min (exact integers)",
+    ),
+    QuerySpec(
+        "encoding_advisor",
+        encoding_advisor,
+        ENCODING_ADVISOR_SQL,
+        "X22 columnar encoding advisor: NDV/run/width stats with two-level exact run counting",
     ),
 ]

@@ -698,3 +698,20 @@ def test_apportionment_sums_to_budget_and_is_fair(spark):
     for r in rows:
         # Hamilton's quota property: every allocation within 1 of its quota
         assert abs(r.slots - r.exact_quota) < 1.0
+
+
+def test_encoding_advisor_runs_exact(spark):
+    """Two-level run counting == a single-pass Python count."""
+    from pdf_parse_vector_db_spark.plans.curation import _ENC_COLS, encoding_advisor
+
+    got = {r.col_name: r for r in encoding_advisor(spark, SF_SMOKE).collect()}
+    rows = sorted(
+        load_table(spark, SF_SMOKE, "orders").collect(), key=lambda r: r.o_orderkey
+    )
+    for col in _ENC_COLS:
+        vals = [getattr(r, col) for r in rows]
+        runs = 1 + sum(1 for a, b in zip(vals, vals[1:]) if a != b)
+        assert got[col].runs == runs, col
+        assert got[col].n == len(vals)
+        assert got[col].ndv == len(set(vals))
+        assert got[col].recommended in ("rle", "dict", "plain")
