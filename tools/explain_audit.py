@@ -91,6 +91,10 @@ AUDIT = {
     "correlated_sample_audit": "all three join legs hash joins; sampling gates are scan-level filters",
     "multimodal_resize": "pure mapInPandas stage; payloads never leave their partition",
     "bitemporal_asof": "each as-of leg one user-keyed rank window over the doubly-filtered changelog",
+    "merkle_diff_audit": "fixed-key-space XOR digests with map-side partials; digest-only exchange",
+    "length_ks_test": "CDF window over the bounded length histogram, not per-row",
+    "apportion_sample_slots": "|langs|-row agg; remainder ranking window over <=|langs| rows",
+    "encoding_advisor": "bucket-partitioned run lags; boundary correction over the bounded bucket table",
 }
 
 
