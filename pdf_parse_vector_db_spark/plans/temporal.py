@@ -555,6 +555,167 @@ ORDER BY month
 """
 
 
+def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection in the monthly revenue trend: fit a
+    two-segment linear model with the break after month k for EVERY
+    candidate k, pick the k minimizing total SSE, and report both
+    segment slopes plus the fit improvement over the single-line model —
+    the classic structural-break scan (Quandt/Chow family, public).
+
+    Exhaustive over candidates without re-scanning anything: all
+    segment statistics derive from CUMULATIVE sums over the bounded
+    monthly series (prefix stats via running windows; suffix = total −
+    prefix), so the whole scan is O(months) arithmetic after one
+    (month)-keyed agg over orders. Integer-exact sufficient statistics;
+    SSE compared at 4 dp with a smallest-k tie-break so both engines
+    elect the same break.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    monthly = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+        )
+        .select("month", F.expr("cents div 100").alias("y"))
+    )
+    wt = W.orderBy("month")
+    idx = monthly.withColumn("t", F.row_number().over(wt))
+    wc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = idx.select(
+        "month",
+        "t",
+        F.sum(F.lit(1)).over(wc).alias("cn"),
+        F.sum("t").over(wc).alias("ct"),
+        F.sum("y").over(wc).alias("cy"),
+        F.sum(F.col("t") * F.col("y")).over(wc).alias("cty"),
+        F.sum(F.col("t") * F.col("t")).over(wc).alias("ctt"),
+        F.sum(F.col("y") * F.col("y")).over(wc).alias("cyy"),
+    )
+    tot = cum.orderBy(F.desc("t")).limit(1).select(
+        F.col("cn").alias("tn"),
+        F.col("ct").alias("tt_"),
+        F.col("cy").alias("ty_"),
+        F.col("cty").alias("tty"),
+        F.col("ctt").alias("ttt"),
+        F.col("cyy").alias("tyy"),
+    )
+
+    def sse(n, st, sy, sty, stt, syy):
+        n, st, sy = n.cast("double"), st.cast("double"), sy.cast("double")
+        sty, stt, syy = sty.cast("double"), stt.cast("double"), syy.cast("double")
+        sxx = stt - st * st / n
+        sxy = sty - st * sy / n
+        return (syy - sy * sy / n) - sxy * sxy / sxx
+
+    def slope(n, st, sy, sty, stt):
+        n, st, sy = n.cast("double"), st.cast("double"), sy.cast("double")
+        sty, stt = sty.cast("double"), stt.cast("double")
+        return (n * sty - st * sy) / (n * stt - st * st)
+
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((F.col("t") >= 3) & (F.col("t") <= F.col("tn") - 3))
+        .select(
+            "month",
+            "t",
+            F.round(
+                sse(F.col("cn"), F.col("ct"), F.col("cy"), F.col("cty"), F.col("ctt"), F.col("cyy"))
+                + sse(
+                    F.col("tn") - F.col("cn"),
+                    F.col("tt_") - F.col("ct"),
+                    F.col("ty_") - F.col("cy"),
+                    F.col("tty") - F.col("cty"),
+                    F.col("ttt") - F.col("ctt"),
+                    F.col("tyy") - F.col("cyy"),
+                ),
+                4,
+            ).alias("sse_two"),
+            F.round(slope(F.col("cn"), F.col("ct"), F.col("cy"), F.col("cty"), F.col("ctt")), 4).alias(
+                "slope_left"
+            ),
+            F.round(
+                slope(
+                    F.col("tn") - F.col("cn"),
+                    F.col("tt_") - F.col("ct"),
+                    F.col("ty_") - F.col("cy"),
+                    F.col("tty") - F.col("cty"),
+                    F.col("ttt") - F.col("ctt"),
+                ),
+                4,
+            ).alias("slope_right"),
+        )
+    )
+    best = cand.orderBy(F.asc("sse_two"), F.asc("t")).limit(1)
+    single = tot.select(
+        F.round(
+            sse(F.col("tn"), F.col("tt_"), F.col("ty_"), F.col("tty"), F.col("ttt"), F.col("tyy")),
+            4,
+        ).alias("sse_one")
+    )
+    return best.crossJoin(F.broadcast(single)).select(
+        F.col("month").alias("break_month"),
+        "slope_left",
+        "slope_right",
+        "sse_two",
+        "sse_one",
+        F.round(1.0 - F.col("sse_two") / F.col("sse_one"), 6).alias("sse_reduction"),
+    )
+
+
+REVENUE_CHANGEPOINT_SQL = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100 AS y
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT month, y, row_number() OVER (ORDER BY month) AS t FROM monthly
+), cum AS (
+  SELECT month, t,
+         CAST(count(*) OVER w AS BIGINT) AS cn,
+         CAST(sum(t) OVER w AS BIGINT) AS ct,
+         CAST(sum(y) OVER w AS BIGINT) AS cy,
+         CAST(sum(t * y) OVER w AS BIGINT) AS cty,
+         CAST(sum(t * t) OVER w AS BIGINT) AS ctt,
+         CAST(sum(y * y) OVER w AS BIGINT) AS cyy
+  FROM idx
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT cn AS tn, ct AS tt_, cy AS ty_, cty AS tty, ctt AS ttt, cyy AS tyy
+  FROM cum ORDER BY t DESC LIMIT 1
+), cand AS (
+  SELECT month, t,
+         round(
+           ((CAST(cyy AS DOUBLE) - CAST(cy AS DOUBLE) * cy / cn)
+            - pow(CAST(cty AS DOUBLE) - CAST(ct AS DOUBLE) * cy / cn, 2)
+              / (CAST(ctt AS DOUBLE) - CAST(ct AS DOUBLE) * ct / cn))
+           + ((CAST(tyy - cyy AS DOUBLE) - CAST(ty_ - cy AS DOUBLE) * (ty_ - cy) / (tn - cn))
+              - pow(CAST(tty - cty AS DOUBLE)
+                    - CAST(tt_ - ct AS DOUBLE) * (ty_ - cy) / (tn - cn), 2)
+                / (CAST(ttt - ctt AS DOUBLE) - CAST(tt_ - ct AS DOUBLE) * (tt_ - ct) / (tn - cn))),
+           4) AS sse_two,
+         round(((cn * CAST(cty AS DOUBLE) - CAST(ct AS DOUBLE) * cy)
+                / (cn * CAST(ctt AS DOUBLE) - CAST(ct AS DOUBLE) * ct)), 4) AS slope_left,
+         round((((tn - cn) * CAST(tty - cty AS DOUBLE) - CAST(tt_ - ct AS DOUBLE) * (ty_ - cy))
+                / ((tn - cn) * CAST(ttt - ctt AS DOUBLE) - CAST(tt_ - ct AS DOUBLE) * (tt_ - ct))), 4)
+           AS slope_right
+  FROM cum CROSS JOIN tot
+  WHERE t >= 3 AND t <= tn - 3
+), best AS (
+  SELECT * FROM cand ORDER BY sse_two ASC, t ASC LIMIT 1
+), single AS (
+  SELECT round((CAST(tyy AS DOUBLE) - CAST(ty_ AS DOUBLE) * ty_ / tn)
+               - pow(CAST(tty AS DOUBLE) - CAST(tt_ AS DOUBLE) * ty_ / tn, 2)
+                 / (CAST(ttt AS DOUBLE) - CAST(tt_ AS DOUBLE) * tt_ / tn), 4) AS sse_one
+  FROM tot
+)
+SELECT best.month AS break_month, slope_left, slope_right, sse_two, sse_one,
+       round(1.0 - sse_two / sse_one, 6) AS sse_reduction
+FROM best CROSS JOIN single
+"""
+
+
 QUERIES = [
     QuerySpec(
         "max_open_orders",
@@ -591,5 +752,11 @@ QUERIES = [
         revenue_recognition,
         REVENUE_RECOGNITION_SQL,
         "interval-prorated accrual vs booked revenue (integer-exact pieces)",
+    ),
+    QuerySpec(
+        "revenue_changepoint",
+        revenue_changepoint,
+        REVENUE_CHANGEPOINT_SQL,
+        "structural-break scan: two-segment OLS over cumulative sufficient statistics",
     ),
 ]

@@ -715,3 +715,35 @@ def test_encoding_advisor_runs_exact(spark):
         assert got[col].n == len(vals)
         assert got[col].ndv == len(set(vals))
         assert got[col].recommended in ("rle", "dict", "plain")
+
+
+def test_changepoint_matches_numpy_scan(spark):
+    import collections
+
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.plans.temporal import revenue_changepoint
+
+    got = revenue_changepoint(spark, SF_SMOKE).collect()[0]
+
+    monthly = collections.Counter()
+    for r in load_table(spark, SF_SMOKE, "orders").collect():
+        monthly[r.o_orderdate.strftime("%Y-%m")] += round(r.o_totalprice * 100)
+    months = sorted(monthly)
+    y = np.array([monthly[m] // 100 for m in months], dtype=float)
+    t = np.arange(1, len(y) + 1, dtype=float)
+
+    def sse(tt, yy):
+        if len(tt) < 2:
+            return 0.0
+        A = np.vstack([tt, np.ones(len(tt))]).T
+        res = yy - A @ np.linalg.lstsq(A, yy, rcond=None)[0]
+        return float(res @ res)
+
+    best = min(
+        (round(sse(t[:k], y[:k]) + sse(t[k:], y[k:]), 4), k)
+        for k in range(3, len(y) - 2)
+    )
+    assert got.break_month == months[best[1] - 1]
+    assert abs(got.sse_two - best[0]) < 0.5  # 4-dp rounding on huge SSEs
+    assert 0.0 <= got.sse_reduction <= 1.0
