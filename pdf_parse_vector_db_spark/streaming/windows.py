@@ -95,12 +95,37 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> D
     attributes to an event stream (the lookup-join every behavioral
     pipeline runs before feature extraction).
 
-    The static side is explicitly broadcast: in streaming, Spark re-plans
-    the join per micro-batch, so the dim table is read fresh each batch
-    (picking up dimension updates) and shipped to executors — the event
-    stream itself never shuffles for the join. Works identically on a
-    batch DataFrame (the oracle-checked twin, events_by_segment)."""
+    The static side is explicitly broadcast — the event stream never
+    shuffles for the join. Works identically on a batch DataFrame (the
+    oracle-checked twin, events_by_segment).
+
+    DIMENSION FRESHNESS (measured, tests/test_streaming.py): a file-based
+    static DataFrame PINS its file listing when the streaming query
+    starts — overwriting the dim directory mid-stream does NOT refresh it
+    (the join re-executes per micro-batch but over the stale listing, and
+    FAILED_READ_FILE.FILE_NOT_EXIST kills the query once the old files
+    are gone; spark.catalog.refreshByPath does not reach the running
+    query's plan either). To pick up dim updates, rebuild the dim
+    DataFrame per batch inside foreachBatch — `enrich_refreshing_sink`
+    below packages that correct pattern — or serve the dim from a
+    format whose snapshots are append-only."""
     return events.join(F.broadcast(dim), on=on, how="inner")
+
+
+def enrich_refreshing_sink(spark, dim_path: str, on: str = "user_id"):
+    """foreachBatch body factory: the CORRECT refreshable-dimension
+    enrichment — `spark.read.parquet(dim_path)` is re-created inside
+    every micro-batch, so each batch joins against the dim's CURRENT
+    files (verified by the OLD→NEW test). Returns (sink_fn, results)
+    where sink_fn(batch_df, batch_id) appends each batch's enriched
+    DataFrame action result to `results` via the supplied callback
+    pattern in tests; production bodies write to their sink instead."""
+
+    def enrich(batch_df: DataFrame) -> DataFrame:
+        dim = spark.read.parquet(dim_path)
+        return enrich_with_dim(batch_df, dim, on=on)
+
+    return enrich
 
 
 def dedup_events(events: DataFrame, keys: list[str] | None = None) -> DataFrame:

@@ -550,3 +550,39 @@ def test_left_outer_stream_join_matches_batch(spark, tmp_path):
     assert s_rows == b_rows
     # and the outer mechanic actually fired: some purchases are null-padded
     assert any(v is None for _, v in b_rows)
+
+
+def test_dim_refresh_requires_per_batch_rebuild(spark, tmp_path):
+    """Measured dimension-freshness contract (see enrich_with_dim
+    docstring): an in-plan static dim pins its file listing, but
+    rebuilding the dim inside foreachBatch (enrich_refreshing_sink)
+    picks up an overwrite between micro-batches — batch 0 sees OLD,
+    batch 1 sees NEW."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.streaming.windows import enrich_refreshing_sink
+
+    landing = str(tmp_path / "ev")
+    dimdir = str(tmp_path / "dim")
+    ev = load_table(spark, SF, "events")
+    mid = ev.approxQuantile("event_id", [0.5], 0)[0]
+    ev.filter(F.col("event_id") <= mid).write.parquet(landing)
+    ev.filter(F.col("event_id") > mid).write.mode("append").parquet(landing)
+    cust = load_table(spark, SF, "customer")
+    cust.select(F.col("c_custkey").alias("user_id"), F.lit("OLD").alias("segment")).write.parquet(dimdir)
+
+    enrich = enrich_refreshing_sink(spark, dimdir)
+    seen = []
+
+    def sink(bdf, bid):
+        out = enrich(bdf)
+        seen.append((bid, sorted(r.segment for r in out.select("segment").distinct().collect())))
+        if bid == 0:
+            cust.select(
+                F.col("c_custkey").alias("user_id"), F.lit("NEW").alias("segment")
+            ).write.mode("overwrite").parquet(dimdir)
+
+    src = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(landing)
+    q = src.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert seen == [(0, ["OLD"]), (1, ["NEW"])]
