@@ -716,6 +716,91 @@ FROM best CROSS JOIN single
 """
 
 
+_SES_ALPHAS = (0.2, 0.5, 0.8)
+_SES_W = 8
+
+
+def ses_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing backtest across an alpha grid (Brown
+    1956, public), in the single-scan-multi-config style: the forecast
+    for month t is the geometrically-weighted mean of the previous 8
+    months, ŷ_t = Σ w_j·y_{t−1−j} with w_j ∝ α(1−α)^j normalized over
+    the truncated window (the tail beyond 8 lags carries <(1−α)^8 of the
+    weight). All three alphas evaluate against the same 8 lag columns —
+    one window pass over the bounded monthly series — and report MAPE
+    next to forecast_backtest's seasonal-naive/MA3 baselines.
+
+    Determinism: weights are literal doubles, the weighted sum is a
+    fixed-order 8-term expression over exact integer lags, and the APE
+    rounds to integer milli before averaging.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    monthly = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+        .select("month", F.expr("cents div 100").alias("y"))
+    )
+    w = W.orderBy("month")
+    lagged = monthly.select(
+        "y", *[F.lag("y", j + 1).over(w).alias(f"l{j}") for j in range(_SES_W)]
+    ).filter(F.col(f"l{_SES_W - 1}").isNotNull())
+    legs = []
+    for a in _SES_ALPHAS:
+        ws = [a * (1 - a) ** j for j in range(_SES_W)]
+        norm = sum(ws)
+        pred = None
+        for j, wt in enumerate(ws):
+            term = F.col(f"l{j}") * F.lit(wt / norm)
+            pred = term if pred is None else pred + term
+        ape = F.round(F.abs(pred - F.col("y")) * 1000 / F.col("y")).cast("bigint")
+        legs.append(
+            lagged.agg(
+                F.lit(a).alias("alpha"),
+                F.count(F.lit(1)).cast("bigint").alias("n_months"),
+                F.round(F.sum(ape).cast("double") / F.count(F.lit(1)) / 1000.0, 4).alias(
+                    "mape"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("alpha")
+
+
+def _ses_sql() -> str:
+    lag_cols = ", ".join(
+        f"lag(y, {j + 1}) OVER (ORDER BY month) AS l{j}" for j in range(_SES_W)
+    )
+    legs = []
+    for a in _SES_ALPHAS:
+        ws = [a * (1 - a) ** j for j in range(_SES_W)]
+        norm = sum(ws)
+        pred = " + ".join(f"l{j} * {wt / norm!r}" for j, wt in enumerate(ws))
+        legs.append(f"""
+  SELECT CAST({a} AS DOUBLE) AS alpha,
+         CAST(count(*) AS BIGINT) AS n_months,
+         round(CAST(sum(CAST(round(abs(({pred}) - y) * 1000 / y) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1000.0, 4) AS mape
+  FROM lagged WHERE l{_SES_W - 1} IS NOT NULL""")
+    return f"""
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100 AS y
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT y, {lag_cols} FROM monthly
+)
+SELECT * FROM ({" UNION ALL ".join(legs)})
+ORDER BY alpha
+"""
+
+
+SES_BACKTEST_SQL = _ses_sql()
+
+
 QUERIES = [
     QuerySpec(
         "max_open_orders",
@@ -758,5 +843,11 @@ QUERIES = [
         revenue_changepoint,
         REVENUE_CHANGEPOINT_SQL,
         "structural-break scan: two-segment OLS over cumulative sufficient statistics",
+    ),
+    QuerySpec(
+        "ses_backtest",
+        ses_backtest,
+        SES_BACKTEST_SQL,
+        "truncated exponential-smoothing MAPE backtest over an alpha grid",
     ),
 ]
