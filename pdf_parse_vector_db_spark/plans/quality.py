@@ -1724,6 +1724,108 @@ GROUP BY na, nb
 """
 
 
+_BOOT_B = 32
+#: cumulative Poisson(1) pmf thresholds for multiplicities 0..4 (tail mass
+#: above 4 folds into 4); literal doubles so both engines compare equal.
+_POIS_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+             0.9810118431238462, 1.0)
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value — the
+    resampling-with-replacement estimator that actually distributes
+    (Chamandy et al., "Estimating uncertainty for massive data streams",
+    Google 2012, public): instead of materializing B resamples, each row
+    draws a Poisson(1) multiplicity per replicate from a DETERMINISTIC
+    hash uniform, so one scan with a B-way map fan-out yields all B
+    replicate means; the CI is the percentile band of those B values.
+    No RNG state → same CI on every engine, retry, and partitioning.
+
+    One row: point estimate, 2.5%/97.5% percentile bounds, replicate
+    count. Scale shape: B-way explode then a B-key agg with map-side
+    partials; the percentile runs over B=32 rows.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    reps = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("r"),
+        "o_orderkey",
+    ).withColumn(
+        "u",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '#', "
+            "CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        / F.lit(4294967296.0),
+    )
+    wexpr = (
+        F.when(F.col("u") < _POIS_CDF[0], 0)
+        .when(F.col("u") < _POIS_CDF[1], 1)
+        .when(F.col("u") < _POIS_CDF[2], 2)
+        .when(F.col("u") < _POIS_CDF[3], 3)
+        .otherwise(4)
+    )
+    rep_means = (
+        reps.withColumn("w", wexpr)
+        .groupBy("r")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w")
+                / 100.0
+            ).alias("m")
+        )
+    )
+    point = orders.agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("mean_order")
+    )
+    ci = rep_means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+        F.round(F.expr("percentile(m, 0.025)"), 2).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 2).alias("ci_hi"),
+    )
+    return point.crossJoin(ci).select(
+        F.round("mean_order", 2).alias("mean_order"), "b", "ci_lo", "ci_hi"
+    )
+
+
+BOOTSTRAP_MEAN_CI_SQL = f"""
+WITH reps AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, r.x AS r,
+         ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '#' ||
+                            CAST(r.x AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM orders, range(0, {_BOOT_B}) AS r(x)
+), weighted AS (
+  SELECT r, cents,
+         CASE WHEN u < {_POIS_CDF[0]!r} THEN 0
+              WHEN u < {_POIS_CDF[1]!r} THEN 1
+              WHEN u < {_POIS_CDF[2]!r} THEN 2
+              WHEN u < {_POIS_CDF[3]!r} THEN 3
+              ELSE 4 END AS w
+  FROM reps
+), rep_means AS (
+  SELECT r, CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100.0 AS m
+  FROM weighted GROUP BY r
+), point AS (
+  SELECT round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100.0, 2) AS mean_order
+  FROM orders
+)
+SELECT mean_order,
+       CAST((SELECT count(*) FROM rep_means) AS BIGINT) AS b,
+       (SELECT round(quantile_cont(m, 0.025), 2) FROM rep_means) AS ci_lo,
+       (SELECT round(quantile_cont(m, 0.975), 2) FROM rep_means) AS ci_hi
+FROM point
+"""
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
     QuerySpec("segment_priority_chi2", segment_priority_chi2, SEGMENT_PRIORITY_CHI2_SQL, "Pearson chi-square independence audit over one contingency agg"),
@@ -1736,6 +1838,7 @@ QUERIES = [
     QuerySpec("revenue_gini", revenue_gini, REVENUE_GINI_SQL, "per-nation Gini revenue-concentration audit (exact integer rank formula)"),
     QuerySpec("null_repair_audit", null_repair_audit, NULL_REPAIR_AUDIT_SQL, "mask-and-recover imputation audit (mode + exact-median repairs, graded)"),
     QuerySpec("merkle_diff_audit", merkle_diff_audit, MERKLE_DIFF_AUDIT_SQL, "anti-entropy Merkle range digests localizing a single mutated row"),
+    QuerySpec("bootstrap_mean_ci", bootstrap_mean_ci, BOOTSTRAP_MEAN_CI_SQL, "deterministic Poisson-bootstrap CI for the mean (B replicate means in one scan)"),
     QuerySpec("boilerplate_prefixes", boilerplate_prefixes, BOILERPLATE_PREFIXES_SQL, "RefinedWeb-style boilerplate-prefix detection"),
     QuerySpec("point_in_time_state", point_in_time_state, POINT_IN_TIME_STATE_SQL, "feature-store point-in-time join vs SCD2 dimension"),
     QuerySpec("zipf_fit", zipf_fit, ZIPF_FIT_SQL, "Zipf exponent corpus QA"),

@@ -747,3 +747,13 @@ def test_changepoint_matches_numpy_scan(spark):
     assert got.break_month == months[best[1] - 1]
     assert abs(got.sse_two - best[0]) < 0.5  # 4-dp rounding on huge SSEs
     assert 0.0 <= got.sse_reduction <= 1.0
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    from pdf_parse_vector_db_spark.plans.quality import _BOOT_B, bootstrap_mean_ci
+
+    r = bootstrap_mean_ci(spark, SF_SMOKE).collect()[0]
+    assert r.b == _BOOT_B
+    assert r.ci_lo <= r.mean_order <= r.ci_hi
+    # width sanity: CI is nonzero but far narrower than the value itself
+    assert 0 < (r.ci_hi - r.ci_lo) < r.mean_order
