@@ -520,10 +520,100 @@ ORDER BY dist_milli, nation"""
 SSSP_BOUNDED_SQL = _sssp_sql()
 
 
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation on the contracted trade
+    graph — triangles(v) / (deg(v)·(deg(v)−1)/2), the neighborhood-
+    density metric complementing the raw triangle counts. Reuses the
+    nation_triangles construction: contracted distinct edges, ordered
+    a<b<c triangle join, per-corner counts, joined to degrees.
+    """
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("n"))
+        .unionAll(pairs.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = e1.join(e2, on="y").join(e3, on=["x", "z"])
+    corners = (
+        tris.select(F.col("x").alias("n"))
+        .unionAll(tris.select(F.col("y").alias("n")))
+        .unionAll(tris.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return (
+        deg.join(corners, "n", "left")
+        .join(F.broadcast(nation), F.col("n") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                F.coalesce(F.col("tri"), F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1) / 2.0),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy("nation")
+    )
+
+
+CLUSTERING_COEFFICIENT_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                  greatest(c_nationkey, s_nationkey) AS b
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs
+  ) GROUP BY n),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS tri FROM (
+    SELECT x AS n FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris
+  ) GROUP BY n)
+SELECT n_name AS nation, deg AS degree,
+       CAST(coalesce(tri, 0) AS BIGINT) AS triangles,
+       round(CAST(coalesce(tri, 0) AS DOUBLE) / (deg * (deg - 1) / 2.0), 6)
+         AS clustering
+FROM deg LEFT JOIN corners USING (n)
+JOIN nation ON n = n_nationkey
+ORDER BY nation
+"""
+
+
 QUERIES = [
     QuerySpec("pagerank_bipartite", pagerank_bipartite, PAGERANK_BIPARTITE_SQL, "3-iteration unrolled PageRank on the interaction graph"),
     QuerySpec("nation_triangles", nation_triangles, NATION_TRIANGLES_SQL, "ordered-join triangle counting on the contracted trade graph"),
     QuerySpec("kcore_peel", kcore_peel, KCORE_PEEL_SQL, "3-round unrolled k-core peeling on the part co-order graph"),
     QuerySpec("label_propagation", label_propagation, LABEL_PROPAGATION_SQL, "3-round synchronous LPA communities (min-label tie-break)"),
     QuerySpec("sssp_bounded", sssp_bounded, SSSP_BOUNDED_SQL, "3-hop Bellman-Ford SSSP with exact integer path costs"),
+    QuerySpec("clustering_coefficient", clustering_coefficient, CLUSTERING_COEFFICIENT_SQL, "per-node local clustering coefficient on the contracted trade graph"),
 ]
