@@ -867,6 +867,135 @@ ORDER BY lang
 """
 
 
+def fair_share_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a token budget across
+    sources — the multi-tenant scheduler classic: small demands are met
+    in full; the rest split the remainder equally at the water level λ.
+    Closed form, no iteration: sort demands ascending; the level is set
+    by the LAST prefix position k where demand_k fits the equal split of
+    what remains after fully satisfying 1..k−1; every later tenant gets
+    that split. Budget = half the total corpus tokens, demands =
+    per-source whitespace token counts.
+
+    Exactness: demands and prefix sums are exact BIGINTs; the equal
+    split uses integer division with the division remainder granted to
+    the lexicographically-first capped tenants (largest-remainder
+    discipline, cf. apportion_sample_slots) so allocations sum EXACTLY
+    to min(budget, total demand). One |sources|-row agg + bounded
+    windows.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = F.expr(r"size(split(trim(text), '\\s+'))").cast("bigint")
+    demand = docs.groupBy("source").agg(F.sum(toks).alias("demand"))
+    tot = demand.agg(
+        F.sum("demand").alias("total"), F.count(F.lit(1)).alias("n")
+    ).select("total", "n", F.expr("total div 2").alias("budget"))
+    w = W.orderBy("demand", "source")
+    ranked = (
+        demand.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "prefix",
+            F.sum("demand").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        )
+        .withColumn("prefix", F.coalesce(F.col("prefix"), F.lit(0)))
+        # tenant rk is fully satisfiable iff demand_rk <= equal share of
+        # the budget left after meeting all smaller demands
+        .withColumn(
+            "fits",
+            F.col("demand")
+            <= F.expr("(budget - prefix) div (n - rk + 1)"),
+        )
+    )
+    kmax = ranked.agg(
+        F.max(F.when(F.col("fits"), F.col("rk"))).alias("kfit"),
+    )
+    # water level: equal split of what remains after the last fitting tenant
+    level_base = ranked.crossJoin(F.broadcast(kmax)).filter(
+        (F.col("rk") == F.col("kfit")) | (F.col("kfit").isNull() & (F.col("rk") == 1))
+    ).select(
+        F.when(
+            F.col("kfit").isNotNull(),
+            F.expr("(budget - (prefix + demand)) div (n - kfit)"),
+        ).otherwise(F.expr("budget div n")).alias("level"),
+        F.when(
+            F.col("kfit").isNotNull(),
+            F.expr("(budget - (prefix + demand)) % (n - kfit)"),
+        ).otherwise(F.expr("budget % n")).alias("slack"),
+        F.coalesce(F.col("kfit"), F.lit(0)).alias("kfit2"),
+    )
+    out = (
+        ranked.crossJoin(F.broadcast(level_base))
+        .withColumn(
+            "alloc",
+            F.when(F.col("rk") <= F.col("kfit2"), F.col("demand")).otherwise(
+                F.least(
+                    F.col("demand"),
+                    F.col("level")
+                    + F.when(
+                        F.col("rk") - F.col("kfit2") <= F.col("slack"), F.lit(1)
+                    ).otherwise(F.lit(0)),
+                )
+            ),
+        )
+    )
+    return out.select(
+        "source",
+        "demand",
+        F.col("alloc").cast("bigint").alias("allocated"),
+        (F.col("alloc") == F.col("demand")).alias("fully_served"),
+    ).orderBy("source")
+
+
+FAIR_SHARE_ALLOCATION_SQL = """
+WITH demand AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS demand
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(demand) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(demand) AS BIGINT) // 2 AS budget
+  FROM demand
+), ranked AS (
+  SELECT source, demand, total, n, budget,
+         row_number() OVER (ORDER BY demand, source) AS rk,
+         coalesce(sum(demand) OVER (ORDER BY demand, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM demand CROSS JOIN tot
+), fits AS (
+  SELECT *, demand <= (budget - prefix) // (n - rk + 1) AS fit FROM ranked
+), km AS (
+  SELECT max(CASE WHEN fit THEN rk END) AS kfit FROM fits
+), lvl AS (
+  SELECT CASE WHEN km.kfit IS NOT NULL
+              THEN (f.budget - (f.prefix + f.demand)) // (f.n - km.kfit)
+              ELSE f.budget // f.n END AS level,
+         CASE WHEN km.kfit IS NOT NULL
+              THEN (f.budget - (f.prefix + f.demand)) % (f.n - km.kfit)
+              ELSE f.budget % f.n END AS slack,
+         coalesce(km.kfit, 0) AS kfit2
+  FROM fits f CROSS JOIN km
+  WHERE (km.kfit IS NOT NULL AND f.rk = km.kfit)
+     OR (km.kfit IS NULL AND f.rk = 1)
+)
+SELECT f.source, f.demand,
+       CAST(CASE WHEN f.rk <= l.kfit2 THEN f.demand
+                 ELSE least(f.demand,
+                            l.level + CASE WHEN f.rk - l.kfit2 <= l.slack
+                                           THEN 1 ELSE 0 END)
+            END AS BIGINT) AS allocated,
+       (CASE WHEN f.rk <= l.kfit2 THEN f.demand
+             ELSE least(f.demand,
+                        l.level + CASE WHEN f.rk - l.kfit2 <= l.slack
+                                       THEN 1 ELSE 0 END) END) = f.demand
+         AS fully_served
+FROM fits f CROSS JOIN lvl l
+ORDER BY f.source
+"""
+
+
 QUERIES = [
     QuerySpec("span_corruption_plan", span_corruption_plan, SPAN_CORRUPTION_SQL, "X5 T5-style span-corruption mask accounting"),
     QuerySpec(
@@ -952,5 +1081,11 @@ QUERIES = [
         apportion_sample_slots,
         APPORTION_SAMPLE_SLOTS_SQL,
         "X5 Hamilton largest-remainder integer slot apportionment (exact modular remainders)",
+    ),
+    QuerySpec(
+        "fair_share_allocation",
+        fair_share_allocation,
+        FAIR_SHARE_ALLOCATION_SQL,
+        "X5 max-min fair (water-filling) token-budget allocation, closed form, integer-exact",
     ),
 ]

@@ -757,3 +757,26 @@ def test_bootstrap_ci_brackets_the_mean(spark):
     assert r.ci_lo <= r.mean_order <= r.ci_hi
     # width sanity: CI is nonzero but far narrower than the value itself
     assert 0 < (r.ci_hi - r.ci_lo) < r.mean_order
+
+
+def test_fair_share_is_max_min_fair(spark):
+    from pdf_parse_vector_db_spark.plans.mixture import fair_share_allocation
+
+    rows = fair_share_allocation(spark, SF_SMOKE).collect()
+    total_alloc = sum(r.allocated for r in rows)
+    total_demand = sum(r.demand for r in rows)
+    budget = total_demand // 2
+    # conservation: exactly the budget is handed out (demand exceeds it)
+    assert total_alloc == min(budget, total_demand)
+    for r in rows:
+        assert 0 <= r.allocated <= r.demand
+        assert r.fully_served == (r.allocated == r.demand)
+    # max-min property: every capped tenant's allocation >= any fully
+    # served tenant's demand (nobody capped below someone's full grant)
+    capped = [r.allocated for r in rows if not r.fully_served]
+    served = [r.demand for r in rows if r.fully_served]
+    if capped and served:
+        assert min(capped) >= max(served)
+    # capped tenants are within 1 token of each other (water level)
+    if capped:
+        assert max(capped) - min(capped) <= 1
