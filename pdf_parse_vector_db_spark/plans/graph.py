@@ -609,6 +609,96 @@ ORDER BY nation
 """
 
 
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the contracted trade graph (Newman 2002,
+    public): the Pearson correlation of endpoint degrees over edges —
+    positive = hubs link hubs, negative = hub-and-spoke mixing. Both
+    edge directions enter the sum (the standard undirected convention).
+    All sufficient statistics are exact integers (degrees, their products
+    summed over edges); one double division at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("n"))
+        .unionAll(pairs.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    both = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    e = (
+        both.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    stats = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("da").alias("sx"),
+        F.sum("db").alias("sy"),
+        F.sum(F.col("da") * F.col("db")).alias("sxy"),
+        F.sum(F.col("da") * F.col("da")).alias("sxx"),
+        F.sum(F.col("db") * F.col("db")).alias("syy"),
+    )
+    m, sx, sy = [F.col(c).cast("double") for c in ("m", "sx", "sy")]
+    sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
+    return stats.select(
+        F.col("m").cast("bigint").alias("directed_edges"),
+        F.round(
+            (m * sxy - sx * sy)
+            / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                  greatest(c_nationkey, s_nationkey) AS b
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs
+  ) GROUP BY n),
+e AS (
+  SELECT da.d AS da, db.d AS db
+  FROM (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs) x
+  JOIN deg da ON x.a = da.n
+  JOIN deg db ON x.b = db.n),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(da) AS BIGINT) AS sx, CAST(sum(db) AS BIGINT) AS sy,
+         CAST(sum(da * db) AS BIGINT) AS sxy,
+         CAST(sum(da * da) AS BIGINT) AS sxx,
+         CAST(sum(db * db) AS BIGINT) AS syy
+  FROM e)
+SELECT m AS directed_edges,
+       round((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+         AS assortativity
+FROM stats
+"""
+
+
 QUERIES = [
     QuerySpec("pagerank_bipartite", pagerank_bipartite, PAGERANK_BIPARTITE_SQL, "3-iteration unrolled PageRank on the interaction graph"),
     QuerySpec("nation_triangles", nation_triangles, NATION_TRIANGLES_SQL, "ordered-join triangle counting on the contracted trade graph"),
@@ -616,4 +706,5 @@ QUERIES = [
     QuerySpec("label_propagation", label_propagation, LABEL_PROPAGATION_SQL, "3-round synchronous LPA communities (min-label tie-break)"),
     QuerySpec("sssp_bounded", sssp_bounded, SSSP_BOUNDED_SQL, "3-hop Bellman-Ford SSSP with exact integer path costs"),
     QuerySpec("clustering_coefficient", clustering_coefficient, CLUSTERING_COEFFICIENT_SQL, "per-node local clustering coefficient on the contracted trade graph"),
+    QuerySpec("degree_assortativity", degree_assortativity, DEGREE_ASSORTATIVITY_SQL, "Newman degree-mixing coefficient from exact integer edge statistics"),
 ]
