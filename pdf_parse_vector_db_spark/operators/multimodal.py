@@ -137,6 +137,37 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return meta.mapInPandas(sample, "doc_id bigint, kind string, frame_idx int")
 
 
+def frame_sample_fused(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Single-stage decode+sample: one mapInPandas pass derives the frame
+    count from the content digest and emits the sampled frame rows
+    directly — no intermediate full-metadata Arrow round trip, no hex
+    digest string, and no hashing at all for still images (n_frames is 1
+    by definition). This is the lean shape the frames QUERY uses;
+    ``frame_sample`` (decode → sample as two composable stages) remains
+    the operator real pipelines chain with other metadata consumers.
+    Round-2 lesson: the two-stage chain tripled the query's wall time
+    doing per-row digest bookkeeping its consumer never read."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, idxs = [], [], []
+            for rec in pdf.itertuples(index=False):
+                if rec.kind == "image":
+                    nf = 1
+                else:
+                    content = bytes(rec.content) if rec.content is not None else b""
+                    nf = 1 + hashlib.sha256(content).digest()[2]
+                for i in range(0, nf, every_n):
+                    ids.append(rec.doc_id)
+                    kinds.append(rec.kind)
+                    idxs.append(i)
+            yield pd.DataFrame({"doc_id": ids, "kind": kinds, "frame_idx": idxs})
+
+    return media.select("doc_id", "kind", "content").mapInPandas(
+        sample, "doc_id bigint, kind string, frame_idx int"
+    )
+
+
 RESIZE_SCHEMA = (
     "doc_id bigint, kind string, src_w int, src_h int, dst_w int, dst_h int, "
     "scale double, out_bytes bigint, out_sha string"

@@ -616,6 +616,13 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge directions enter the sum (the standard undirected convention).
     All sufficient statistics are exact integers (degrees, their products
     summed over edges); one double division at the end.
+
+    Degenerate-input contract: on a REGULAR graph (every node the same
+    degree — true of the near-complete 25-nation co-trade graph at small
+    scale factors) the variance terms are exactly 0 and assortativity is
+    mathematically undefined; both engines return NULL (``try_divide``
+    here, ``nullif`` in the oracle) rather than raising — ANSI mode
+    otherwise throws DIVIDE_BY_ZERO even for double division.
     """
     li = load_table(spark, sf_dir, "lineitem", spread=True)
     orders = load_table(spark, sf_dir, "orders")
@@ -658,8 +665,10 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         F.col("m").cast("bigint").alias("directed_edges"),
         F.round(
-            (m * sxy - sx * sy)
-            / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)),
+            F.try_divide(
+                m * sxy - sx * sy,
+                F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)),
+            ),
             6,
         ).alias("assortativity"),
     )
@@ -692,8 +701,8 @@ stats AS (
   FROM e)
 SELECT m AS directed_edges,
        round((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-             / sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-                    * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+             / nullif(sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                           * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 0), 6)
          AS assortativity
 FROM stats
 """

@@ -300,8 +300,13 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     final MAPE is identical across engines with no float-summation
     hazard.
 
-    Scale shape: one (month)-keyed agg over orders; the lag windows run
-    on the bounded monthly series.
+    Scale shape: one (month)-keyed agg over orders, ONE window pass over
+    the bounded monthly series, and ONE global aggregate computing both
+    methods' error sums side by side (NULL lags drop out of count/sum
+    naturally); the two report rows come from a `stack` unpivot of that
+    single aggregate row — orders is scanned once, where the round-2 shape
+    re-derived the monthly series per forecaster leg (the round's slowest
+    query at 7.1 s, all scheduling floor).
     """
     orders = load_table(spark, sf_dir, "orders", spread=True)
     monthly = (
@@ -320,19 +325,29 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ma3_sum"),
     ).withColumn("ma3", F.expr("ma3_sum div 3"))
     ape = lambda pred: F.expr(f"abs({pred} - y) * 1000 div y")
-    legs = []
-    for method, pred in (("seasonal_naive", "snaive"), ("moving_avg_3", "ma3")):
-        legs.append(
-            lagged.filter(F.col(pred).isNotNull())
-            .agg(
-                F.lit(method).alias("method"),
-                F.count(F.lit(1)).cast("bigint").alias("n_months"),
-                F.round(F.sum(ape(pred)).cast("double") / F.count(F.lit(1)) / 1000.0, 4).alias(
-                    "mape"
-                ),
+    stats = lagged.agg(
+        F.count("snaive").cast("bigint").alias("n_sn"),
+        F.sum(ape("snaive")).alias("s_sn"),
+        F.count("ma3").cast("bigint").alias("n_ma"),
+        F.sum(ape("ma3")).alias("s_ma"),
+    )
+    return (
+        stats.select(
+            F.expr(
+                "stack(2, 'moving_avg_3', n_ma, s_ma, 'seasonal_naive', n_sn, s_sn) "
+                "AS (method, n_months, ape_sum)"
             )
         )
-    return legs[0].unionAll(legs[1]).orderBy("method")
+        .select(
+            "method",
+            F.col("n_months").cast("bigint").alias("n_months"),
+            F.round(
+                F.try_divide(F.col("ape_sum").cast("double"), F.col("n_months")) / 1000.0,
+                4,
+            ).alias("mape"),
+        )
+        .orderBy("method")
+    )
 
 
 FORECAST_BACKTEST_SQL = """
@@ -569,6 +584,13 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (month)-keyed agg over orders. Integer-exact sufficient statistics;
     SSE compared at 4 dp with a smallest-k tie-break so both engines
     elect the same break.
+
+    Overflow contract (the round-2 sf0.1 bug): monthly revenue y is
+    ~2.8e8 at sf0.1, so y^2 ~ 8e16 and its cumulative sum crosses int64
+    under ANSI ``addExact``. The quadratic terms (y*y, t*y) are therefore
+    widened to decimal(38,0) BEFORE the window sum (exact to 38 digits —
+    safe past sf100), mirrored as HUGEINT in the DuckDB oracle; both are
+    exact integers, so the double casts downstream stay bit-identical.
     """
     from pyspark.sql.window import Window as W
 
@@ -583,15 +605,17 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = W.orderBy("month")
     idx = monthly.withColumn("t", F.row_number().over(wt))
     wc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    yd = F.col("y").cast("decimal(19,0)")
+    td = F.col("t").cast("decimal(19,0)")
     cum = idx.select(
         "month",
         "t",
         F.sum(F.lit(1)).over(wc).alias("cn"),
         F.sum("t").over(wc).alias("ct"),
         F.sum("y").over(wc).alias("cy"),
-        F.sum(F.col("t") * F.col("y")).over(wc).alias("cty"),
+        F.sum((td * yd).cast("decimal(38,0)")).over(wc).alias("cty"),
         F.sum(F.col("t") * F.col("t")).over(wc).alias("ctt"),
-        F.sum(F.col("y") * F.col("y")).over(wc).alias("cyy"),
+        F.sum((yd * yd).cast("decimal(38,0)")).over(wc).alias("cyy"),
     )
     tot = cum.orderBy(F.desc("t")).limit(1).select(
         F.col("cn").alias("tn"),
@@ -660,7 +684,9 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slope_right",
         "sse_two",
         "sse_one",
-        F.round(1.0 - F.col("sse_two") / F.col("sse_one"), 6).alias("sse_reduction"),
+        F.round(1.0 - F.try_divide(F.col("sse_two"), F.col("sse_one")), 6).alias(
+            "sse_reduction"
+        ),
     )
 
 
@@ -676,9 +702,9 @@ WITH monthly AS (
          CAST(count(*) OVER w AS BIGINT) AS cn,
          CAST(sum(t) OVER w AS BIGINT) AS ct,
          CAST(sum(y) OVER w AS BIGINT) AS cy,
-         CAST(sum(t * y) OVER w AS BIGINT) AS cty,
+         CAST(sum(CAST(t AS HUGEINT) * y) OVER w AS HUGEINT) AS cty,
          CAST(sum(t * t) OVER w AS BIGINT) AS ctt,
-         CAST(sum(y * y) OVER w AS BIGINT) AS cyy
+         CAST(sum(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS cyy
   FROM idx
   WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), tot AS (
@@ -711,7 +737,7 @@ WITH monthly AS (
   FROM tot
 )
 SELECT best.month AS break_month, slope_left, slope_right, sse_two, sse_one,
-       round(1.0 - sse_two / sse_one, 6) AS sse_reduction
+       round(1.0 - sse_two / nullif(sse_one, 0), 6) AS sse_reduction
 FROM best CROSS JOIN single
 """
 

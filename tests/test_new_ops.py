@@ -780,3 +780,28 @@ def test_fair_share_is_max_min_fair(spark):
     # capped tenants are within 1 token of each other (water level)
     if capped:
         assert max(capped) - min(capped) <= 1
+
+
+def test_frame_sample_fused_equals_two_stage(spark):
+    """The lean fused sampler (one mapInPandas) must emit exactly the rows
+    the composable decode→sample chain emits — fusing is a physical
+    rewrite, never a semantic one."""
+    from pdf_parse_vector_db_spark.operators.multimodal import (
+        attach_binary,
+        frame_sample,
+        frame_sample_fused,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    media = attach_binary(docs).withColumn(
+        "kind", F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video")
+    )
+    chain = sorted(
+        (r.doc_id, r.kind, r.frame_idx) for r in frame_sample(media, every_n=10).collect()
+    )
+    fused = sorted(
+        (r.doc_id, r.kind, r.frame_idx)
+        for r in frame_sample_fused(media, every_n=10).collect()
+    )
+    assert chain == fused and fused
