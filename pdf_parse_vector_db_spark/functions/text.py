@@ -89,9 +89,12 @@ def quality_metrics_expr(text_col: str) -> dict[str, Column]:
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_tokens": n_tokens.cast("bigint"),
+        # ansi: size(split(...)) >= 1 even on empty text
         "avg_token_len": F.round((n_chars - (n_tokens - 1)).cast("double") / n_tokens, 4),
-        "punct_ratio": F.round(punct.cast("double") / n_chars, 6),
-        "stopword_ratio": F.round(stop_hits.cast("double") / n_tokens, 6),
+        # try_divide: an empty document has n_chars = 0 -> NULL ratio on
+        # both engines (the DuckDB twin's x/0 is natively NULL)
+        "punct_ratio": F.round(F.try_divide(punct.cast("double"), n_chars), 6),
+        "stopword_ratio": F.round(stop_hits.cast("double") / n_tokens, 6),  # ansi: n_tokens >= 1
     }
 
 
@@ -128,12 +131,13 @@ def gopher_metrics_expr(text_col: str) -> dict[str, Column]:
     toks = f"split(trim({text_col}), '\\\\s+')"
     n_words = F.expr(f"size({toks})")
     n_chars = F.length(F.col(text_col))
+    # ansi: size(split(...)) >= 1 even on empty text (all three ratios)
     mean_word_len = F.round((n_chars - (n_words - 1)).cast("double") / n_words, 4)
     alpha_frac = F.round(
-        F.expr(f"size(filter({toks}, w -> w rlike '[A-Za-z]'))").cast("double") / n_words, 6
+        F.expr(f"size(filter({toks}, w -> w rlike '[A-Za-z]'))").cast("double") / n_words, 6  # ansi: n_words >= 1
     )
     symbol_ratio = F.round(
-        F.expr(f"regexp_count({text_col}, '{_SYMBOL_RE}')").cast("double") / n_words, 6
+        F.expr(f"regexp_count({text_col}, '{_SYMBOL_RE}')").cast("double") / n_words, 6  # ansi: n_words >= 1
     )
     stop_hits = F.expr(
         f"size(filter({toks}, w -> lower(w) IN ({_in_list_sql(GOPHER_STOPWORDS)})))"

@@ -56,4 +56,5 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 for zero-norm inputs (guarded like the
     reference guards its ratio at extract_and_search_v2.py:165-168)."""
     denom = vector_norm(a) * vector_norm(b)
+    # ansi: the denom > 0 CASE arm guards the division
     return F.when(denom > 0, dot_product(a, b) / denom).otherwise(F.lit(0.0))

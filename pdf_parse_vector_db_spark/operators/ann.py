@@ -290,4 +290,4 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str) -> float:
     the metric that prices the nprobe/nlist trade."""
     a = {r[0] for r in approx.select(id_col).collect()}
     e = [r[0] for r in exact.select(id_col).collect()]
-    return sum(1 for x in e if x in a) / max(len(e), 1)
+    return sum(1 for x in e if x in a) / max(len(e), 1)  # ansi: Python, max >= 1

@@ -62,6 +62,7 @@ def jaccard_expr(a: Column, b: Column) -> Column:
     """|A∩B| / |A∪B| over array-set columns; 0.0 when the union is empty."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
+    # ansi: the union > 0 CASE arm guards the division
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -747,7 +748,7 @@ def embedding_near_dup_pairs(
         nb = np.linalg.norm(mb, axis=1)
         na[na == 0] = 1.0  # zero-norm rows: cosine defined as 0 (guarded like A4)
         nb[nb == 0] = 1.0
-        sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
+        sims = (ma / na[:, None]) @ (mb / nb[:, None]).T  # ansi: numpy; zero norms remapped to 1 above
         # round-half-up at 6dp to match Spark/DuckDB ROUND semantics
         rounded = np.where(sims >= 0, np.floor(sims * 1e6 + 0.5), np.ceil(sims * 1e6 - 0.5)) / 1e6
         ia, ib = np.nonzero(rounded >= thr)

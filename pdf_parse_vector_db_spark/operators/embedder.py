@@ -61,7 +61,7 @@ def embed_text_py(text: str, dim: int = EMBEDDING_DIM) -> list[float] | None:
         # degenerate but non-empty input: deterministic unit vector
         vec[0] = 1.0
         norm = 1.0
-    return [float(x) for x in np.float32(vec / norm)]
+    return [float(x) for x in np.float32(vec / norm)]  # ansi: numpy; norm forced to 1 when 0
 
 
 def hashing_embedder(dim: int = EMBEDDING_DIM):

@@ -64,7 +64,7 @@ def frequent_terms(
     """EXACT terms with frequency ≥ phi·N over `tokens`, without shuffling
     the token stream: MG candidates per partition → distinct → broadcast
     semi-join recount → threshold. Returns (term, cnt), cnt exact."""
-    k = math.ceil(1.0 / phi)
+    k = math.ceil(1.0 / phi)  # ansi: Python constant, phi > 0 validated
     tok = tokens.select(F.col(term_col).alias("term"))
     candidates = (
         tok.mapInPandas(_misra_gries_partition(k), schema="term string")

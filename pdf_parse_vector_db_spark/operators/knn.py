@@ -100,7 +100,7 @@ def knn_exact_blas(
             nq = np.linalg.norm(q)
             denom = nm * nq
             denom[denom == 0] = np.inf  # zero-norm → similarity 0 → distance 1
-            d = 1.0 - (m @ q) / denom
+            d = 1.0 - (m @ q) / denom  # ansi: numpy; zero denom remapped to inf above
         else:
             raise ValueError(f"unknown metric: {metric}")
         return pd.Series(d)
@@ -140,7 +140,7 @@ def mmr_rerank_groups(
         v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
         norms = np.linalg.norm(v, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        v = v / norms
+        v = v / norms  # ansi: numpy; zero norms remapped to 1 above
         rel = pdf[rel_col].to_numpy(dtype=np.float64)
         ids = pdf[id_col].to_numpy()
         sims = v @ v.T
@@ -227,6 +227,7 @@ def win_statistics(results: DataFrame, decision_col: str = "case_decision") -> D
         valid.alias("total_valid_decisions"),
         (total - valid).alias("invalid_decisions"),
         F.round(
+            # ansi: the valid > 0 CASE arm guards the division
             F.when(valid > 0, wins.cast("double") / valid.cast("double") * 100.0).otherwise(0.0), 2
         ).alias("win_percentage"),
         total.alias("result_count"),
@@ -271,6 +272,7 @@ def search_response(
             valid.alias("total_valid_decisions"),
             wins.alias("win_count"),
             F.round(
+                # ansi: the valid > 0 CASE arm guards the division
                 F.when(valid > 0, wins.cast("double") / valid.cast("double") * 100.0)
                 .otherwise(0.0),
                 2,

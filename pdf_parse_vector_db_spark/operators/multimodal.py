@@ -89,16 +89,23 @@ def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame
 
 def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
     """mapInPandas feature extraction: binary content → fixed-width float
-    vector (the multimodal embedding). Deterministic fake: seeded from the
-    content hash; real models (CLIP et al.) replace `_vec` only — batch
+    vector (the multimodal embedding). Deterministic fake: unit-normalized
+    digest bytes — component i is (2·digest[i%32]−255)/√Σ, an odd integer
+    over an exact-integer norm, so BOTH the float64 division and the
+    float32 rounding reproduce bit-identically from the hex digest alone
+    (the DuckDB oracle recomputes every component — digest-math like
+    decode/frames, replacing round 2's RNG fake that was only rows-only
+    checkable). Real models (CLIP et al.) replace `_vec` only — batch
     shape, schema, and normalization are the production plumbing."""
+
+    import math
 
     def _vec(content: bytes) -> list[float]:
         digest = hashlib.sha256(content).digest()
-        seed = int.from_bytes(digest[:8], "big", signed=False) % (2**32)
-        rng = np.random.RandomState(seed)
-        v = rng.standard_normal(dim)
-        return [float(x) for x in np.float32(v / np.linalg.norm(v))]
+        ints = [2 * digest[i % 32] - 255 for i in range(dim)]
+        root = math.sqrt(float(sum(v * v for v in ints)))  # exact int under sqrt
+        # ansi: Python; ints are odd -> ssq > 0 -> root > 0
+        return [float(np.float32(v / root)) for v in ints]
 
     schema = f"doc_id bigint, kind string, feature array<float>"
 
@@ -207,7 +214,7 @@ def resize_media(
                 content = bytes(rec.content) if rec.content is not None else b""
                 digest = hashlib.sha256(content).digest()
                 w, h, _, _ = _fake_dims(digest, rec.kind)
-                scale = min(1.0, max_side / max(w, h))
+                scale = min(1.0, max_side / max(w, h))  # ansi: Python; w >= 160
                 dw, dh = max(1, int(w * scale)), max(1, int(h * scale))
                 # fake resample: keep a scale^2-proportional prefix of the
                 # payload (pixel count shrinks quadratically), re-digest

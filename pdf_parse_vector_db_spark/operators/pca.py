@@ -79,15 +79,15 @@ def pca_explained_variance(
     for r in rows:
         s += np.asarray(r["s"])
         ss += np.asarray(r["ss"]).reshape(dim, dim)
-    mean = s / n
-    cov = ss / n - np.outer(mean, mean)
+    mean = s / n  # ansi: numpy; n = partition row count >= 1
+    cov = ss / n - np.outer(mean, mean)  # ansi: numpy; n >= 1
     evals = np.linalg.eigvalsh(cov)[::-1]
     total = float(evals.sum())
     out = []
     cum = 0.0
     for i in range(min(k, dim)):
         ev = float(evals[i])
-        ratio = ev / total if total > 0 else 0.0
+        ratio = ev / total if total > 0 else 0.0  # ansi: Python ternary guard
         cum += ratio
         out.append(
             {

@@ -534,7 +534,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(target) / F.sum(vol), 6).alias("mkt_share"),
+            # ansi: vol sums positive extendedprice over a non-empty group > 0
+    F.round(F.sum(target) / F.sum(vol), 6).alias("mkt_share"),
             F.round(F.sum(vol), 2).alias("region_volume"),
         )
         .orderBy("o_year")
@@ -1043,7 +1044,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             deletes.select("o_orderpriority", F.lit(-1).alias("sign"), cents.alias("c"))
         )
         .groupBy("o_orderpriority")
-        .agg(F.sum("sign").alias("cnt"), F.sum(F.col("sign") * F.col("c")).alias("cents"))
+        .agg(F.sum("sign").alias("cnt"), F.sum(F.col("sign") * F.col("c")).alias("cents"))  # ansi: sign in {-1,1}, cents-bounded
     )
     maintained = (
         base_agg.unionByName(delta)

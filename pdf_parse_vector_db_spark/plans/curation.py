@@ -431,10 +431,12 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     F.log(
                         (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                        # ansi: count + positive smoothing constant > 0
                         / (F.col("tt") + float(_DSIR_BUCKETS))
                     )
                     - F.log(
                         (F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
+                        # ansi: count + positive smoothing constant > 0
                         / (F.col("rt") + float(_DSIR_BUCKETS))
                     )
                 )
@@ -523,6 +525,7 @@ def unigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         model.crossJoin(F.broadcast(total))
         .select(
             "term",
+            # ansi: tot = global sum >= this term's cnt >= 1
             F.floor(-F.log(F.col("cnt") / F.col("tot")) * 1e6).cast("bigint").alias(
                 "nll_micros"
             ),
@@ -537,6 +540,7 @@ def unigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("lang").orderBy(
+        # ansi: n_toks = group count >= 1
         (F.col("nll_sum").cast("double") / F.col("n_toks")).asc(), F.col("doc_id").asc()
     )
     return (
@@ -641,6 +645,7 @@ def source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     wbest = Window.partitionBy("source").orderBy(F.desc("docs"), F.asc("lang"))
     enriched = (
         by_lang.withColumn("total_docs", F.sum("docs").over(w))
+        # ansi: total_docs = partition sum >= own docs >= 1
         .withColumn("p", F.col("docs").cast("double") / F.col("total_docs"))
         .withColumn("rn", F.row_number().over(wbest))
     )
@@ -718,13 +723,18 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(
             F.round(
+                # ansi: double arithmetic (embedding components)
                 F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))), 6
             ).alias("dist")
         )
     )
     wl = Window.partitionBy("label")
+    # try_divide: an all-identical-distance label has zero stddev — the
+    # z-score is undefined there -> NULL on both engines
     z = F.round(
-        (F.col("dist") - F.avg("dist").over(wl)) / F.stddev_samp("dist").over(wl), 4
+        F.try_divide(
+            F.col("dist") - F.avg("dist").over(wl), F.stddev_samp("dist").over(wl)
+        ), 4
     )
     return (
         d.withColumn("z", z)
@@ -777,6 +787,7 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "q",
         F.when(F.col("ns") == 1, F.lit(50)).otherwise(
+            # ansi: the ns == 1 CASE arm above guards this branch
             F.round((F.col("rn") - 1) * 100.0 / (F.col("ns") - 1)).cast("int")
         ),
     )
@@ -838,16 +849,20 @@ def fisher_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = ex.groupBy("label", "pos").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("m").alias("sm"),
-        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        # m^2 widens to decimal(38,0) before the sum: micros-squared
+        # (<= 1e12 each) crosses int64 near 1e7 vectors/label
+        F.sum(
+            (F.col("m").cast("decimal(19,0)") * F.col("m")).cast("decimal(38,0)")
+        ).alias("smm"),
     )
     glob = lab.groupBy("pos").agg(
         F.sum("n").alias("gn"), F.sum("sm").alias("gsm")
     )
     n, sm, smm = [F.col(c).cast("double") for c in ("n", "sm", "smm")]
     gn, gsm = [F.col(c).cast("double") for c in ("gn", "gsm")]
-    mu_l = sm / (n * 1e6)
-    mu_g = gsm / (gn * 1e6)
-    within_l = (smm - sm * sm / n) / 1e12
+    mu_l = sm / (n * 1e6)  # ansi: n = group count >= 1
+    mu_g = gsm / (gn * 1e6)  # ansi: gn = summed group counts >= 1
+    within_l = (smm - sm * sm / n) / 1e12  # ansi: n >= 1; literal 1e12
     between_l = n * (mu_l - mu_g) * (mu_l - mu_g)
     contrib = lab.join(glob, "pos").select(
         "pos",
@@ -859,7 +874,11 @@ def fisher_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("b_mic") / 1e6, 6).alias("between_var"),
             F.round(F.sum("w_mic") / 1e6, 6).alias("within_var"),
-            F.round((F.sum("b_mic") / 1e6) / (F.sum("w_mic") / 1e6), 6).alias("fisher"),
+            # try_divide: a constant dimension has zero within-variance —
+            # the Fisher ratio is undefined there -> NULL on both engines
+            F.round(
+                F.try_divide(F.sum("b_mic") / 1e6, F.sum("w_mic") / 1e6), 6
+            ).alias("fisher"),
         )
         .orderBy(F.desc("fisher"), F.asc("pos"))
         .limit(10)
@@ -978,7 +997,9 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ay", F.sum(F.when(F.col("ry") <= _MINE_K, F.col("cos"))).over(py) / _MINE_K
     ).withColumn(
         "margin",
-        F.round(F.col("cos") / ((F.col("ax") + F.col("ay")) / 2), 6),
+        # try_divide: zero mean top-k similarity (orthogonal corpus) makes
+        # the margin undefined -> NULL on both engines
+        F.round(F.try_divide(F.col("cos"), (F.col("ax") + F.col("ay")) / 2), 6),
     )
     wbest = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
     return (
@@ -1777,6 +1798,160 @@ ENCODING_ADVISOR_SQL = (
 )
 
 
+
+# ---------------------------------------------------------------------------
+# X22 Z-order clustering audit: multi-dimensional data layout for zone-map
+# pruning (Morton 1966; the Delta OPTIMIZE ZORDER BY / Iceberg sort-order
+# technique). A table sorted on ONE column prunes min/max zone maps only on
+# that column; interleaving the bits of two bucketed sort keys gives every
+# file a tight min/max RANGE ON BOTH, so 2-D predicates skip most files.
+# This query lays the same rows out both ways, computes each file's zone
+# map, and prices a fixed 2-D predicate under both layouts — the
+# before/after report a table-maintenance advisor shows.
+# ---------------------------------------------------------------------------
+
+_ZORD_BITS = 4  # 16 x 16 bucket grid
+_ZORD_FILES = 64  # both layouts split into 64 equal "files"
+_ZORD_PRED_CB = 5  # predicate: custkey-bucket = 5 AND month-bucket IN [3, 6]
+_ZORD_PRED_DB_LO, _ZORD_PRED_DB_HI = 3, 6
+
+
+def _morton_sql(cb: str, db: str, intdiv: str = "//") -> str:
+    """Bit interleave via floor-div/mod arithmetic only — no bit operators,
+    so both engines evaluate the same formula (spelling differs: Spark says
+    `div`, DuckDB says `//`)."""
+    terms = []
+    for i in range(_ZORD_BITS):
+        terms.append(f"(({cb} {intdiv} {1 << i}) % 2) * {4 ** i}")
+        terms.append(f"(({db} {intdiv} {1 << i}) % 2) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: Z-order vs natural layout, priced by zone-map pruning.
+
+    Both layouts are 64 equal files over the same orders rows; `natural`
+    orders by (o_orderdate, o_orderkey) — the append order a daily ingest
+    produces — and `zorder` by the Morton interleave of the 4-bit custkey
+    and month buckets. Per file the zone map is (min,max) of both buckets;
+    `files_scanned` counts files whose zone map intersects the pinned 2-D
+    predicate (custkey-bucket = 5, month-bucket in [3,6]). Everything is
+    exact integer arithmetic — bucket math, interleave, spans — so the
+    whole layout study sits under the oracle hash.
+
+    Scale shape: the global row_number windows stand in for the sort a
+    Z-ORDER rewrite performs anyway; a production writer range-partitions
+    by the Morton key (repartitionByRange) and writes, needing no global
+    window. The zone-map/pruning accounting is a 2x64-row aggregate."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    rng = orders.agg(
+        F.max("o_custkey").alias("mx_ck"),
+        F.min(F.expr("(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1")).alias("mn_mi"),
+        F.max(F.expr("(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1")).alias("mx_mi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    grid = 1 << _ZORD_BITS
+    base = orders.crossJoin(F.broadcast(rng)).select(
+        "o_orderkey",
+        "o_orderdate",
+        # ansi: mx_ck >= o_custkey >= 1; month span >= 0 with +1 guard
+        F.least(
+            F.lit(grid - 1),
+            F.expr(f"(o_custkey - 1) * {grid} div mx_ck"),
+        ).cast("int").alias("cb"),
+        F.least(
+            F.lit(grid - 1),
+            F.expr(
+                f"((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 - mn_mi)"
+                f" * {grid} div (mx_mi - mn_mi + 1)"
+            ),
+        ).cast("int").alias("db"),
+        F.col("n"),
+    )
+    morton = F.expr(_morton_sql("cb", "db", intdiv="div"))
+    ranked = base.select(
+        "cb",
+        "db",
+        "n",
+        F.row_number().over(W.orderBy(morton, "cb", "db", "o_orderkey")).alias("zr"),
+        F.row_number().over(W.orderBy("o_orderdate", "o_orderkey")).alias("nr"),
+    )
+    long = ranked.select(
+        F.expr(
+            f"stack(2, 'natural', (nr - 1) * {_ZORD_FILES} div n,"
+            f" 'zorder', (zr - 1) * {_ZORD_FILES} div n) AS (layout, file)"
+        ),
+        "cb",
+        "db",
+    )
+    zm = long.groupBy("layout", "file").agg(
+        F.min("cb").alias("cb_lo"),
+        F.max("cb").alias("cb_hi"),
+        F.min("db").alias("db_lo"),
+        F.max("db").alias("db_hi"),
+    )
+    hit = (
+        (F.col("cb_lo") <= _ZORD_PRED_CB)
+        & (F.col("cb_hi") >= _ZORD_PRED_CB)
+        & (F.col("db_lo") <= _ZORD_PRED_DB_HI)
+        & (F.col("db_hi") >= _ZORD_PRED_DB_LO)
+    )
+    return (
+        zm.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(hit.cast("long")).alias("files_scanned"),
+            # ansi: n_files = group count >= 1 (integer-exact span sums)
+            F.round(F.sum(F.col("cb_hi") - F.col("cb_lo")).cast("double") / F.count(F.lit(1)), 4).alias("avg_ck_span"),
+            F.round(F.sum(F.col("db_hi") - F.col("db_lo")).cast("double") / F.count(F.lit(1)), 4).alias("avg_month_span"),
+        )
+        .orderBy("layout")
+    )
+
+
+ZORDER_LAYOUT_SQL = f"""
+WITH rng AS (
+  SELECT max(o_custkey) AS mx_ck,
+         min((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1) AS mn_mi,
+         max((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1) AS mx_mi,
+         count(*) AS n
+  FROM orders
+), base AS (
+  SELECT o_orderkey, o_orderdate, n,
+         CAST(least({(1 << _ZORD_BITS) - 1}, (o_custkey - 1) * {1 << _ZORD_BITS} // mx_ck) AS INT) AS cb,
+         CAST(least({(1 << _ZORD_BITS) - 1},
+                    ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 - mn_mi)
+                      * {1 << _ZORD_BITS} // (mx_mi - mn_mi + 1)) AS INT) AS db
+  FROM orders CROSS JOIN rng
+), ranked AS (
+  SELECT cb, db, n,
+         row_number() OVER (ORDER BY {_morton_sql('cb', 'db')}, cb, db, o_orderkey) AS zr,
+         row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS nr
+  FROM base
+), long AS (
+  SELECT 'natural' AS layout, (nr - 1) * {_ZORD_FILES} // n AS file, cb, db FROM ranked
+  UNION ALL
+  SELECT 'zorder', (zr - 1) * {_ZORD_FILES} // n, cb, db FROM ranked
+), zm AS (
+  SELECT layout, file,
+         min(cb) AS cb_lo, max(cb) AS cb_hi, min(db) AS db_lo, max(db) AS db_hi
+  FROM long GROUP BY layout, file
+)
+SELECT layout,
+       count(*) AS n_files,
+       CAST(sum(CASE WHEN cb_lo <= {_ZORD_PRED_CB} AND cb_hi >= {_ZORD_PRED_CB}
+                      AND db_lo <= {_ZORD_PRED_DB_HI} AND db_hi >= {_ZORD_PRED_DB_LO}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       round(CAST(sum(cb_hi - cb_lo) AS DOUBLE) / count(*), 4) AS avg_ck_span,
+       round(CAST(sum(db_hi - db_lo) AS DOUBLE) / count(*), 4) AS avg_month_span
+FROM zm
+GROUP BY layout
+ORDER BY layout
+"""
+
+
 QUERIES = [
     QuerySpec(
         "bpe_learn_merges",
@@ -1888,5 +2063,11 @@ QUERIES = [
         encoding_advisor,
         ENCODING_ADVISOR_SQL,
         "X22 columnar encoding advisor: NDV/run/width stats with two-level exact run counting",
+    ),
+    QuerySpec(
+        "zorder_layout",
+        zorder_layout,
+        ZORDER_LAYOUT_SQL,
+        "X22 Z-order vs natural layout priced by zone-map pruning (Morton interleave, exact)",
     ),
 ]

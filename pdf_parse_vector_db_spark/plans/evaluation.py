@@ -91,6 +91,7 @@ def _centroid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("pos", "smic", "n"))),
+                # ansi: n = per-position group count >= 1
                 lambda s: s["smic"].cast("double") / (s["n"].cast("double") * 1e6),
             ).alias("cv")
         )
@@ -123,14 +124,19 @@ def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = ranked.agg(
         F.sum("pos_cnt").cast("bigint").alias("n_pos"),
         (F.sum("cnt") - F.sum("pos_cnt")).cast("bigint").alias("n_neg"),
+        # ansi: avg_rank is DOUBLE (built from (cnt+1)/2.0) -> double sum
         F.sum(F.col("pos_cnt") * F.col("avg_rank")).alias("rank_sum"),
     )
     return tot.select(
         "n_pos",
         "n_neg",
+        # try_divide: AUC is undefined when either class is empty
+        # (n_pos or n_neg = 0) -> NULL on both engines
         F.round(
-            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
-            / (F.col("n_pos") * F.col("n_neg").cast("double")),
+            F.try_divide(
+                F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0),
+                F.col("n_pos") * F.col("n_neg").cast("double"),
+            ),
             6,
         ).alias("auc"),
     )
@@ -246,12 +252,17 @@ def retrieval_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = ranked.filter(F.col("rank") <= NDCG_K)
     n_rel = pairs.groupBy("query_id").agg(F.sum("rel").cast("bigint").alias("n_rel"))
     per_q = top.groupBy("query_id").agg(
+        # ansi: rank = row_number >= 1 -> log2(rank+1) >= 1 > 0
         F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("dcg"),
         F.min(F.when(F.col("rel") == 1, F.col("rank"))).cast("int").alias("first_rel_rank"),
     )
+    # NULL-guard the n_rel = 0 query: sequence(1, 0) descends through i = 0,
+    # where log2(i+1) = 0 would raise under ANSI — NDCG is undefined with no
+    # relevant documents, so both engines yield NULL there instead
     idcg = F.expr(
+        "CASE WHEN n_rel = 0 THEN CAST(NULL AS DOUBLE) ELSE "
         f"aggregate(sequence(1, CAST(least(n_rel, {NDCG_K}) AS INT)), 0d,"
-        " (acc, i) -> acc + 1.0 / log2(i + 1))"
+        " (acc, i) -> acc + 1.0 / log2(i + 1)) END"  # ansi: i >= 1 in branch
     )
     return (
         per_q.join(n_rel, "query_id")
@@ -260,9 +271,11 @@ def retrieval_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rel",
             "first_rel_rank",
             F.round(
+                # first_rel_rank is a row_number (>= 1) or NULL, and NULL
+                # ansi: propagates into the coalesce fallback
                 F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)), 6
             ).alias("rr"),
-            F.round(F.col("dcg") / idcg, 6).alias("ndcg10"),
+            F.round(F.try_divide(F.col("dcg"), idcg), 6).alias("ndcg10"),
         )
         .orderBy("query_id")
     )

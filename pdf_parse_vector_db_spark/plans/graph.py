@@ -56,6 +56,7 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        # ansi: n counts the node set this very row belongs to -> n >= 1
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
     iter_ranks = []
@@ -63,6 +64,7 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         contribs = (
             edges_w.join(ranks, edges_w["src"] == ranks["node"])
             .groupBy("dst")
+            # ansi: od = groupBy count over edges -> >= 1 for every source
             .agg(F.sum(F.col("r") / F.col("od")).alias("c"))
         )
         ranks = (
@@ -71,6 +73,7 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
+                    # ansi: n = node-set count, >= 1 wherever a node row exists
                     F.lit(1 - _DAMP) / F.col("n")
                     + F.lit(_DAMP) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("r"),
@@ -567,9 +570,15 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.col("deg").cast("bigint").alias("degree"),
             F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("triangles"),
+            # try_divide: a degree-1 node has no neighbor pairs — clustering
+            # is undefined -> NULL on both engines (DuckDB x/0 is natively
+            # NULL); the tested near-complete trade graph never hits it, a
+            # sparse production graph would
             F.round(
-                F.coalesce(F.col("tri"), F.lit(0)).cast("double")
-                / (F.col("deg") * (F.col("deg") - 1) / 2.0),
+                F.try_divide(
+                    F.coalesce(F.col("tri"), F.lit(0)).cast("double"),
+                    F.col("deg") * (F.col("deg") - 1) / 2.0,  # ansi: literal 2.0
+                ),
                 6,
             ).alias("clustering"),
         )
@@ -656,9 +665,12 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("m"),
         F.sum("da").alias("sx"),
         F.sum("db").alias("sy"),
-        F.sum(F.col("da") * F.col("db")).alias("sxy"),
-        F.sum(F.col("da") * F.col("da")).alias("sxx"),
-        F.sum(F.col("db") * F.col("db")).alias("syy"),
+        # ansi(x3): da/db are degrees of the CONTRACTED nation graph —
+        # bounded by the nation count (25) at any scale factor, so every
+        # product is <= 625 and the edge-sum <= ~4e5
+        F.sum(F.col("da") * F.col("db")).alias("sxy"),  # ansi: bounded degrees
+        F.sum(F.col("da") * F.col("da")).alias("sxx"),  # ansi: bounded degrees
+        F.sum(F.col("db") * F.col("db")).alias("syy"),  # ansi: bounded degrees
     )
     m, sx, sy = [F.col(c).cast("double") for c in ("m", "sx", "sy")]
     sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]

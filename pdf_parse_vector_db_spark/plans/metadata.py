@@ -121,6 +121,116 @@ def full_decision_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LLM-stub vocabularies (operators/conclusion.py:131-134), re-exported as
+#: raw pattern text so the oracle can mirror the first-match-position
+#: arbitration in RE2.
+_STUB_WON_RE = r"allow|grant|set[-\s]+aside|accepted|succeed|remand|in\s+favor|reversed"
+_STUB_LOST_RE = r"dismiss|reject|upheld|affirm|denied|fails"
+
+
+def decision_llm_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/T3 decomposed and oracle-backed (round-3 conversion): the
+    rule-cascade → LLM-stub → closed-domain-validation → gating chain of
+    the v2 pipeline (extract_and_embed_v2.py:283-297,339-343), with the
+    conclusion input pinned to the POSITIONAL tier (the only extractor
+    tier both engines can compute; the indicator/last-match tiers stay in
+    full_decision_pipeline's pandas_udf, golden-tested).
+
+    What sits under the value hash here that was rows-only before: the
+    analyze-conclusion pandas_udf itself (first-match-position arbitration
+    between win/loss vocabularies — the DuckDB twin recovers each match
+    position as length(prefix after replacing from the first match), the
+    domain validation, and the needs-LLM gate. Scale shape: pure map —
+    cascade CASE, substring, one Arrow-batched UDF."""
+    from pdf_parse_vector_db_spark.functions.classifiers import case_decision_expr
+    from pdf_parse_vector_db_spark.operators.conclusion import (
+        analyze_conclusion_udf,
+        validated_decision,
+    )
+    from pdf_parse_vector_db_spark.schemas import (
+        DECISION_INVALID,
+        VALID_DECISIONS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    text = F.col("text")
+    n = F.length(text)
+    start80 = (F.floor(n.cast("double") * 0.8) + 1).cast("int")
+    conclusion = (
+        F.when(n > 5000, text.substr(start80, n))
+        .when(n > 1000, text.substr(n - 999, F.lit(1000)))
+        .otherwise(text)
+    )
+    staged = docs.select(
+        "doc_id",
+        case_decision_expr(text).alias("rule_decision"),
+        conclusion.alias("conclusion"),
+    )
+    llm = validated_decision(analyze_conclusion_udf()(F.col("conclusion")))
+    llm_final = F.when(llm.isin(*VALID_DECISIONS), llm).otherwise(
+        F.lit(DECISION_INVALID)
+    )
+    return (
+        staged.withColumn("llm_decision", llm_final)
+        .select(
+            "doc_id",
+            "rule_decision",
+            "llm_decision",
+            F.when(
+                F.col("rule_decision") == DECISION_INVALID, F.col("llm_decision")
+            )
+            .otherwise(F.col("rule_decision"))
+            .alias("case_decision"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _decision_llm_stage_sql() -> str:
+    from pdf_parse_vector_db_spark.functions.classifiers import case_decision_sql
+
+    # first-match position in RE2: replace from the first (pattern-then-
+    # anything) occurrence with '' — the surviving prefix length IS
+    # re.search(pattern).start()
+    w_strip = f"regexp_replace(conclusion, '(?is)({_STUB_WON_RE}).*$', '')"
+    l_strip = f"regexp_replace(conclusion, '(?is)({_STUB_LOST_RE}).*$', '')"
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         {case_decision_sql("text")} AS rule_decision,
+         CASE WHEN length(text) > 5000
+                THEN substring(text, CAST(floor(length(text) * 0.8) AS BIGINT) + 1)
+              WHEN length(text) > 1000 THEN substring(text, length(text) - 999)
+              ELSE text END AS conclusion
+  FROM documents
+), pos AS (
+  SELECT doc_id, rule_decision,
+         CASE WHEN conclusion IS NULL OR conclusion = '' THEN NULL
+              WHEN regexp_matches(conclusion, '(?i){_STUB_WON_RE}')
+                THEN length({w_strip}) END AS w_pos,
+         CASE WHEN conclusion IS NULL OR conclusion = '' THEN NULL
+              WHEN regexp_matches(conclusion, '(?i){_STUB_LOST_RE}')
+                THEN length({l_strip}) END AS l_pos
+  FROM c
+), llm AS (
+  SELECT doc_id, rule_decision,
+         CASE WHEN w_pos IS NOT NULL AND (l_pos IS NULL OR w_pos <= l_pos)
+                THEN 'appellant_won'
+              WHEN l_pos IS NOT NULL THEN 'appellant_lost'
+              ELSE 'invalid' END AS llm_decision
+  FROM pos
+)
+SELECT doc_id, rule_decision, llm_decision,
+       CASE WHEN rule_decision = 'invalid' THEN llm_decision
+            ELSE rule_decision END AS case_decision
+FROM llm
+ORDER BY doc_id
+"""
+
+
+DECISION_LLM_STAGE_SQL = _decision_llm_stage_sql()
+
+
 def conclusion_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 positional-fallback tier in isolation (extract_and_embed_v2.py:
     253-261): last 20% if len>5000, last 1000 chars if len>1000, else the
@@ -272,7 +382,7 @@ def geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         x = v.to_numpy(dtype="float64")
         smic = int(np.floor(np.log(x) * 1e6 + 0.5).astype("int64").sum())
-        g = np.exp(smic / (len(x) * 1e6))
+        g = np.exp(smic / (len(x) * 1e6))  # ansi: Python/numpy; len(x) >= 1 per group
         return float(np.floor(g * 1e6 + 0.5) / 1e6)
 
     # module-level `from __future__ import annotations` stringifies hints,
@@ -308,5 +418,6 @@ QUERIES = [
     QuerySpec("geomean_udaf", geomean_udaf, GEOMEAN_UDAF_SQL, "U5 pandas GROUPED_AGG UDAF, integer-micros exact"),
     QuerySpec("table_stats", table_stats, TABLE_STATS_SQL, "ANALYZE-style column profiling (nulls/NDV/min/max)"),
     QuerySpec("full_decision_pipeline", full_decision_pipeline, None, "T3+U2 cascade→LLM-stub pipeline"),
+    QuerySpec("decision_llm_stage", decision_llm_stage, DECISION_LLM_STAGE_SQL, "U2/T3 LLM-stub + gating stage (oracle-backed since r3)"),
     QuerySpec("conclusion_positional", conclusion_positional, CONCLUSION_POSITIONAL_SQL, "F7 positional fallback tier"),
 ]

@@ -39,11 +39,12 @@ def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars"),
     )
     w = Window.partitionBy()  # grouped result is |langs| rows — driver-tiny
+    # ansi: window sum includes this row's docs >= 1
     p = F.col("docs") / F.sum("docs").over(w)
     # p_l^a / sum p^a == docs^a / sum docs^a (total cancels) — the latter
     # avoids nesting a window inside a window, which DuckDB rejects
     pa = F.pow(F.col("docs").cast("double"), F.lit(_ALPHA))
-    tw = pa / F.sum(pa).over(w)
+    tw = pa / F.sum(pa).over(w)  # ansi: sum of positive pow terms incl. own > 0
     return (
         counts.select(
             "lang",
@@ -116,6 +117,7 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
             "sampled",
             F.round(F.expr(_NOMINAL_SPARK), 6).alias("nominal_rate"),
+            # ansi: total = group count >= 1
             F.round(F.col("sampled") / F.col("total"), 6).alias("observed_rate"),
         )
         .orderBy("source")
@@ -211,6 +213,7 @@ def domain_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()  # 3 rows
     budget = F.sum("chars").over(w) * 2
     share = F.expr(_SHARE_SPARK)
+    # ansi: chars = per-domain char sum, >= 1 for any emitted group
     epochs = F.round(budget * share / F.col("chars"), 4)
     return (
         by_domain.select(
@@ -437,6 +440,7 @@ def es_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
+    # ansi: o_totalprice > 0 in TPC-H (weights of the ES reservoir)
     key = F.round(F.log(u) / (F.col("o_totalprice") / F.lit(1e5)), 6)
     return (
         orders.select(
@@ -657,6 +661,7 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "mask_ratio",
+            # ansi: n_tokens = per-doc token count >= 1 (split emits >= 1)
             F.round(F.col("n_masked").cast("double") / F.col("n_tokens"), 6),
         )
         .orderBy("doc_id")
@@ -752,12 +757,14 @@ def correlated_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "full_join",
             "corr_join",
             "indep_join",
-            F.round(F.col("corr_join") / F.col("full_join").cast("double"), 4).alias(
-                "corr_ratio"
-            ),
-            F.round(F.col("indep_join") / F.col("full_join").cast("double"), 4).alias(
-                "indep_ratio"
-            ),
+            # try_divide(x2): an empty full-sample join leaves both
+            # ratios undefined -> NULL on both engines
+            F.round(
+                F.try_divide(F.col("corr_join"), F.col("full_join").cast("double")), 4
+            ).alias("corr_ratio"),
+            F.round(
+                F.try_divide(F.col("indep_join"), F.col("full_join").cast("double")), 4
+            ).alias("indep_ratio"),
         )
     )
 
@@ -836,6 +843,7 @@ def apportion_sample_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.when(F.col("rk") <= F.col("left"), F.lit(1)).otherwise(F.lit(0))
             ).cast("bigint").alias("slots"),
             F.round(
+                # ansi: total = global doc count >= own docs >= 1
                 F.lit(_APPORTION_BUDGET) * F.col("docs") / F.col("total").cast("double"),
                 4,
             ).alias("exact_quota"),

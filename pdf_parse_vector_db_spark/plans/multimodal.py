@@ -84,7 +84,11 @@ ORDER BY doc_id
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing: binary → unit-norm float vector; the
-    output column is ANN-ready (same shape the embeddings table has)."""
+    output column is ANN-ready (same shape the embeddings table has).
+    Oracle-backed since round 3: the fake extractor is digest math
+    (operators/multimodal.extract_features), so the DuckDB twin recomputes
+    the float32 components from the hex digest and the norm fold and the
+    first component both sit under the value hash."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     media = attach_binary(docs)
     feats = extract_features(media, dim=64)
@@ -101,7 +105,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("norm"),
+        F.round(F.col("feature")[0].cast("double"), 6).alias("f0"),
     ).orderBy("doc_id")
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id, sha256(text) AS sha FROM documents
+), b AS (
+  SELECT doc_id,
+         list_transform(range(32),
+           j -> 2 * (('0x' || substr(sha, CAST(2 * j + 1 AS INT), 2))::INT) - 255
+         ) AS ints
+  FROM m
+), s AS (
+  SELECT doc_id, ints,
+         sqrt(CAST(2 * list_sum(list_transform(ints, v -> v * v)) AS DOUBLE)) AS root
+  FROM b
+), c AS (
+  SELECT doc_id,
+         list_transform(list_concat(ints, ints),
+                        v -> CAST(CAST(v AS DOUBLE) / root AS REAL)) AS f
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(f) AS INT) AS dim,
+       round(sqrt(list_sum(list_transform(f, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
+       round(CAST(f[1] AS DOUBLE), 6) AS f0
+FROM c
+ORDER BY doc_id
+"""
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +218,7 @@ def clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("cos") >= 0.2).cast("long")).alias("kept"),
             F.round(
                 F.sum(F.round(F.col("cos") * 1e6).cast("bigint"))
+                # ansi: group count >= 1 times a nonzero literal
                 / (F.count(F.lit(1)) * 1e6),
                 6,
             ).alias("mean_cos"),
@@ -266,7 +300,7 @@ QUERIES = [
     QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, "X6 binary metadata"),
     QuerySpec("clip_pair_filter", clip_pair_filter, CLIP_PAIR_FILTER_SQL, "X6 cross-modal cosine pair gate"),
     QuerySpec("multimodal_decode", multimodal_decode, MULTIMODAL_DECODE_SQL, "X6 decode plumbing (digest-math oracle)"),
-    QuerySpec("multimodal_features", multimodal_features, None, "X6 feature extraction (rows-only: RNG features)"),
+    QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, "X6 feature extraction (digest-math oracle since r3)"),
     QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL, "X6 frame sampling (digest-math oracle)"),
     QuerySpec("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_SQL, "X6 aspect-preserving resize plumbing (digest-math oracle)"),
 ]

@@ -233,7 +233,8 @@ def ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jacc",
             F.round(
                 F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                # ansi: union = na + nb - inter >= max(na, nb) >= 1 per candidate
+                    / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
                 6,
             ),
         )

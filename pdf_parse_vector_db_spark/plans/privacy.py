@@ -223,6 +223,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.when(F.col("class_size") < F.col("k"), F.col("class_size")).otherwise(0)
                 )
+                # ansi: sum of positive class sizes over a non-empty group
                 / F.sum("class_size")
                 * 100,
                 4,
@@ -295,7 +296,7 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         u = F.expr(_dp_uniform_spark(f"concat(event_type, ':{eps}')"))
         shifted = u - F.lit(0.5)
         noise = (
-            F.lit(-1.0 / eps)
+            F.lit(-1.0 / eps)  # ansi: Python constant math, eps > 0
             * F.signum(shifted)
             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(shifted))
         )

@@ -335,6 +335,7 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = with_med.join(
         F.broadcast(mad.select("o_orderpriority", "mad")), "o_orderpriority"
     ).groupBy("o_orderpriority").agg(
+        # ansi: sums 0/1 indicator values — bounded by the row count
         F.sum(
             F.when(
                 F.abs(F.col("o_totalprice") - F.col("med")) > 3.5 * 1.4826 * F.col("mad"), 1
@@ -535,6 +536,7 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "ttr",
+            # ansi: grams = group count >= 1
             F.round(F.col("distinct_grams").cast("double") / F.col("grams"), 6),
         )
         .orderBy("source", "n")
@@ -575,15 +577,19 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return (
+        # try_divide: an empty table leg has n_rows = 0 — the skew profile
+        # is undefined there -> NULL on both engines
         out.withColumn(
-            "top_share", F.round(F.col("max_rows").cast("double") / F.col("n_rows"), 6)
+            "top_share",
+            F.round(F.try_divide(F.col("max_rows").cast("double"), F.col("n_rows")), 6),
         )
         .withColumn(
             "skew_ratio",
             F.round(
-                F.col("max_rows").cast("double")
-                * F.col("n_keys").cast("double")
-                / F.col("n_rows"),
+                F.try_divide(
+                    F.col("max_rows").cast("double") * F.col("n_keys").cast("double"),
+                    F.col("n_rows"),
+                ),
                 4,
             ),
         )
@@ -890,6 +896,7 @@ def point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.round(
                 F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+                # ansi: group count >= 1 times a nonzero literal
                 / (F.count(F.lit(1)) * F.lit(1000000.0)),
                 6,
             ).alias("avg_value"),
@@ -948,10 +955,12 @@ def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("grand", F.sum("n").over(W.partitionBy()))
     contrib = tot.withColumn(
         "expected",
+        # ansi: grand = global sum >= this cell's n >= 1
         F.col("row_n").cast("double") * F.col("col_n") / F.col("grand"),
     ).withColumn(
         "contrib_mic",
         F.round(
+            # ansi: expected = row_n*col_n/grand with all three >= 1 -> > 0
             F.pow(F.col("n") - F.col("expected"), F.lit(2.0)) / F.col("expected") * 1e6
         ).cast("bigint"),
     )
@@ -991,8 +1000,9 @@ def segment_priority_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("col_n", F.sum("n").over(W.partitionBy("o_orderpriority")))
         .withColumn("grand", F.sum("n").over(W.partitionBy()))
     )
-    p = F.col("n").cast("double") / F.col("grand")
+    p = F.col("n").cast("double") / F.col("grand")  # ansi: grand >= n >= 1
     mi_cell = p * F.log(
+        # ansi: marginals row_n/col_n >= this cell's n >= 1
         F.col("n").cast("double") * F.col("grand") / (F.col("row_n") * F.col("col_n"))
     )
     # entropy contributions count each row/col marginal once per cell if
@@ -1000,18 +1010,23 @@ def segment_priority_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of deduplicating (same total, stays one stream)
     rmult = F.count(F.lit(1)).over(W.partitionBy("c_mktsegment"))
     cmult = F.count(F.lit(1)).over(W.partitionBy("o_orderpriority"))
-    pr = F.col("row_n").cast("double") / F.col("grand")
-    pc = F.col("col_n").cast("double") / F.col("grand")
+    pr = F.col("row_n").cast("double") / F.col("grand")  # ansi: grand >= 1
+    pc = F.col("col_n").cast("double") / F.col("grand")  # ansi: grand >= 1
     staged = tot.select(
         F.round(mi_cell * 1e9).cast("bigint").alias("mi_nano"),
+        # ansi: rmult is a partition count >= 1
         F.round(-pr * F.log(pr) / rmult * 1e9).cast("bigint").alias("hr_nano"),
-        F.round(-pc * F.log(pc) / cmult * 1e9).cast("bigint").alias("hc_nano"),
+        F.round(-pc * F.log(pc) / cmult * 1e9).cast("bigint").alias("hc_nano"),  # ansi: cmult >= 1
     )
     return staged.agg(
         F.round(F.sum("mi_nano") / 1e9, 6).alias("mi_nats"),
+        # try_divide: a single-category marginal has zero entropy — NMI is
+        # undefined -> NULL on both engines
         F.round(
-            (F.sum("mi_nano") / 1e9)
-            / F.sqrt((F.sum("hr_nano") / 1e9) * (F.sum("hc_nano") / 1e9)),
+            F.try_divide(
+                F.sum("mi_nano") / 1e9,
+                F.sqrt((F.sum("hr_nano") / 1e9) * (F.sum("hc_nano") / 1e9)),
+            ),
             6,
         ).alias("nmi"),
     )
@@ -1083,8 +1098,11 @@ def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("orphans"))
     rep = base.crossJoin(orphans)
     checks = [
-        ("completeness_o_custkey", 1.0 - F.col("null_cust") / F.col("n"), F.col("null_cust") == 0),
-        ("uniqueness_o_orderkey", F.col("dist_key") / F.col("n"), F.col("dist_key") == F.col("n")),
+        # try_divide(x2): on an EMPTY table (n = 0) the ratio checks are
+        # undefined -> NULL score on both engines; the boolean verdicts
+        # still evaluate
+        ("completeness_o_custkey", 1.0 - F.try_divide(F.col("null_cust"), F.col("n")), F.col("null_cust") == 0),
+        ("uniqueness_o_orderkey", F.try_divide(F.col("dist_key"), F.col("n")), F.col("dist_key") == F.col("n")),
         ("range_o_totalprice_positive", F.col("bad_price").cast("double"), F.col("bad_price") == 0),
         ("domain_o_orderstatus", F.col("bad_status").cast("double"), F.col("bad_status") == 0),
         ("referential_custkey", F.col("orphans").cast("double"), F.col("orphans") == 0),
@@ -1147,6 +1165,7 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", spread=True)
     d = F.floor(
         F.col("o_totalprice")
+        # ansi: evaluated only behind the o_totalprice > 0 filter; pow(10, k) > 0
         / F.pow(F.lit(10.0), F.floor(F.log10(F.col("o_totalprice"))))
     ).cast("int")
     digits = (
@@ -1159,11 +1178,12 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "digit",
         "n",
-        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("obs_share"),
-        F.round(F.log10(1 + 1 / F.col("digit").cast("double")), 6).alias("exp_share"),
+        # ansi(file): total = global sum >= own n >= 1; digit in 1..9
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("obs_share"),  # ansi: total >= 1
+        F.round(F.log10(1 + 1 / F.col("digit").cast("double")), 6).alias("exp_share"),  # ansi: digit >= 1
         F.round(
-            F.col("n").cast("double") / F.col("total")
-            - F.log10(1 + 1 / F.col("digit").cast("double")),
+            F.col("n").cast("double") / F.col("total")  # ansi: total >= 1
+            - F.log10(1 + 1 / F.col("digit").cast("double")),  # ansi: digit >= 1
             6,
         ).alias("deviation"),
     ).orderBy("digit")
@@ -1340,9 +1360,11 @@ def length_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("next_v").isNotNull())
         .select(
             (
+                # try_divide(x2): a source with zero docs makes its CDF
+                # undefined -> NULL segments -> NULL EMD on both engines
                 F.abs(
-                    F.col("cuma").cast("double") / F.col("na")
-                    - F.col("cumb").cast("double") / F.col("nb")
+                    F.try_divide(F.col("cuma").cast("double"), F.col("na"))
+                    - F.try_divide(F.col("cumb").cast("double"), F.col("nb"))
                 )
                 * (F.col("next_v") - F.col("n_chars"))
             ).alias("seg")
@@ -1410,9 +1432,20 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("nation")
         .agg(
             F.max("n").cast("bigint").alias("n_customers"),
+            # numerator widens to decimal(38,0) before the sum (rank x cents
+            # crosses int64 near 1e6 customers/nation — changepoint class);
+            # denominator multiplies in double for the same reason;
+            # try_divide: a zero-revenue nation has an undefined Gini -> NULL
             F.round(
-                F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast("double")
-                / (F.max("n") * F.sum("cents")).cast("double"),
+                F.try_divide(
+                    F.sum(
+                        (
+                            (2 * F.col("i") - F.col("n") - 1).cast("decimal(19,0)")
+                            * F.col("cents")
+                        ).cast("decimal(38,0)")
+                    ).cast("double"),
+                    F.max("n").cast("double") * F.sum("cents").cast("double"),
+                ),
                 6,
             ).alias("gini"),
         )
@@ -1676,15 +1709,21 @@ def length_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "na",
             "nb",
+            # try_divide(x2): zero-doc source -> undefined CDF -> NULL KS
             F.abs(
-                F.col("cuma").cast("double") / F.col("na")
-                - F.col("cumb").cast("double") / F.col("nb")
+                F.try_divide(F.col("cuma").cast("double"), F.col("na"))
+                - F.try_divide(F.col("cumb").cast("double"), F.col("nb"))
             ).alias("gap"),
         )
     )
     out = gaps.groupBy("na", "nb").agg(F.round(F.max("gap"), 6).alias("ks_d"))
+    # double casts on BOTH factors: na*nb in bigint would overflow past
+    # ~3e9-row samples; try_divide covers the zero-doc source
     crit = 1.358 * F.sqrt(
-        (F.col("na") + F.col("nb")).cast("double") / (F.col("na") * F.col("nb"))
+        F.try_divide(
+            (F.col("na") + F.col("nb")).cast("double"),
+            F.col("na").cast("double") * F.col("nb").cast("double"),
+        )
     )
     return out.select(
         F.col("na").cast("bigint").alias("n_a"),
@@ -1772,8 +1811,14 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r")
         .agg(
             (
-                F.sum(F.col("w") * F.col("cents")).cast("double")
-                / F.sum("w")
+                # ansi: w in 0..4, so the product is <= 4x cents and the sum
+                # stays well inside int64's $92e15-in-cents headroom;
+                # try_divide: an all-zero-weight replicate (p ~ e^-n) has an
+                # undefined mean -> NULL on both engines
+                F.try_divide(
+                    F.sum(F.col("w") * F.col("cents")).cast("double"),  # ansi: w<=4
+                    F.sum("w"),
+                )
                 / 100.0
             ).alias("m")
         )

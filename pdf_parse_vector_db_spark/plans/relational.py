@@ -92,7 +92,7 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),  # ansi: double arithmetic
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -128,7 +128,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(  # ansi: double arithmetic
                 "revenue"
             )
         )
@@ -178,7 +178,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(  # ansi: double arithmetic
                 "revenue"
             )
         )
@@ -561,6 +561,7 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
             F.round(
                 F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+                # ansi: group count >= 1 times a nonzero literal
                 / (F.count(F.lit(1)) * F.lit(1000000.0)),
                 6,
             ).alias("avg_value"),
@@ -760,7 +761,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(  # ansi: double arithmetic
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -816,7 +817,7 @@ def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(  # ansi: double arithmetic
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_lines"),
@@ -903,10 +904,12 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.max("p01"), 4).alias("p01"),
             F.round(F.max("p99"), 4).alias("p99"),
-            F.round(F.sum("raw_micros").cast("double") / (F.count(F.lit(1)) * 1e6), 6).alias(
+            # ansi: group count >= 1 times a nonzero literal (both averages)
+        F.round(F.sum("raw_micros").cast("double") / (F.count(F.lit(1)) * 1e6), 6).alias(
                 "mean_raw"
             ),
-            F.round(F.sum("win_micros").cast("double") / (F.count(F.lit(1)) * 1e6), 6).alias(
+            # ansi: group count >= 1 times a nonzero literal
+        F.round(F.sum("win_micros").cast("double") / (F.count(F.lit(1)) * 1e6), 6).alias(
                 "mean_winsorized"
             ),
         )
@@ -977,7 +980,7 @@ def hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("M"))
     )
-    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)  # ansi: Python constant math
     unit = float(1 << _HLL_WBITS)
     per_group = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("present"),
@@ -987,10 +990,11 @@ def hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z_units").cast("double")
         + (F.lit(_HLL_M) - F.col("present")).cast("double") * F.lit(unit)
     )
+    # ansi: z_total = sum of m positive 2^-reg terms -> >= m * 2^-31 > 0
     e_raw = F.lit(alpha * _HLL_M * _HLL_M * unit) / z_total
     v = F.lit(_HLL_M) - F.col("present")
     estimate = F.when(
-        (e_raw <= 2.5 * _HLL_M) & (v > 0), F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v)
+        (e_raw <= 2.5 * _HLL_M) & (v > 0), F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v)  # ansi: v > 0 guards this CASE arm
     ).otherwise(e_raw)
     exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_ndv"))
     return (
@@ -998,7 +1002,7 @@ def hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, on="event_type")
         .withColumn(
             "rel_err",
-            F.round(F.abs(F.col("hll_ndv") - F.col("exact_ndv")) / F.col("exact_ndv"), 4),
+            F.round(F.try_divide(F.abs(F.col("hll_ndv") - F.col("exact_ndv")), F.col("exact_ndv")), 4),  # rel_err NULL on empty input
         )
         .select("event_type", "exact_ndv", "hll_ndv", "rel_err")
         .orderBy("event_type")
@@ -1037,7 +1041,7 @@ def hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = base.groupBy("bucket").agg(F.max("rho").alias("M"))
 
     def estimate(regs: DataFrame, name: str) -> DataFrame:
-        alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+        alpha = 0.7213 / (1 + 1.079 / _HLL_M)  # ansi: Python constant math
         unit = float(1 << _HLL_WBITS)
         g = regs.agg(
             F.count(F.lit(1)).alias("present"),
@@ -1047,10 +1051,12 @@ def hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("z_units").cast("double")
             + (F.lit(_HLL_M) - F.col("present")).cast("double") * F.lit(unit)
         )
+        # ansi: z_total = sum of m positive 2^-reg terms -> >= m * 2^-31 > 0
         e_raw = F.lit(alpha * _HLL_M * _HLL_M * unit) / z_total
         v = F.lit(_HLL_M) - F.col("present")
         est = F.when(
             (e_raw <= 2.5 * _HLL_M) & (v > 0),
+            # ansi: v > 0 guards this CASE arm (lazy CASE WHEN)
             F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
         ).otherwise(e_raw)
         return g.select(F.round(est, 4).alias(name))
@@ -1066,7 +1072,10 @@ def hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_merged") == F.col("est_direct")).alias("merge_consistent"),
             "exact_ndv",
             F.round(
-                F.abs(F.col("est_merged") - F.col("exact_ndv")) / F.col("exact_ndv"), 4
+                # try_divide: empty input -> exact_ndv = 0 -> NULL rel_err
+                F.try_divide(
+                    F.abs(F.col("est_merged") - F.col("exact_ndv")), F.col("exact_ndv")
+                ), 4
             ).alias("rel_err"),
         )
     )
@@ -1084,7 +1093,7 @@ _HLL_REGS_SQL = f"""
 
 
 def _hll_est_sql(regs_cte: str, name: str) -> str:
-    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)  # ansi: Python constant math
     unit = float(1 << _HLL_WBITS)
     return f"""
   SELECT round(CASE WHEN e_raw <= CAST({2.5 * _HLL_M} AS DOUBLE) AND ({_HLL_M} - present) > 0
@@ -1191,7 +1200,7 @@ def ndv_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "ndv_rel_err",
-            F.round(F.abs(F.col("hll_ndv") - F.col("exact_ndv")) / F.col("exact_ndv"), 4),
+            F.round(F.try_divide(F.abs(F.col("hll_ndv") - F.col("exact_ndv")), F.col("exact_ndv")), 4),  # rel_err NULL on empty input
         )
     )
     return out.orderBy("event_type")

@@ -92,15 +92,18 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idf",
             F.log(
                 F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                # ansi: df >= 1, so df + 0.5 > 0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
             ),
         )
         .withColumn(
             "contrib",
             F.col("idf")
             * (F.col("tf") * (K1 + 1))
+            # ansi: tf >= 1 keeps the whole denominator positive
             / (
                 F.col("tf")
+                # ansi: avgdl = mean of positive doc lengths > 0
                 + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
             ),
         )
@@ -200,8 +203,9 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rrf",
             F.round(
+                # ansi: RRF_K + rank >= RRF_K + 1 > 0 (both terms)
                 F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
-                + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+                + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),  # ansi: > 0
                 6,
             ),
         )
@@ -380,6 +384,7 @@ def threshold_algorithm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = _bm25_scored(spark, sf_dir)
     mx = bm.agg(F.max("bm25").alias("mx"))
     lexn = bm.crossJoin(F.broadcast(mx)).select(
+        # ansi: BM25+ idf (log1p form) keeps bm25 > 0, so mx >= bm25 > 0
         F.col("doc_id").alias("id"), F.round(F.col("bm25") / F.col("mx"), 6).alias("s_lex")
     )
     emb = load_table(spark, sf_dir, "embeddings")

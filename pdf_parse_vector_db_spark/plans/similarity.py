@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_parse_vector_db_spark.functions.text import shingles_expr, shingles_sql
-from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
+from pdf_parse_vector_db_spark.functions.vector import cosine_similarity, l2_distance
 from pdf_parse_vector_db_spark.operators import dedup
 from pdf_parse_vector_db_spark.plans.registry import QuerySpec
 from pdf_parse_vector_db_spark.sources.registry import load_table
@@ -204,6 +204,7 @@ def embedding_energy_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(d).alias("dim"),
+                # ansi: the total > 0 CASE arm guards the division
                 F.when(total > 0, sq(F.slice(v, 1, d)) / total)
                 .otherwise(F.lit(0.0))
                 .alias("frac"),
@@ -220,7 +221,8 @@ def embedding_energy_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.groupBy("label", "dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("micros").cast("double") / (F.count(F.lit(1)) * 1e6), 6).alias(
+            # ansi: group count >= 1 times a nonzero literal
+        F.round(F.sum("micros").cast("double") / (F.count(F.lit(1)) * 1e6), 6).alias(
                 "mean_energy"
             ),
         )
@@ -331,17 +333,99 @@ def _ivf_index(spark: SparkSession, sf_dir: str, nlist: int = 16):
     return _IVF_CACHE[key]
 
 
+#: Deterministic coarse quantizer for the oracle-backed IVF query: every
+#: 40th vector is a cell seed. IVF correctness does not depend on HOW the
+#: coarse centroids were chosen (Lloyd refinement is a recall knob, priced
+#: separately by ann_recall + tests/test_ann.py); pinning the quantizer to
+#: corpus rows makes the ENTIRE index path — assignment argmin, probe
+#: ranking, pruned exact search — plain relational algebra both engines
+#: can hash-match. nlist scales with the corpus (12 cells at sf0.01).
+_IVF_SEED_MOD = 40
+_IVF_SEED_OFF = 7
+_IVF_NPROBE = 4
+#: (rounded-micros distance, cid) packed into one BIGINT so argmin is a
+#: plain MIN with a deterministic tie-break on both engines.
+_IVF_KEY_BASE = 10_000_000
+
+
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-tier ANN: IVF(nlist=16, nprobe=4) top-5 for the vec_id=0 query —
-    the engine analog of the reference's IVF_FLAT nlist=128 index
-    (extract_and_embed.py:53-54). Rows-only (k-means isn't SQL); recall vs
-    the exact tier is asserted in tests/test_ann.py."""
+    """Scale-tier ANN: IVF(nprobe=4) top-5 for the vec_id=0 query — the
+    engine analog of the reference's IVF_FLAT index
+    (extract_and_embed.py:53-54), with a PINNED coarse quantizer (every
+    40th vector seeds a cell) so the whole prune-then-exact plan sits
+    under the DuckDB value hash (oracle-backed since round 3; the MLlib
+    k-means quantizer tier remains covered by ann_recall + test_ann).
+
+    Scale shape: seeds broadcast (nlist rows); assignment is a broadcast
+    nested-loop argmin folded into one MIN aggregate per vector — at real
+    scale the assignment is written once at ingest and cluster_id becomes
+    a Parquet partition key, making the IN (probe cells) filter partition
+    pruning, exactly like nprobe/nlist in Milvus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
-    idx = _ivf_index(spark, sf_dir)
-    return idx.search(qvec, k=5, nprobe=4).select(
-        "vec_id", "label", F.round(F.col("score"), 4).alias("score")
+    seeds = emb.filter(
+        F.col("vec_id") % _IVF_SEED_MOD == _IVF_SEED_OFF
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    key = lambda vec, other, cid: (  # noqa: E731 — (dist-micros, cid) pack
+        F.round(l2_distance(vec, other) * 1e6).cast("bigint") * _IVF_KEY_BASE + cid
     )
+    probe = (
+        seeds.crossJoin(F.broadcast(q))
+        .select("cid", key(F.col("cvec"), F.col("qvec"), F.col("cid")).alias("k"))
+        .orderBy("k")
+        .limit(_IVF_NPROBE)
+        .select("cid")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(seeds))
+        .groupBy("vec_id")
+        .agg(F.min(key(F.col("embedding"), F.col("cvec"), F.col("cid"))).alias("k"))
+        .select("vec_id", (F.col("k") % _IVF_KEY_BASE).alias("cluster_id"))
+    )
+    return (
+        emb.join(assign, on="vec_id")
+        .join(F.broadcast(probe), assign["cluster_id"] == probe["cid"], "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 6).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+    )
+
+
+IVF_KNN_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
+), seeds AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_OFF}
+), probe AS (
+  SELECT cid FROM seeds CROSS JOIN q
+  ORDER BY CAST(round(list_distance(cvec, qvec) * 1e6) AS BIGINT)
+             * {_IVF_KEY_BASE} + cid
+  LIMIT {_IVF_NPROBE}
+), assign AS (
+  SELECT e.vec_id,
+         min(CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]), s.cvec) * 1e6)
+                  AS BIGINT) * {_IVF_KEY_BASE} + s.cid) % {_IVF_KEY_BASE} AS cluster_id
+  FROM embeddings e CROSS JOIN seeds s
+  GROUP BY e.vec_id
+), hits AS (
+  SELECT e.vec_id, e.label,
+         round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS d
+  FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  CROSS JOIN q
+  WHERE a.cluster_id IN (SELECT cid FROM probe)
+)
+SELECT vec_id, label, round(d, 4) AS score
+FROM hits ORDER BY d, vec_id LIMIT 5
+"""
 
 
 _PQ_CACHE: dict = {}
@@ -718,6 +802,7 @@ def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "id_b")
         .withColumn(
             "containment",
+            # ansi: n_a/n_b are shingle counts >= 1 for joined docs
             F.round(F.col("shared") / F.least("n_a", "n_b").cast("double"), 6),
         )
         .filter(F.col("containment") >= 0.2)
@@ -796,6 +881,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = csum.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "smic", "n"))),
+            # ansi: n = per-position group count >= 1
             lambda s: s["smic"].cast("double") / (s["n"].cast("double") * 1e6),
         ).alias("cv")
     )
@@ -876,7 +962,7 @@ QUERIES = [
     QuerySpec("dup_components_star", dup_components_star, DUP_COMPONENTS_SQL, "X1/X2 star-contraction CC (deep-graph tier)"),
     QuerySpec("dedup_keepers", dedup_keepers, DEDUP_KEEPERS_SQL, "X1/X2 keep-longest survivor per dup cluster"),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
-    QuerySpec("ivf_knn", ivf_knn, None, "IVF(nlist,nprobe) ANN top-5 (rows-only)"),
+    QuerySpec("ivf_knn", ivf_knn, IVF_KNN_SQL, "IVF ANN top-5, pinned coarse quantizer (oracle-backed since r3)"),
     QuerySpec("pq_knn", pq_knn, None, "PQ ADC + exact-rerank ANN top-5 (rows-only)"),
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),
     QuerySpec("lsh_sim_join", lsh_sim_join, None, "MLlib approxSimilarityJoin N×M (rows-only)"),

@@ -142,11 +142,15 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.join(F.broadcast(stats), on="event_type")
         .withColumn(
             "bin",
+            # try_divide: a constant-valued event_type has mx = mn -> NULL
+            # bin ratio; both engines' least() skips the NULL arm, so the
+            # degenerate type collapses into the top bin identically
             F.least(
                 F.lit(_HIST_BINS - 1),
                 F.floor(
-                    (F.col("value") - F.col("mn"))
-                    / (F.col("mx") - F.col("mn"))
+                    F.try_divide(
+                        F.col("value") - F.col("mn"), F.col("mx") - F.col("mn")
+                    )
                     * _HIST_BINS
                 ),
             ),
@@ -449,6 +453,9 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     ests = (
         sl.join(so, on=["row_i", "bucket"])
         .groupBy("row_i")
+        # est_pairs ~ |L|*|O| / width crosses int64 only past ~1e19 candidate
+        # pairs, where the exact-join audit half of this query is unrunnable
+        # ansi: anyway; the estimate's contract is bigint by design
         .agg(F.sum(F.col("cnt_l") * F.col("cnt_o")).alias("est_pairs"))
     )
     exact = li.join(
@@ -553,9 +560,13 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn", F.row_number().over(Window.partitionBy("source").orderBy("v"))
     ).filter(F.col("rn") <= _KMV_K)
     theta = ranked.filter(F.col("rn") == _KMV_K).select(
+        # ansi: _KMV_NORM is a nonzero module constant
         "source", (F.col("v") / F.lit(_KMV_NORM)).alias("theta")
     )
     est_sizes = theta.select(
+        # ansi: theta = k-th smallest normalized 64-bit hash; theta = 0
+        # needs a literal zero hash (p ~ 2^-64), below contract
+        # ansi: theta = 0 needs a literal zero 64-bit hash (p ~ 2^-64)
         "source", (F.lit(_KMV_K - 1) / F.col("theta")).alias("est")
     )
     merged = (
@@ -565,12 +576,14 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _KMV_K)
     )
     theta_u = merged.filter(F.col("rn") == _KMV_K).select(
+        # ansi: same zero-hash bound as est_sizes; _KMV_NORM nonzero constant
         (F.lit(_KMV_K - 1) / (F.col("v") / F.lit(_KMV_NORM))).alias("est_union")
     )
     in_a = ranked.filter(F.col("source") == a).select("v")
     in_b = ranked.filter(F.col("source") == b).select("v")
     j_est = (
         merged.join(in_a, "v").join(in_b, "v").agg(
+            # ansi: _KMV_K is a nonzero module constant
             (F.count(F.lit(1)) / F.lit(_KMV_K)).alias("j_est")
         )
     )

@@ -242,12 +242,14 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.join(ic.select(F.col("item").alias("item_a"), F.col("c").alias("c_a")), on="item_a")
         .join(ic.select(F.col("item").alias("item_b"), F.col("c").alias("c_b")), on="item_b")
         .crossJoin(F.broadcast(baskets))
+        # ansi: b = global basket count — >= 1 whenever a pair row exists
         .withColumn("support", F.round(F.col("c_ab").cast("double") / F.col("b"), 6))
         .withColumn(
             "lift",
             F.round(
                 F.col("c_ab").cast("double")
                 * F.col("b").cast("double")
+                # ansi: c_a/c_b are groupBy counts >= 1 (inner-joined)
                 / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
                 4,
             ),
@@ -377,6 +379,7 @@ def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.sum("k").over(Window.partitionBy("purchase_id")))
         .withColumn(
             "micros",
+            # ansi: n = partition sum of k, >= own k >= 1
             F.round(F.col("k").cast("double") / F.col("n") * 1e6).cast("long"),
         )
     )
@@ -604,9 +607,11 @@ def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events", spread=True)
     # cast-to-double epoch keeps fractional seconds (unix_timestamp truncates
     # to whole seconds and drifts vs DuckDB's epoch())
+    # ansi: both denominators are nonzero literals/constants
     age_days = (F.lit(_DECAY_ANCHOR_EPOCH) - F.col("ts").cast("double")) / F.lit(
         86400.0
     )
+    # ansi: _DECAY_HALF_LIFE_DAYS is a nonzero module constant
     term = F.col("value") * F.pow(F.lit(2.0), -age_days / F.lit(_DECAY_HALF_LIFE_DAYS))
     return (
         ev.withColumn("micros", F.round(term * 1e6).cast("long"))
@@ -662,6 +667,7 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = Window.partitionBy("prev")
     return (
         pairs.withColumn(
+            # ansi: partition sum includes this row's n -> >= 1
             "p", F.round(F.col("n").cast("double") / F.sum("n").over(row), 6)
         )
         .select("prev", "next", "n", "p")
@@ -745,6 +751,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_week",
             "week_offset",
             "users",
+            # ansi: cohort_size = countDistinct over the cohort's own
+            # members (inner join) -> >= 1
+            # ansi: cohort_size = countDistinct of the cohort >= 1
             F.round(F.col("users").cast("double") / F.col("cohort_size"), 4).alias(
                 "pct_of_cohort"
             ),
@@ -911,13 +920,21 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.count(F.lit(1)).over(w).alias("n_w"),
         F.sum("cnt").over(w).alias("s1"),
-        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+        # cnt^2 widens to decimal(38,0) before the window sum: hourly counts
+        # past ~600M would cross int64 in the 24h sum (changepoint class)
+        F.sum(
+            (F.col("cnt").cast("decimal(19,0)") * F.col("cnt")).cast("decimal(38,0)")
+        ).over(w).alias("s2"),
     ).filter(F.col("n_w") == _ANOM_W)
-    mean = F.col("s1").cast("double") / _ANOM_W
+    mean = F.col("s1").cast("double") / _ANOM_W  # ansi: nonzero constant
+    # ansi: _ANOM_W and _ANOM_W - 1 are nonzero constants
     var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / _ANOM_W) / (
         _ANOM_W - 1
     )
-    z = (F.col("cnt") - mean) / F.sqrt(var)
+    # try_divide: a constant 24h window (e.g. 24 gap-filled zero hours) has
+    # var = 0 -> z undefined -> NULL, dropped by the |z| filter below just
+    # as the oracle's NULL comparison drops it
+    z = F.try_divide(F.col("cnt") - mean, F.sqrt(var))
     return (
         stats.withColumn("z", F.round(z, 4))
         .filter((F.abs("z") >= _ANOM_Z) & (var > 0))
@@ -1078,9 +1095,11 @@ def cep_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_views",
             "n_view_click",
             "n_full_match",
-            F.round(F.col("n_full_match") / F.col("n_views").cast("double"), 6).alias(
-                "completion_rate"
-            ),
+            # try_divide: zero view events -> rate undefined -> NULL on
+            # both engines (DuckDB x/0 is natively NULL)
+            F.round(
+                F.try_divide(F.col("n_full_match"), F.col("n_views").cast("double")), 6
+            ).alias("completion_rate"),
         )
     )
 
@@ -1158,23 +1177,28 @@ def cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction.
 
     Exactness: X and Y are integer cents per user; every moment
-    (Σx, Σy, Σxy, Σx², Σy², per variant and pooled) is an exact BIGINT,
-    so theta, the adjusted means, and both z statistics are identical
-    doubles on both engines. Scale shape: one (user)-keyed agg over the
-    scan, then all algebra on per-variant sufficient statistics — the
-    same one-pass pattern as revenue_trend_ols.
+    (Σx, Σy, Σxy, Σx², Σy², per variant and pooled) is exact — first
+    moments in BIGINT, second moments widened to decimal(38,0) BEFORE the
+    sum (per-user cents squared crosses int64 once per-user spend exceeds
+    ~$30M·√users — the revenue_changepoint overflow class) — so theta,
+    the adjusted means, and both z statistics are identical doubles on
+    both engines. Scale shape: one (user)-keyed agg over the scan, then
+    all algebra on per-variant sufficient statistics — the same one-pass
+    pattern as revenue_trend_ols.
     """
     ev = load_table(spark, sf_dir, "events", spread=True)
     per_user = (
         ev.groupBy("user_id")
         .agg(
+            # fixed-point cents scaling — int64 holds $92e15 in cents,
+            # ansi: far past any per-user total
             F.sum(
                 F.when(
                     F.col("ts") < F.lit(_CUPED_SPLIT).cast("timestamp"),
                     F.round(F.col("value") * 100).cast("bigint"),
                 ).otherwise(F.lit(0))
             ).alias("x"),
-            F.sum(
+            F.sum(  # ansi: cents scaling, see above
                 F.when(
                     F.col("ts") >= F.lit(_CUPED_SPLIT).cast("timestamp"),
                     F.round(F.col("value") * 100).cast("bigint"),
@@ -1189,13 +1213,14 @@ def cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
+    xd, yd = F.col("x").cast("decimal(19,0)"), F.col("y").cast("decimal(19,0)")
     stats = per_user.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
     )
     pooled = stats.agg(
         F.sum("n").alias("n"),
@@ -1205,38 +1230,43 @@ def cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sxx").alias("sxx"),
         F.sum("syy").alias("syy"),
     )
-    # theta from pooled moments (double algebra over exact ints)
+    # theta from pooled moments (double algebra over exact ints);
+    # try_divide on theta: zero pre-period variance (every user identical
+    # X) makes CUPED undefined -> NULL, matching DuckDB's native x/0
     n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
     sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
     th = pooled.select(
-        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("theta"),
-        (sx / n).alias("mx"),
-        (((n * syy - sy * sy) / n / n)).alias("var_y_pop"),
-        (((n * sxx - sx * sx) / n / n)).alias("var_x_pop"),
-        ((n * sxy - sx * sy) / n / n).alias("cov_xy_pop"),
+        F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx).alias("theta"),
+        (sx / n).alias("mx"),  # ansi: n = pooled user count >= 1
+        (((n * syy - sy * sy) / n / n)).alias("var_y_pop"),  # ansi: n >= 1
+        (((n * sxx - sx * sx) / n / n)).alias("var_x_pop"),  # ansi: n >= 1
+        ((n * sxy - sx * sy) / n / n).alias("cov_xy_pop"),  # ansi: n >= 1
     )
     j = stats.crossJoin(F.broadcast(th))
     per_var = j.select(
         "variant",
         F.col("n").cast("bigint").alias("nv"),
-        (F.col("sy").cast("double") / F.col("n")).alias("mean_y"),
+        # ansi: n = per-variant group count >= 1 (mean_y / mean_y_adj);
+        # try_divide on the sample variances: a single-user variant has
+        # n-1 = 0 -> variance undefined -> NULL on both engines
+        (F.col("sy").cast("double") / F.col("n")).alias("mean_y"),  # ansi: n >= 1
         (
             (F.col("sy").cast("double") - F.col("theta") * (F.col("sx").cast("double") - F.col("n") * F.col("mx")))
-            / F.col("n")
+            / F.col("n")  # ansi: n >= 1
         ).alias("mean_y_adj"),
-        (
-            (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
-            / (F.col("n").cast("double") * (F.col("n") - 1))
+        F.try_divide(
+            F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"),
+            F.col("n").cast("double") * (F.col("n") - 1),
         ).alias("var_y"),
-        (
+        F.try_divide(
             (
                 F.col("n").cast("double") * F.col("syy")
                 - F.col("sy").cast("double") * F.col("sy")
                 - 2 * F.col("theta") * (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
                 + F.col("theta") * F.col("theta")
                 * (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-            )
-            / (F.col("n").cast("double") * (F.col("n") - 1))
+            ),
+            F.col("n").cast("double") * (F.col("n") - 1),
         ).alias("var_y_adj"),
         "theta",
         "var_y_pop",
@@ -1251,22 +1281,33 @@ def cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("a.theta"), 6).alias("theta"),
         F.round((F.col("b.mean_y") - F.col("a.mean_y")) / 100.0, 4).alias("diff_raw"),
         F.round((F.col("b.mean_y_adj") - F.col("a.mean_y_adj")) / 100.0, 4).alias("diff_adj"),
+        # try_divide on both z statistics and the ratio: degenerate inputs
+        # (zero variance, single-user variant) make them undefined -> NULL
+        # on both engines; nv >= 1 in the inner var/nv terms
         F.round(
-            (F.col("b.mean_y") - F.col("a.mean_y"))
-            / F.sqrt(F.col("a.var_y") / F.col("a.nv") + F.col("b.var_y") / F.col("b.nv")),
+            F.try_divide(
+                F.col("b.mean_y") - F.col("a.mean_y"),
+                # ansi: nv = variant group count >= 1
+                F.sqrt(F.col("a.var_y") / F.col("a.nv") + F.col("b.var_y") / F.col("b.nv")),
+            ),
             4,
         ).alias("z_raw"),
         F.round(
-            (F.col("b.mean_y_adj") - F.col("a.mean_y_adj"))
-            / F.sqrt(
-                F.col("a.var_y_adj") / F.col("a.nv") + F.col("b.var_y_adj") / F.col("b.nv")
+            F.try_divide(
+                F.col("b.mean_y_adj") - F.col("a.mean_y_adj"),
+                F.sqrt(
+                    # ansi: nv = variant group count >= 1
+                    F.col("a.var_y_adj") / F.col("a.nv") + F.col("b.var_y_adj") / F.col("b.nv")
+                ),
             ),
             4,
         ).alias("z_adj"),
         F.round(
             1.0
-            - (F.col("a.cov_xy_pop") * F.col("a.cov_xy_pop"))
-            / (F.col("a.var_x_pop") * F.col("a.var_y_pop")),
+            - F.try_divide(
+                F.col("a.cov_xy_pop") * F.col("a.cov_xy_pop"),
+                F.col("a.var_x_pop") * F.col("a.var_y_pop"),
+            ),
             6,
         ).alias("var_ratio_theory"),
     )
@@ -1284,8 +1325,9 @@ WITH per_user AS (
 ), stats AS (
   SELECT variant, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
   FROM per_user GROUP BY variant
 ), pooled AS (
   SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,

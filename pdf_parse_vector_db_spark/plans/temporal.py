@@ -147,22 +147,29 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.lag", "s.x", "s.y")
         .filter(F.col("y").isNotNull())
     )
+    # second moments widen to decimal(38,0) before the sum: daily-revenue
+    # squares cross int64 near sf10 (the revenue_changepoint overflow class)
+    xd, yd = F.col("x").cast("decimal(19,0)"), F.col("y").cast("decimal(19,0)")
     stats = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
     )
     n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
     sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
+    # try_divide: a constant (zero-variance) series has denominator 0 —
+    # r is undefined there; DuckDB's native x/0 is NULL, so both agree
     return stats.select(
         F.col("lag").cast("int").alias("lag"),
         F.col("n").cast("bigint").alias("n"),
         F.round(
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            F.try_divide(
+                n * sxy - sx * sy,
+                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            ),
             6,
         ).alias("r"),
     ).orderBy("lag")
@@ -194,9 +201,9 @@ stats AS (
   SELECT lag,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
   FROM pairs GROUP BY lag
 )
 SELECT CAST(lag AS INTEGER) AS lag, n,
@@ -244,16 +251,22 @@ def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("t").alias("st"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("t") * F.col("y")).alias("sty"),
-        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        # t <= months-since-1992 (~1e3) and y is per-nation monthly dollars
+        # (~1e10 even at sf100) -> t*y <= 1e13, summed over <= 1e3 months
+        # per nation <= 1e16 < int64; t*t <= 1e6
+        F.sum(F.col("t") * F.col("y")).alias("sty"),  # ansi: bounded, see above
+        F.sum(F.col("t") * F.col("t")).alias("stt"),  # ansi: t*t <= 1e6
     )
     n, st, sy = [F.col(c).cast("double") for c in ("n", "st", "sy")]
     sty, stt = [F.col(c).cast("double") for c in ("sty", "stt")]
-    slope = (n * sty - st * sy) / (n * stt - st * st)
+    # try_divide: a nation with a single month has zero t-variance; slope
+    # is undefined -> NULL on both engines (DuckDB x/0 is natively NULL)
+    slope = F.try_divide(n * sty - st * sy, n * stt - st * st)
     return stats.select(
         "nation",
         F.col("n").cast("bigint").alias("n_months"),
         F.round(slope, 4).alias("slope"),
+        # ansi: n = group count >= 1
         F.round((sy - slope * st) / n, 2).alias("intercept"),
     ).orderBy("nation")
 
@@ -614,6 +627,7 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").over(wc).alias("ct"),
         F.sum("y").over(wc).alias("cy"),
         F.sum((td * yd).cast("decimal(38,0)")).over(wc).alias("cty"),
+        # ansi: t is a months-index, t*t cumsum <= n^3 ~ 1e9 for 1e3 months
         F.sum(F.col("t") * F.col("t")).over(wc).alias("ctt"),
         F.sum((yd * yd).cast("decimal(38,0)")).over(wc).alias("cyy"),
     )
@@ -626,16 +640,22 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cyy").alias("tyy"),
     )
 
+    # ansi: both helpers are called only on segments of >= 3 DISTINCT
+    # consecutive t values (the t >= 3 / t <= tn-3 candidate filter), so
+    # n >= 3 and the t-variance terms sxx / (n*stt - st^2) are strictly
+    # positive — no denominator can be zero
     def sse(n, st, sy, sty, stt, syy):
         n, st, sy = n.cast("double"), st.cast("double"), sy.cast("double")
         sty, stt, syy = sty.cast("double"), stt.cast("double"), syy.cast("double")
-        sxx = stt - st * st / n
-        sxy = sty - st * sy / n
+        sxx = stt - st * st / n  # ansi: n >= 3 (candidate filter)
+        sxy = sty - st * sy / n  # ansi: n >= 3 (candidate filter)
+        # ansi: sxx > 0 — t values are distinct consecutive integers
         return (syy - sy * sy / n) - sxy * sxy / sxx
 
     def slope(n, st, sy, sty, stt):
         n, st, sy = n.cast("double"), st.cast("double"), sy.cast("double")
         sty, stt = sty.cast("double"), stt.cast("double")
+        # ansi: n*stt - st^2 = n^2 * var(t) > 0 for >= 2 distinct t
         return (n * sty - st * sy) / (n * stt - st * st)
 
     cand = (
@@ -778,8 +798,10 @@ def ses_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm = sum(ws)
         pred = None
         for j, wt in enumerate(ws):
+            # ansi: wt/norm is Python constant math; norm = sum of positive weights
             term = F.col(f"l{j}") * F.lit(wt / norm)
             pred = term if pred is None else pred + term
+        # ansi: y = a present month's revenue -> >= 1 whole dollar by construction
         ape = F.round(F.abs(pred - F.col("y")) * 1000 / F.col("y")).cast("bigint")
         legs.append(
             lagged.agg(

@@ -402,6 +402,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "contamination",
+            # ansi: n_shingles >= 1 for any doc that produced a shingle row
             F.round(F.col("n_overlap").cast("double") / F.col("n_shingles"), 6),
         )
         .orderBy("doc_id")
@@ -497,6 +498,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.round(
+                # ansi: a doc with a 2-gram row has n_chars >= 2
                 F.max(F.col("c") * F.length("g")).cast("double") / F.first("n_chars"),
                 6,
             ).alias("top_2gram_char_frac")
@@ -575,6 +577,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tfidf",
             F.round(
                 F.col("tf")
+                # ansi: df = doc-frequency count >= 1, so df + 1 >= 2
                 * (F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1)) + 1),
                 6,
             ),
@@ -668,6 +671,7 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c_ab").cast("double")
                     * F.col("n").cast("double")
                     * F.col("n").cast("double")
+                    # ansi: m/c_a/c_b are counts >= 1 (inner-joined)
                     / (
                         F.col("m").cast("double")
                         * F.col("c_a").cast("double")
@@ -752,8 +756,9 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ctc", F.sum("stc").over(Window.partitionBy("term")))
         .withColumn("stot", F.sum("stc").over(Window.partitionBy("source")))
     )
+    # ansi: stot = partition sum >= own stc >= 1; ctc likewise >= 1
     ps = F.col("stc").cast("double") / F.col("stot").cast("double")
-    contrib = F.round(ps * F.log(ps / F.col("ctc").cast("double")) * F.lit(1e12)).cast(
+    contrib = F.round(ps * F.log(ps / F.col("ctc").cast("double")) * F.lit(1e12)).cast(  # ansi: ctc >= 1
         "long"
     )
     per_source = (
@@ -890,6 +895,7 @@ def vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "oov_rate",
+            # ansi: n_tokens = group count >= 1
             F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
         )
         .orderBy("doc_id")
@@ -967,9 +973,11 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.agg(
         F.sum("cnt").cast("bigint").alias("n_chunks"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        # ansi: sum(cnt*ln) = total corpus bytes, bounded by input size
         F.sum(F.col("cnt") * F.col("ln")).cast("bigint").alias("bytes_total"),
         F.sum("ln").cast("bigint").alias("bytes_distinct"),
         F.round(
+            # ansi: corpus-bytes bound again; ln sums >= 1 per distinct chunk
             F.sum(F.col("cnt") * F.col("ln")).cast("double") / F.sum("ln"), 4
         ).alias("dedup_ratio"),
         F.max("cnt").cast("bigint").alias("max_dup"),

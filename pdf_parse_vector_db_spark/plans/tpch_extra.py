@@ -183,7 +183,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(_disc()), 4).alias("promo_share_pct"),
+            # ansi: _disc() sums positive discounted prices over the month > 0
+        F.round(100.0 * F.sum(promo) / F.sum(_disc()), 4).alias("promo_share_pct"),
             F.round(F.sum(_disc()), 2).alias("total_revenue"),
         )
     )

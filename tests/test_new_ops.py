@@ -805,3 +805,20 @@ def test_frame_sample_fused_equals_two_stage(spark):
         for r in frame_sample_fused(media, every_n=10).collect()
     )
     assert chain == fused and fused
+
+
+def test_zorder_layout_prunes_better_than_natural(spark):
+    """The point of Z-ordering: for a 2-D predicate the interleaved layout
+    must scan no more files than the date-appended layout, and its custkey
+    zone maps must be dramatically tighter (natural layout's custkey span
+    is ~the full domain in every file)."""
+    from pdf_parse_vector_db_spark.plans.curation import _ZORD_FILES, zorder_layout
+
+    rows = {r.layout: r for r in zorder_layout(spark, SF_SMOKE).collect()}
+    nat, z = rows["natural"], rows["zorder"]
+    assert nat.n_files == z.n_files == _ZORD_FILES
+    assert z.files_scanned <= nat.files_scanned
+    assert 1 <= z.files_scanned  # the predicate region is non-empty
+    assert z.avg_ck_span < nat.avg_ck_span
+    # natural layout is date-sorted: custkey is unclustered -> near-full span
+    assert nat.avg_ck_span > 10

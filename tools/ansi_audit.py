@@ -44,6 +44,9 @@ _SAFE_DEN = re.compile(
     r"^\s*(?:"
     r"F\.count\(F\.lit\(1\)\)"
     r"|F\.lit\(\s*-?\d+(?:\.\d+)?(?:e-?\d+)?\s*\)"
+    r"|F\.lit\(_[A-Z][A-Z_0-9]*\)"  # F.lit(_MODULE_CONSTANT), nonzero by convention
+    r"|F\.lit\(float\("
+    r"|F\.lit\($"  # literal continued on the next source line
     r"|-?\d+(?:\.\d+)?(?:[eE]-?\d+)?"
     r"|_[A-Z_]+"  # module-level nonzero constant (naming convention)
     r"|float\([A-Za-z_]"  # float(_CONST) / float(len(...)) wrappers
@@ -51,8 +54,36 @@ _SAFE_DEN = re.compile(
     r")"
 )
 
-_DIV = re.compile(r"/(?!/|=|\*)")
-_SUM_PRODUCT = re.compile(r"F\.sum\([^()]*\*")
+_DIV = re.compile(r"(?<!/)/(?!/|=|\*)")
+_SUM_OPEN = re.compile(r"F\.sum\(")
+
+
+def _sum_products(src: str) -> list[int]:
+    """Balanced-paren scan: line numbers of F.sum(...) calls whose argument
+    multiplies subexpressions without widening to decimal/double first."""
+    out = []
+    for m in _SUM_OPEN.finditer(src):
+        depth, i = 1, m.end()
+        while i < len(src) and depth:
+            if src[i] == "(":
+                depth += 1
+            elif src[i] == ")":
+                depth -= 1
+            i += 1
+        arg = src[m.end() : i - 1]
+        # the overflow class is an integer-column x integer-column product;
+        # a product with a pure numeric literal (fixed-point cents/micros
+        # scaling) grows the summand by a constant, which the per-group sum
+        # bound covers (int64 holds $92e15 in cents), and anything widened
+        # to decimal/double before the sum is already safe
+        if (
+            "*" in arg
+            and "decimal" not in arg
+            and '"double"' not in arg
+            and arg.count("F.col(") + arg.count("F.expr(") >= 2
+        ):
+            out.append(src.count("\n", 0, m.start()) + 1)
+    return out
 
 
 def _annotated(lines: list[str], idx: int) -> bool:
@@ -79,10 +110,11 @@ def audit_file(path: str) -> list[tuple[int, str, str]]:
     stripped = re.sub(r'("""|\'\'\')(?:.|\n)*?\1', lambda m: "\n" * m.group(0).count("\n"), src)
     lines = stripped.splitlines()
     hits: list[tuple[int, str, str]] = []
+    sum_lines = set(_sum_products(stripped))
     for i, line in enumerate(lines):
         if _annotated(lines, i):
             continue
-        if _SUM_PRODUCT.search(line) and "decimal" not in line and '"double"' not in line:
+        if i + 1 in sum_lines:
             hits.append((i + 1, "sum-of-product (bigint overflow risk)", line.strip()))
             continue
         if "try_divide" in line:
