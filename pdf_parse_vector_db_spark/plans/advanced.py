@@ -1194,6 +1194,145 @@ ORDER BY year, nation
 """
 
 
+
+# --------------------------------------------------------------------------
+# X30: SCD Type-2 dimension history (Kimball slowly-changing dimensions,
+# public) — the MERGE INTO every lakehouse dimension table runs: a change
+# batch against the current dimension produces versioned rows with
+# validity intervals instead of overwriting in place. The change batch is
+# synthesized deterministically from the dimension itself (segment
+# rotation for custkey%10=3, balance bump for custkey%100=7, brand-new
+# keys for custkey%50=11) so every MERGE arm — unchanged, close-old,
+# open-new, insert — fires on the fixture and the whole history sits
+# under the oracle hash.
+#
+# Scale shape: ONE full-outer join of dim x batch on the dimension key
+# (both sides hash-partition on an 8-byte int; the batch is typically the
+# small side and broadcasts), then three narrow projection legs unioned —
+# no window, no skew surface. This is exactly Delta/Iceberg MERGE's
+# physical shape with the writer's file rewrite elided.
+# --------------------------------------------------------------------------
+
+_SCD2_T0 = "1994-01-01"
+_SCD2_T1 = "1995-06-01"
+_SCD2_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE: apply the synthetic change batch to `customer` and emit
+    the versioned dimension (custkey, segment, acctbal_cents, version,
+    valid_from, valid_to, is_current), ordered for the hash. Balances ride
+    as exact integer cents end to end."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    seg_arr = F.array(*[F.lit(s) for s in _SCD2_SEGS])
+    rotated = F.element_at(
+        seg_arr,
+        (
+            F.array_position(seg_arr, F.col("c_mktsegment")) % len(_SCD2_SEGS) + 1
+        ).cast("int"),
+    )
+    mx = cust.agg(F.max("c_custkey").alias("mx"))
+    updates = cust.filter(
+        (F.col("c_custkey") % 10 == 3) | (F.col("c_custkey") % 100 == 7)
+    ).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 3, rotated)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("new_seg"),
+        F.when(F.col("c_custkey") % 100 == 7, F.col("cents") + 10000)
+        .otherwise(F.col("cents"))
+        .alias("new_cents"),
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") % 50 == 11)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("c_custkey") + F.col("mx")).alias("c_custkey"),
+            F.col("c_mktsegment").alias("new_seg"),
+            F.lit(0).cast("bigint").alias("new_cents"),
+        )
+    )
+    batch = updates.unionByName(inserts)
+
+    j = cust.alias("d").join(batch.alias("b"), on="c_custkey", how="full_outer")
+    is_update = F.col("d.c_mktsegment").isNotNull() & F.col("new_seg").isNotNull()
+    changed = is_update & (
+        (F.col("new_seg") != F.col("d.c_mktsegment"))
+        | (F.col("new_cents") != F.col("d.cents"))
+    )
+    # leg 1: surviving v1 rows — untouched dims stay current, changed dims close
+    v1 = j.filter(F.col("d.c_mktsegment").isNotNull()).select(
+        "c_custkey",
+        F.col("d.c_mktsegment").alias("segment"),
+        F.col("d.cents").alias("acctbal_cents"),
+        F.lit(1).alias("version"),
+        F.lit(_SCD2_T0).cast("date").alias("valid_from"),
+        F.when(changed, F.lit(_SCD2_T1).cast("date")).alias("valid_to"),
+        (~changed).alias("is_current"),
+    )
+    # leg 2: new current versions (v2 for changes, v1 for inserts)
+    v2 = j.filter(
+        changed | (F.col("d.c_mktsegment").isNull() & F.col("new_seg").isNotNull())
+    ).select(
+        "c_custkey",
+        F.col("new_seg").alias("segment"),
+        F.col("new_cents").alias("acctbal_cents"),
+        F.when(changed, F.lit(2)).otherwise(F.lit(1)).alias("version"),
+        F.lit(_SCD2_T1).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return v1.unionByName(v2).orderBy("c_custkey", "version")
+
+
+def _scd2_sql() -> str:
+    segs = ", ".join(f"'{s}'" for s in _SCD2_SEGS)
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), mx AS (SELECT max(c_custkey) AS mx FROM cust),
+updates AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 3
+              THEN ([{segs}])[(list_position([{segs}], c_mktsegment) % {len(_SCD2_SEGS)}) + 1]
+              ELSE c_mktsegment END AS new_seg,
+         CASE WHEN c_custkey % 100 = 7 THEN cents + 10000 ELSE cents END AS new_cents
+  FROM cust WHERE c_custkey % 10 = 3 OR c_custkey % 100 = 7
+), inserts AS (
+  SELECT c_custkey + mx AS c_custkey, c_mktsegment AS new_seg,
+         CAST(0 AS BIGINT) AS new_cents
+  FROM cust CROSS JOIN mx WHERE c_custkey % 50 = 11
+), batch AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+j AS (
+  SELECT coalesce(d.c_custkey, b.c_custkey) AS c_custkey,
+         d.c_mktsegment, d.cents, b.new_seg, b.new_cents,
+         (d.c_mktsegment IS NOT NULL AND b.new_seg IS NOT NULL
+          AND (b.new_seg <> d.c_mktsegment OR b.new_cents <> d.cents)) AS changed
+  FROM cust d FULL OUTER JOIN batch b ON d.c_custkey = b.c_custkey
+)
+SELECT c_custkey, c_mktsegment AS segment, cents AS acctbal_cents,
+       1 AS version, DATE '{_SCD2_T0}' AS valid_from,
+       CASE WHEN changed THEN DATE '{_SCD2_T1}' END AS valid_to,
+       NOT changed AS is_current
+FROM j WHERE c_mktsegment IS NOT NULL
+UNION ALL
+SELECT c_custkey, new_seg, new_cents,
+       CASE WHEN changed THEN 2 ELSE 1 END,
+       DATE '{_SCD2_T1}', CAST(NULL AS DATE), TRUE
+FROM j WHERE changed OR (c_mktsegment IS NULL AND new_seg IS NOT NULL)
+ORDER BY c_custkey, version
+"""
+
+
+SCD2_CUSTOMER_HISTORY_SQL = _scd2_sql()
+
+
 QUERIES = [
     QuerySpec("incremental_agg_maintenance", incremental_agg_maintenance, INCREMENTAL_AGG_MAINTENANCE_SQL, "IVM: signed-delta maintained aggregates vs recompute"),
     QuerySpec("late_suppliers", late_suppliers, LATE_SUPPLIERS_SQL, "Q21 shape: only-late supplier on multi-supplier orders"),
@@ -1219,4 +1358,5 @@ QUERIES = [
     QuerySpec("nation_cust_supp_coverage", nation_cust_supp_coverage, NATION_CUST_SUPP_COVERAGE_SQL, "FULL OUTER coverage join"),
     QuerySpec("skewed_best_per_user", skewed_best_per_user, SKEWED_BEST_PER_USER_SQL, "A1 dedup via salted two-stage window"),
     QuerySpec("mv_rewrite_audit", mv_rewrite_audit, MV_REWRITE_AUDIT_SQL, "materialized-view rewrite vs base-fact consistency (integer-cents exact)"),
+    QuerySpec("scd2_customer_history", scd2_customer_history, SCD2_CUSTOMER_HISTORY_SQL, "X30 SCD Type-2 dimension MERGE: versioned history with validity intervals"),
 ]

@@ -822,3 +822,45 @@ def test_zorder_layout_prunes_better_than_natural(spark):
     assert z.avg_ck_span < nat.avg_ck_span
     # natural layout is date-sorted: custkey is unclustered -> near-full span
     assert nat.avg_ck_span > 10
+
+
+def test_scd2_invariants(spark):
+    """SCD2 contract: exactly one current version per key; closed rows end
+    at the batch date; versions are dense from 1; inserts exist only at v1
+    starting at the batch date."""
+    import datetime
+
+    from pdf_parse_vector_db_spark.plans.advanced import (
+        _SCD2_T0,
+        _SCD2_T1,
+        scd2_customer_history,
+    )
+
+    rows = scd2_customer_history(spark, SF_SMOKE).collect()
+    t0 = datetime.date.fromisoformat(_SCD2_T0)
+    t1 = datetime.date.fromisoformat(_SCD2_T1)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    assert by_key
+    saw_change = saw_insert = False
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r.version)
+        assert sum(r.is_current for r in vs) == 1
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        for r in vs:
+            if r.is_current:
+                assert r.valid_to is None
+            else:
+                assert r.valid_to == t1
+        if len(vs) == 2:
+            saw_change = True
+            assert vs[0].valid_from == t0 and vs[1].valid_from == t1
+            # something actually changed between versions
+            assert (vs[0].segment, vs[0].acctbal_cents) != (
+                vs[1].segment,
+                vs[1].acctbal_cents,
+            )
+        elif vs[0].valid_from == t1:
+            saw_insert = True
+    assert saw_change and saw_insert

@@ -95,6 +95,11 @@ AUDIT = {
     "length_ks_test": "CDF window over the bounded length histogram, not per-row",
     "apportion_sample_slots": "|langs|-row agg; remainder ranking window over <=|langs| rows",
     "encoding_advisor": "bucket-partitioned run lags; boundary correction over the bounded bucket table",
+    "ivf_knn": "seed broadcast; assignment argmin as one MIN agg; probe IN-filter = partition pruning at scale",
+    "decision_llm_stage": "cascade CASE + substring map-side; one Arrow-batched UDF; no exchange before the sort",
+    "zorder_layout": "global row_number = the Z-ORDER rewrite sort; zone-map accounting on 2x64 rows",
+    "scd2_customer_history": "one dim x batch full-outer join; three projection legs unioned, no window",
+    "multimodal_features": "pure mapInPandas feature stage; norm fold in codegen over the float array",
 }
 
 
