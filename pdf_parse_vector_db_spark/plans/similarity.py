@@ -18,6 +18,21 @@ from pdf_parse_vector_db_spark.plans.registry import QuerySpec
 from pdf_parse_vector_db_spark.sources.registry import load_table
 
 
+#: Deterministic coarse quantizer for the oracle-backed IVF query: every
+#: 40th vector is a cell seed. IVF correctness does not depend on HOW the
+#: coarse centroids were chosen (Lloyd refinement is a recall knob, priced
+#: separately by ann_recall + tests/test_ann.py); pinning the quantizer to
+#: corpus rows makes the ENTIRE index path — assignment argmin, probe
+#: ranking, pruned exact search — plain relational algebra both engines
+#: can hash-match. nlist scales with the corpus (12 cells at sf0.01).
+_IVF_SEED_MOD = 40
+_IVF_SEED_OFF = 7
+_IVF_NPROBE = 4
+#: (rounded-micros distance, cid) packed into one BIGINT so argmin is a
+#: plain MIN with a deterministic tie-break on both engines.
+_IVF_KEY_BASE = 10_000_000
+
+
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 exact tier: 3-gram Jaccard ≥ 0.1 within equal-length buckets.
     Blocking on n_chars keeps the self-join out of N² territory; at scale
@@ -132,13 +147,50 @@ ORDER BY id_a, id_b
 def embedding_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 semantic tier, SCALE path: cosine ≥ 0.35 pairs restricted to IVF
     cells (cluster_id as the blocking bucket) — cost drops from corpus² to
-    Σ cell², the trade every ANN-backed dedup makes. Rows-only (k-means);
-    the contract — every emitted pair appears in the exact tier with the
-    identical cosine — is asserted in tests/test_dedup.py."""
-    idx = _ivf_index(spark, sf_dir)
+    Σ cell², the trade every ANN-backed dedup makes. Oracle-backed since
+    round 3 on the PINNED quantizer (same seeds as ivf_knn): assignment +
+    within-cell blocked-BLAS pairs all hash-match the DuckDB twin; the
+    subset-of-exact-tier contract stays asserted in tests/test_dedup.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(
+        F.col("vec_id") % _IVF_SEED_MOD == _IVF_SEED_OFF
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+
+    key = lambda vec, other, cid: (  # noqa: E731
+        F.round(l2_distance(vec, other) * 1e6).cast("bigint") * _IVF_KEY_BASE + cid
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(seeds))
+        .groupBy("vec_id")
+        .agg(F.min(key(F.col("embedding"), F.col("cvec"), F.col("cid"))).alias("ak"))
+        .select("vec_id", (F.col("ak") % _IVF_KEY_BASE).alias("cluster_id"))
+    )
+    clustered = emb.join(assign, on="vec_id")
     return dedup.embedding_near_dup_pairs(
-        idx.clustered, threshold=0.35, bucket_col="cluster_id"
+        clustered, threshold=0.35, bucket_col="cluster_id"
     ).orderBy("id_a", "id_b")
+
+
+EMBEDDING_NEAR_DUPS_IVF_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_OFF}
+), assign AS (
+  SELECT e.vec_id,
+         min(CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]), s.cvec) * 1e6)
+                  AS BIGINT) * {_IVF_KEY_BASE} + s.cid) % {_IVF_KEY_BASE} AS cluster_id
+  FROM embeddings e CROSS JOIN seeds s
+  GROUP BY e.vec_id
+), e AS (
+  SELECT a.cluster_id, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+ORDER BY id_a, id_b
+"""
 
 
 def dedup_tier_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,40 +364,11 @@ ORDER BY q_id, rnk
 """
 
 
-#: Fitted IVF indexes keyed by (app, sf_dir) — the reference builds its
-#: IVF_FLAT index once at collection create and pins the collection in memory
-#: (load_collection, extract_and_embed.py:53-58); re-fitting k-means per
-#: query would misstate search cost the same way re-building the Milvus
-#: index per request would. cache() on the clustered corpus is the
-#: load_collection analog (SURVEY §2.1 S5).
-_IVF_CACHE: dict = {}
-
-
-def _ivf_index(spark: SparkSession, sf_dir: str, nlist: int = 16):
-    from pdf_parse_vector_db_spark.operators.ann import build_ivf
-
-    key = (spark.sparkContext.applicationId, sf_dir, nlist)
-    if key not in _IVF_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings")
-        idx = build_ivf(emb, nlist=nlist)
-        idx.clustered = idx.clustered.cache()
-        _IVF_CACHE[key] = idx
-    return _IVF_CACHE[key]
-
-
-#: Deterministic coarse quantizer for the oracle-backed IVF query: every
-#: 40th vector is a cell seed. IVF correctness does not depend on HOW the
-#: coarse centroids were chosen (Lloyd refinement is a recall knob, priced
-#: separately by ann_recall + tests/test_ann.py); pinning the quantizer to
-#: corpus rows makes the ENTIRE index path — assignment argmin, probe
-#: ranking, pruned exact search — plain relational algebra both engines
-#: can hash-match. nlist scales with the corpus (12 cells at sf0.01).
-_IVF_SEED_MOD = 40
-_IVF_SEED_OFF = 7
-_IVF_NPROBE = 4
-#: (rounded-micros distance, cid) packed into one BIGINT so argmin is a
-#: plain MIN with a deterministic tie-break on both engines.
-_IVF_KEY_BASE = 10_000_000
+# (The round-2 fitted-KMeans IVF cache lived here; since round 3 the IVF
+# queries run on the pinned quantizer above, and the MLlib k-means tier is
+# exercised directly through operators/ann.build_ivf in tests/test_ann.py —
+# which still caches the clustered corpus, the reference's load_collection
+# analog, extract_and_embed.py:53-58.)
 
 
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,40 +541,49 @@ def lsh_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-measuring ANN quality: recall@10 of the IVF tier (nprobe=4 of
-    nlist=16 cells — a 4x scan reduction) against the exact tier, for a
-    panel of probe queries — the metric that prices the reference's
-    nprobe/nlist trade (IVF_FLAT, extract_and_embed.py:53-54).
+    """Self-measuring ANN quality: recall@10 of the IVF tier (nprobe=4
+    cells) against the exact tier, for a panel of probe queries — the
+    metric that prices the reference's nprobe/nlist trade (IVF_FLAT,
+    extract_and_embed.py:53-54).
 
-    Fully batched: the only driver-side math is ranking nlist centroids per
-    query (nlist x dim floats — driver-sized by construction); exact and
-    approx top-10 sets compute as two windowed plans over a broadcast query
-    panel, recall as a semi-join count. Rows-only (k-means)."""
-    import numpy as np
-
-    from pdf_parse_vector_db_spark.functions.vector import l2_distance
-
-    k, nprobe = 10, 4
+    Oracle-backed since round 3: on the PINNED quantizer (same seeds as
+    ivf_knn) every stage — probe ranking, assignment, both top-10 cuts,
+    the recall semi-join — is relational algebra, so the whole recall
+    study sits under the value hash, and the round-2 driver-side numpy
+    centroid loop is gone (probe ranking is now a nlist-row window per
+    query — fully distributed). The MLlib k-means quantizer keeps its
+    recall contracts in tests/test_ann.py."""
+    k = 10
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = _ivf_index(spark, sf_dir)
+    seeds = emb.filter(
+        F.col("vec_id") % _IVF_SEED_MOD == _IVF_SEED_OFF
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     qpanel = emb.filter(F.col("vec_id") % 400 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    # per-query probe cells, ranked on the driver over the tiny centroid matrix
-    qrows = qpanel.collect()
-    probe_rows = []
-    for r in qrows:
-        q = np.asarray(r.q_vec, dtype=np.float64)
-        order = np.argsort(((idx.centroids - q) ** 2).sum(axis=1), kind="stable")
-        probe_rows += [(int(r.q_id), int(c)) for c in order[:nprobe]]
-    probes = F.broadcast(spark.createDataFrame(probe_rows, "q_id long, cluster_id int"))
-
-    dist = l2_distance(F.col("q_vec"), F.col("embedding"))
+    key = lambda vec, other, cid: (  # noqa: E731 — (dist-micros, cid) pack
+        F.round(l2_distance(vec, other) * 1e6).cast("bigint") * _IVF_KEY_BASE + cid
+    )
+    pw = Window.partitionBy("q_id").orderBy("pk")
+    probes = (
+        qpanel.crossJoin(F.broadcast(seeds))
+        .select("q_id", "cid", key(F.col("cvec"), F.col("q_vec"), F.col("cid")).alias("pk"))
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("q_id", F.col("cid").alias("cluster_id"))
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(seeds))
+        .groupBy("vec_id")
+        .agg(F.min(key(F.col("embedding"), F.col("cvec"), F.col("cid"))).alias("ak"))
+        .select("vec_id", (F.col("ak") % _IVF_KEY_BASE).alias("cluster_id"))
+    )
+    d6 = F.round(l2_distance(F.col("q_vec"), F.col("embedding")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("vec_id").asc())
 
     def topk(candidates):
         return (
-            candidates.withColumn("d", dist)
+            candidates.withColumn("d", d6)
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("q_id", "vec_id")
@@ -559,17 +591,81 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = topk(emb.crossJoin(F.broadcast(qpanel)))
     approx = topk(
-        idx.clustered.join(probes, on="cluster_id").join(
-            F.broadcast(qpanel), on="q_id"
-        )
+        emb.join(assign, on="vec_id")
+        .join(F.broadcast(probes), on="cluster_id")
+        .join(F.broadcast(qpanel), on="q_id")
     )
     hits = exact.join(approx, on=["q_id", "vec_id"], how="left_semi")
+    per_q = hits.groupBy("q_id").agg(
+        (F.count(F.lit(1)) / F.lit(float(k))).alias("r")
+    )
+    # zero-recall queries must still report (left join from the panel)
     return (
-        hits.groupBy("q_id")
-        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("recall_at_10"))
-        .select(F.col("q_id").alias("query_id"), "recall_at_10")
+        qpanel.select("q_id")
+        .join(per_q, on="q_id", how="left")
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.coalesce(F.col("r"), F.lit(0.0)).alias("recall_at_10"),
+        )
         .orderBy("query_id")
     )
+
+
+ANN_RECALL_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_OFF}
+), q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id % 400 = 0
+), probe AS (
+  SELECT q_id, cid AS cluster_id FROM (
+    SELECT q.q_id, s.cid,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY CAST(round(list_distance(s.cvec, q.q_vec) * 1e6) AS BIGINT)
+                        * {_IVF_KEY_BASE} + s.cid
+           ) AS pr
+    FROM q CROSS JOIN seeds s
+  ) WHERE pr <= {_IVF_NPROBE}
+), assign AS (
+  SELECT e.vec_id,
+         min(CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]), s.cvec) * 1e6)
+                  AS BIGINT) * {_IVF_KEY_BASE} + s.cid) % {_IVF_KEY_BASE} AS cluster_id
+  FROM embeddings e CROSS JOIN seeds s
+  GROUP BY e.vec_id
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_distance(e.v, q.q_vec), 6), e.vec_id
+           ) AS rnk
+    FROM e CROSS JOIN q
+  ) WHERE rnk <= 10
+), approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT p.q_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY p.q_id
+             ORDER BY round(list_distance(e.v, q.q_vec), 6), e.vec_id
+           ) AS rnk
+    FROM e
+    JOIN assign a ON e.vec_id = a.vec_id
+    JOIN probe p ON a.cluster_id = p.cluster_id
+    JOIN q ON q.q_id = p.q_id
+  ) WHERE rnk <= 10
+), per_q AS (
+  SELECT x.q_id, CAST(count(*) AS DOUBLE) / 10 AS r
+  FROM exact x JOIN approx a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+  GROUP BY x.q_id
+)
+SELECT q.q_id AS query_id, coalesce(per_q.r, 0.0) AS recall_at_10
+FROM q LEFT JOIN per_q ON q.q_id = per_q.q_id
+ORDER BY query_id
+"""
 
 
 def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,12 +1062,12 @@ QUERIES = [
     QuerySpec("pq_knn", pq_knn, None, "PQ ADC + exact-rerank ANN top-5 (rows-only)"),
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),
     QuerySpec("lsh_sim_join", lsh_sim_join, None, "MLlib approxSimilarityJoin N×M (rows-only)"),
-    QuerySpec("ann_recall", ann_recall, None, "IVF recall@10 vs exact tier (rows-only)"),
+    QuerySpec("ann_recall", ann_recall, ANN_RECALL_SQL, "IVF recall@10 vs exact tier, pinned quantizer (oracle-backed since r3)"),
     QuerySpec("minhash_near_dups", minhash_near_dups, None, "X2 MinHash+LSH near-dup (rows-only)"),
     QuerySpec("minhash_portable_dups", minhash_portable_dups, MINHASH_PORTABLE_SQL, "X2 MinHash+LSH, portable md5 family"),
     QuerySpec("simhash_near_dups", simhash_near_dups, None, "X2 SimHash near-dup (rows-only)"),
     QuerySpec("simhash_portable_dups", simhash_portable_dups, SIMHASH_PORTABLE_SQL, "X2 SimHash, portable md5-nibble family"),
     QuerySpec("embedding_near_dups", embedding_near_dups, EMBEDDING_NEAR_DUPS_SQL, "X2 semantic near-dup"),
-    QuerySpec("embedding_near_dups_ivf", embedding_near_dups_ivf, None, "X2 semantic near-dup, IVF-bucketed scale path"),
+    QuerySpec("embedding_near_dups_ivf", embedding_near_dups_ivf, EMBEDDING_NEAR_DUPS_IVF_SQL, "X2 semantic near-dup, IVF-bucketed scale path (pinned quantizer, oracle-backed since r3)"),
     QuerySpec("knn_join", knn_join, KNN_JOIN_SQL, "X3/X4 batch kNN join, top-3 per query"),
 ]
