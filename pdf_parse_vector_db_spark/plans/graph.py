@@ -50,7 +50,12 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     # every node has degree >= 1 in both directions, so deg's key set IS the
-    # node set; edges_w carries the source degree along each edge row
+    # node set; edges_w carries the source degree along each edge row.
+    # MEASURED: localCheckpoint()ing edges_w here is a loss (3.4 s -> 5.2 s
+    # at sf0.1) — the relation is events-sized, so eagerly materializing it
+    # costs more than the 3 re-derivations of the cheap scan+distinct; the
+    # kcore/LPA cuts win only because their contracted edge relations are
+    # orders of magnitude smaller than their build cost
     edges_w = edges.join(deg, on="src")
     nodes = deg.select(F.col("src").alias("node"))
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
@@ -257,9 +262,14 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
         )
         alive = deg.filter(F.col("c") >= _KCORE_K).select("n")
-        edges = edges.join(
-            alive.withColumnRenamed("n", "x"), "x", "left_semi"
-        ).join(alive.withColumnRenamed("n", "y"), "y", "left_semi")
+        # per-round localCheckpoint: round r's edge relation feeds its own
+        # count AND round r+1's degree agg — without the cut each consumer
+        # re-derives every prior round's semi-joins from the raw edge build
+        edges = (
+            edges.join(alive.withColumnRenamed("n", "x"), "x", "left_semi")
+            .join(alive.withColumnRenamed("n", "y"), "y", "left_semi")
+            .localCheckpoint()
+        )
         rounds.append(
             alive.agg(F.count(F.lit(1)).cast("bigint").alias("nodes")).crossJoin(
                 edges.agg(F.count(F.lit(1)).cast("bigint").alias("edges"))
@@ -320,10 +330,13 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest round-3 communities.
 
     Scale shape per round: edges join the |nodes|-row label table on the
-    neighbor key (co-partitioned after the first exchange), then a
-    (node, label) count with map-side partials and a per-node argmax
-    window over that count table — never over raw edges. Synchronous LPA
-    as Pregel-style joins, the GraphX lowering.
+    neighbor key (co-partitioned after the first exchange), then ONE
+    node-keyed exchange: `mode(label, deterministic=true)` is exactly
+    most-frequent-with-lowest-tie-break, so the round-2 shape's
+    (node,label) count exchange + per-node argmax window (two exchanges
+    and a sort per round) collapses into a single partial-aggregating
+    mode(). The oracle keeps the equivalent window formulation — DuckDB's
+    mode() tie-break is unspecified, Spark's deterministic one is pinned.
     """
     li = (
         load_table(spark, sf_dir, "lineitem", spread=True)
@@ -342,18 +355,12 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    from pyspark.sql.window import Window as W
-
     for _ in range(_LPA_ROUNDS):
         neigh = edges.join(
             labels.withColumnRenamed("node", "y"), "y"
         ).select(F.col("x").alias("node"), "label")
-        counts = neigh.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
-        w = W.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
-        labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+        labels = neigh.groupBy("node").agg(
+            F.expr("mode(label, true)").alias("label")
         )
     return (
         labels.groupBy("label")
