@@ -1,0 +1,106 @@
+"""Streaming SCD Type-2 apply (SURVEY §2.9 T4 [ext] × X30).
+
+The batch operator (plans/advanced.scd2_customer_history) merges one change
+batch into a dimension; this module is the Structured Streaming twin: a
+landing directory of CDC change rows drained via foreachBatch, each
+micro-batch MERGEd into the persisted dimension — close the current version
+of every changed key, open the successor, insert brand-new keys, and leave
+closed history untouched. This is the standing CDC-apply loop every
+lakehouse dimension runs (Delta/Iceberg MERGE INTO per trigger).
+
+foreachBatch (not a stateful operator) is the right shape: the dimension is
+table-sized state with a natural home on storage, and MERGE wants the
+engine's join machinery, not a state store. The merge itself is IDEMPOTENT
+per change row — re-applying a change whose attributes already match the
+current version produces no new version — so batch replay after a failed
+commit converges (the same exactly-once posture as dedup_stream, with
+row-level convergence on top of checkpointed file-source replay).
+
+Scale note: the demo rewrites the whole (small) dimension per trigger; a
+production MERGE rewrites only the files holding changed keys. The merge
+PLAN — one current-slice × batch full-outer join, history passed through —
+is identical either way; only the writer granularity differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+#: dimension schema: key + versioned attributes + validity bookkeeping
+DIM_COLS = ("c_custkey", "segment", "acctbal_cents", "version", "valid_from", "valid_to", "is_current")
+_CHANGE_SCHEMA = "c_custkey bigint, segment string, acctbal_cents bigint, eff_date date"
+
+
+def scd2_merge(dim: DataFrame, changes: DataFrame) -> DataFrame:
+    """One SCD2 MERGE step: returns the post-merge dimension.
+
+    `dim` rows: DIM_COLS. `changes` rows: (c_custkey, segment,
+    acctbal_cents, eff_date). Closed history passes through untouched;
+    the current slice full-outer-joins the batch; a change equal to the
+    current attributes is a no-op (idempotent re-apply)."""
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+    j = cur.alias("d").join(changes.alias("b"), on="c_custkey", how="full_outer")
+    changed = (
+        F.col("d.segment").isNotNull()
+        & F.col("b.segment").isNotNull()
+        & (
+            (F.col("b.segment") != F.col("d.segment"))
+            | (F.col("b.acctbal_cents") != F.col("d.acctbal_cents"))
+        )
+    )
+    survivors = j.filter(F.col("d.segment").isNotNull()).select(
+        "c_custkey",
+        F.col("d.segment").alias("segment"),
+        F.col("d.acctbal_cents").alias("acctbal_cents"),
+        F.col("d.version").alias("version"),
+        F.col("d.valid_from").alias("valid_from"),
+        F.when(changed, F.col("b.eff_date")).otherwise(F.col("d.valid_to")).alias("valid_to"),
+        F.when(changed, F.lit(False)).otherwise(F.col("d.is_current")).alias("is_current"),
+    )
+    openers = j.filter(
+        changed | (F.col("d.segment").isNull() & F.col("b.segment").isNotNull())
+    ).select(
+        "c_custkey",
+        F.col("b.segment").alias("segment"),
+        F.col("b.acctbal_cents").alias("acctbal_cents"),
+        F.coalesce(F.col("d.version") + 1, F.lit(1)).alias("version"),
+        F.col("b.eff_date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return hist.select(*DIM_COLS).unionByName(survivors).unionByName(openers)
+
+
+def stream_scd2_apply(
+    spark: SparkSession,
+    changes_dir: str,
+    dim_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """readStream(changes parquet) → foreachBatch SCD2 MERGE into the
+    dimension at `dim_dir` (created empty-initialized if absent)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            dim = sess.read.parquet(dim_dir)
+        except Exception:  # first trigger: empty dimension
+            dim = sess.createDataFrame(
+                [],
+                "c_custkey bigint, segment string, acctbal_cents bigint, "
+                "version int, valid_from date, valid_to date, is_current boolean",
+            )
+        merged = scd2_merge(dim, batch_df).localCheckpoint()
+        merged.write.mode("overwrite").parquet(dim_dir)
+
+    reader = spark.readStream.schema(_CHANGE_SCHEMA).parquet(changes_dir)
+    writer = reader.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -586,3 +586,59 @@ def test_dim_refresh_requires_per_batch_rebuild(spark, tmp_path):
     q = src.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination(120)
     assert seen == [(0, ["OLD"]), (1, ["NEW"])]
+
+
+def test_stream_scd2_apply_equals_batch_merge(spark, tmp_path):
+    """CDC-apply twin: two incremental micro-batch runs over disjoint key
+    sets must land the same dimension as one batch merge of their union,
+    and re-applying a change is a version-level no-op (idempotent MERGE)."""
+    import datetime
+
+    from pdf_parse_vector_db_spark.streaming.scd2_stream import (
+        DIM_COLS,
+        scd2_merge,
+        stream_scd2_apply,
+    )
+
+    t0 = datetime.date(1994, 1, 1)
+    t1 = datetime.date(1995, 6, 1)
+    dim_dir = str(tmp_path / "dim")
+    changes_dir = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+
+    dim0 = spark.createDataFrame(
+        [(k, seg, 100 * k, 1, t0, None, True) for k, seg in
+         [(1, "BUILDING"), (2, "MACHINERY"), (3, "FURNITURE"), (4, "AUTOMOBILE")]],
+        "c_custkey bigint, segment string, acctbal_cents bigint, version int, "
+        "valid_from date, valid_to date, is_current boolean",
+    )
+    dim0.write.parquet(dim_dir)
+
+    batch_a = [(1, "HOUSEHOLD", 100, t1), (5, "BUILDING", 0, t1)]     # change + insert
+    batch_b = [(2, "MACHINERY", 999, t1), (3, "FURNITURE", 300, t1)]  # change + no-op
+
+    schema = "c_custkey bigint, segment string, acctbal_cents bigint, eff_date date"
+    spark.createDataFrame(batch_a, schema).write.parquet(changes_dir + "/a")
+    stream_scd2_apply(spark, changes_dir + "/a", dim_dir, ckpt + "/a").awaitTermination(120)
+    spark.createDataFrame(batch_b, schema).write.parquet(changes_dir + "/b")
+    stream_scd2_apply(spark, changes_dir + "/b", dim_dir, ckpt + "/b").awaitTermination(120)
+
+    got = sorted(
+        (tuple(r[c] for c in DIM_COLS))
+        for r in spark.read.parquet(dim_dir).collect()
+    )
+    want_df = scd2_merge(dim0, spark.createDataFrame(batch_a + batch_b, schema))
+    want = sorted(tuple(r[c] for c in DIM_COLS) for r in want_df.collect())
+    assert got == want
+    # the streamed history: key 1 and 2 versioned, 3 untouched no-op, 5 inserted
+    by_key = {}
+    for row in got:
+        by_key.setdefault(row[0], []).append(row)
+    assert len(by_key[1]) == 2 and len(by_key[2]) == 2
+    assert len(by_key[3]) == 1 and by_key[3][0][6] is True  # no-op stayed v1 current
+    assert len(by_key[5]) == 1 and by_key[5][0][3] == 1
+
+    # idempotent re-apply: merging batch_a again changes nothing
+    re_applied = scd2_merge(want_df, spark.createDataFrame(batch_a, schema))
+    again = sorted(tuple(r[c] for c in DIM_COLS) for r in re_applied.collect())
+    assert again == want
