@@ -799,6 +799,189 @@ ORDER BY query_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# X31: power-iteration top principal component — iterative linear algebra
+# under the oracle hash. embedding_pca_variance (above) gets the full
+# spectrum from numpy eigvalsh over distributed sufficient statistics
+# (rows-only: eigendecomposition isn't portable); this twin runs the
+# classic power method (von Mises 1929, public) in EXACT fixed-point —
+# scaled-integer covariance, integer matvecs, integer max-normalization —
+# so three iterations produce bit-identical vectors on both engines and
+# the whole iterative tier sits under the value hash.
+# ---------------------------------------------------------------------------
+
+_PI_ROUNDS = 3
+_PI_SCALE = 1_000_000_000  # iterate in nanos
+
+
+def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PC power iteration over the embedding covariance, exact-integer.
+
+    C is kept SCALED: C*_jk = n·Σx_j x_k − Σx_j·Σx_k in integer micros²
+    (decimal(38,0) — positive scalar factors don't move eigenvectors).
+    v₀ = e₀·1e9; each round v ← round(C*·v · 1e9 / max|C*·v|) — integer
+    matvec, integer division — so every intermediate is an exact integer
+    both engines agree on. Output: the Rayleigh quotient of the final
+    vector against C*/(n²·1e12) (the true covariance's eigenvalue
+    estimate, double, 6 dp) plus the top-5 |component| dims.
+
+    Scale shape: the Gram stage is the only corpus-sized work — a
+    posexplode pair expansion partial-aggregating into dim² keys (at
+    100 TB swap in the mapPartitions Gram accumulation of operators/
+    pca.py; same 4096-key exchange either way). The three matvecs run on
+    the dim²-row C table: joins against a dim-row broadcast vector."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "xj"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select("j", F.round(F.col("xj") * 1e6).cast("bigint").alias("mj"), "v")
+    pairs = ex.select(
+        "j",
+        "mj",
+        F.posexplode(F.col("v")).alias("k", "xk"),
+    ).select("j", "k", "mj", F.round(F.col("xk") * 1e6).cast("bigint").alias("mk"))
+    stats = pairs.groupBy("j", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mj").alias("sj"),
+        F.sum("mk").alias("sk"),
+        F.sum(
+            (F.col("mj").cast("decimal(19,0)") * F.col("mk")).cast("decimal(38,0)")
+        ).alias("sjk"),
+    )
+    c = stats.select(
+        "j",
+        "k",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sjk")
+            - F.col("sj").cast("decimal(19,0)") * F.col("sk")
+        ).cast("decimal(38,0)").alias("cjk"),
+        F.col("n"),
+    ).localCheckpoint()  # loop-invariant dim^2-row relation
+    n_rows = c.filter((F.col("j") == 0) & (F.col("k") == 0)).select("n")
+
+    v = c.select(F.col("k")).distinct().select(
+        "k", F.when(F.col("k") == 0, F.lit(_PI_SCALE)).otherwise(F.lit(0)).cast("decimal(38,0)").alias("vk")
+    )
+    for _ in range(_PI_ROUNDS):
+        w = (
+            c.join(F.broadcast(v), on="k")
+            .groupBy("j")
+            .agg(F.sum((F.col("cjk") * F.col("vk")).cast("decimal(38,0)")).alias("wj"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("wj"))).alias("mx"))
+        # normalize through the DOUBLE ratio wj/mx (both exact integers ->
+        # identical doubles on both engines), never wj*1e9 as an integer —
+        # that product crosses decimal(38)/HUGEINT once |w| ~ 1e29 (sf0.1)
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("j").alias("k"),
+                # ansi: mx = max |w| > 0 — C* is a Gram-minus-mean matrix of a
+                # non-degenerate corpus and v has a nonzero component
+                F.round(
+                    F.col("wj").cast("double") / F.col("mx").cast("double") * _PI_SCALE,
+                    0,
+                )
+                .cast("decimal(38,0)")
+                .alias("vk"),
+            )
+        )
+    # Rayleigh quotient over a MICROS copy of v (vk div 1000): the nanos
+    # triple product vj*cjk*vk would brush decimal(38)'s ceiling; with
+    # micros the sum is bounded by dim^2 * 1e6*|C*|max*1e6 (~1e36 below
+    # n ~ 1e5 embeddings — past that, downscale once more). The v-scale
+    # cancels in the quotient.
+    # nanos -> micros through double round (exact: |vk| <= 1e9 < 2^53);
+    # both engines round half away from zero
+    vq = v.select(
+        "k",
+        F.round(F.col("vk").cast("double") / 1000.0, 0)
+        .cast("decimal(19,0)")
+        .alias("vk"),
+    )
+    num = (
+        c.join(F.broadcast(vq), on="k")
+        .join(
+            F.broadcast(vq.select(F.col("k").alias("j"), F.col("vk").alias("vj"))),
+            on="j",
+        )
+        .agg(
+            F.sum(
+                (F.col("vj") * F.col("cjk") * F.col("vk")).cast("decimal(38,0)")
+            ).alias("vCv")
+        )
+    )
+    den = vq.agg(F.sum((F.col("vk") * F.col("vk")).cast("decimal(38,0)")).alias("vv"))
+    topdims = (
+        v.orderBy(F.abs(F.col("vk")).desc(), F.col("k").asc())  # nanos v: full precision
+        .limit(5)
+        .agg(F.sort_array(F.collect_list(F.col("k").cast("int"))).alias("top_dims"))
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(topdims))
+        .select(
+            F.round(
+                F.col("vCv").cast("double")
+                / F.col("vv").cast("double")
+                # ansi: vv = sum of squared nanos of a max-normalized vector > 0
+                / (F.col("n").cast("double") * F.col("n") * 1e12),
+                6,
+            ).alias("top_eigenvalue"),
+            "top_dims",
+        )
+    )
+
+
+POWER_ITERATION_TOP_PC_SQL = f"""
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS j,
+         CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS mj,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT j, mj, generate_subscripts(v, 1) - 1 AS k,
+         CAST(round(unnest(v) * 1e6) AS BIGINT) AS mk
+  FROM ex
+), stats AS (
+  SELECT j, k, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mj) AS BIGINT) AS sj, CAST(sum(mk) AS BIGINT) AS sk,
+         CAST(sum(CAST(mj AS HUGEINT) * mk) AS HUGEINT) AS sjk
+  FROM pairs GROUP BY j, k
+), c AS (
+  SELECT j, k, CAST(n AS HUGEINT) * sjk - CAST(sj AS HUGEINT) * sk AS cjk, n
+  FROM stats
+), v0 AS (
+  SELECT DISTINCT k,
+         CAST(CASE WHEN k = 0 THEN {_PI_SCALE} ELSE 0 END AS HUGEINT) AS vk
+  FROM c
+),
+w1 AS (SELECT c.j, sum(cjk * vk) AS wj FROM c JOIN v0 ON c.k = v0.k GROUP BY c.j),
+v1 AS (SELECT j AS k, CAST(round(CAST(wj AS DOUBLE) / (SELECT CAST(max(abs(wj)) AS DOUBLE) FROM w1) * {_PI_SCALE}) AS HUGEINT) AS vk FROM w1),
+w2 AS (SELECT c.j, sum(cjk * vk) AS wj FROM c JOIN v1 ON c.k = v1.k GROUP BY c.j),
+v2 AS (SELECT j AS k, CAST(round(CAST(wj AS DOUBLE) / (SELECT CAST(max(abs(wj)) AS DOUBLE) FROM w2) * {_PI_SCALE}) AS HUGEINT) AS vk FROM w2),
+w3 AS (SELECT c.j, sum(cjk * vk) AS wj FROM c JOIN v2 ON c.k = v2.k GROUP BY c.j),
+v3 AS (SELECT j AS k, CAST(round(CAST(wj AS DOUBLE) / (SELECT CAST(max(abs(wj)) AS DOUBLE) FROM w3) * {_PI_SCALE}) AS HUGEINT) AS vk FROM w3),
+vq AS (SELECT k, CAST(round(CAST(vk AS DOUBLE) / 1000) AS HUGEINT) AS vk FROM v3),
+num AS (
+  SELECT sum(vj.vk * c.cjk * vk.vk) AS vCv
+  FROM c JOIN vq vk ON c.k = vk.k JOIN vq vj ON c.j = vj.k
+),
+den AS (SELECT sum(vk * vk) AS vv FROM vq),
+nr AS (SELECT n FROM c WHERE j = 0 AND k = 0),
+td AS (
+  SELECT list_sort(list(CAST(k AS INT))) AS top_dims
+  FROM (SELECT k FROM v3 ORDER BY abs(vk) DESC, k ASC LIMIT 5)
+)
+SELECT round(CAST(vCv AS DOUBLE) / CAST(vv AS DOUBLE)
+             / (CAST(nr.n AS DOUBLE) * nr.n * 1e12), 6) AS top_eigenvalue,
+       top_dims
+FROM num CROSS JOIN den CROSS JOIN nr CROSS JOIN td
+"""
+
+
 def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1/X2: resolve exact-Jaccard near-dup PAIRS into CLUSTERS via
     connected components (operators/components.py, Pregel-style min-label
@@ -1183,6 +1366,7 @@ QUERIES = [
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
     QuerySpec("embedding_energy_retention", embedding_energy_retention, EMBEDDING_ENERGY_SQL, "X2/X3 prefix-energy truncation audit"),
     QuerySpec("embedding_pca_variance", embedding_pca_variance, None, "X2/X3 distributed PCA explained variance (rows-only)"),
+    QuerySpec("power_iteration_top_pc", power_iteration_top_pc, POWER_ITERATION_TOP_PC_SQL, "X31 power-iteration top PC in exact fixed-point (oracle-backed iterative tier)"),
     QuerySpec("dedup_tier_evidence", dedup_tier_evidence, _evidence_sql(), "X2 cross-tier pair evidence audit"),
     QuerySpec("containment_dups", containment_dups, CONTAINMENT_DUPS_SQL, "X2 asymmetric shingle containment tier"),
     QuerySpec("dup_components", dup_components, DUP_COMPONENTS_SQL, "X1/X2 pair-to-cluster connected components"),

@@ -864,3 +864,24 @@ def test_scd2_invariants(spark):
         elif vs[0].valid_from == t1:
             saw_insert = True
     assert saw_change and saw_insert
+
+
+def test_power_iteration_estimate_within_spectrum(spark):
+    """Rayleigh-quotient sanity vs the numpy spectrum: after 3 exact
+    fixed-point iterations the estimate must sit inside (mean, lmax] —
+    on the adversarial flat random spectrum it lands ~0.83*lmax; a bug in
+    the integer matvec/normalization throws it far outside."""
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.plans.similarity import power_iteration_top_pc
+
+    r = power_iteration_top_pc(spark, SF_SMOKE).collect()[0]
+    X = np.array(
+        [row.embedding for row in load_table(spark, SF_SMOKE, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    C = np.cov(np.round(X * 1e6).T, bias=True) / 1e12  # query quantizes to micros
+    ev = np.linalg.eigvalsh(C)
+    assert ev.mean() < r.top_eigenvalue <= ev[-1] * (1 + 1e-9)
+    assert r.top_eigenvalue >= 0.5 * ev[-1]
+    assert len(r.top_dims) == 5 and len(set(r.top_dims)) == 5
