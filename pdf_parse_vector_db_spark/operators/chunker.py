@@ -84,3 +84,34 @@ def chunk_documents(
 
     cols = [id_col, *keep, text_col]
     return docs.select(*cols).mapInPandas(emit, schema=out_schema)
+
+
+def chunk_documents_udtf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = CHUNK_MAX_TOKENS,
+) -> DataFrame:
+    """Spark 4 native Python UDTF tier: the same greedy fold as a LATERAL
+    table function — `FROM docs, LATERAL chunk_text_udtf(text, budget)` —
+    the SQL-facing spelling of the 1→N expansion for users who live in
+    spark.sql() rather than the DataFrame API. Emits exactly
+    chunk_documents()'s rows (parity pinned in tests/test_udtf.py); the
+    mapInPandas tier remains the hot path (Arrow-batched vs the UDTF's
+    per-row eval)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string")
+    class ChunkTextUdtf:
+        def eval(self, text: str, budget: int):
+            for idx, chunk in enumerate(chunk_text(text or "", int(budget))):
+                yield idx, chunk
+
+    spark = docs.sparkSession
+    spark.udtf.register("chunk_text_udtf", ChunkTextUdtf)
+    view = "__chunk_udtf_input"
+    docs.select(id_col, text_col).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT {id_col}, chunk_idx, chunk_text "
+        f"FROM {view}, LATERAL chunk_text_udtf({text_col}, {int(max_tokens)})"
+    )

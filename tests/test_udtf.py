@@ -43,3 +43,25 @@ def test_word_ngrams_null_and_short_inputs(spark):
     assert rows == []
     rows = spark.sql("SELECT * FROM word_ngrams('one', 2)").collect()
     assert rows == []
+
+
+def test_native_udtf_tier_matches_mapinpandas(spark):
+    """The Spark 4 LATERAL UDTF spelling must emit exactly the mapInPandas
+    tier's rows — same fold, different physical operator."""
+    from pdf_parse_vector_db_spark.operators.chunker import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+    from pdf_parse_vector_db_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    a = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_documents(docs, max_tokens=50).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_documents_udtf(docs, max_tokens=50).collect()
+    )
+    assert a == b and a
