@@ -29,7 +29,10 @@ _IVF_SEED_MOD = 40
 _IVF_SEED_OFF = 7
 _IVF_NPROBE = 4
 #: (rounded-micros distance, cid) packed into one BIGINT so argmin is a
-#: plain MIN with a deterministic tie-break on both engines.
+#: plain MIN with a deterministic tie-break on both engines. Contract:
+#: cid (a vec_id) < base — holds to 1e7 corpus rows; widen the base (and
+#: the micros headroom, distance-micros * base must stay < 2^63) together
+#: if the id space outgrows it.
 _IVF_KEY_BASE = 10_000_000
 
 
@@ -877,9 +880,10 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.crossJoin(F.broadcast(mx))
             .select(
                 F.col("j").alias("k"),
-                # ansi: mx = max |w| > 0 — C* is a Gram-minus-mean matrix of a
+                # mx = max |w| > 0 — C* is a Gram-minus-mean matrix of a
                 # non-degenerate corpus and v has a nonzero component
                 F.round(
+                    # ansi: mx > 0, see above
                     F.col("wj").cast("double") / F.col("mx").cast("double") * _PI_SCALE,
                     0,
                 )
@@ -925,8 +929,9 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.round(
                 F.col("vCv").cast("double")
+                # ansi: vv = sum of squared micros of a max-normalized vector > 0
                 / F.col("vv").cast("double")
-                # ansi: vv = sum of squared nanos of a max-normalized vector > 0
+                # ansi: n = corpus count >= 1; literal 1e12
                 / (F.col("n").cast("double") * F.col("n") * 1e12),
                 6,
             ).alias("top_eigenvalue"),
