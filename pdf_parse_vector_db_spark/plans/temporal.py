@@ -496,10 +496,13 @@ def revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces sum EXACTLY to its booked cents — the invariant the oracle
     hash enforces globally (Σ booked == Σ recognized).
 
-    Scale shape: the day explode fans each order into interval-length
-    rows — linear in order-days, the irreducible grain of daily accrual
-    — and immediately aggregates map-side to (month) keys. No windows,
-    no joins beyond the order-close lookup.
+    Scale shape (round-3 rewrite): the accrual grain is daily, but the
+    REPORT grain is monthly — so the explode fans each order into its
+    covered MONTHS (1-4 rows), each month's piece = per_day × overlap
+    days (+ the remainder in the opening month). Identical cents to the
+    day explode, ~30x fewer intermediate rows (order-months, not
+    order-days), then the same map-side (month) agg. No windows, no
+    joins beyond the order-close lookup.
     """
     orders = load_table(spark, sf_dir, "orders", spread=True)
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -511,18 +514,28 @@ def revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("close_d"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    days = iv.select(
+    months = iv.select(
         "cents",
+        "open_d",
+        "close_d",
         (F.datediff("close_d", "open_d") + 1).cast("bigint").alias("n_days"),
-        F.posexplode(F.expr("sequence(open_d, close_d, interval 1 day)")).alias(
-            "pos", "d"
-        ),
+        F.explode(
+            F.expr("sequence(date_trunc('MONTH', open_d), date_trunc('MONTH', close_d), interval 1 month)")
+        ).alias("m"),
     )
-    piece = F.expr("cents div n_days") + F.when(
-        F.col("pos") == 0, F.col("cents") % F.col("n_days")
+    overlap = (
+        F.datediff(
+            F.least(F.col("close_d"), F.expr("last_day(m)")),
+            F.greatest(F.col("open_d"), F.col("m").cast("date")),
+        )
+        + 1
+    ).cast("bigint")
+    piece = F.expr("cents div n_days") * overlap + F.when(
+        F.expr("date_trunc('MONTH', open_d)") == F.col("m"),
+        F.col("cents") % F.col("n_days"),
     ).otherwise(F.lit(0))
     recognized = (
-        days.select(F.date_format("d", "yyyy-MM").alias("month"), piece.alias("p"))
+        months.select(F.date_format("m", "yyyy-MM").alias("month"), piece.alias("p"))
         .groupBy("month")
         .agg(F.sum("p").alias("rec_cents"))
     )
@@ -558,15 +571,19 @@ WITH close AS (
          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders JOIN close ON o_orderkey = l_orderkey
 ), expanded AS (
-  SELECT cents,
+  SELECT cents, open_d, close_d,
          CAST(date_diff('day', open_d, close_d) + 1 AS BIGINT) AS n_days,
-         generate_subscripts(ds, 1) - 1 AS pos,
-         unnest(ds) AS d
-  FROM (SELECT *, generate_series(open_d, close_d, INTERVAL 1 DAY) AS ds FROM iv)
+         CAST(unnest(generate_series(date_trunc('month', open_d),
+                                     date_trunc('month', close_d),
+                                     INTERVAL 1 MONTH)) AS DATE) AS m
+  FROM iv
 ), recognized AS (
-  SELECT strftime(CAST(d AS DATE), '%Y-%m') AS month,
-         CAST(sum(cents // n_days
-                  + CASE WHEN pos = 0 THEN cents % n_days ELSE 0 END) AS BIGINT)
+  SELECT strftime(m, '%Y-%m') AS month,
+         CAST(sum((cents // n_days)
+                    * (date_diff('day', greatest(open_d, m),
+                                 least(close_d, last_day(m))) + 1)
+                  + CASE WHEN date_trunc('month', open_d) = m
+                         THEN cents % n_days ELSE 0 END) AS BIGINT)
            AS rec_cents
   FROM expanded GROUP BY 1
 ), booked AS (
