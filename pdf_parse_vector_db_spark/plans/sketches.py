@@ -316,6 +316,11 @@ def _bf_pos_duck(i: int, key: str) -> str:
 
 def bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem", spread=True)
+    # MEASURED: localCheckpoint()ing `keys`/`bits` here does NOT help
+    # (2.7 s -> 3.0 s at sf0.1) — Catalyst already reuses the distinct's
+    # exchange across the three consumers, so the eager cut only adds
+    # materialization; contrast kcore_peel, where the re-derived subplan
+    # is a multi-join no exchange reuse covers
     keys = li.select(F.col("l_orderkey").alias("key")).distinct()
 
     def stack_positions(df, key_expr):
