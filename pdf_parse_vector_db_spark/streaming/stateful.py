@@ -331,3 +331,67 @@ def debounce_stream(events: DataFrame, gap_seconds: int = 5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming distinct count: portable HLL registers as MERGEABLE per-key
+# state — the sketch twin of streaming_heavy_hitters. Per event_type, m=64
+# registers carry the Flajolet HyperLogLog summary across micro-batches;
+# register-wise max IS the merge, so the estimate after any batching of
+# the stream equals the estimate over the concatenated history (the same
+# mergeability the batch tier exploits across partitions,
+# plans/relational.hll_portable). State per key is m small ints — O(keys)
+# forever, where an exact streaming countDistinct's state is O(distinct
+# values) and grows without bound.
+# ---------------------------------------------------------------------------
+
+HLL_STREAM_SCHEMA = "event_type string, n_seen bigint, ndv_est double"
+HLL_STREAM_STATE = "regs array<int>, n bigint"
+_HLL_STREAM_M = 64  # 2^6 registers -> ~13% standard error
+
+
+def _hll_stream_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import hashlib
+    import math
+
+    if state.exists:
+        regs, n = list(state.get[0]), int(state.get[1])
+    else:
+        regs, n = [0] * _HLL_STREAM_M, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        for uid in pdf["user_id"]:
+            h = int.from_bytes(hashlib.md5(str(int(uid)).encode()).digest()[:8], "big")
+            bucket = h >> 58  # top 6 bits
+            rest = h & ((1 << 58) - 1)
+            rho = 58 - rest.bit_length() + 1  # leading zeros + 1 in 58 bits
+            if rho > regs[bucket]:
+                regs[bucket] = rho
+    state.update((regs, n))
+    alpha = 0.709  # published constant for m = 64
+    z = sum(2.0 ** -r for r in regs)
+    est = alpha * _HLL_STREAM_M * _HLL_STREAM_M / z
+    zeros = regs.count(0)
+    if est <= 2.5 * _HLL_STREAM_M and zeros > 0:  # small-range correction
+        est = _HLL_STREAM_M * math.log(_HLL_STREAM_M / zeros)
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "n_seen": [n], "ndv_est": [round(est, 2)]}
+    )
+
+
+def streaming_distinct_users(events: DataFrame) -> DataFrame:
+    """Per-event_type running distinct-user ESTIMATE (update mode). A
+    one-micro-batch stream over the full history produces the identical
+    registers any batching produces — the merge-insensitivity contract
+    tests/test_streaming.py pins (applyInPandasWithState itself is
+    streaming-only in Spark 4, so the single-batch stream IS the batch
+    formulation)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _hll_stream_update,
+        outputStructType=HLL_STREAM_SCHEMA,
+        stateStructType=HLL_STREAM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

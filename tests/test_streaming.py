@@ -642,3 +642,75 @@ def test_stream_scd2_apply_equals_batch_merge(spark, tmp_path):
     re_applied = scd2_merge(want_df, spark.createDataFrame(batch_a, schema))
     again = sorted(tuple(r[c] for c in DIM_COLS) for r in re_applied.collect())
     assert again == want
+
+
+def test_streaming_hll_distinct_matches_batch_and_exact(spark, tmp_path):
+    """Mergeable-HLL state: the estimate after TWO micro-batches must equal
+    the single-micro-batch (batch-call) estimate over all rows — register
+    merging is insensitive to batching — and land within the m=64 sketch's
+    error envelope of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.streaming.stateful import streaming_distinct_users
+
+    landing = str(tmp_path / "hll_landing")
+    events = load_table(spark, SF, "events").select("event_id", "event_type", "user_id")
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(landing)
+
+    stream = spark.readStream.schema("event_id bigint, event_type string, user_id bigint").parquet(
+        landing
+    )
+    out_rows: dict[int, list] = {}
+
+    def sink(df, bid):
+        out_rows[bid] = df.collect()
+
+    q = (
+        streaming_distinct_users(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(landing)
+    q2 = (
+        streaming_distinct_users(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    final = {r.event_type: r for r in out_rows[max(out_rows)]}
+    # one-micro-batch stream over everything = the "batch" sketch
+    landing_all = str(tmp_path / "hll_landing_all")
+    events.write.mode("append").parquet(landing_all)
+    one_rows: dict[int, list] = {}
+    q3 = (
+        streaming_distinct_users(
+            spark.readStream.schema(
+                "event_id bigint, event_type string, user_id bigint"
+            ).parquet(landing_all)
+        )
+        .writeStream.foreachBatch(lambda df, bid: one_rows.__setitem__(bid, df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt_all"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(120)
+    batch = {r.event_type: r for r in one_rows[max(one_rows)]}
+    exact = {
+        r.event_type: r.ndv
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("ndv"))
+        .collect()
+    }
+    assert set(final) == set(batch) == set(exact)
+    for et, row in final.items():
+        assert row.ndv_est == batch[et].ndv_est, et  # batching-insensitive
+        assert abs(row.ndv_est - exact[et]) / exact[et] < 0.45, (et, row.ndv_est, exact[et])
