@@ -40,9 +40,11 @@ def _update(
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
-    """Per-user lifetime (count, sum(value)) maintained across micro-batches.
-    Works on a streaming DataFrame (update mode); the same call on a batch
-    DataFrame degenerates to one "micro-batch" and equals groupBy().agg()."""
+    """Per-user lifetime (count, sum(value)) maintained across micro-batches
+    (update mode). applyInPandasWithState is streaming-only in Spark 4, so
+    the batch-equivalence contract is phrased as: a ONE-micro-batch stream
+    over the full history equals groupBy().agg() (tests/test_streaming.py
+    drives it that way)."""
     return events.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
@@ -109,8 +111,9 @@ def _mg_update(
 
 def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
     """Per-event_type running MG summary over a `term` column; emits the
-    current candidate set (update mode) each micro-batch. Same call on a
-    batch DataFrame = one micro-batch = the batch MG summary."""
+    current candidate set (update mode) each micro-batch. A one-micro-batch
+    stream over the full history = the batch MG summary (the operator is
+    streaming-only in Spark 4; mergeability makes any batching agree)."""
     return events.groupBy("event_type").applyInPandasWithState(
         _mg_update,
         outputStructType=MG_OUTPUT_SCHEMA,
