@@ -209,8 +209,12 @@ def search_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: the full nested JSON response over the flagship read path —
     jsonify({status, query, results, result_count, appellant_statistics})
     (extract_and_search_v2.py:361-376; golden shape README.md:17-65).
-    Rows-only: engines disagree on JSON text formatting; the exact field
-    shape and values are golden-replayed in tests/test_golden.py."""
+    Oracle-backed since round 3: Spark's to_json and DuckDB's to_json emit
+    byte-identical compact text for this shape (definition-order keys,
+    shortest-repr doubles), so the ENTIRE nested response — sorted hit
+    array, statistics, query echo, the JSON serialization itself — sits
+    under the value hash (the round-1 "engines disagree on JSON text"
+    assumption measured false). Golden replay in tests/test_golden.py."""
     hits = _scored_hits(spark, sf_dir)
     best = knn.dedup_best_per_group(
         hits, group_col="file_grp", score_col="dist", tiebreak_cols=("vec_id",)
@@ -264,6 +268,58 @@ def search_response_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rk")
     )
 
+
+
+SEARCH_RESPONSE_SQL = f"""
+{_HITS_SQL},
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY file_grp ORDER BY dist, vec_id) AS rn
+  FROM hits
+),
+top5 AS (
+  SELECT 'vec_' || CAST(vec_id AS VARCHAR) AS file_name,
+         CAST(file_grp AS VARCHAR) AS file_id,
+         case_decision,
+         round(dist, 4) AS score
+  FROM best WHERE rn = 1 ORDER BY dist, vec_id LIMIT 5
+),
+stats AS (
+  SELECT CAST(sum(CASE WHEN case_decision = 'appellant_won' THEN 1 ELSE 0 END) AS BIGINT)
+           AS win_count,
+         CAST(sum(CASE WHEN case_decision IN ('appellant_won', 'appellant_lost')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS total_valid,
+         CAST(count(*) AS BIGINT) AS total
+  FROM top5
+),
+results_list AS (
+  SELECT list(struct_pack(
+           case_decision := case_decision,
+           file_id := file_id,
+           file_name := file_name,
+           score := score
+         ) ORDER BY score, case_decision, file_id, file_name) AS results
+  FROM top5
+)
+SELECT CAST(to_json(struct_pack(
+         appellant_statistics := struct_pack(
+           invalid_decisions := s.total - s.total_valid,
+           total_valid_decisions := s.total_valid,
+           win_count := s.win_count,
+           win_percentage := round(CASE WHEN s.total_valid > 0
+                                        THEN CAST(s.win_count AS DOUBLE) / s.total_valid * 100.0
+                                        ELSE 0.0 END, 2)
+         ),
+         query := struct_pack(
+           file_name := 'query.pdf',
+           input_court_level := {TARGET_LABEL - 1},
+           target_court_level := {TARGET_LABEL}
+         ),
+         result_count := s.total,
+         results := r.results,
+         status := 'success'
+       )) AS VARCHAR) AS response
+FROM stats s CROSS JOIN results_list r
+"""
 
 SEARCH_RESPONSE_FLAT_SQL = f"""
 {_HITS_SQL},
@@ -429,7 +485,7 @@ ORDER BY pre.rank
 QUERIES = [
     QuerySpec("knn_topk", knn_topk, KNN_TOPK_SQL, "J1/P2/W1 filtered exact kNN top-5"),
     QuerySpec("knn_prepost_filter", knn_prepost_filter, KNN_PREPOST_FILTER_SQL, "pushed-filter vs post-filter retrieval audit"),
-    QuerySpec("search_response", search_response, None, "S8 nested JSON response (rows-only)"),
+    QuerySpec("search_response", search_response, SEARCH_RESPONSE_SQL, "S8 nested JSON response (byte-identical to_json on both engines since r3)"),
     QuerySpec("search_response_flat", search_response_flat, SEARCH_RESPONSE_FLAT_SQL, "S8 response values, flattened + oracle-checked"),
     QuerySpec("search_ingested", search_ingested, None, "full-circle ingest->search (rows-only)"),
     QuerySpec("search_similar", search_similar, SEARCH_SIMILAR_SQL, "flagship read path: overfetch→dedup→top5"),
