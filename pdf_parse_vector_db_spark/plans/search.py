@@ -378,16 +378,77 @@ def _ingested_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CHUNKS_CACHE[key]
 
 
+
+from pdf_parse_vector_db_spark.functions.classifiers import case_decision_sql as _cds
+
+_DECISION_TEXT_SQL = _cds("text")
+from pdf_parse_vector_db_spark.schemas import EMBEDDING_DIM as _EDIM  # noqa: E402
+
+#: sha256 feature-hashing embedder in SQL (operators/embedder.embed_text_py):
+#: token idx = first 4 digest bytes % 64, sign = byte 4 parity; counts over
+#: an exact-integer norm, float32 components — the multimodal_features
+#: digest-math recipe applied to the INGEST embedder, which makes the
+#: full-circle write->read query hash-checkable.
+SEARCH_INGESTED_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id,
+         doc_id * 1000 AS chunk_id,
+         trim(text) AS text,
+         'doc_' || doc_id || '.pdf' AS file_name,
+         CAST(doc_id % 5 AS TINYINT) AS court_level,
+         {_DECISION_TEXT_SQL} AS case_decision
+  FROM documents
+  WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM chunks
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256(t), 1, 8))::BIGINT % {_EDIM} AS idx,
+         CASE WHEN ('0x' || substr(sha256(t), 9, 2))::INT % 2 = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM tok WHERE t <> ''
+), acc AS (
+  SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS c FROM h GROUP BY doc_id, idx
+), ssq AS (
+  SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm FROM acc GROUP BY doc_id
+), vec AS (
+  SELECT d.doc_id,
+         list(CAST(CAST(coalesce(a.c, 0) AS DOUBLE) / s.nrm AS REAL) ORDER BY i.i) AS v
+  FROM (SELECT DISTINCT doc_id FROM acc) d
+  CROSS JOIN (SELECT unnest(range({_EDIM})) AS i) i
+  LEFT JOIN acc a ON a.doc_id = d.doc_id AND a.idx = i.i
+  JOIN ssq s ON s.doc_id = d.doc_id
+  GROUP BY d.doc_id
+), q AS (
+  SELECT v AS qv FROM vec WHERE doc_id = 0
+), scored AS (
+  SELECT c.doc_id, c.chunk_id, c.file_name, c.case_decision,
+         list_distance(CAST(vec.v AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS dist
+  FROM chunks c
+  JOIN vec ON vec.doc_id = c.doc_id
+  CROSS JOIN q
+  WHERE c.court_level = 2
+  ORDER BY dist, chunk_id
+  LIMIT 100
+)
+SELECT doc_id, file_name, case_decision, round(dist, 4) AS score
+FROM scored
+ORDER BY dist, chunk_id
+LIMIT 5
+"""
+
 def search_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-circle reference flow: the §3.1 write path BUILDS the corpus
     (documents → classify → chunk → embed → chunks) and the §3.2 read path
     queries it — first-chunk embedding of doc 0 (W3,
     extract_and_search.py:88-89), court-level filter on level 2, overfetch
-    100 → best-per-file dedup → top-5. Rows-only: the deterministic
-    embedder isn't SQL-expressible; ingest correctness is oracle-checked
-    embedding-free (ingest_chunks) and search correctness on the fixture
-    embeddings (search_similar) — this query proves the two halves
-    compose."""
+    100 → best-per-file dedup → top-5. Oracle-backed since round 3: the
+    feature-hashing embedder is sha256 digest math, so the DuckDB twin
+    recomputes every token's (idx, sign), the integer-count vectors, the
+    exact-norm float32 normalization, AND the L2 ranking — the complete
+    write→read circle including the embedder sits under the value hash
+    (round-1's "embedder isn't SQL-expressible" claim measured false,
+    same as the JSON response)."""
     chunks = _ingested_chunks(spark, sf_dir)
     qvec = (
         chunks.filter((F.col("doc_id") == 0) & (F.col("chunk_idx") == 0))
@@ -487,7 +548,7 @@ QUERIES = [
     QuerySpec("knn_prepost_filter", knn_prepost_filter, KNN_PREPOST_FILTER_SQL, "pushed-filter vs post-filter retrieval audit"),
     QuerySpec("search_response", search_response, SEARCH_RESPONSE_SQL, "S8 nested JSON response (byte-identical to_json on both engines since r3)"),
     QuerySpec("search_response_flat", search_response_flat, SEARCH_RESPONSE_FLAT_SQL, "S8 response values, flattened + oracle-checked"),
-    QuerySpec("search_ingested", search_ingested, None, "full-circle ingest->search (rows-only)"),
+    QuerySpec("search_ingested", search_ingested, SEARCH_INGESTED_SQL, "full-circle ingest->search incl. the sha256 embedder (oracle-backed since r3)"),
     QuerySpec("search_similar", search_similar, SEARCH_SIMILAR_SQL, "flagship read path: overfetch→dedup→top5"),
     QuerySpec("search_stats", search_stats, SEARCH_STATS_SQL, "A2-A5 win statistics"),
     QuerySpec("knn_topk_per_label", knn_topk_per_label, KNN_TOPK_PER_LABEL_SQL, "X4 grouped top-k"),
