@@ -375,10 +375,10 @@ def _hll_stream_update(
     state.update((regs, n))
     alpha = 0.709  # published constant for m = 64
     z = sum(2.0 ** -r for r in regs)
-    est = alpha * _HLL_STREAM_M * _HLL_STREAM_M / z
+    est = alpha * _HLL_STREAM_M * _HLL_STREAM_M / z  # ansi: Python; z >= m * 2^-58 > 0
     zeros = regs.count(0)
     if est <= 2.5 * _HLL_STREAM_M and zeros > 0:  # small-range correction
-        est = _HLL_STREAM_M * math.log(_HLL_STREAM_M / zeros)
+        est = _HLL_STREAM_M * math.log(_HLL_STREAM_M / zeros)  # ansi: Python; zeros > 0 guard
     yield pd.DataFrame(
         {"event_type": [key[0]], "n_seen": [n], "ndv_est": [round(est, 2)]}
     )
