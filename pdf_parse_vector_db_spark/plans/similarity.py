@@ -651,6 +651,129 @@ def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", "label", F.round(F.col("dist"), 4).alias("score"))
 
 
+
+# ---------------------------------------------------------------------------
+# Portable E2LSH tier: random-projection LSH (Datar et al. 2004) with
+# PINNED projection planes — md5-derived constants baked as literals into
+# BOTH engines' plans, the random-projection twin of minhash_portable /
+# simhash_portable. The MLlib BucketedRandomProjectionLSH tier (lsh_knn)
+# keeps its recall contracts; this tier puts the bucket math itself under
+# the value hash. The dot products are generated as explicit left-
+# associated 64-term sums so both engines execute the identical float
+# operation sequence, then quantize to micros before the integer bucket
+# division (floor-consistent via a positive shift — Spark's `div`
+# truncates toward zero, DuckDB's `//` floors; shifting positive makes
+# them agree).
+# ---------------------------------------------------------------------------
+
+_E2LSH_TABLES = 4
+_E2LSH_W_MIC = 250_000  # bucket width w = 0.25 in micros
+_E2LSH_SHIFT = 100_000_000  # positivity shift (|dot| << 100)
+
+
+def _e2lsh_plane(t: int, dim: int = 64) -> list[float]:
+    import hashlib
+
+    return [
+        (hashlib.md5(f"{t}:{j}".encode()).digest()[0] - 127.5) / 128.0
+        for j in range(dim)
+    ]
+
+
+def _e2lsh_offset_mic(t: int) -> int:
+    import hashlib
+
+    return round(hashlib.md5(f"b:{t}".encode()).digest()[0] / 256.0 * _E2LSH_W_MIC)
+
+
+def lsh_portable_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable E2LSH top-5 for the vec_id=0 query: candidates share the
+    query's bucket in ANY of 4 pinned-projection tables (~36% of the
+    fixture corpus at w=0.25 — random uniform vectors are LSH-adversarial;
+    clustered real corpora prune far harder), exact rounded-L2 rerank.
+    Every stage — projections, bucket ids, candidate union, rerank — is
+    under the oracle hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    v = F.col("embedding").cast("array<double>")
+    qv = F.col("qvec").cast("array<double>")
+
+    def dot(col, plane):
+        expr = col[0] * F.lit(plane[0])
+        for j in range(1, len(plane)):
+            expr = expr + col[j] * F.lit(plane[j])
+        return expr
+
+    def bucket(col, t):
+        plane = _e2lsh_plane(t)
+        return (
+            F.round(dot(col, plane) * 1e6).cast("bigint")
+            + F.lit(_e2lsh_offset_mic(t) + _E2LSH_SHIFT)
+        ).cast("bigint")
+
+    cand_cond = None
+    for t in range(_E2LSH_TABLES):
+        eq = F.expr(f"__b{t} div {_E2LSH_W_MIC}") == F.expr(
+            f"__qb{t} div {_E2LSH_W_MIC}"
+        )
+        cand_cond = eq if cand_cond is None else (cand_cond | eq)
+    staged = emb.crossJoin(F.broadcast(q))
+    for t in range(_E2LSH_TABLES):
+        staged = staged.withColumn(f"__b{t}", bucket(v, t)).withColumn(
+            f"__qb{t}", bucket(qv, t)
+        )
+    return (
+        staged.filter(cand_cond)
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_distance(v, qv), 6).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+    )
+
+
+def _e2lsh_sql() -> str:
+    def dot_sql(col, plane):
+        terms = [f"{col}[{j + 1}] * ({plane[j]!r})" for j in range(len(plane))]
+        out = terms[0]
+        for term in terms[1:]:
+            out = f"({out} + {term})"
+        return out
+
+    def bucket_sql(col, t):
+        plane = _e2lsh_plane(t)
+        off = _e2lsh_offset_mic(t) + _E2LSH_SHIFT
+        return (
+            f"(CAST(round(({dot_sql(col, plane)}) * 1e6) AS BIGINT) + {off})"
+            f" // {_E2LSH_W_MIC}"
+        )
+
+    conds = " OR ".join(
+        f"({bucket_sql('e.v', t)}) = ({bucket_sql('q.qv', t)})"
+        for t in range(_E2LSH_TABLES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT e.vec_id, e.label,
+         round(list_distance(e.v, q.qv), 6) AS d
+  FROM e CROSS JOIN q
+  WHERE {conds}
+)
+SELECT vec_id, label, round(d, 4) AS score
+FROM cand ORDER BY d, vec_id LIMIT 5
+"""
+
+
+LSH_PORTABLE_KNN_SQL = _e2lsh_sql()
+
+
 def lsh_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.3 J1 second branch: the general N×M similarity join via
     public MLlib BucketedRandomProjectionLSH.approxSimilarityJoin
@@ -1380,6 +1503,7 @@ QUERIES = [
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, IVF_KNN_SQL, "IVF ANN top-5, pinned coarse quantizer (oracle-backed since r3)"),
     QuerySpec("pq_knn", pq_knn, PQ_KNN_SQL, "PQ ADC + exact-rerank ANN top-5, pinned codebooks (oracle-backed since r3)"),
+    QuerySpec("lsh_portable_knn", lsh_portable_knn, LSH_PORTABLE_KNN_SQL, "portable E2LSH candidates + exact rerank (pinned projections, oracle-backed)"),
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),
     QuerySpec("lsh_sim_join", lsh_sim_join, None, "MLlib approxSimilarityJoin N×M (rows-only)"),
     QuerySpec("ann_recall", ann_recall, ANN_RECALL_SQL, "IVF recall@10 vs exact tier, pinned quantizer (oracle-backed since r3)"),

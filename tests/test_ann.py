@@ -149,3 +149,23 @@ def test_pca_matches_numpy(spark, emb):
         assert abs(row["explained"] - evals[i] / total) < 1e-6
     cums = [row["cumulative"] for row in got]
     assert cums == sorted(cums)
+
+
+def test_portable_e2lsh_candidates_and_rerank(spark):
+    """Portable E2LSH tier: the reranked hits must be a subset of a deeper
+    exact top-k with IDENTICAL scores (rerank uses full vectors), and the
+    candidate gate must actually prune (not degenerate to a full scan)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.plans.similarity import lsh_portable_knn
+    from pdf_parse_vector_db_spark.sources.registry import load_table
+
+    hits = lsh_portable_knn(spark, SF).collect()
+    assert 1 <= len(hits) <= 5
+    emb = load_table(spark, SF, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    exact = {r.vec_id: r.score for r in knn_exact(emb, qvec, k=500).collect()}
+    for r in hits:
+        assert abs(r.score - round(exact[r.vec_id], 4)) < 1e-9
+    # self-hit: the query vector shares every bucket with itself
+    assert hits[0].vec_id == 0 and hits[0].score == 0.0
