@@ -1004,6 +1004,100 @@ ORDER BY f.source
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Inference batch packing: the padding-waste ledger of batched LLM inference
+# (every serving/embedding pipeline pads each batch to its longest sequence;
+# batching in arrival order wastes the padding gap, length-sorted batching
+# minimizes it — the standard bucketed-batching optimization). Both
+# strategies are priced on the same corpus with exact integer token counts,
+# so the whole comparison sits under the oracle hash.
+# ---------------------------------------------------------------------------
+
+_INFER_BATCH = 32
+
+
+def inference_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste at batch=32: arrival-order (doc_id) vs length-sorted
+    batching. Per strategy: batches, useful tokens, padded slots
+    (Σ batch_max·batch_size − Σ tokens), waste percent (4 dp, micros-exact
+    division).
+
+    Scale shape: two row_number windows (the sort a batching writer runs
+    anyway — at scale repartitionByRange on the sort key replaces the
+    global window), one (strategy, batch) agg, one 2-row rollup."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    ranked = toks.select(
+        "n_tok",
+        F.row_number().over(W.orderBy("doc_id")).alias("r_arr"),
+        F.row_number().over(W.orderBy("n_tok", "doc_id")).alias("r_len"),
+    )
+    long = ranked.select(
+        F.expr(
+            f"stack(2, 'arrival', (r_arr - 1) div {_INFER_BATCH},"
+            f" 'length_sorted', (r_len - 1) div {_INFER_BATCH}) AS (strategy, batch)"
+        ),
+        "n_tok",
+    )
+    per_batch = long.groupBy("strategy", "batch").agg(
+        F.count(F.lit(1)).alias("bsz"),
+        F.max("n_tok").alias("mx"),
+        F.sum("n_tok").alias("useful"),
+    )
+    return (
+        per_batch.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("useful").alias("useful_tokens"),
+            F.sum(F.col("mx") * F.col("bsz") - F.col("useful")).alias("padded_slots"),
+            F.round(
+                F.sum(F.col("mx") * F.col("bsz") - F.col("useful")).cast("double")
+                # ansi: total slots >= useful tokens >= 1 on a non-empty corpus
+                / F.sum(F.col("mx") * F.col("bsz")).cast("double")
+                * 100,
+                4,
+            ).alias("waste_pct"),
+        )
+        .orderBy("strategy")
+    )
+
+
+INFERENCE_BATCH_PACKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), ranked AS (
+  SELECT n_tok,
+         row_number() OVER (ORDER BY doc_id) AS r_arr,
+         row_number() OVER (ORDER BY n_tok, doc_id) AS r_len
+  FROM toks
+), long AS (
+  SELECT 'arrival' AS strategy, (r_arr - 1) // {_INFER_BATCH} AS batch, n_tok FROM ranked
+  UNION ALL
+  SELECT 'length_sorted', (r_len - 1) // {_INFER_BATCH}, n_tok FROM ranked
+), per_batch AS (
+  SELECT strategy, batch, count(*) AS bsz, max(n_tok) AS mx,
+         CAST(sum(n_tok) AS BIGINT) AS useful
+  FROM long GROUP BY strategy, batch
+)
+SELECT strategy,
+       count(*) AS n_batches,
+       CAST(sum(useful) AS BIGINT) AS useful_tokens,
+       CAST(sum(mx * bsz - useful) AS BIGINT) AS padded_slots,
+       round(CAST(sum(mx * bsz - useful) AS DOUBLE)
+             / CAST(sum(mx * bsz) AS DOUBLE) * 100, 4) AS waste_pct
+FROM per_batch
+GROUP BY strategy
+ORDER BY strategy
+"""
+
 QUERIES = [
     QuerySpec("span_corruption_plan", span_corruption_plan, SPAN_CORRUPTION_SQL, "X5 T5-style span-corruption mask accounting"),
     QuerySpec(
@@ -1096,4 +1190,5 @@ QUERIES = [
         FAIR_SHARE_ALLOCATION_SQL,
         "X5 max-min fair (water-filling) token-budget allocation, closed form, integer-exact",
     ),
+    QuerySpec("inference_batch_packing", inference_batch_packing, INFERENCE_BATCH_PACKING_SQL, "X5 padding-waste ledger: arrival vs length-sorted inference batching"),
 ]
