@@ -1055,8 +1055,11 @@ def inference_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_batches"),
             F.sum("useful").alias("useful_tokens"),
+            # mx*bsz <= 32x the longest doc's tokens; the sum is
+            # ansi: bounded by 32x total corpus tokens << int64
             F.sum(F.col("mx") * F.col("bsz") - F.col("useful")).alias("padded_slots"),
             F.round(
+                # ansi: same 32x-corpus-tokens bound as padded_slots
                 F.sum(F.col("mx") * F.col("bsz") - F.col("useful")).cast("double")
                 # ansi: total slots >= useful tokens >= 1 on a non-empty corpus
                 / F.sum(F.col("mx") * F.col("bsz")).cast("double")
