@@ -486,3 +486,42 @@ def test_mv_rewrite_dims_broadcast(spark):
     body = _final_plan(spark, "mv_rewrite_audit")
     assert "BroadcastHashJoin" in body, body
     assert "CartesianProduct" not in body, body
+
+
+def test_ivf_knn_pinned_broadcast_no_cartesian(spark):
+    """Pinned-quantizer IVF: seeds, probe set, and query broadcast; the
+    assignment argmin is a hash aggregate; no CartesianProduct anywhere
+    (the seed cross joins are broadcast nested loops over tiny sides)."""
+    body = _final_plan(spark, "ivf_knn")
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastExchange" in body, body
+    assert "HashAggregate" in body, body
+    assert "TakeOrderedAndProject" in body, body
+
+
+def test_scd2_outer_join_no_window(spark):
+    """SCD2 MERGE: the dim x batch outer join plus projection legs — no
+    window, no CartesianProduct. Catalyst specializes the logical
+    full-outer into per-leg Left/RightOuter joins (each union branch only
+    needs one side's null-extension), which is the optimization, not a
+    regression — assert outer joins survived, not their spelling."""
+    body = _final_plan(spark, "scd2_customer_history")
+    assert "CartesianProduct" not in body, body
+    assert "Window" not in body, body
+    assert "LeftOuter" in body or "RightOuter" in body or "FullOuter" in body, body
+
+
+def test_decision_llm_stage_single_python_stage(spark):
+    """LLM-stub stage: ONE Arrow-batched Python eval (the stub) over a
+    map-side cascade — a second Python stage or an exchange before the
+    sort would mean the gating stopped being a pure map."""
+    body = _final_plan(spark, "decision_llm_stage")
+    assert body.count("ArrowEvalPython") == 1, body
+    assert "Exchange hashpartitioning" not in body, body
+
+
+def test_batch_packing_single_scan_stack(spark):
+    """Batch packing: both strategies price from ONE documents scan (the
+    stack unpivot), not one scan per strategy."""
+    body = _final_plan(spark, "inference_batch_packing")
+    assert body.count("FileScan parquet") == 1, body
