@@ -100,6 +100,11 @@ AUDIT = {
     "zorder_layout": "global row_number = the Z-ORDER rewrite sort; zone-map accounting on 2x64 rows",
     "scd2_customer_history": "one dim x batch full-outer join; three projection legs unioned, no window",
     "multimodal_features": "pure mapInPandas feature stage; norm fold in codegen over the float array",
+    "lsh_portable_knn": "literal-plane projections in codegen; candidate OR-filter before the top-k cut",
+    "inference_batch_packing": "one documents scan -> stack unpivot; both strategies share the ranking windows",
+    "power_iteration_top_pc": "dim^2-key Gram exchange once (checkpointed); matvecs join a broadcast dim-row vector",
+    "search_ingested": "ingest chunks cached once; search is filtered scan + TakeOrderedAndProject over it",
+    "ann_recall": "probe ranking as a window over broadcast seeds; recall as a left-semi count - no driver loop",
 }
 
 
