@@ -13,6 +13,15 @@ the whole benchmark artifact. Every query runs under its own try/except —
 a failure is recorded in the JSON's "errors" map (query -> first error
 line), excluded from the total, and the harness still prints the JSON line
 before exiting nonzero so the timing data for the other queries survives.
+
+Output-size contract (round-4 lesson): the driver keeps only the last
+~2000 chars of stdout and parses the JSON from that tail. Rounds 1-3 all
+recorded ``parsed: null`` because the one-line JSON with 70-248 per-query
+timings was 3-7k chars. The final stdout line is therefore a COMPACT
+payload — total/value/sf plus a length-capped headline subset of the
+per-query timings — hard-limited to ``_LINE_BUDGET`` chars. The complete
+per-query map is written to ``BENCH_FULL.json`` next to this script (and
+is what tools/scaling_audit.py and the round notes consume).
 """
 
 from __future__ import annotations
@@ -70,16 +79,54 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    payload = {
+    full = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "n_queries": len(timings),
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        full["errors"] = errors
+    with open(os.path.join(ROOT, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    # compact final line: fit the driver's ~2000-char stdout tail.
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": {},
+    }
+    if errors:
+        first = sorted(errors)[0]
+        compact["errors"] = {first: errors[first][:120], "_count": len(errors)}
+    # headline queries first (reference core + heaviest tiers), then the
+    # slowest of the rest, until the line budget is exhausted.
+    _LINE_BUDGET = 1800
+    headline = [
+        "search_similar", "knn_topk", "search_response_flat", "ingest_chunks",
+        "classify_decision", "pricing_summary", "dup_components",
+        "dedup_keepers", "minhash_portable_dups", "simhash_portable_dups",
+        "ppjoin_near_dups", "semdedup", "ivf_knn", "pq_knn", "knn_join",
+        "pack_training_sequences", "label_propagation", "kcore_peel",
+        "pagerank_bipartite", "multimodal_frames", "events_hourly",
+        "forecast_backtest", "revenue_changepoint", "winnowing_fingerprints",
+        "decontaminate_overlap", "incremental_dedup",
+    ]
+    order = [q for q in headline if q in timings]
+    order += [q for q in sorted(timings, key=timings.get, reverse=True) if q not in order]
+    for q in order:
+        compact["queries"][q] = timings[q]
+        if len(json.dumps(compact)) > _LINE_BUDGET:
+            del compact["queries"][q]
+            break
+    line = json.dumps(compact)
+    assert len(line) <= _LINE_BUDGET + 100, len(line)
+    print(line)
     sys.stdout.flush()
     sys.exit(1 if errors else 0)
 

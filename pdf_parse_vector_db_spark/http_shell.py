@@ -31,12 +31,32 @@ from pdf_parse_vector_db_spark.sources.pdf import (
 )
 
 
+DEFAULT_COLLECTION = "case_files"  # extract_and_search_v2.py default
+
+
 def create_app(service: SparkVectorService, real_pdf: bool = False):
     from flask import Flask, jsonify, request
 
     app = Flask("pdf_parse_vector_db_spark")
     app.config["MAX_CONTENT_LENGTH"] = MAX_UPLOAD_BYTES  # reference :20
     extract = _extract_pages_fitz if real_pdf else _extract_pages_offline
+
+    # Per-collection routing (the reference keeps one Milvus collection per
+    # `collection` form field): the passed-in service owns the default
+    # collection; any other name gets its own warehouse namespace under
+    # `<base>/__collections__/<name>` so documents from different
+    # collections never mix.
+    services: dict[str, SparkVectorService] = {DEFAULT_COLLECTION: service}
+
+    def _service_for(collection: str) -> SparkVectorService:
+        svc = services.get(collection)
+        if svc is None:
+            safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in collection)
+            svc = SparkVectorService(
+                service.spark, f"{service.path}/__collections__/{safe}", dim=service.dim
+            )
+            services[collection] = svc
+        return svc
 
     def _text(file_storage) -> str:
         return "\n".join(extract(file_storage.read()))
@@ -50,7 +70,7 @@ def create_app(service: SparkVectorService, real_pdf: bool = False):
             return jsonify({"error": "No file selected"}), 400
         if not file.filename.lower().endswith(".pdf"):
             return jsonify({"error": "Only PDF files are supported"}), 400
-        collection = request.form.get("collection", "case_files")
+        collection = request.form.get("collection", DEFAULT_COLLECTION)
         try:
             court_level = int(request.form.get("court_level"))
         except (TypeError, ValueError):
@@ -59,7 +79,9 @@ def create_app(service: SparkVectorService, real_pdf: bool = False):
                 400,
             )
         try:
-            out = service.ingest_legal_document(file.filename, _text(file), court_level)
+            out = _service_for(collection).ingest_legal_document(
+                file.filename, _text(file), court_level
+            )
         except ValueError as e:
             return jsonify({"error": str(e)}), 400
         except Exception as e:  # noqa: BLE001 — reference maps all else to 500
@@ -92,8 +114,11 @@ def create_app(service: SparkVectorService, real_pdf: bool = False):
             return jsonify({"error": "No file selected"}), 400
         if not file.filename.lower().endswith(".pdf"):
             return jsonify({"error": "Only PDF files are supported"}), 400
+        collection = request.form.get("collection", DEFAULT_COLLECTION)  # ref :330-331
         try:
-            resp = service.search_similar_cases(file.filename, _text(file), court_level)
+            resp = _service_for(collection).search_similar_cases(
+                file.filename, _text(file), court_level
+            )
         except ValueError as e:
             return jsonify({"error": str(e)}), 400
         except Exception as e:  # noqa: BLE001

@@ -36,6 +36,30 @@ _IVF_NPROBE = 4
 _IVF_KEY_BASE = 10_000_000
 
 
+def _ivf_seeds(emb: DataFrame) -> DataFrame:
+    """Pinned coarse quantizer: every `_IVF_SEED_MOD`th vector is a cell
+    seed. The (distance-micros, cid) BIGINT pack requires cid <
+    `_IVF_KEY_BASE`; rather than silently corrupting argmin results past
+    1e7 embeddings, a raise_error guard on the seed ids surfaces the
+    contract violation loudly (seeds are corpus/MOD rows, so the check is
+    off the hot path; it never fires below the base, preserving oracle
+    hash parity)."""
+    return emb.filter(F.col("vec_id") % _IVF_SEED_MOD == _IVF_SEED_OFF).select(
+        F.when(F.col("vec_id") < _IVF_KEY_BASE, F.col("vec_id"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("IVF cid pack overflow: vec_id "),
+                    F.col("vec_id").cast("string"),
+                    F.lit(f" >= _IVF_KEY_BASE {_IVF_KEY_BASE}; widen the base"),
+                )
+            )
+        )
+        .alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+
+
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 exact tier: 3-gram Jaccard ≥ 0.1 within equal-length buckets.
     Blocking on n_chars keeps the self-join out of N² territory; at scale
@@ -155,9 +179,7 @@ def embedding_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell blocked-BLAS pairs all hash-match the DuckDB twin; the
     subset-of-exact-tier contract stays asserted in tests/test_dedup.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = emb.filter(
-        F.col("vec_id") % _IVF_SEED_MOD == _IVF_SEED_OFF
-    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    seeds = _ivf_seeds(emb)
 
     key = lambda vec, other, cid: (  # noqa: E731
         F.round(l2_distance(vec, other) * 1e6).cast("bigint") * _IVF_KEY_BASE + cid
@@ -388,9 +410,7 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     a Parquet partition key, making the IN (probe cells) filter partition
     pruning, exactly like nprobe/nlist in Milvus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = emb.filter(
-        F.col("vec_id") % _IVF_SEED_MOD == _IVF_SEED_OFF
-    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    seeds = _ivf_seeds(emb)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
 
     key = lambda vec, other, cid: (  # noqa: E731 — (dist-micros, cid) pack
@@ -812,9 +832,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall contracts in tests/test_ann.py."""
     k = 10
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = emb.filter(
-        F.col("vec_id") % _IVF_SEED_MOD == _IVF_SEED_OFF
-    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    seeds = _ivf_seeds(emb)
     qpanel = emb.filter(F.col("vec_id") % 400 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )

@@ -86,9 +86,17 @@ def stream_scd2_apply(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        try:
+        # Empty-initialize ONLY when the dimension genuinely doesn't exist
+        # yet (first trigger). Any other read failure — corruption, a
+        # transient FS/permission error, a concurrent writer — must fail
+        # the micro-batch so checkpoint replay retries it; a bare
+        # try/except here would silently discard all accumulated history.
+        jvm = sess._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(dim_dir)
+        fs = jpath.getFileSystem(sess._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             dim = sess.read.parquet(dim_dir)
-        except Exception:  # first trigger: empty dimension
+        else:
             dim = sess.createDataFrame(
                 [],
                 "c_custkey bigint, segment string, acctbal_cents bigint, "
