@@ -1871,8 +1871,148 @@ FROM point
 """
 
 
+_SUB_K = 8  # duplicated-substring shingle width (tokens)
+
+
+def substring_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-substring removal plan (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022):
+    every SLIDING 8-token window that occurs more than once in the corpus
+    (including within one doc) is a duplicate; all but its globally-first
+    occurrence (lowest doc_id, then position) are marked for removal, and
+    overlapping/adjacent marked windows merge into MAXIMAL spans — the
+    per-doc byte-range delete list the cleanup pass consumes. Differs from
+    span_dedup (C4 fixed non-overlapping spans) exactly the way the paper's
+    suffix-array pass differs from C4's hash pass: sliding windows + span
+    coalescing find duplicated regions at any alignment.
+
+    Scale shape (100 TB): the paper builds a single suffix array, which
+    does not distribute; the Spark-first equivalent is this
+    shingle-exchange — extraction is a codegen map (split + transform, one
+    explode), the only corpus-sized shuffle is the rank over the shingle
+    hash (same exchange C4/RefinedWeb run), and the island merge is one
+    per-doc sort window whose input is already reduced to the marked
+    positions. No UDFs, no driver state; skew-safe because 8-token
+    shingles are near-unique keys."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = (
+        words.filter(F.size("w") >= _SUB_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_SUB_K} + 1), "
+                    f"i -> struct(i AS pos, array_join(slice(w, i, {_SUB_K}), ' ') AS shingle))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle"))
+    )
+    rk = Window.partitionBy("shingle").orderBy("doc_id", "pos")
+    marked = (
+        sh.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + _SUB_K - 1).alias("e"))
+    )
+    wprev = Window.partitionBy("doc_id").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    wrun = Window.partitionBy("doc_id").orderBy("s")
+    isl = (
+        marked.withColumn("prev_e", F.max("e").over(wprev))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("iid", F.sum("brk").over(wrun))
+    )
+    agg = isl.groupBy("doc_id", "iid").agg(F.min("s").alias("is_"), F.max("e").alias("ie"))
+    span_len = F.col("ie") - F.col("is_") + 1
+    perdoc = agg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(span_len).cast("long").alias("tokens_removed"),
+        F.max(span_len).cast("long").alias("max_span_tokens"),
+    )
+    dupsh = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_windows")
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(perdoc, "doc_id", "left")
+        .join(dupsh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("tokens_removed", F.lit(0)).cast("long").alias("tokens_removed"),
+            # ansi: n_tokens >= 1 (split('') is ['']); try_divide mirrors DuckDB /
+            F.round(
+                F.try_divide(F.coalesce("tokens_removed", F.lit(0)), F.col("n_tokens")), 6
+            ).alias("dup_token_frac"),
+            F.coalesce("max_span_tokens", F.lit(0)).cast("long").alias("max_span_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SUBSTRING_DEDUP_PLAN_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[i:i + {_SUB_K} - 1], ' ') AS shingle
+  FROM words,
+       LATERAL (SELECT unnest(range(1, greatest(len(w) - {_SUB_K} + 2, 1)))) t(i)
+),
+marked AS (
+  SELECT doc_id, pos AS s, pos + {_SUB_K} - 1 AS e
+  FROM (SELECT doc_id, pos, row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn FROM sh)
+  WHERE rn > 1
+),
+iv AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1 THEN 1 ELSE 0 END AS brk
+  FROM marked
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS iid FROM iv
+),
+spans AS (
+  SELECT doc_id, iid, min(s) AS is_, max(e) AS ie FROM isl GROUP BY doc_id, iid
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(ie - is_ + 1) AS BIGINT) AS tokens_removed,
+         CAST(max(ie - is_ + 1) AS BIGINT) AS max_span_tokens
+  FROM spans GROUP BY doc_id
+),
+dupsh AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       coalesce(dup_windows, 0) AS dup_windows,
+       coalesce(n_spans, 0) AS n_spans,
+       coalesce(tokens_removed, 0) AS tokens_removed,
+       round(CAST(coalesce(tokens_removed, 0) AS DOUBLE)
+             / len(string_split(d.text, ' ')), 6) AS dup_token_frac,
+       coalesce(max_span_tokens, 0) AS max_span_tokens
+FROM documents d
+LEFT JOIN perdoc USING (doc_id)
+LEFT JOIN dupsh USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("span_dedup", span_dedup, SPAN_DEDUP_SQL, "C4-style corpus span dedup"),
+    QuerySpec("substring_dedup_plan", substring_dedup_plan, SUBSTRING_DEDUP_PLAN_SQL, "ExactSubstr sliding-window dedup: maximal duplicated-span removal plan"),
     QuerySpec("segment_priority_chi2", segment_priority_chi2, SEGMENT_PRIORITY_CHI2_SQL, "Pearson chi-square independence audit over one contingency agg"),
     QuerySpec("segment_priority_mi", segment_priority_mi, SEGMENT_PRIORITY_MI_SQL, "mutual information + NMI over the same contingency agg (integer-nanos exact)"),
     QuerySpec("benford_audit", benford_audit, BENFORD_AUDIT_SQL, "Benford first-digit distribution audit of order totals"),
