@@ -676,6 +676,104 @@ ORDER BY p.event_id
 """
 
 
+_NEAREST_WINDOW_MS = 3_600_000  # ±1 hour candidate window
+_NEAREST_ID_BASE = 1_000_000_000_000  # event_id < 1e12; abs_ms*1e12 < 2^63
+
+
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join (J2 family, the kdb `aj`/TimescaleDB variant the
+    backward as-of join doesn't cover): for each purchase, the same user's
+    view CLOSEST in time within ±1 hour — before OR after — with
+    deterministic ties (smaller |Δt|, then lower view event_id). Purchases
+    with no view in the window survive with NULLs.
+
+    Scale shape: candidates come from an hour-bucket BAND join — each
+    purchase explodes to its bucket and the two adjacent ones, views join
+    on (user_id, bucket) — so the pair space is per-user-per-hour, never
+    |purchases|×|views|. The winner is one MIN of the
+    (abs_ms, view_event_id) BIGINT pack per purchase (argmin = MIN with a
+    deterministic tiebreak, same device as the IVF assignment); contract
+    abs_ms*1e12 + id < 2^63 holds for any |Δt| ≤ 1 h and id < 1e12."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.unix_millis("ts").alias("p_ms"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.unix_millis("ts").alias("v_ms"),
+        # ansi: epoch millis positive, div truncation == floor
+        F.expr(f"div(unix_millis(ts), {_NEAREST_WINDOW_MS})").alias("bucket"),
+    )
+    pb = p.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"div(p_ms, {_NEAREST_WINDOW_MS})") - 1,
+                F.expr(f"div(p_ms, {_NEAREST_WINDOW_MS})") + 1,
+            )
+        ),
+    )
+    cand = (
+        pb.join(v, on=["user_id", "bucket"])
+        .withColumn("abs_ms", F.abs(F.col("p_ms") - F.col("v_ms")))
+        .filter(F.col("abs_ms") <= _NEAREST_WINDOW_MS)
+        # ansi: abs_ms <= 3.6e6 and v_id < 1e12 by the documented contract
+        .withColumn("pack", F.col("abs_ms") * _NEAREST_ID_BASE + F.col("v_id"))
+    )
+    winners = cand.groupBy("p_id").agg(
+        F.min_by("v_id", "pack").alias("view_event_id"),
+        F.min_by("v_ts", "pack").alias("view_ts"),
+        F.min_by(F.col("p_ms") - F.col("v_ms"), "pack").alias("delta_ms"),
+    )
+    return (
+        p.join(winners, on="p_id", how="left")
+        .select(
+            F.col("p_id").alias("event_id"),
+            "user_id",
+            F.col("p_ts").alias("purchase_ts"),
+            "view_event_id",
+            "view_ts",
+            "delta_ms",
+        )
+        .orderBy("event_id")
+    )
+
+
+NEAREST_EVENT_JOIN_SQL = f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         epoch_ms(ts) AS p_ms
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id AS v_id, user_id, ts AS v_ts, epoch_ms(ts) AS v_ms
+  FROM events WHERE event_type = 'view'
+),
+cand AS (
+  SELECT p.p_id, v.v_id, v.v_ts, p.p_ms - v.v_ms AS delta_ms,
+         abs(p.p_ms - v.v_ms) * {_NEAREST_ID_BASE} + v.v_id AS pack
+  FROM p JOIN v ON p.user_id = v.user_id
+  WHERE abs(p.p_ms - v.v_ms) <= {_NEAREST_WINDOW_MS}
+),
+winners AS (
+  SELECT p_id,
+         arg_min(v_id, pack) AS view_event_id,
+         arg_min(v_ts, pack) AS view_ts,
+         arg_min(delta_ms, pack) AS delta_ms
+  FROM cand GROUP BY p_id
+)
+SELECT p.p_id AS event_id, p.user_id, p.p_ts AS purchase_ts,
+       w.view_event_id, w.view_ts, w.delta_ms
+FROM p LEFT JOIN winners w USING (p_id)
+ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # J2 breadth: plain LEFT OUTER (TPC-H Q13 shape) and FULL OUTER joins —
 # the two outer-join flavors the semi/anti/range/as-of rows don't cover.
@@ -1345,6 +1443,7 @@ QUERIES = [
     QuerySpec("shipments_in_window", shipments_in_window, SHIPMENTS_IN_WINDOW_SQL, "J2 equi+range join"),
     QuerySpec("views_before_purchase", views_before_purchase, VIEWS_BEFORE_PURCHASE_SQL, "J2 time-range join"),
     QuerySpec("purchase_last_view", purchase_last_view, PURCHASE_LAST_VIEW_SQL, "J2 as-of join (merge formulation)"),
+    QuerySpec("nearest_event_join", nearest_event_join, NEAREST_EVENT_JOIN_SQL, "J2 nearest-event join: closest view within ±1h via hour-band join + argmin pack"),
     QuerySpec("parts_above_brand_avg", parts_above_brand_avg, PARTS_ABOVE_BRAND_AVG_SQL, "correlated scalar subquery"),
     QuerySpec("doc_reassembly", doc_reassembly, DOC_REASSEMBLY_SQL, "A7 ordered concat agg"),
     QuerySpec("first_chunks", first_chunks, FIRST_CHUNKS_SQL, "W3 positional first (min_by)"),

@@ -270,6 +270,93 @@ ORDER BY source
 """
 
 
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-source TOKEN-budget trim (the knob data mixes actually tune —
+    domain_caps caps document COUNT; training mixtures are specified in
+    tokens). Docs rank within their source by a lexical-diversity quality
+    proxy (unique-word fraction, integer micro-key so both engines order
+    identically; doc_id tiebreak) and are kept greedily until the source's
+    kept tokens would exceed 50% of its total — the "keep the best half of
+    every domain" recipe. Output is the per-source budget ledger.
+
+    Scale shape: ONE shuffle keyed on source — the rank window, the
+    cumulative-token window, and the per-source total share the same
+    partitioning, and the final agg re-uses it. All accounting is integer
+    (token counts, cum*2 <= total comparison), so the plan is exact at any
+    scale; a pathologically hot source is the salted-window case in
+    operators/skew.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = T.token_counts_expr("text")["ws_tokens"]
+    base = docs.select(
+        "source",
+        "doc_id",
+        ws.alias("ws_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("uniq_words"),
+    ).withColumn(
+        # ansi: ws_tokens >= 1 (split of any trimmed string is non-empty);
+        # uniq_words*1e6 <= 1e6 * doc length, far under int64
+        "qkey",
+        F.expr("div(uniq_words * 1000000, ws_tokens)"),
+    )
+    worder = Window.partitionBy("source").orderBy(F.desc("qkey"), F.asc("doc_id"))
+    ranked = base.withColumn(
+        "cum",
+        F.sum("ws_tokens").over(worder.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("total", F.sum("ws_tokens").over(Window.partitionBy("source")))
+    # ansi: cum <= total <= corpus tokens, *2 bounded far under int64
+    kept = F.col("cum") * 2 <= F.col("total")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum(kept.cast("long")).cast("long").alias("docs_kept"),
+            F.max("total").cast("long").alias("tokens_total"),
+            F.sum(F.when(kept, F.col("ws_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.round(
+                # ansi: tokens_total >= docs >= 1; single int/int division
+                F.try_divide(
+                    F.sum(F.when(kept, F.col("ws_tokens")).otherwise(F.lit(0))),
+                    F.max("total"),
+                ),
+                6,
+            ).alias("kept_token_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_PLAN_SQL = f"""
+WITH base AS (
+  SELECT source, doc_id, {_WS_SQL} AS ws_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq_words
+  FROM documents
+),
+keyed AS (
+  SELECT *, (uniq_words * 1000000) // ws_tokens AS qkey FROM base
+),
+ranked AS (
+  SELECT source, doc_id, ws_tokens,
+         sum(ws_tokens) OVER (PARTITION BY source ORDER BY qkey DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(ws_tokens) OVER (PARTITION BY source) AS total
+  FROM keyed
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_total,
+       CAST(sum(CASE WHEN cum * 2 <= total THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       CAST(max(total) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN cum * 2 <= total THEN ws_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       round(CAST(sum(CASE WHEN cum * 2 <= total THEN ws_tokens ELSE 0 END) AS DOUBLE)
+             / max(total), 6) AS kept_token_frac
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Blocklist filtering (CCNet / RefinedWeb URL-blocklist shape)
 # ---------------------------------------------------------------------------
@@ -1953,6 +2040,12 @@ ORDER BY layout
 
 
 QUERIES = [
+    QuerySpec(
+        "token_budget_plan",
+        token_budget_plan,
+        TOKEN_BUDGET_PLAN_SQL,
+        "X5 per-source token-budget trim: keep best docs until 50% of source tokens",
+    ),
     QuerySpec(
         "bpe_learn_merges",
         bpe_learn_merges,

@@ -727,7 +727,82 @@ FROM stats
 """
 
 
+_AA_CAND_MOD = 10  # candidate parts: p_partkey % 10 == 0 (the blocking knob)
+_AA_TOPK = 50
+
+
+def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier–part bipartite graph: Adamic–Adar
+    score for candidate part pairs, AA(a,b) = Σ_{s ∈ suppliers(a) ∩
+    suppliers(b)} 1/ln(deg(s)) — rare shared suppliers are stronger
+    evidence than ubiquitous ones. Top-50 pairs by score.
+
+    Scale shape: pair generation is the per-supplier self-join — bounded
+    by restricting CANDIDATE parts to p_partkey % 10 == 0 (at production
+    scale this knob is the LSH/embedding-blocking tier; degrees still
+    come from the FULL graph so scores are unbiased, and deg-1 suppliers
+    are pruned before pairing since they cannot co-occur). Scoring is
+    integer-exact: each supplier contributes round(1e6/ln(deg)) micros, a
+    BIGINT whose sum is order-independent — no float accumulation drift
+    between engines. Final cut is TakeOrderedAndProject (top-k, never a
+    global sort)."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    # ansi: deg >= 2 enforced below, ln(deg) >= ln 2 > 0
+    deg = (
+        sp.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 2)
+        .withColumn(
+            # ansi: deg >= 2 filtered above, ln(deg) >= ln 2 > 0
+            "w_micros", F.round(F.lit(1e6) / F.log(F.col("deg"))).cast("bigint")
+        )
+    )
+    cand = sp.filter(F.col("p") % _AA_CAND_MOD == 0)
+    a = cand.select("s", F.col("p").alias("part_a"))
+    b = cand.select("s", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, on="s")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(F.broadcast(deg), on="s")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_suppliers"),
+            F.sum("w_micros").cast("long").alias("aa_score_micros"),
+        )
+        .orderBy(F.desc("aa_score_micros"), "part_a", "part_b")
+        .limit(_AA_TOPK)
+    )
+
+
+ADAMIC_ADAR_LINKPRED_SQL = f"""
+WITH sp AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+deg AS (
+  SELECT s, count(*) AS deg,
+         CAST(round(1e6 / ln(count(*))) AS BIGINT) AS w_micros
+  FROM sp GROUP BY s HAVING count(*) >= 2
+),
+cand AS (SELECT s, p FROM sp WHERE p % {_AA_CAND_MOD} = 0)
+SELECT a.p AS part_a, b.p AS part_b,
+       CAST(count(*) AS BIGINT) AS common_suppliers,
+       CAST(sum(d.w_micros) AS BIGINT) AS aa_score_micros
+FROM cand a
+JOIN cand b ON a.s = b.s AND a.p < b.p
+JOIN deg d ON d.s = a.s
+GROUP BY a.p, b.p
+ORDER BY aa_score_micros DESC, part_a, part_b
+LIMIT {_AA_TOPK}
+"""
+
+
 QUERIES = [
+    QuerySpec("adamic_adar_linkpred", adamic_adar_linkpred, ADAMIC_ADAR_LINKPRED_SQL, "Adamic-Adar link prediction on the supplier-part bipartite graph (integer-micros scoring)"),
     QuerySpec("pagerank_bipartite", pagerank_bipartite, PAGERANK_BIPARTITE_SQL, "3-iteration unrolled PageRank on the interaction graph"),
     QuerySpec("nation_triangles", nation_triangles, NATION_TRIANGLES_SQL, "ordered-join triangle counting on the contracted trade graph"),
     QuerySpec("kcore_peel", kcore_peel, KCORE_PEEL_SQL, "3-round unrolled k-core peeling on the part co-order graph"),

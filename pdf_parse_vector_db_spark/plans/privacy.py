@@ -327,7 +327,94 @@ ORDER BY event_type
 """
 
 
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the k-anonymity
+    companion: a QI class can be k-large yet leak the sensitive attribute
+    if every record in it shares one value. Release shape: one record per
+    order carrying its customer's quasi-identifiers (nation, segment,
+    balance-decile — the same QI as k_anonymity_audit) with
+    o_orderpriority as the sensitive attribute; a class is l-diverse when
+    it contains >= l distinct priorities. Report, per l in {2,3,4,5}:
+    classes, violating classes, and records at risk.
+
+    Scale shape: one fact-side shuffle — orders join the broadcast
+    customer QI projection, then a single hash-agg on the QI tuple
+    computing (class_size, distinct sensitive) with map-side partials;
+    the l-grid cross join touches only the tiny class table. At 100 TB
+    the distinct count per class is the only memory concern and its
+    domain (5 priorities) is constant."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders", spread=True)
+    qi = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_bucket"),
+    )
+    recs = orders.join(
+        F.broadcast(qi), orders.o_custkey == qi.c_custkey
+    ).select("c_nationkey", "c_mktsegment", "bal_bucket", "o_orderpriority")
+    classes = recs.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("o_orderpriority").alias("l_actual"),
+    )
+    ls = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (2, 3, 4, 5)])).alias("l")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("classes"),
+            F.sum(F.when(F.col("l_actual") < F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("violating_classes"),
+            F.sum(
+                F.when(F.col("l_actual") < F.col("l"), F.col("class_size")).otherwise(0)
+            )
+            .cast("long")
+            .alias("records_at_risk"),
+            F.round(
+                F.sum(
+                    F.when(F.col("l_actual") < F.col("l"), F.col("class_size")).otherwise(
+                        0
+                    )
+                )
+                # ansi: sum of positive class sizes over a non-empty group
+                / F.sum("class_size")
+                * 100,
+                4,
+            ).alias("pct_at_risk"),
+        )
+        .orderBy("l")
+    )
+
+
+L_DIVERSITY_AUDIT_SQL = """
+WITH classes AS (
+  SELECT c.c_nationkey, c.c_mktsegment, floor(c.c_acctbal / 1000.0) AS bal_bucket,
+         count(*) AS class_size,
+         count(DISTINCT o.o_orderpriority) AS l_actual
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+),
+ls AS (SELECT unnest([2, 3, 4, 5]) AS l)
+SELECT CAST(l AS INT) AS l,
+       CAST(count(*) AS BIGINT) AS classes,
+       CAST(sum(CASE WHEN l_actual < l THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_classes,
+       CAST(sum(CASE WHEN l_actual < l THEN class_size ELSE 0 END) AS BIGINT)
+         AS records_at_risk,
+       round(CAST(sum(CASE WHEN l_actual < l THEN class_size ELSE 0 END) AS DOUBLE)
+             / sum(class_size) * 100, 4) AS pct_at_risk
+FROM classes CROSS JOIN ls
+GROUP BY l
+ORDER BY l
+"""
+
+
 QUERIES = [
+    QuerySpec("l_diversity_audit", l_diversity_audit, L_DIVERSITY_AUDIT_SQL, "X5 l-diversity sensitive-attribute audit over the k-anonymity QI classes"),
     QuerySpec("pii_redaction", pii_redaction, PII_REDACTION_SQL, "X5 PII detect/mask audit"),
     QuerySpec("pseudonymize_events", pseudonymize_events, PSEUDONYMIZE_EVENTS_SQL, "X5 user-key pseudonymization"),
     QuerySpec("gdpr_delete_audit", gdpr_delete_audit, GDPR_DELETE_AUDIT_SQL, "X5 right-to-be-forgotten cascade audit"),

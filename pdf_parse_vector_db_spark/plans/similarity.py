@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pdf_parse_vector_db_spark.functions.text import shingles_expr, shingles_sql
+from pdf_parse_vector_db_spark.functions.text import (
+    shingles_expr,
+    shingles_sql,
+    token_counts_expr,
+    token_counts_sql,
+)
 from pdf_parse_vector_db_spark.functions.vector import cosine_similarity, l2_distance
 from pdf_parse_vector_db_spark.operators import dedup
 from pdf_parse_vector_db_spark.plans.registry import QuerySpec
@@ -1261,6 +1266,107 @@ ORDER BY component_id
 """
 
 
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 alternative end-of-pipeline: SoftDeDup-style DOWN-WEIGHTING
+    instead of deletion — every doc in a near-dup cluster of size s keeps
+    sampling weight 1/s, so the cluster contributes one doc's worth of
+    training signal without the hard keep/drop decision dedup_keepers
+    makes. Docs outside any cluster are their own singleton (weight 1).
+    Output: the per-source effective-token ledger a mixture planner
+    consumes (raw vs effective tokens, duplicated-doc counts).
+
+    Scale shape: the cluster machinery is exactly dup_components (banded
+    candidate pairs → O(log² n) components); the weighting adds one
+    component-sized agg (csize) and one broadcast-back join. Per-doc
+    effective tokens are integer MICROS — round(1e6·tokens/csize) — so
+    the per-source sums are order-independent BIGINTs, not float
+    accumulations."""
+    from pdf_parse_vector_db_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = dedup.ngram_jaccard_pairs(docs, bucket=F.col("n_chars"), n=3, threshold=0.1)
+    comp = connected_components(pairs)
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            token_counts_expr("text")["ws_tokens"].alias("t"),
+        )
+        .join(comp, on="doc_id", how="left")
+        .withColumn("cid", F.coalesce("component_id", F.col("doc_id")))
+    )
+    csize = base.groupBy("cid").agg(F.count(F.lit(1)).alias("csize"))
+    j = base.join(csize, on="cid").withColumn(
+        "eff_micros",
+        # ansi: csize >= 1 by construction; one double division then BIGINT
+        F.round(F.lit(1e6) * F.col("t") / F.col("csize")).cast("bigint"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum((F.col("csize") > 1).cast("long")).cast("long").alias("dup_docs"),
+            F.sum("t").cast("long").alias("raw_tokens"),
+            F.sum("eff_micros").cast("long").alias("effective_tokens_micros"),
+            F.round(
+                # ansi: raw_tokens >= docs >= 1 per group; single division
+                F.sum("eff_micros") / (F.sum("t") * F.lit(1e6)),
+                6,
+            ).alias("effective_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_WS_TOKENS_SQL = token_counts_sql("text")["ws_tokens"]
+
+SOFT_DEDUP_WEIGHTS_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id, n_chars AS bucket, {shingles_sql('text')} AS sh
+  FROM documents
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
+  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh)))
+             ELSE 0.0 END >= 0.1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+  FROM reach GROUP BY src
+),
+docs_t AS (
+  SELECT d.doc_id, d.source, {_WS_TOKENS_SQL} AS t,
+         coalesce(c.component_id, d.doc_id) AS cid
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+cs AS (SELECT cid, count(*) AS csize FROM docs_t GROUP BY cid)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       CAST(sum(t) AS BIGINT) AS raw_tokens,
+       CAST(sum(CAST(round(1e6 * t / csize) AS BIGINT)) AS BIGINT)
+         AS effective_tokens_micros,
+       round(CAST(sum(CAST(round(1e6 * t / csize) AS BIGINT)) AS DOUBLE)
+             / (sum(t) * 1e6), 6) AS effective_frac
+FROM docs_t JOIN cs USING (cid)
+GROUP BY source
+ORDER BY source
+"""
+
+
 def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization audit per label: per-vector scale
     (max|x|/127) and reconstruction MSE of round-to-nearest int8 — the
@@ -1518,6 +1624,7 @@ QUERIES = [
     QuerySpec("dup_components", dup_components, DUP_COMPONENTS_SQL, "X1/X2 pair-to-cluster connected components"),
     QuerySpec("dup_components_star", dup_components_star, DUP_COMPONENTS_SQL, "X1/X2 star-contraction CC (deep-graph tier)"),
     QuerySpec("dedup_keepers", dedup_keepers, DEDUP_KEEPERS_SQL, "X1/X2 keep-longest survivor per dup cluster"),
+    QuerySpec("soft_dedup_weights", soft_dedup_weights, SOFT_DEDUP_WEIGHTS_SQL, "X1/X2 SoftDeDup 1/cluster-size down-weighting: per-source effective-token ledger"),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, IVF_KNN_SQL, "IVF ANN top-5, pinned coarse quantizer (oracle-backed since r3)"),
     QuerySpec("pq_knn", pq_knn, PQ_KNN_SQL, "PQ ADC + exact-rerank ANN top-5, pinned codebooks (oracle-backed since r3)"),

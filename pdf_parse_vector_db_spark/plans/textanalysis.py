@@ -1056,8 +1056,87 @@ ORDER BY 1, 2
 """
 
 
+_COVERAGE_NS = (1, 10, 100)
+
+
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: head-coverage curve — what fraction of all 2-gram OCCURRENCES
+    the top-1/10/100 most frequent 2-grams account for. The companion
+    diagnostic to zipf_fit: the Zipf exponent says how fast the tail
+    decays, the coverage curve says how much of the corpus a head-only
+    treatment (stopword lists, cached tokenizations, hot-key handling)
+    actually touches.
+
+    Scale shape: one explode + hash-agg on the gram (map-side partials
+    carry per-partition counts, the exchange is distinct-grams-sized);
+    the head cut is TakeOrderedAndProject(100) — the global row_number
+    runs on those 100 rows only, never on the full vocabulary — and the
+    N-grid/total cross joins touch constant-size relations."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    counts = (
+        docs.select(F.explode(F.expr(_ngrams_nd_spark(2))).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("total_occurrences"))
+    top = (
+        counts.orderBy(F.desc("c"), F.asc("g"))
+        .limit(max(_COVERAGE_NS))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("g"))))
+    )
+    ns = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in _COVERAGE_NS])).alias("n_top")
+    )
+    return (
+        top.crossJoin(F.broadcast(ns))
+        .groupBy("n_top")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("n_top"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("covered_occurrences")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_top",
+            "covered_occurrences",
+            "total_occurrences",
+            # ansi: total >= covered >= 0 and total >= 1 on any non-empty corpus
+            F.round(
+                F.try_divide(F.col("covered_occurrences"), F.col("total_occurrences")), 6
+            ).alias("coverage_frac"),
+        )
+        .orderBy("n_top")
+    )
+
+
+NGRAM_COVERAGE_CURVE_SQL = f"""
+WITH grams AS (
+  SELECT unnest({_ngrams_nd_duck(2)}) AS g FROM documents
+),
+counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS total_occurrences FROM counts),
+top AS (
+  SELECT g, c, row_number() OVER (ORDER BY c DESC, g) AS rn
+  FROM counts ORDER BY c DESC, g LIMIT {max(_COVERAGE_NS)}
+),
+ns AS (SELECT unnest({list(_COVERAGE_NS)}) AS n_top)
+SELECT CAST(n_top AS INT) AS n_top,
+       CAST(sum(CASE WHEN rn <= n_top THEN c ELSE 0 END) AS BIGINT)
+         AS covered_occurrences,
+       max(total_occurrences) AS total_occurrences,
+       round(CAST(sum(CASE WHEN rn <= n_top THEN c ELSE 0 END) AS DOUBLE)
+             / max(total_occurrences), 6) AS coverage_frac
+FROM top CROSS JOIN ns CROSS JOIN total
+GROUP BY n_top
+ORDER BY n_top
+"""
+
+
 QUERIES = [
     QuerySpec("corpus_prep", corpus_prep, CORPUS_PREP_SQL, "X1+X5 composite training-data prep"),
+    QuerySpec("ngram_coverage_curve", ngram_coverage_curve, NGRAM_COVERAGE_CURVE_SQL, "X5 head-coverage curve: corpus share of top-1/10/100 2-grams"),
     QuerySpec("cdc_chunk_dedup", cdc_chunk_dedup, CDC_CHUNK_DEDUP_SQL, "X1 content-defined-chunking storage dedup accounting"),
     QuerySpec("vocab_oov", vocab_oov, VOCAB_OOV_SQL, "X5 vocab-coverage / OOV-rate audit"),
     QuerySpec("pack_training_sequences", pack_training_sequences, PACK_TRAINING_SEQUENCES_SQL, "X5 greedy sequence packing (recursive-CTE oracle closes one sequence per level)"),

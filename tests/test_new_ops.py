@@ -885,3 +885,249 @@ def test_power_iteration_estimate_within_spectrum(spark):
     assert ev.mean() < r.top_eigenvalue <= ev[-1] * (1 + 1e-9)
     assert r.top_eigenvalue >= 0.5 * ev[-1]
     assert len(r.top_dims) == 5 and len(set(r.top_dims)) == 5
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: substring dedup, token budget, nearest-event join,
+# Adamic-Adar, l-diversity, coverage curve, soft-dedup weights.
+# ---------------------------------------------------------------------------
+
+
+def _ws_tokens(text: str) -> int:
+    import re
+
+    return len(re.split(r"\s+", text.strip()))
+
+
+def test_substring_dedup_matches_bruteforce(spark):
+    """Pure-Python ExactSubstr twin: mark every non-first occurrence of any
+    sliding 8-token window, merge overlapping/adjacent windows, compare the
+    whole per-doc ledger."""
+    from pdf_parse_vector_db_spark.plans.quality import _SUB_K, substring_dedup_plan
+
+    docs = sorted(
+        (r.doc_id, r.text)
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    )
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, text in docs:
+        w = text.split(" ")
+        for i in range(len(w) - _SUB_K + 1):
+            occ.setdefault(" ".join(w[i : i + _SUB_K]), []).append((doc_id, i + 1))
+    marked: dict[int, list[tuple[int, int]]] = {}
+    for positions in occ.values():
+        for doc_id, pos in sorted(positions)[1:]:
+            marked.setdefault(doc_id, []).append((pos, pos + _SUB_K - 1))
+    expect = {}
+    for doc_id, text in docs:
+        ivs = sorted(marked.get(doc_id, []))
+        spans = []
+        for s, e in ivs:
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        removed = sum(e - s + 1 for s, e in spans)
+        n_tok = len(text.split(" "))
+        expect[doc_id] = (
+            n_tok,
+            len(ivs),
+            len(spans),
+            removed,
+            max((e - s + 1 for s, e in spans), default=0),
+        )
+    got = substring_dedup_plan(spark, SF_SMOKE).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        n_tok, dup_w, n_spans, removed, mx = expect[r.doc_id]
+        assert (r.n_tokens, r.dup_windows, r.n_spans, r.tokens_removed) == (
+            n_tok,
+            dup_w,
+            n_spans,
+            removed,
+        )
+        assert r.max_span_tokens == mx
+        assert abs(r.dup_token_frac - removed / n_tok) <= 5e-7  # plan rounds to 6dp
+        if r.n_spans:
+            assert r.tokens_removed >= _SUB_K * r.n_spans
+
+
+def test_token_budget_plan_matches_greedy(spark):
+    from pdf_parse_vector_db_spark.plans.curation import token_budget_plan
+
+    by_source: dict[str, list[tuple[int, int, int]]] = {}
+    for r in load_table(spark, SF_SMOKE, "documents").collect():
+        ws = _ws_tokens(r.text)
+        uniq = len(set(r.text.split(" ")))
+        by_source.setdefault(r.source, []).append((uniq * 1_000_000 // ws, r.doc_id, ws))
+    got = {r.source: r for r in token_budget_plan(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_source)
+    for source, rows in by_source.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(t[2] for t in rows)
+        cum = kept_docs = kept_tokens = 0
+        for _, _, ws in rows:
+            cum += ws
+            if cum * 2 <= total:
+                kept_docs += 1
+                kept_tokens += ws
+        g = got[source]
+        assert (g.docs_total, g.docs_kept, g.tokens_total, g.tokens_kept) == (
+            len(rows),
+            kept_docs,
+            total,
+            kept_tokens,
+        )
+        assert g.tokens_kept * 2 <= g.tokens_total
+
+
+def test_nearest_event_join_matches_bruteforce(spark):
+    from pdf_parse_vector_db_spark.plans.advanced import (
+        _NEAREST_WINDOW_MS,
+        nearest_event_join,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    to_ms = lambda ts: int(ts.timestamp() * 1000)  # noqa: E731
+    views = [
+        (r.user_id, r.event_id, r.ts, to_ms(r.ts)) for r in ev if r.event_type == "view"
+    ]
+    got = {r.event_id: r for r in nearest_event_join(spark, SF_SMOKE).collect()}
+    purchases = [r for r in ev if r.event_type == "purchase"]
+    assert set(got) == {r.event_id for r in purchases}
+    for p in purchases:
+        p_ms = to_ms(p.ts)
+        cands = [
+            (abs(p_ms - v_ms), v_id, v_ts, p_ms - v_ms)
+            for (u, v_id, v_ts, v_ms) in views
+            if u == p.user_id and abs(p_ms - v_ms) <= _NEAREST_WINDOW_MS
+        ]
+        r = got[p.event_id]
+        if not cands:
+            assert r.view_event_id is None and r.view_ts is None
+        else:
+            best = min(cands)
+            assert (r.view_event_id, r.delta_ms) == (best[1], best[3])
+            assert r.view_ts == best[2]
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    import math
+
+    from pdf_parse_vector_db_spark.plans.graph import (
+        _AA_CAND_MOD,
+        _AA_TOPK,
+        adamic_adar_linkpred,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    sp = {(r.l_suppkey, r.l_partkey) for r in li}
+    deg: dict[int, int] = {}
+    for s, _ in sp:
+        deg[s] = deg.get(s, 0) + 1
+    by_s: dict[int, list[int]] = {}
+    for s, p in sp:
+        if deg[s] >= 2 and p % _AA_CAND_MOD == 0:
+            by_s.setdefault(s, []).append(p)
+    scores: dict[tuple[int, int], list[int]] = {}
+    for s, parts in by_s.items():
+        w = round(1e6 / math.log(deg[s]))
+        for a, b in combinations(sorted(parts), 2):
+            cur = scores.setdefault((a, b), [0, 0])
+            cur[0] += 1
+            cur[1] += w
+    expect = sorted(
+        ((v[1], a, b, v[0]) for (a, b), v in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:_AA_TOPK]
+    got = adamic_adar_linkpred(spark, SF_SMOKE).collect()
+    assert [
+        (r.aa_score_micros, r.part_a, r.part_b, r.common_suppliers) for r in got
+    ] == expect
+
+
+def test_l_diversity_monotone_and_exact(spark):
+    from pdf_parse_vector_db_spark.plans.privacy import l_diversity_audit
+
+    cust = {
+        r.c_custkey: (r.c_nationkey, r.c_mktsegment, math_floor(r.c_acctbal / 1000.0))
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    classes: dict[tuple, set] = {}
+    sizes: dict[tuple, int] = {}
+    for o in load_table(spark, SF_SMOKE, "orders").collect():
+        qi = cust[o.o_custkey]
+        classes.setdefault(qi, set()).add(o.o_orderpriority)
+        sizes[qi] = sizes.get(qi, 0) + 1
+    rows = l_diversity_audit(spark, SF_SMOKE).collect()
+    assert [r.l for r in rows] == [2, 3, 4, 5]
+    prev = -1
+    for r in rows:
+        assert r.classes == len(classes)
+        viol = [qi for qi, vals in classes.items() if len(vals) < r.l]
+        assert r.violating_classes == len(viol)
+        assert r.records_at_risk == sum(sizes[qi] for qi in viol)
+        assert r.violating_classes >= prev
+        prev = r.violating_classes
+
+
+def math_floor(x: float) -> int:
+    import math
+
+    return int(math.floor(x))
+
+
+def test_ngram_coverage_curve_matches_counter(spark):
+    from collections import Counter
+
+    from pdf_parse_vector_db_spark.plans.textanalysis import ngram_coverage_curve
+
+    cnt: Counter = Counter()
+    for r in load_table(spark, SF_SMOKE, "documents").collect():
+        toks = r.text.strip().lower().split()
+        cnt.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    total = sum(cnt.values())
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = ngram_coverage_curve(spark, SF_SMOKE).collect()
+    prev = -1
+    for r in rows:
+        covered = sum(c for _, c in ordered[: r.n_top])
+        assert (r.covered_occurrences, r.total_occurrences) == (covered, total)
+        assert abs(r.coverage_frac - covered / total) <= 5e-7  # plan rounds to 6dp
+        assert r.covered_occurrences >= prev
+        prev = r.covered_occurrences
+
+
+def test_soft_dedup_weights_conserves_and_downweights(spark):
+    from pdf_parse_vector_db_spark.operators.components import connected_components
+    from pdf_parse_vector_db_spark.plans.similarity import soft_dedup_weights
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, SF_SMOKE, "documents"),
+        bucket=__import__("pyspark.sql.functions", fromlist=["col"]).col("n_chars"),
+        n=3,
+        threshold=0.1,
+    )
+    comp = {r.doc_id: r.component_id for r in connected_components(pairs).collect()}
+    csize: dict[int, int] = {}
+    for d in docs:
+        cid = comp.get(d.doc_id, d.doc_id)
+        csize[cid] = csize.get(cid, 0) + 1
+    expect: dict[str, list[int]] = {}
+    for d in docs:
+        cid = comp.get(d.doc_id, d.doc_id)
+        t = _ws_tokens(d.text)
+        e = expect.setdefault(d.source, [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += 1 if csize[cid] > 1 else 0
+        e[2] += t
+        e[3] += round(1e6 * t / csize[cid])
+    rows = soft_dedup_weights(spark, SF_SMOKE).collect()
+    assert {r.source for r in rows} == set(expect)
+    for r in rows:
+        e = expect[r.source]
+        assert (r.docs, r.dup_docs, r.raw_tokens, r.effective_tokens_micros) == tuple(e)
+        assert r.effective_tokens_micros <= r.raw_tokens * 1_000_000
+        if r.dup_docs == 0:
+            assert r.effective_tokens_micros == r.raw_tokens * 1_000_000
