@@ -525,3 +525,40 @@ def test_batch_packing_single_scan_stack(spark):
     stack unpivot), not one scan per strategy."""
     body = _final_plan(spark, "inference_batch_packing")
     assert body.count("FileScan parquet") == 1, body
+
+
+def test_nearest_event_join_band_equi_join(spark):
+    """Nearest-event join: candidates must come from the (user, hour-bucket)
+    hash equi-join — a time-range predicate alone would plan BNLJ/Cartesian,
+    the pair blow-up that dies at scale."""
+    body = _final_plan(spark, "nearest_event_join")
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "SortMergeJoin" in body or "ShuffledHashJoin" in body or "BroadcastHashJoin" in body, body
+
+
+def test_adamic_adar_topk_and_broadcast_degrees(spark):
+    """Adamic-Adar: the 50-pair cut must be TakeOrderedAndProject (never a
+    global sort of all candidate pairs) and the degree table rides as a
+    broadcast onto the per-supplier self-join."""
+    body = _final_plan(spark, "adamic_adar_linkpred")
+    assert "TakeOrderedAndProject" in body, body
+    assert "BroadcastHashJoin" in body, body
+    assert "CartesianProduct" not in body, body
+
+
+def test_token_budget_single_source_exchange(spark):
+    """Token budget: the rank window, the cumulative-token window, and the
+    per-source total must share one source-keyed exchange — the plan reads
+    documents once and exchanges once."""
+    body = _final_plan(spark, "token_budget_plan")
+    assert body.count("FileScan parquet") == 1, body
+    assert "Exchange hashpartitioning(source" in body, body
+
+
+def test_ngram_coverage_head_cut_is_take_ordered(spark):
+    """Coverage curve: the top-100 head must be TakeOrderedAndProject over
+    the gram counts; the single-partition row_number window runs on those
+    100 rows only, never the full vocabulary."""
+    body = _final_plan(spark, "ngram_coverage_curve")
+    assert "TakeOrderedAndProject" in body, body

@@ -105,6 +105,13 @@ AUDIT = {
     "power_iteration_top_pc": "dim^2-key Gram exchange once (checkpointed); matvecs join a broadcast dim-row vector",
     "search_ingested": "ingest chunks cached once; search is filtered scan + TakeOrderedAndProject over it",
     "ann_recall": "probe ranking as a window over broadcast seeds; recall as a left-semi count - no driver loop",
+    "substring_dedup_plan": "one shingle-hash exchange (rank window); island merge windows keyed doc_id; no UDFs",
+    "token_budget_plan": "rank/cumsum/total windows + final agg share ONE source-keyed exchange",
+    "nearest_event_join": "hour-band equi-join (user,bucket) - no time-range nested loop; argmin = one MIN pack agg",
+    "adamic_adar_linkpred": "deg broadcast onto per-supplier self-join; TakeOrderedAndProject(50) cut",
+    "l_diversity_audit": "QI broadcast onto orders; one fact agg with partial distinct; l-grid on class table only",
+    "ngram_coverage_curve": "gram hash-agg with map-side partials; head cut TakeOrdered(100) before any window",
+    "soft_dedup_weights": "components reused from dup pipeline; csize agg + broadcast-back; integer-micros sums",
 }
 
 
