@@ -1266,6 +1266,193 @@ ORDER BY component_id
 """
 
 
+#: (bands, rows) grid over the same 32-hash signature — the S-curve knob.
+_TUNE_CONFIGS = ((16, 2), (8, 4), (4, 8), (2, 16))
+
+
+def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 operations tier: EMPIRICAL banding tuner — before committing a
+    100 TB dedup run to one (bands, rows) choice, measure each config's
+    candidate volume, precision, and relative recall on a sample. All four
+    configs share ONE 32-hash portable MinHash signature (the
+    Kirsch-Mitzenmacher md5 family of minhash_portable_dups); only the
+    banding differs, which is exactly the knob the S-curve
+    P(candidate) = 1-(1-j^rows)^bands moves. Recall is RELATIVE to the
+    pooled true pairs across all configs — at production scale absolute
+    ground truth is unaffordable, and pooling is the standard IR device.
+
+    Scale shape: one signature exchange (per-doc 32 BIGINT minima), the
+    30 band keys explode map-side from that one row, candidates come from
+    the per-(config, band, key) equi-join, and exact verification touches
+    only the POOLED candidate set (each distinct pair verified once, then
+    joined back per config)."""
+    rows_total = 32
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sh = docs.select(
+        "doc_id", shingles_expr("text", 3).alias("sh")
+    )
+    lanes = (
+        docs.select("doc_id", F.explode(shingles_expr("text", 3)).alias("__s"))
+        .select("doc_id", F.md5(F.col("__s")).alias("__b"))
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substring(__b, 1, 8), 16, 10) AS BIGINT)").alias("__h1"),
+            F.expr("CAST(conv(substring(__b, 9, 8), 16, 10) AS BIGINT)").alias("__h2"),
+        )
+    )
+    mins = [
+        F.min(
+            (F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(dedup._MH_PRIME)
+        ).alias(f"h{i}")
+        for i in range(rows_total)
+    ]
+    sig = lanes.groupBy("doc_id").agg(*mins)
+    band_structs = []
+    for bands, rows in _TUNE_CONFIGS:
+        cfg = f"{bands}x{rows}"
+        for b in range(bands):
+            key = F.md5(
+                F.concat_ws("_", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            )
+            band_structs.append(
+                F.struct(
+                    F.lit(cfg).alias("config"),
+                    F.lit(b).alias("band_idx"),
+                    key.alias("key"),
+                )
+            )
+    stacked = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.config").alias("config"),
+        F.col("s.band_idx").alias("band_idx"),
+        F.col("s.key").alias("key"),
+    )
+    left = stacked.select(
+        F.col("doc_id").alias("id_a"), "config", "band_idx", "key"
+    )
+    right = stacked.select(
+        F.col("doc_id").alias("id_b"), "config", "band_idx", "key"
+    )
+    cands = (
+        left.join(right, on=["config", "band_idx", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("config", "id_a", "id_b")
+        .distinct()
+    )
+    pool = cands.select("id_a", "id_b").distinct()
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b_ = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        pool.join(a, on="id_a")
+        .join(b_, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dedup.jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+    )
+    truth_total = verified.filter(F.col("jaccard") >= 0.1).agg(
+        F.count(F.lit(1)).cast("long").alias("pooled_true")
+    )
+    per_cfg = (
+        cands.join(verified, on=["id_a", "id_b"])
+        .groupBy("config")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum((F.col("jaccard") >= 0.1).cast("long")).cast("long").alias("n_true"),
+        )
+    )
+    return (
+        per_cfg.crossJoin(F.broadcast(truth_total))
+        .select(
+            "config",
+            "n_candidates",
+            "n_true",
+            # ansi: a config can have zero candidates; NULL precision then
+            F.round(F.try_divide(F.col("n_true"), F.col("n_candidates")), 6).alias(
+                "precision"
+            ),
+            "pooled_true",
+            # ansi: pooled_true can be zero on a dup-free corpus; NULL recall
+            F.round(F.try_divide(F.col("n_true"), F.col("pooled_true")), 6).alias(
+                "relative_recall"
+            ),
+        )
+        .orderBy("config")
+    )
+
+
+def _lsh_band_tuning_sql() -> str:
+    mins = dedup.mh_min_cols_sql(32)
+    selects = []
+    for bands, rows in _TUNE_CONFIGS:
+        cfg = f"{bands}x{rows}"
+        for b in range(bands):
+            key = "md5(concat_ws('_', " + ", ".join(
+                f"h{b * rows + r}" for r in range(rows)
+            ) + "))"
+            selects.append(
+                f"  SELECT id, '{cfg}' AS config, {b} AS band_idx, {key} AS key FROM sig"
+            )
+    stacked = "\n  UNION ALL\n".join(selects)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {shingles_sql('text')} AS sh FROM documents
+),
+shx AS (
+  SELECT id, md5(unnest(sh)) AS b FROM base
+),
+lanes AS (
+  {dedup.mh_lanes_sql('shx')}
+),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM lanes GROUP BY id
+),
+stacked AS (
+{stacked}
+),
+cands AS (
+  SELECT DISTINCT l.config, l.id AS id_a, r.id AS id_b
+  FROM stacked l
+  JOIN stacked r ON l.config = r.config AND l.band_idx = r.band_idx AND l.key = r.key
+  WHERE l.id < r.id
+),
+pool AS (SELECT DISTINCT id_a, id_b FROM cands),
+verified AS (
+  SELECT p.id_a, p.id_b,
+         round(
+           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh)))
+                ELSE 0.0 END, 6) AS jaccard
+  FROM pool p JOIN base a ON p.id_a = a.id JOIN base b ON p.id_b = b.id
+),
+truth AS (
+  SELECT CAST(count(*) AS BIGINT) AS pooled_true FROM verified WHERE jaccard >= 0.1
+)
+SELECT c.config,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN v.jaccard >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       round(CAST(sum(CASE WHEN v.jaccard >= 0.1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS precision,
+       max(t.pooled_true) AS pooled_true,
+       round(CAST(sum(CASE WHEN v.jaccard >= 0.1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / max(t.pooled_true), 6) AS relative_recall
+FROM cands c
+JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+CROSS JOIN truth t
+GROUP BY c.config
+ORDER BY c.config
+"""
+
+
+LSH_BAND_TUNING_SQL = _lsh_band_tuning_sql()
+
+
 def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1/X2 alternative end-of-pipeline: SoftDeDup-style DOWN-WEIGHTING
     instead of deletion — every doc in a near-dup cluster of size s keeps
@@ -1625,6 +1812,7 @@ QUERIES = [
     QuerySpec("dup_components_star", dup_components_star, DUP_COMPONENTS_SQL, "X1/X2 star-contraction CC (deep-graph tier)"),
     QuerySpec("dedup_keepers", dedup_keepers, DEDUP_KEEPERS_SQL, "X1/X2 keep-longest survivor per dup cluster"),
     QuerySpec("soft_dedup_weights", soft_dedup_weights, SOFT_DEDUP_WEIGHTS_SQL, "X1/X2 SoftDeDup 1/cluster-size down-weighting: per-source effective-token ledger"),
+    QuerySpec("lsh_band_tuning", lsh_band_tuning, LSH_BAND_TUNING_SQL, "X2 empirical banding tuner: 4 (bands,rows) configs over one shared 32-hash signature"),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, IVF_KNN_SQL, "IVF ANN top-5, pinned coarse quantizer (oracle-backed since r3)"),
     QuerySpec("pq_knn", pq_knn, PQ_KNN_SQL, "PQ ADC + exact-rerank ANN top-5, pinned codebooks (oracle-backed since r3)"),

@@ -1131,3 +1131,34 @@ def test_soft_dedup_weights_conserves_and_downweights(spark):
         assert r.effective_tokens_micros <= r.raw_tokens * 1_000_000
         if r.dup_docs == 0:
             assert r.effective_tokens_micros == r.raw_tokens * 1_000_000
+
+
+def test_lsh_band_tuning_s_curve_and_cross_check(spark):
+    """More bands (fewer rows per band) can only ADD band collisions over
+    the same signature: candidates and relative recall are monotone along
+    the 16x2 -> 8x4 -> 4x8 -> 2x16 axis. The 8x4 row must agree exactly
+    with minhash_portable_dups (same family, same banding, same verify)."""
+    from pdf_parse_vector_db_spark.plans.similarity import (
+        lsh_band_tuning,
+        minhash_portable_dups,
+    )
+
+    rows = {r.config: r for r in lsh_band_tuning(spark, SF_SMOKE).collect()}
+    order = ["16x2", "8x4", "4x8", "2x16"]
+    present = [rows[c] for c in order if c in rows]
+    assert present, rows
+    for a, b in zip(present, present[1:]):
+        assert a.n_candidates >= b.n_candidates
+        assert a.n_true >= b.n_true
+    pooled = {r.pooled_true for r in present}
+    assert len(pooled) == 1
+    for r in present:
+        assert r.n_true <= r.n_candidates
+        assert r.n_true <= r.pooled_true
+        if r.relative_recall is not None:
+            assert 0.0 <= r.relative_recall <= 1.0
+    # the most aggressive banding must recover every pooled true pair
+    assert present[0].n_true == present[0].pooled_true
+    n_84 = minhash_portable_dups(spark, SF_SMOKE).count()
+    if "8x4" in rows:
+        assert rows["8x4"].n_true == n_84
