@@ -79,6 +79,39 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    full, line = build_payloads(timings, errors, sf_val)
+    with open(os.path.join(ROOT, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    print(line)
+    sys.stdout.flush()
+    sys.exit(1 if errors else 0)
+
+
+#: final-stdout-line budget — the driver records only the last ~2000 chars.
+LINE_BUDGET = 1800
+
+#: reference core + heaviest tiers: always reported first in the compact line.
+HEADLINE = [
+    "search_similar", "knn_topk", "search_response_flat", "ingest_chunks",
+    "classify_decision", "pricing_summary", "dup_components",
+    "dedup_keepers", "minhash_portable_dups", "simhash_portable_dups",
+    "ppjoin_near_dups", "semdedup", "ivf_knn", "pq_knn", "knn_join",
+    "pack_training_sequences", "label_propagation", "kcore_peel",
+    "pagerank_bipartite", "multimodal_frames", "events_hourly",
+    "forecast_backtest", "revenue_changepoint", "winnowing_fingerprints",
+    "decontaminate_overlap", "incremental_dedup",
+]
+
+
+def build_payloads(
+    timings: dict[str, float], errors: dict[str, str], sf_val
+) -> tuple[dict, str]:
+    """(full BENCH_FULL.json payload, compact final stdout line).
+
+    The compact line carries the totals plus as many per-query timings as
+    fit: headline queries first, then the slowest of the rest, cut off at
+    LINE_BUDGET chars so the driver's stdout tail always contains one
+    complete parseable JSON object. Contract pinned by tests/test_bench.py."""
     full = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 4),
@@ -89,10 +122,6 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
-    with open(os.path.join(ROOT, "BENCH_FULL.json"), "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
-
-    # compact final line: fit the driver's ~2000-char stdout tail.
     compact = {
         "metric": full["metric"],
         "value": full["value"],
@@ -104,31 +133,16 @@ def main() -> None:
     if errors:
         first = sorted(errors)[0]
         compact["errors"] = {first: errors[first][:120], "_count": len(errors)}
-    # headline queries first (reference core + heaviest tiers), then the
-    # slowest of the rest, until the line budget is exhausted.
-    _LINE_BUDGET = 1800
-    headline = [
-        "search_similar", "knn_topk", "search_response_flat", "ingest_chunks",
-        "classify_decision", "pricing_summary", "dup_components",
-        "dedup_keepers", "minhash_portable_dups", "simhash_portable_dups",
-        "ppjoin_near_dups", "semdedup", "ivf_knn", "pq_knn", "knn_join",
-        "pack_training_sequences", "label_propagation", "kcore_peel",
-        "pagerank_bipartite", "multimodal_frames", "events_hourly",
-        "forecast_backtest", "revenue_changepoint", "winnowing_fingerprints",
-        "decontaminate_overlap", "incremental_dedup",
-    ]
-    order = [q for q in headline if q in timings]
+    order = [q for q in HEADLINE if q in timings]
     order += [q for q in sorted(timings, key=timings.get, reverse=True) if q not in order]
     for q in order:
         compact["queries"][q] = timings[q]
-        if len(json.dumps(compact)) > _LINE_BUDGET:
+        if len(json.dumps(compact)) > LINE_BUDGET:
             del compact["queries"][q]
             break
     line = json.dumps(compact)
-    assert len(line) <= _LINE_BUDGET + 100, len(line)
-    print(line)
-    sys.stdout.flush()
-    sys.exit(1 if errors else 0)
+    assert len(line) <= LINE_BUDGET + 100, len(line)
+    return full, line
 
 
 if __name__ == "__main__":
