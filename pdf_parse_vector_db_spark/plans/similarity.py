@@ -724,10 +724,16 @@ def lsh_portable_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = F.col("qvec").cast("array<double>")
 
     def dot(col, plane):
-        expr = col[0] * F.lit(plane[0])
-        for j in range(1, len(plane)):
-            expr = expr + col[j] * F.lit(plane[j])
-        return expr
+        # literal plane as ONE array literal + the hot path's aggregate
+        # fold (same left-to-right order as the oracle's unrolled chain;
+        # the 0.0 seed is IEEE-exact). The previous 64-term unrolled
+        # multiply-add chain × 8 bucket columns pushed the whole-stage
+        # method past the JVM's 64 KB limit and silently dropped the
+        # ENTIRE stage to interpreted execution (ERROR CodeGenerator in
+        # every bench run) — the compact form keeps codegen alive.
+        from pdf_parse_vector_db_spark.functions.vector import dot_product
+
+        return dot_product(col, F.array(*[F.lit(p) for p in plane]))
 
     def bucket(col, t):
         plane = _e2lsh_plane(t)
