@@ -65,6 +65,60 @@ FROM documents
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion matrix for the lang-ID heuristic vs the
+    fixture's ground-truth lang: one row per (true, predicted) cell with
+    count, per-true-class recall share and per-predicted-class precision
+    share — the eval artifact a pipeline reviews before trusting a
+    classifier gate at scale (lang_id emits per-doc agreement; this is
+    the corpus-level roll-up).
+
+    Scale shape: one hash-agg on the (true, pred) pair — |langs|² cells —
+    then the recall/precision windows run over that constant-size cell
+    table, never the corpus."""
+    docs = _marked_docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    pred = T.lang_pred_expr("marked")
+    cells = (
+        docs.select(F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("lang_true")
+    wp = Window.partitionBy("lang_pred")
+    return (
+        cells.select(
+            "lang_true",
+            "lang_pred",
+            "n",
+            # ansi: both window sums >= n >= 1 on every existing cell
+            F.round(F.col("n") / F.sum("n").over(wt), 6).alias("recall_share"),
+            # ansi: sum over lang_pred partition >= n >= 1 likewise
+            F.round(F.col("n") / F.sum("n").over(wp), 6).alias("precision_share"),
+        )
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+LANG_ID_CONFUSION_SQL = f"""
+WITH cells AS (
+  SELECT lang AS lang_true,
+         {T.lang_pred_sql(_MARKED_SQL)} AS lang_pred,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT lang_true, lang_pred, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang_true), 6)
+         AS recall_share,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang_pred), 6)
+         AS precision_share
+FROM cells
+ORDER BY lang_true, lang_pred
+"""
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality metrics (length/punct/stopword ratios)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1149,6 +1203,7 @@ QUERIES = [
     QuerySpec("winnow_stats", winnow_stats, WINNOW_STATS_SQL, "rolling-hash winnowing fingerprints"),
     QuerySpec("winnow_shared_pairs", winnow_shared_pairs, WINNOW_SHARED_PAIRS_SQL, "substring-overlap near-dup (MOSS shape)"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "X5 language-ID heuristic"),
+    QuerySpec("lang_id_confusion", lang_id_confusion, LANG_ID_CONFUSION_SQL, "X5 lang-ID confusion matrix: per-cell recall/precision shares"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "X5 quality metrics"),
     QuerySpec("token_stats", token_stats, TOKEN_STATS_SQL, "X5 token accounting"),
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINTS_SQL, "X1 content hash"),

@@ -1162,3 +1162,30 @@ def test_lsh_band_tuning_s_curve_and_cross_check(spark):
     n_84 = minhash_portable_dups(spark, SF_SMOKE).count()
     if "8x4" in rows:
         assert rows["8x4"].n_true == n_84
+
+
+def test_lang_id_confusion_shares_sum_to_one(spark):
+    """Every true-class row-share and predicted-class column-share must sum
+    to 1 (within 6dp rounding), and the diagonal must agree with lang_id's
+    per-doc agreement flags."""
+    from collections import defaultdict
+
+    from pdf_parse_vector_db_spark.plans.textanalysis import (
+        lang_id,
+        lang_id_confusion,
+    )
+
+    rows = lang_id_confusion(spark, SF_SMOKE).collect()
+    by_true, by_pred = defaultdict(float), defaultdict(float)
+    diag = 0
+    for r in rows:
+        by_true[r.lang_true] += r.recall_share
+        by_pred[r.lang_pred] += r.precision_share
+        if r.lang_true == r.lang_pred:
+            diag += r.n
+    for v in by_true.values():
+        assert abs(v - 1.0) <= 1e-4
+    for v in by_pred.values():
+        assert abs(v - 1.0) <= 1e-4
+    agree = sum(1 for r in lang_id(spark, SF_SMOKE).collect() if r.agree)
+    assert diag == agree
