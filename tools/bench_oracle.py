@@ -9,6 +9,20 @@ factor. This tool produces that number in the same JSON shape as bench.py:
 DuckDB runs with its default threading (all cores), matching bench.py's
 local[$SPARK_GRAFT_CPUS] footing. Queries without an oracle (rows-only)
 are skipped — they have no DuckDB twin to time.
+
+Failure isolation (learned at sf0.1): `sssp_bounded`'s recursive-CTE
+oracle exhausts DuckDB's memory budget at this scale — and once one query
+OOMs, the CONNECTION is poisoned (every later allocation fails), which
+silently zeroed two whole runs. Three defenses:
+  * a memory_limit (default 48 GB) so one query cannot take the whole box,
+  * a watchdog that calls con.interrupt() after ORACLE_QUERY_CAP_SEC
+    (default 300 s) — the round-2 report measured sssp's oracle >145 s/pass
+    and still climbing, so the cap records "uncompetitive at this scale"
+    instead of hanging the artifact,
+  * a FRESH connection after any failure, so one bad query never taints
+    the rest (the same lesson bench.py learned in round 2).
+Capped/failed queries land in the JSON's "errors" map and are excluded
+from the total; the comparison against bench.py then uses the common set.
 """
 
 from __future__ import annotations
@@ -16,12 +30,43 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 from tools.compare_oracle import duckdb_connection
+
+MEMORY_LIMIT = os.environ.get("ORACLE_MEMORY_LIMIT", "48GB")
+QUERY_CAP_SEC = float(os.environ.get("ORACLE_QUERY_CAP_SEC", "300"))
+
+
+def _connect(sf_dir: str):
+    con = duckdb_connection(sf_dir)
+    con.execute(f"SET memory_limit='{MEMORY_LIMIT}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    return con
+
+
+def _run_capped(con, sql: str) -> None:
+    """Execute with a watchdog that interrupts after QUERY_CAP_SEC."""
+    done = threading.Event()
+
+    def watchdog() -> None:
+        if not done.wait(QUERY_CAP_SEC):
+            try:
+                con.interrupt()
+            except Exception:  # noqa: BLE001 — connection already gone
+                pass
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        con.execute(sql).fetchall()
+    finally:
+        done.set()
+        t.join(timeout=5)
 
 
 def main() -> None:
@@ -30,19 +75,35 @@ def main() -> None:
     )
     import __spark_entry__ as entrymod
 
-    con = duckdb_connection(sf_dir)
+    con = _connect(sf_dir)
     oracles = entrymod.oracle_sql()
+    errors: dict[str, str] = {}
+
+    def attempt(name: str, sql: str, label: str) -> float | None:
+        nonlocal con
+        t0 = time.perf_counter()
+        try:
+            _run_capped(con, sql)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, keep going
+            errors[name] = str(exc).splitlines()[0][:300]
+            print(f"bench_oracle: {label} FAILED {name}: {errors[name]}", file=sys.stderr)
+            con = _connect(sf_dir)  # fresh connection: don't poison the rest
+            return None
+        return round(time.perf_counter() - t0, 4)
 
     # warmup: one pass primes the OS page cache for the parquet files
-    for sql in oracles.values():
-        con.execute(sql).fetchall()
+    for name, sql in oracles.items():
+        attempt(name, sql, "warmup")
 
     timings: dict[str, float] = {}
     for _ in range(2):
         for name, sql in oracles.items():
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            dt = round(time.perf_counter() - t0, 4)
+            if name in errors:
+                continue
+            dt = attempt(name, sql, "timed")
+            if dt is None:
+                timings.pop(name, None)
+                continue
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
@@ -51,17 +112,17 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "oracle_total_query_wall_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "oracle_total_query_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
+    sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":
