@@ -45,6 +45,9 @@ QUERY_CAP_SEC = float(os.environ.get("ORACLE_QUERY_CAP_SEC", "300"))
 def _connect(sf_dir: str):
     con = duckdb_connection(sf_dir)
     con.execute(f"SET memory_limit='{MEMORY_LIMIT}'")
+    # DuckDB does not create the spill dir itself — a missing dir turns
+    # every spilling query into "IO Error: Cannot open file".
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     return con
 
