@@ -23,6 +23,8 @@ Flask's test client — no port needed.
 
 from __future__ import annotations
 
+import hashlib
+
 from pdf_parse_vector_db_spark.api import SparkVectorService
 from pdf_parse_vector_db_spark.sources.pdf import (
     MAX_UPLOAD_BYTES,
@@ -51,9 +53,16 @@ def create_app(service: SparkVectorService, real_pdf: bool = False):
     def _service_for(collection: str) -> SparkVectorService:
         svc = services.get(collection)
         if svc is None:
+            # Sanitization alone maps distinct names to the same dir
+            # ('a b' and 'a_b' both become 'a_b'), mixing two logical
+            # collections' documents; a short hash of the RAW name keeps
+            # sanitized collisions isolated.
             safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in collection)
+            digest = hashlib.md5(collection.encode("utf-8")).hexdigest()[:8]
             svc = SparkVectorService(
-                service.spark, f"{service.path}/__collections__/{safe}", dim=service.dim
+                service.spark,
+                f"{service.path}/__collections__/{safe}-{digest}",
+                dim=service.dim,
             )
             services[collection] = svc
         return svc

@@ -702,7 +702,21 @@ def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts").alias("p_ms"),
     )
     v = ev.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("v_id"),
+        # Same loud-failure guard as _ivf_seeds: the (abs_ms, v_id) BIGINT
+        # pack silently corrupts the argmin once v_id >= _NEAREST_ID_BASE,
+        # so a contract violation raises instead of returning a wrong view.
+        # Never fires below 1e12, preserving oracle hash parity.
+        F.when(F.col("event_id") < _NEAREST_ID_BASE, F.col("event_id"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("nearest_event_join pack overflow: event_id "),
+                    F.col("event_id").cast("string"),
+                    F.lit(f" >= _NEAREST_ID_BASE {_NEAREST_ID_BASE}; widen the base"),
+                )
+            )
+        )
+        .alias("v_id"),
         "user_id",
         F.col("ts").alias("v_ts"),
         F.unix_millis("ts").alias("v_ms"),

@@ -957,7 +957,7 @@ def fair_share_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-FAIR_SHARE_ALLOCATION_SQL = """
+FAIR_SHARE_ALLOCATION_SQL = r"""
 WITH demand AS (
   SELECT source,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS demand

@@ -1890,10 +1890,14 @@ def substring_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not distribute; the Spark-first equivalent is this
     shingle-exchange — extraction is a codegen map (split + transform, one
     explode), the only corpus-sized shuffle is the rank over the shingle
-    hash (same exchange C4/RefinedWeb run), and the island merge is one
-    per-doc sort window whose input is already reduced to the marked
-    positions. No UDFs, no driver state; skew-safe because 8-token
-    shingles are near-unique keys."""
+    HASH (same exchange C4/RefinedWeb run): the 8-token text is folded to
+    a 60-bit md5-derived BIGINT *before* the exchange, so the shuffle
+    carries (doc_id, pos, 8-byte key) instead of ~8× corpus text — ~10×
+    fewer bytes, same answer modulo md5 collisions, and the DuckDB oracle
+    hashes identically so even a collision would affect both engines the
+    same way. The island merge is one per-doc sort window whose input is
+    already reduced to the marked positions. No UDFs, no driver state;
+    skew-safe because 8-token shingles are near-unique keys."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
     sh = (
@@ -1907,9 +1911,16 @@ def substring_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle"))
+        .select(
+            "doc_id",
+            F.col("s.pos").alias("pos"),
+            # ansi: 15 hex digits = 60 bits < 2^63, cast never overflows
+            F.expr("cast(conv(substring(md5(s.shingle), 1, 15), 16, 10) as bigint)").alias(
+                "sh_h"
+            ),
+        )
     )
-    rk = Window.partitionBy("shingle").orderBy("doc_id", "pos")
+    rk = Window.partitionBy("sh_h").orderBy("doc_id", "pos")
     marked = (
         sh.withColumn("rn", F.row_number().over(rk))
         .filter(F.col("rn") > 1)
@@ -1965,13 +1976,14 @@ WITH words AS (
 ),
 sh AS (
   SELECT doc_id, i AS pos,
-         array_to_string(w[i:i + {_SUB_K} - 1], ' ') AS shingle
+         ('0x' || substring(md5(array_to_string(w[i:i + {_SUB_K} - 1], ' ')), 1, 15))::BIGINT
+           AS sh_h
   FROM words,
        LATERAL (SELECT unnest(range(1, greatest(len(w) - {_SUB_K} + 2, 1)))) t(i)
 ),
 marked AS (
   SELECT doc_id, pos AS s, pos + {_SUB_K} - 1 AS e
-  FROM (SELECT doc_id, pos, row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn FROM sh)
+  FROM (SELECT doc_id, pos, row_number() OVER (PARTITION BY sh_h ORDER BY doc_id, pos) AS rn FROM sh)
   WHERE rn > 1
 ),
 iv AS (

@@ -1160,10 +1160,10 @@ WITH RECURSIVE base AS (
 p AS (
   SELECT a.id AS id_a, b.id AS id_b
   FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
-  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh)))
-             ELSE 0.0 END >= 0.1
+             ELSE 0.0 END, 6) >= 0.1
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM p
@@ -1237,10 +1237,10 @@ WITH RECURSIVE base AS (
 p AS (
   SELECT a.id AS id_a, b.id AS id_b
   FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
-  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh)))
-             ELSE 0.0 END >= 0.1
+             ELSE 0.0 END, 6) >= 0.1
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM p
@@ -1521,10 +1521,10 @@ WITH RECURSIVE base AS (
 p AS (
   SELECT a.id AS id_a, b.id AS id_b
   FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
-  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh)))
-             ELSE 0.0 END >= 0.1
+             ELSE 0.0 END, 6) >= 0.1
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM p

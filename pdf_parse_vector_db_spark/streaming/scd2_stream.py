@@ -86,24 +86,49 @@ def stream_scd2_apply(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        # Empty-initialize ONLY when the dimension genuinely doesn't exist
-        # yet (first trigger). Any other read failure — corruption, a
-        # transient FS/permission error, a concurrent writer — must fail
-        # the micro-batch so checkpoint replay retries it; a bare
-        # try/except here would silently discard all accumulated history.
+        # Crash-safe publish protocol. mode('overwrite') straight onto
+        # dim_dir is NOT atomic: a crash after Spark deletes the dir but
+        # before the new files commit leaves dim_dir absent, so the replay
+        # would empty-initialize and silently discard all SCD2 history; a
+        # crash mid-write leaves a dir with only _temporary, failing every
+        # replay. Instead: write to <dim>__tmp, swap via two renames with a
+        # <dim>__bak fallback — at every crash point either dim_dir or the
+        # backup holds a complete pre/post-batch dimension, and scd2_merge
+        # is idempotent (re-applying a batch over its own result changes
+        # nothing), so checkpoint replay always recovers.
         jvm = sess._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(dim_dir)
-        fs = jpath.getFileSystem(sess._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
+        conf = sess._jsc.hadoopConfiguration()
+        dim_path = jvm.org.apache.hadoop.fs.Path(dim_dir)
+        tmp_path = jvm.org.apache.hadoop.fs.Path(dim_dir + "__tmp")
+        bak_path = jvm.org.apache.hadoop.fs.Path(dim_dir + "__bak")
+        fs = dim_path.getFileSystem(conf)
+        if fs.exists(tmp_path):  # leftover from a crash mid-write: discard
+            fs.delete(tmp_path, True)
+        if fs.exists(dim_path):
+            dim = sess.read.parquet(dim_dir)
+        elif fs.exists(bak_path):  # crashed between the two renames: restore
+            fs.rename(bak_path, dim_path)
             dim = sess.read.parquet(dim_dir)
         else:
+            # Empty-initialize ONLY when the dimension genuinely doesn't
+            # exist yet (first trigger). Any other read failure —
+            # corruption, a transient FS/permission error, a concurrent
+            # writer — must fail the micro-batch so checkpoint replay
+            # retries it; a bare try/except here would silently discard
+            # all accumulated history.
             dim = sess.createDataFrame(
                 [],
                 "c_custkey bigint, segment string, acctbal_cents bigint, "
                 "version int, valid_from date, valid_to date, is_current boolean",
             )
         merged = scd2_merge(dim, batch_df).localCheckpoint()
-        merged.write.mode("overwrite").parquet(dim_dir)
+        merged.write.mode("overwrite").parquet(dim_dir + "__tmp")
+        if fs.exists(bak_path):
+            fs.delete(bak_path, True)
+        if fs.exists(dim_path):
+            fs.rename(dim_path, bak_path)
+        fs.rename(tmp_path, dim_path)
+        fs.delete(bak_path, True)
 
     reader = spark.readStream.schema(_CHANGE_SCHEMA).parquet(changes_dir)
     writer = reader.writeStream.foreachBatch(process_batch).option(

@@ -84,15 +84,34 @@ def main() -> None:
 
     def attempt(name: str, sql: str, label: str) -> float | None:
         nonlocal con
-        t0 = time.perf_counter()
-        try:
-            _run_capped(con, sql)
-        except Exception as exc:  # noqa: BLE001 — isolate, record, keep going
-            errors[name] = str(exc).splitlines()[0][:300]
-            print(f"bench_oracle: {label} FAILED {name}: {errors[name]}", file=sys.stderr)
-            con = _connect(sf_dir)  # fresh connection: don't poison the rest
-            return None
-        return round(time.perf_counter() - t0, 4)
+        # Watchdog race: if the cap expires just as the PREVIOUS query
+        # finishes (between fetchall() returning and done.set()), its
+        # con.interrupt() lands on the shared connection and aborts THIS
+        # query. Signature: an INTERRUPT error far under the cap. Retry
+        # once on a fresh connection so a stale interrupt never records a
+        # healthy query as failed; a genuine cap (elapsed >= cap) records.
+        for retry in (False, True):
+            t0 = time.perf_counter()
+            try:
+                _run_capped(con, sql)
+            except Exception as exc:  # noqa: BLE001 — isolate, record, keep going
+                elapsed = time.perf_counter() - t0
+                msg = str(exc).splitlines()[0][:300]
+                con = _connect(sf_dir)  # fresh connection: don't poison the rest
+                stale_interrupt = (
+                    "INTERRUPT" in msg.upper() and elapsed < QUERY_CAP_SEC * 0.9
+                )
+                if stale_interrupt and not retry:
+                    print(
+                        f"bench_oracle: stale interrupt on {name}; retrying",
+                        file=sys.stderr,
+                    )
+                    continue
+                errors[name] = msg
+                print(f"bench_oracle: {label} FAILED {name}: {msg}", file=sys.stderr)
+                return None
+            return round(time.perf_counter() - t0, 4)
+        return None
 
     # warmup: one pass primes the OS page cache for the parquet files
     for name, sql in oracles.items():
