@@ -334,19 +334,69 @@ ORDER BY label, dim
 
 
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2/X3: top-8 principal components' explained variance over the
-    embedding corpus — the dimensionality-reduction decision artifact,
-    computed the scalable way (operators/pca.py: per-partition sufficient
-    statistics, ~33 KB/partition to the driver, dim×dim eigh). Rows-only:
-    eigendecomposition has no SQL twin; numpy equivalence is the test
-    contract (tests/test_ann.py)."""
-    from pdf_parse_vector_db_spark.operators.pca import pca_explained_variance
+    """X2/X3: top principal component's explained-variance SHARE over the
+    embedding corpus — the dimensionality-reduction decision artifact.
+    Oracle-backed since round 5: the eigenvalue comes from the same exact
+    fixed-point power iteration as power_iteration_top_pc (shared
+    _pi_core; every intermediate an integer both engines agree on) and
+    the denominator is the covariance TRACE — total variance =
+    Σ_j C*_jj / (n²·1e12), an exactly-SQL-computable integer sum — so
+    eigenvalue, total variance, and share all sit under the value hash.
+    The full 8-component spectrum stays available through
+    operators/pca.py (per-partition sufficient statistics + dim×dim
+    eigh), whose numpy contract is tests/test_ann.py; this query reports
+    the top-1 share that spectrum's first row would give.
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    rows = pca_explained_variance(emb, k=8)
-    return spark.createDataFrame(
-        rows, "component int, eigenvalue double, explained double, cumulative double"
-    ).orderBy("component")
+    Scale shape: identical to power_iteration_top_pc — one dim²-key Gram
+    exchange, then dim²-row matvecs against broadcast vectors; the trace
+    is a dim-row filter of the already-built C*."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    c, n_rows, v = _pi_core(emb)
+    vq = v.select(
+        "k",
+        F.round(F.col("vk").cast("double") / 1000.0, 0)
+        .cast("decimal(19,0)")
+        .alias("vk"),
+    )
+    num = (
+        c.join(F.broadcast(vq), on="k")
+        .join(
+            F.broadcast(vq.select(F.col("k").alias("j"), F.col("vk").alias("vj"))),
+            on="j",
+        )
+        .agg(
+            F.sum(
+                (F.col("vj") * F.col("cjk") * F.col("vk")).cast("decimal(38,0)")
+            ).alias("vCv")
+        )
+    )
+    den = vq.agg(F.sum((F.col("vk") * F.col("vk")).cast("decimal(38,0)")).alias("vv"))
+    trace = c.filter(F.col("j") == F.col("k")).agg(
+        F.sum("cjk").cast("decimal(38,0)").alias("tr")
+    )
+    # eigenvalue and total variance share the 1/(n²·1e12) de-scaling, so
+    # the SHARE is (vCv/vv)/tr — three doubles from exact integers, the
+    # same cast discipline the Rayleigh quotient already proves portable.
+    scale = F.col("n").cast("double") * F.col("n") * 1e12
+    lam = F.col("vCv").cast("double") / F.col("vv").cast("double") / scale
+    tot = F.col("tr").cast("double") / scale
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(trace))
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            F.lit(1).cast("int").alias("component"),
+            F.round(lam, 6).alias("eigenvalue"),
+            F.round(tot, 6).alias("total_variance"),
+            # ansi: tr > 0 (non-degenerate corpus variance), vv > 0
+            F.round(
+                F.col("vCv").cast("double")
+                / F.col("vv").cast("double")
+                / F.col("tr").cast("double"),
+                6,
+            ).alias("explained_share"),
+        )
+    )
 
 
 def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,23 +1020,14 @@ _PI_ROUNDS = 3
 _PI_SCALE = 1_000_000_000  # iterate in nanos
 
 
-def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-PC power iteration over the embedding covariance, exact-integer.
-
-    C is kept SCALED: C*_jk = n·Σx_j x_k − Σx_j·Σx_k in integer micros²
-    (decimal(38,0) — positive scalar factors don't move eigenvectors).
-    v₀ = e₀·1e9; each round v ← round(C*·v · 1e9 / max|C*·v|) — integer
-    matvec, integer division — so every intermediate is an exact integer
-    both engines agree on. Output: the Rayleigh quotient of the final
-    vector against C*/(n²·1e12) (the true covariance's eigenvalue
-    estimate, double, 6 dp) plus the top-5 |component| dims.
-
-    Scale shape: the Gram stage is the only corpus-sized work — a
-    posexplode pair expansion partial-aggregating into dim² keys (at
-    100 TB swap in the mapPartitions Gram accumulation of operators/
-    pca.py; same 4096-key exchange either way). The three matvecs run on
-    the dim²-row C table: joins against a dim-row broadcast vector."""
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+def _pi_core(emb: DataFrame):
+    """Shared exact-fixed-point power-iteration pipeline (see
+    power_iteration_top_pc for the full derivation): returns the scaled
+    integer covariance C* (dim²-row, localCheckpointed — loop-invariant),
+    the 1-row corpus count, and the final nanos-integer iterate v after
+    `_PI_ROUNDS` rounds. Both `power_iteration_top_pc` and
+    `embedding_pca_variance` consume it; their SQL twins share the same
+    `_PI_SQL_PREFIX` so all four stay bit-identical."""
     ex = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "xj"),
         F.col("embedding").cast("array<double>").alias("v"),
@@ -1043,6 +1084,27 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("vk"),
             )
         )
+    return c, n_rows, v
+
+
+def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PC power iteration over the embedding covariance, exact-integer.
+
+    C is kept SCALED: C*_jk = n·Σx_j x_k − Σx_j·Σx_k in integer micros²
+    (decimal(38,0) — positive scalar factors don't move eigenvectors).
+    v₀ = e₀·1e9; each round v ← round(C*·v · 1e9 / max|C*·v|) — integer
+    matvec, integer division — so every intermediate is an exact integer
+    both engines agree on. Output: the Rayleigh quotient of the final
+    vector against C*/(n²·1e12) (the true covariance's eigenvalue
+    estimate, double, 6 dp) plus the top-5 |component| dims.
+
+    Scale shape: the Gram stage is the only corpus-sized work — a
+    posexplode pair expansion partial-aggregating into dim² keys (at
+    100 TB swap in the mapPartitions Gram accumulation of operators/
+    pca.py; same 4096-key exchange either way). The three matvecs run on
+    the dim²-row C table: joins against a dim-row broadcast vector."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    c, n_rows, v = _pi_core(emb)
     # Rayleigh quotient over a MICROS copy of v (vk div 1000): the nanos
     # triple product vj*cjk*vk would brush decimal(38)'s ceiling; with
     # micros the sum is bounded by dim^2 * 1e6*|C*|max*1e6 (~1e36 below
@@ -1092,7 +1154,9 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-POWER_ITERATION_TOP_PC_SQL = f"""
+# Shared WITH-prefix for the two power-iteration twins (exact fixed-point:
+# every CTE below is integer-exact, so both finals sit under the value hash).
+_PI_SQL_PREFIX = f"""
 WITH ex AS (
   SELECT generate_subscripts(embedding, 1) - 1 AS j,
          CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS mj,
@@ -1127,7 +1191,9 @@ num AS (
   FROM c JOIN vq vk ON c.k = vk.k JOIN vq vj ON c.j = vj.k
 ),
 den AS (SELECT sum(vk * vk) AS vv FROM vq),
-nr AS (SELECT n FROM c WHERE j = 0 AND k = 0),
+nr AS (SELECT n FROM c WHERE j = 0 AND k = 0)"""
+
+POWER_ITERATION_TOP_PC_SQL = _PI_SQL_PREFIX + """,
 td AS (
   SELECT list_sort(list(CAST(k AS INT))) AS top_dims
   FROM (SELECT k FROM v3 ORDER BY abs(vk) DESC, k ASC LIMIT 5)
@@ -1136,6 +1202,18 @@ SELECT round(CAST(vCv AS DOUBLE) / CAST(vv AS DOUBLE)
              / (CAST(nr.n AS DOUBLE) * nr.n * 1e12), 6) AS top_eigenvalue,
        top_dims
 FROM num CROSS JOIN den CROSS JOIN nr CROSS JOIN td
+"""
+
+EMBEDDING_PCA_VARIANCE_SQL = _PI_SQL_PREFIX + """,
+tr AS (SELECT CAST(sum(cjk) AS HUGEINT) AS tr FROM c WHERE j = k)
+SELECT CAST(1 AS INT) AS component,
+       round(CAST(vCv AS DOUBLE) / CAST(vv AS DOUBLE)
+             / (CAST(nr.n AS DOUBLE) * nr.n * 1e12), 6) AS eigenvalue,
+       round(CAST(tr AS DOUBLE)
+             / (CAST(nr.n AS DOUBLE) * nr.n * 1e12), 6) AS total_variance,
+       round(CAST(vCv AS DOUBLE) / CAST(vv AS DOUBLE)
+             / CAST(tr AS DOUBLE), 6) AS explained_share
+FROM num CROSS JOIN den CROSS JOIN nr CROSS JOIN tr
 """
 
 
@@ -1810,7 +1888,7 @@ QUERIES = [
     QuerySpec("semdedup", semdedup, SEMDEDUP_SQL, "X2 SemDeDup semantic dedup (cluster-bounded pairwise + centroid-rank keep/drop)"),
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
     QuerySpec("embedding_energy_retention", embedding_energy_retention, EMBEDDING_ENERGY_SQL, "X2/X3 prefix-energy truncation audit"),
-    QuerySpec("embedding_pca_variance", embedding_pca_variance, None, "X2/X3 distributed PCA explained variance (rows-only)"),
+    QuerySpec("embedding_pca_variance", embedding_pca_variance, EMBEDDING_PCA_VARIANCE_SQL, "X2/X3 top-PC explained-variance share, exact fixed-point (oracle-backed since r5; full spectrum via operators/pca.py + numpy contract)"),
     QuerySpec("power_iteration_top_pc", power_iteration_top_pc, POWER_ITERATION_TOP_PC_SQL, "X31 power-iteration top PC in exact fixed-point (oracle-backed iterative tier)"),
     QuerySpec("dedup_tier_evidence", dedup_tier_evidence, _evidence_sql(), "X2 cross-tier pair evidence audit"),
     QuerySpec("containment_dups", containment_dups, CONTAINMENT_DUPS_SQL, "X2 asymmetric shingle containment tier"),
