@@ -205,14 +205,42 @@ def ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ordered.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(JACC_T) * F.col("n")) + 1
-    ).select("doc_id", "term")
+    ).select("doc_id", "term", "rn", "n")
+    pa = prefix.select(
+        F.col("doc_id").alias("id_a"),
+        "term",
+        F.col("rn").alias("rn_a"),
+        F.col("n").alias("na"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("id_b"),
+        "term",
+        F.col("rn").alias("rn_b"),
+        F.col("n").alias("nb"),
+    )
+    # Overlap lower bound α = ⌈τ/(1+τ)·(na+nb)⌉ (Xiao et al., PPJoin,
+    # WWW 2008). Both extra filters are LOSSLESS for jacc ≥ τ — any pair
+    # they drop provably cannot reach the threshold — so the oracle (the
+    # unpruned all-pairs join) still hash-matches; they exist because on a
+    # token-saturated corpus (tiny vocab ⇒ every df grows ∝ N) the bare
+    # prefix join degenerates toward all-pairs: measured at sf1, they cut
+    # the candidate exchange ~10×.
+    alpha = F.ceil(F.lit(JACC_T / (1.0 + JACC_T)) * (F.col("na") + F.col("nb")))
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "term")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        pa.join(pb, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter (Arasu/Bayardo AllPairs): τ·na ≤ nb ≤ na/τ
+        .filter(
+            (F.col("nb") >= F.lit(JACC_T) * F.col("na"))
+            & (F.col("na") >= F.lit(JACC_T) * F.col("nb"))
         )
+        # positional filter: tokens before the match can't contribute, so
+        # overlap ≤ 1 + min(remaining suffix lengths); require ≥ α
+        .filter(
+            F.lit(1) + F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b"))
+            >= alpha
+        )
+        .select("id_a", "id_b")
         .distinct()
     )
     # verify: exact intersection for candidates only

@@ -562,3 +562,75 @@ def test_ngram_coverage_head_cut_is_take_ordered(spark):
     100 rows only, never the full vocabulary."""
     body = _final_plan(spark, "ngram_coverage_curve")
     assert "TakeOrderedAndProject" in body, body
+
+
+# ---------------------------------------------------------------------------
+# Round-5: blanket cartesian ban over every remaining top-20-by-bench-time
+# query (BENCH_FULL.json), so a future edit can't silently introduce a
+# cartesian product into the expensive families; targeted pins below for
+# the shapes the round-4 verdict called out.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+_TOP_BENCH_UNPINNED = [
+    "embedding_near_dups_ivf",
+    "lsh_band_tuning",
+    "threshold_algorithm_topk",
+    "power_iteration_top_pc",
+    "embedding_pca_variance",
+    "incremental_dedup",
+    "sssp_bounded",
+    "dedup_tier_evidence",
+    "hybrid_rrf",
+    "kmv_overlap",
+    "clustering_coefficient",
+    "merkle_diff_audit",
+    "kcore_peel",
+    "soft_dedup_weights",
+    "embedding_near_dups",
+    "minhash_portable_dups",
+    "substring_dedup_plan",
+    "bpe_learn_merges",
+    "tfidf_top_terms",
+    "fisher_dims",
+    "label_propagation",
+    "ppjoin_near_dups",
+]
+
+
+@pytest.mark.parametrize("name", _TOP_BENCH_UNPINNED)
+def test_top_bench_no_cartesian(spark, name):
+    """No query in the expensive families may ever plan a CartesianProduct
+    (1-row-broadcast nested-loop joins are fine and appear legitimately)."""
+    body = _plan(spark, name)
+    assert "CartesianProduct" not in body, body
+
+
+def test_substring_dedup_rank_exchange_is_hashed(spark):
+    """Round-5 fix pin: the duplicate-election window must partition on the
+    8-byte md5-derived sh_h key, never the raw 8-token shingle text — the
+    only corpus-sized exchange carries fixed-width ints."""
+    body = _final_plan(spark, "substring_dedup_plan")
+    assert "hashpartitioning(sh_h" in body, body
+    assert "hashpartitioning(shingle" not in body, body
+
+
+def test_embedding_near_dups_ivf_broadcast_seeds(spark):
+    """IVF near-dup tier: the pinned-quantizer seed/probe relations must
+    broadcast; the corpus never shuffles against them."""
+    body = _final_plan(spark, "embedding_near_dups_ivf")
+    assert "BroadcastExchange" in body, body
+    assert "CartesianProduct" not in body, body
+
+
+def test_ppjoin_prefix_filters_before_join(spark):
+    """Round-5 fix pin: the AllPairs length filter and the PPJoin
+    positional filter must sit IN the candidate join (condition or
+    post-join filter before the distinct), keeping the pair space bounded
+    on token-saturated corpora. The join itself stays a hash join keyed on
+    the prefix term."""
+    body = _plan(spark, "ppjoin_near_dups")
+    assert "CartesianProduct" not in body, body
+    # the size columns only exist in the plan if the filters survived
+    assert "na" in body and "nb" in body, body
