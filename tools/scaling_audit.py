@@ -72,12 +72,33 @@ QUADRATIC_BY_SPEC: dict[str, str] = {
 }
 
 
+_STATE_PATH = os.environ.get(
+    "SCALING_STATE", os.path.join(ROOT, ".scaling_state.json")
+)
+
+
+def _load_state() -> dict:
+    try:
+        with open(_STATE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def time_queries(spark, sf_dir: str, runs: int) -> dict[str, float]:
+    """Warmup + best-of-N per query. Timings persist to a state file after
+    every query so a crashed run (e.g. driver-heap exhaustion 30k stages
+    in) resumes instead of repaying ~an hour of measurement."""
+    import gc
+
     import __spark_entry__ as entrymod
 
-    out: dict[str, float] = {}
+    state = _load_state()
+    out: dict[str, float] = dict(state.get(sf_dir, {}))
     qs = entrymod.queries()
     for name, fn in qs.items():
+        if name in out:
+            continue
         fn(spark, sf_dir).limit(1).collect()  # warm plan + listing
         best = float("inf")
         for _ in range(max(1, runs)):
@@ -86,6 +107,14 @@ def time_queries(spark, sf_dir: str, runs: int) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 4)
         print(f"scaling_audit: {sf_dir} {name} {best:.3f}s", file=sys.stderr)
+        # release python-side refs so ContextCleaner can drop the query's
+        # localCheckpoint blocks — the long-lived session otherwise
+        # accumulates driver heap across hundreds of plans
+        gc.collect()
+        state = _load_state()
+        state.setdefault(sf_dir, {})[name] = out[name]
+        with open(_STATE_PATH, "w") as f:
+            json.dump(state, f)
     return out
 
 
