@@ -553,6 +553,12 @@ _PQ_M = 8
 _PQ_DSUB = 8
 _PQ_SEED_MOD = 30
 _PQ_SEED_OFF = 7
+#: FIXED codebook size per subspace (Jégou et al. use ksub=256 regardless
+#: of corpus size). Round-5 fix: the codebook was every-MODth row with NO
+#: cap, so ksub grew ∝ N and encode cost grew Θ(N²) — measured 13x wall
+#: for 10x data at sf1. Capping at the first KSUB seeds restores the
+#: published design and linear encode; both engines cap identically.
+_PQ_KSUB = 64
 _PQ_FETCH = 100
 
 
@@ -588,7 +594,10 @@ def pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"slice(v, sub * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("sv"),
     )
     codebook = (
-        emb.filter(F.col("vec_id") % _PQ_SEED_MOD == _PQ_SEED_OFF)
+        emb.filter(
+            (F.col("vec_id") % _PQ_SEED_MOD == _PQ_SEED_OFF)
+            & (F.col("vec_id") < _PQ_SEED_MOD * _PQ_KSUB)
+        )
         .select(
             F.col("vec_id").alias("code"),
             F.explode(subs).alias("sub"),
@@ -657,6 +666,7 @@ WITH e AS (
          e.v[(s.sub * {_PQ_DSUB} + 1):(s.sub * {_PQ_DSUB} + {_PQ_DSUB})] AS csv
   FROM e CROSS JOIN (SELECT CAST(unnest(range({_PQ_M})) AS INT) AS sub) s
   WHERE e.vec_id % {_PQ_SEED_MOD} = {_PQ_SEED_OFF}
+    AND e.vec_id < {_PQ_SEED_MOD * _PQ_KSUB}
 ), codes AS (
   SELECT vec_id, sub,
          min(CAST(round(list_distance(sv, csv) * 1e6) AS BIGINT)

@@ -57,6 +57,43 @@ def _extract_pages_fitz(content: bytes) -> list[str]:
     return [page.get_text() for page in doc]
 
 
+def _first_page_offline(content: bytes) -> str:
+    pages = _extract_pages_offline(content)
+    return pages[0] if pages else ""
+
+
+def _first_page_fitz(content: bytes) -> str:
+    """Page-1 text in READING ORDER — the reference's metadata path reads
+    `doc[0].get_text(sort=True)` (extract_and_embed_v2.py:398), which
+    re-orders blocks top-to-bottom/left-to-right; on multi-column PDFs it
+    differs from the raw extraction stream the full-text path uses, so the
+    two tiers are deliberately separate calls here too."""
+    try:
+        import fitz  # noqa: PLC0415  (PyMuPDF; absent in this container)
+    except ImportError as e:  # pragma: no cover - depends on environment
+        raise NotImplementedError(
+            "real PDF extraction needs PyMuPDF (pip install pymupdf); "
+            "use real=False for the deterministic offline tier"
+        ) from e
+    doc = fitz.open(stream=content, filetype="pdf")
+    return doc[0].get_text(sort=True) if doc.page_count else ""
+
+
+def first_page_text_udf(real: bool = False):
+    """binary content → page-1 text for the metadata extractors (case
+    number / parties / dates, plans/metadata.py). Real tier: sorted
+    reading-order text per the reference; offline tier: the first
+    form-feed segment (identical on the fixtures, where pages are
+    single-column by construction)."""
+    extract = _first_page_fitz if real else _first_page_offline
+
+    @F.pandas_udf("string")
+    def first_page(contents: pd.Series) -> pd.Series:
+        return pd.Series([extract(c) if c is not None else "" for c in contents])
+
+    return first_page
+
+
 def extract_text_udf(real: bool = False):
     """binary content → full text: per-page extraction + ordered "\\n" join
     (the A7 concatenating aggregate happens inside the batch — pages of one
@@ -99,4 +136,7 @@ def pdf_documents(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
         extract_text_udf(real)(F.col("content")).alias("text"),
+        # metadata extractors read page 1 in reading order (sort=True in
+        # the real tier) — a separate extraction call, like the reference
+        first_page_text_udf(real)(F.col("content")).alias("page1"),
     ).withColumn("file_id", F.sha2(F.col("file_name"), 256))

@@ -85,3 +85,12 @@ def test_pdf_to_chunks_end_to_end(spark, staging):
         assert r.case_decision in {"appellant_won", "appellant_lost", "invalid"}
         assert len(r.embedding) == 64
         assert r.text.strip()
+
+
+def test_first_page_column_offline_tier(spark, staging):
+    """Round-5 fidelity: the metadata path reads page 1 through a SEPARATE
+    extraction call (reference: doc[0].get_text(sort=True),
+    extract_and_embed_v2.py:398). Offline tier: first form-feed segment."""
+    docs = {r.file_name: r for r in pdf_documents(spark, staging).collect()}
+    assert docs["a.pdf"].page1 == "page one"
+    assert docs["b.pdf"].page1 == "single page"

@@ -56,6 +56,9 @@ def test_real_pdf_extraction_end_to_end(spark, tmp_path):
     assert row.file_name == "mini.pdf"
     assert "Hello spark" in row.text
     assert len(row.file_id) == 64  # sha256 hex
+    # metadata page-1 tier: a separate get_text(sort=True) call
+    # (extract_and_embed_v2.py:398) — reading-order text of page 1
+    assert "Hello spark" in row.page1
 
 
 @pytest.mark.skipif(

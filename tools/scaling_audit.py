@@ -69,6 +69,11 @@ QUADRATIC_BY_SPEC: dict[str, str] = {
     "containment_dups": "blocked exact containment verify; scale twin: minhash_portable_dups",
     "edit_distance_dups": "blocked exact edit-distance verify; scale twin: minhash_portable_dups",
     "snm_near_dups": "sorted-neighborhood exact verify within window; scale twin: minhash_portable_dups",
+    "dedup_tier_evidence": "cross-tier audit panel built ON the exact-Jaccard pair table (same Θ(block²) pair build as dup_components)",
+    "dup_components_star": "large-star/small-star over the same exact-Jaccard pair build as dup_components",
+    "bitext_mining": "margin mining over the full src×tgt pair matrix by spec at fixture scale (docstring: the scale path swaps the candidate generator to IVF cells, margin scoring unchanged)",
+    "simhash_portable_dups": "the ANSWER is quadratic on this corpus: signature entropy is bounded by the 31-word fixture vocabulary, so TRUE hamming<=3 pairs grow ~N² (measured 299 pairs at 5k docs -> 11,885 at 50k, 40x for 10x); no algorithm returns a quadratic answer in linear time. Open-vocabulary corpora spread band keys",
+    "simhash_near_dups": "same corpus-shape quadratic answer as simhash_portable_dups (blake2b family)",
 }
 
 
