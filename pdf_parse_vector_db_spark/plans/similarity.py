@@ -29,10 +29,22 @@ from pdf_parse_vector_db_spark.sources.registry import load_table
 #: separately by ann_recall + tests/test_ann.py); pinning the quantizer to
 #: corpus rows makes the ENTIRE index path — assignment argmin, probe
 #: ranking, pruned exact search — plain relational algebra both engines
-#: can hash-match. nlist scales with the corpus (12 cells at sf0.01).
+#: can hash-match. Round-5 sizing fix: the seed stride is now
+#: max(_IVF_SEED_MOD, isqrt(N)) — the standard IVF nlist ∝ √N — so
+#: assignment cost grows N·√N and cell population √N, instead of the
+#: fixed stride's Θ(N²) assignment (nlist ∝ N) that the sf1 audit
+#: measured at r100 = 28x. Python isqrt and the oracle's
+#: floor(sqrt(count)) agree exactly for any feasible corpus (IEEE sqrt
+#: is correctly rounded; the k−1/2k gap at perfect squares dwarfs an ulp).
 _IVF_SEED_MOD = 40
 _IVF_SEED_OFF = 7
 _IVF_NPROBE = 4
+
+#: oracle-side twin of the adaptive stride
+_IVF_SEED_MOD_SQL = (
+    f"greatest({_IVF_SEED_MOD}, "
+    "CAST(floor(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))"
+)
 #: (rounded-micros distance, cid) packed into one BIGINT so argmin is a
 #: plain MIN with a deterministic tie-break on both engines. Contract:
 #: cid (a vec_id) < base — holds to 1e7 corpus rows; widen the base (and
@@ -41,15 +53,25 @@ _IVF_NPROBE = 4
 _IVF_KEY_BASE = 10_000_000
 
 
+def _ivf_seed_mod(emb: DataFrame) -> int:
+    """Adaptive seed stride: max(_IVF_SEED_MOD, isqrt(N)) ⇒ nlist ∝ √N.
+    One count() job per query (parquet footer metadata, cheap); the
+    literal stride then folds into the seed filter and the SQL twin
+    computes the identical value from the same count."""
+    from math import isqrt
+
+    return max(_IVF_SEED_MOD, isqrt(emb.count()))
+
+
 def _ivf_seeds(emb: DataFrame) -> DataFrame:
-    """Pinned coarse quantizer: every `_IVF_SEED_MOD`th vector is a cell
-    seed. The (distance-micros, cid) BIGINT pack requires cid <
-    `_IVF_KEY_BASE`; rather than silently corrupting argmin results past
-    1e7 embeddings, a raise_error guard on the seed ids surfaces the
-    contract violation loudly (seeds are corpus/MOD rows, so the check is
-    off the hot path; it never fires below the base, preserving oracle
-    hash parity)."""
-    return emb.filter(F.col("vec_id") % _IVF_SEED_MOD == _IVF_SEED_OFF).select(
+    """Pinned coarse quantizer: every √N-strided vector is a cell seed
+    (nlist ∝ √N, the standard IVF sizing). The (distance-micros, cid)
+    BIGINT pack requires cid < `_IVF_KEY_BASE`; rather than silently
+    corrupting argmin results past 1e7 embeddings, a raise_error guard on
+    the seed ids surfaces the contract violation loudly (seeds are
+    corpus/stride rows, so the check is off the hot path; it never fires
+    below the base, preserving oracle hash parity)."""
+    return emb.filter(F.col("vec_id") % _ivf_seed_mod(emb) == _IVF_SEED_OFF).select(
         F.when(F.col("vec_id") < _IVF_KEY_BASE, F.col("vec_id"))
         .otherwise(
             F.raise_error(
@@ -204,7 +226,7 @@ def embedding_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_NEAR_DUPS_IVF_SQL = f"""
 WITH seeds AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_OFF}
+  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD_SQL} = {_IVF_SEED_OFF}
 ), assign AS (
   SELECT e.vec_id,
          min(CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]), s.cvec) * 1e6)
@@ -504,7 +526,7 @@ WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
 ), seeds AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_OFF}
+  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD_SQL} = {_IVF_SEED_OFF}
 ), probe AS (
   SELECT cid FROM seeds CROSS JOIN q
   ORDER BY CAST(round(list_distance(cvec, qvec) * 1e6) AS BIGINT)
@@ -960,7 +982,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_RECALL_SQL = f"""
 WITH seeds AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_OFF}
+  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD_SQL} = {_IVF_SEED_OFF}
 ), q AS (
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
   FROM embeddings WHERE vec_id % 400 = 0
