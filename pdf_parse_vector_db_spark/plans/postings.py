@@ -225,6 +225,7 @@ def ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token-saturated corpus (tiny vocab ⇒ every df grows ∝ N) the bare
     # prefix join degenerates toward all-pairs: measured at sf1, they cut
     # the candidate exchange ~10×.
+    # ansi: Python-literal constant fold (τ/(1+τ)), no column division
     alpha = F.ceil(F.lit(JACC_T / (1.0 + JACC_T)) * (F.col("na") + F.col("nb")))
     cand = (
         pa.join(pb, "term")

@@ -400,7 +400,9 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SHARE is (vCv/vv)/tr — three doubles from exact integers, the
     # same cast discipline the Rayleigh quotient already proves portable.
     scale = F.col("n").cast("double") * F.col("n") * 1e12
+    # ansi: vv = Σ squared micros of max-normalized vector > 0; scale = n²·1e12, n >= 1
     lam = F.col("vCv").cast("double") / F.col("vv").cast("double") / scale
+    # ansi: scale > 0, see above
     tot = F.col("tr").cast("double") / scale
     return (
         num.crossJoin(F.broadcast(den))
@@ -410,10 +412,11 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("int").alias("component"),
             F.round(lam, 6).alias("eigenvalue"),
             F.round(tot, 6).alias("total_variance"),
-            # ansi: tr > 0 (non-degenerate corpus variance), vv > 0
             F.round(
                 F.col("vCv").cast("double")
+                # ansi: vv > 0 (squared micros of max-normalized vector)
                 / F.col("vv").cast("double")
+                # ansi: tr > 0 (non-degenerate corpus variance)
                 / F.col("tr").cast("double"),
                 6,
             ).alias("explained_share"),
