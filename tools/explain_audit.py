@@ -112,6 +112,8 @@ AUDIT = {
     "l_diversity_audit": "QI broadcast onto orders; one fact agg with partial distinct; l-grid on class table only",
     "ngram_coverage_curve": "gram hash-agg with map-side partials; head cut TakeOrdered(100) before any window",
     "soft_dedup_weights": "components reused from dup pipeline; csize agg + broadcast-back; integer-micros sums",
+    "pq_knn": "FIXED-ksub codebook broadcast (r5); encode argmin one MIN agg; ADC TakeOrdered over codes only",
+    "embedding_pca_variance": "shared _pi_core Gram exchange + matvecs; trace = dim-row filter of checkpointed C*",
 }
 
 
