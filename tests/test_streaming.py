@@ -714,3 +714,54 @@ def test_streaming_hll_distinct_matches_batch_and_exact(spark, tmp_path):
     for et, row in final.items():
         assert row.ndv_est == batch[et].ndv_est, et  # batching-insensitive
         assert abs(row.ndv_est - exact[et]) / exact[et] < 0.45, (et, row.ndv_est, exact[et])
+
+
+def test_stream_scd2_crash_recovery_paths(spark, tmp_path):
+    """Round-5 atomic-publish protocol: every crash point of the
+    tmp-write + backup-rename swap must leave a recoverable dimension.
+    Simulates (a) crash between the two renames — dim_dir ABSENT, backup
+    present: the replay must restore the backup, never empty-initialize
+    and discard history; (b) crash mid-write — a leftover tmp dir must be
+    discarded, not read."""
+    import datetime
+    import shutil
+
+    from pdf_parse_vector_db_spark.streaming.scd2_stream import (
+        DIM_COLS,
+        scd2_merge,
+        stream_scd2_apply,
+    )
+
+    t0 = datetime.date(1994, 1, 1)
+    t1 = datetime.date(1995, 6, 1)
+    dim_dir = str(tmp_path / "dim")
+    schema = "c_custkey bigint, segment string, acctbal_cents bigint, eff_date date"
+
+    dim0 = spark.createDataFrame(
+        [(1, "BUILDING", 100, 1, t0, None, True), (2, "MACHINERY", 200, 1, t0, None, True)],
+        "c_custkey bigint, segment string, acctbal_cents bigint, version int, "
+        "valid_from date, valid_to date, is_current boolean",
+    )
+    dim0.write.parquet(dim_dir)
+
+    # (a) crash between rename(dim->bak) and rename(tmp->dim): dim absent
+    shutil.move(dim_dir, dim_dir + "__bak")
+    # (b) plus a half-written tmp dir that must be ignored
+    (tmp_path / "dim__tmp").mkdir()
+    (tmp_path / "dim__tmp" / "_temporary").mkdir()
+
+    batch = [(1, "HOUSEHOLD", 150, t1)]
+    spark.createDataFrame(batch, schema).write.parquet(str(tmp_path / "ch"))
+    stream_scd2_apply(
+        spark, str(tmp_path / "ch"), dim_dir, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+
+    got = sorted(tuple(r[c] for c in DIM_COLS) for r in spark.read.parquet(dim_dir).collect())
+    want_df = scd2_merge(dim0, spark.createDataFrame(batch, schema))
+    want = sorted(tuple(r[c] for c in DIM_COLS) for r in want_df.collect())
+    # history survived: key 1 versioned (2 rows), key 2 untouched
+    assert got == want
+    assert len([r for r in got if r[0] == 1]) == 2
+    # publish is clean: no leftover tmp or backup dirs
+    assert not (tmp_path / "dim__tmp").exists()
+    assert not (tmp_path / "dim__bak").exists()
