@@ -24,6 +24,7 @@ Flask's test client — no port needed.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pdf_parse_vector_db_spark.api import SparkVectorService
 from pdf_parse_vector_db_spark.sources.pdf import (
@@ -59,11 +60,14 @@ def create_app(service: SparkVectorService, real_pdf: bool = False):
             # sanitized collisions isolated.
             safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in collection)
             digest = hashlib.md5(collection.encode("utf-8")).hexdigest()[:8]
-            svc = SparkVectorService(
-                service.spark,
-                f"{service.path}/__collections__/{safe}-{digest}",
-                dim=service.dim,
-            )
+            path = f"{service.path}/__collections__/{safe}-{digest}"
+            # Pre-digest layouts used bare `{safe}`; if such a dir exists
+            # and the digest-suffixed one doesn't, keep serving the legacy
+            # dir so persisted collections stay reachable after upgrade.
+            legacy = f"{service.path}/__collections__/{safe}"
+            if not os.path.isdir(path) and os.path.isdir(legacy):
+                path = legacy
+            svc = SparkVectorService(service.spark, path, dim=service.dim)
             services[collection] = svc
         return svc
 

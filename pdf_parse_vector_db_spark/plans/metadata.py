@@ -9,9 +9,10 @@ metadata).
 
 `decision_pipeline` is the full v2-embed classifier — cascade → conclusion
 extraction (pandas_udf, last-match windowing) → deterministic LLM stand-in →
-closed-domain validation — registered rows-only (the W4 last-match semantics
-are not SQL-expressible); its per-branch behavior is golden-tested in
-tests/test_conclusion.py.
+closed-domain validation. Oracle-backed since round 6: the W4 last-match
+windowing is recovered exactly in SQL via sentinel-insertion (see
+full_decision_pipeline's docstring); its per-branch behavior remains
+golden-tested in tests/test_conclusion.py.
 """
 
 from __future__ import annotations
@@ -112,13 +113,129 @@ FROM ext
 
 
 def full_decision_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3/U2: complete v2 decision pipeline on marker-augmented docs
-    (rows-only; see module docstring)."""
+    """T3/U2: complete v2 decision pipeline on marker-augmented docs.
+
+    ORACLE-BACKED since round 6 (was the last composite rows-only entry):
+    every stage is deterministic offline, and the one construct with no
+    native SQL analog — Python's ``re.finditer`` last-match / 3rd-last-
+    match windowing inside extract_conclusion_py — is recovered exactly in
+    DuckDB by the SENTINEL-INSERTION trick: a global
+    ``regexp_replace(t, '(PAT)', chr(1) || '\\1', 'g')`` performs the SAME
+    non-overlapping leftmost scan as finditer, so the original start of
+    the k-th-from-last match is ``len(t)`` minus the lengths of the last k
+    sentinel-delimited segments (verified against finditer on adversarial
+    overlapping inputs, e.g. 'ORDER' inside 'IT IS ORDERED THAT' — tests/
+    test_conclusion.py). The Spark side is untouched (Arrow-batched
+    pandas_udf pinning reference semantics, extract_and_embed_v2.py:
+    188-300); only the oracle gained the exact SQL twin."""
     docs = _marked(spark, sf_dir).withColumnRenamed("page1", "full_text")
     out = decision_pipeline(docs, text_col="full_text")
     return out.select("doc_id", "document_type", "rule_decision", "case_decision").orderBy(
         "doc_id"
     )
+
+
+def _full_decision_pipeline_sql() -> str:
+    """Exact DuckDB twin of decision_pipeline (see full_decision_pipeline
+    docstring for the sentinel-insertion finditer recovery)."""
+    from pdf_parse_vector_db_spark.functions.classifiers import (
+        case_decision_sql,
+        document_type_sql,
+    )
+    from pdf_parse_vector_db_spark.operators.conclusion import (
+        CONCLUSION_INDICATORS,
+        ORDER_PHRASES,
+    )
+
+    np_pat = r"\n\s*\d+\.\s+"
+    ind_tribunal = "|".join(CONCLUSION_INDICATORS["appellate_tribunal"])
+    ind_oio = "|".join(CONCLUSION_INDICATORS["order_in_original"])
+    ind_generic = "|".join(CONCLUSION_INDICATORS["__generic__"])
+
+    def _sent(pat: str, flags: str = "?i") -> str:
+        # sentinel-insertion global replace == finditer's scan
+        return rf"regexp_replace(t, '({flags}:{pat})', chr(1) || '\0', 'g')"
+
+    # DuckDB RE2: use a non-capturing inline-flag group and \0 (whole match)
+    # in the rewrite so alternation order/priority is preserved verbatim.
+    # Order-phrase tier: Python tries each phrase IN LIST ORDER and takes
+    # the first one with any match; window = [start-500, end+500).
+    phrase_arms = []
+    for p in ORDER_PHRASES:
+        start0 = rf"length(regexp_replace(t, '(?is)(?:{p}).*$', ''))"
+        mlen = rf"length(regexp_extract(t, '(?i)({p})', 1))"
+        phrase_arms.append(
+            f"WHEN regexp_matches(t, '(?i)(?:{p})') THEN "
+            f"substring(t, greatest(0, {start0} - 500) + 1, "
+            f"least(length(t), {start0} + {mlen} + 500) - greatest(0, {start0} - 500))"
+        )
+    phrase_case = "\n              ".join(phrase_arms)
+
+    return f"""
+WITH marked AS (
+  SELECT doc_id, {_MARKED_SQL} AS t FROM documents
+), cls AS (
+  SELECT doc_id, t,
+         {document_type_sql("t")} AS document_type,
+         {case_decision_sql("t")} AS rule_decision
+  FROM marked
+), sent AS (
+  SELECT *,
+         CASE WHEN document_type = 'appellate_tribunal'
+              THEN {_sent(np_pat, "?")} END AS np_s,
+         CASE document_type
+           WHEN 'appellate_tribunal' THEN {_sent(ind_tribunal)}
+           WHEN 'order_in_original'  THEN {_sent(ind_oio)}
+           ELSE {_sent(ind_generic)} END AS ind_s
+  FROM cls
+), cnt AS (
+  SELECT *,
+         coalesce(length(np_s) - length(replace(np_s, chr(1), '')), 0) AS np_k,
+         length(ind_s) - length(replace(ind_s, chr(1), '')) AS ind_k
+  FROM sent
+), concl AS (
+  SELECT doc_id, document_type, rule_decision,
+         CASE
+           WHEN np_k > 2 THEN
+             -- tribunal shortcut: text from the 3rd-last numbered para
+             substring(t, length(t)
+               - (length(split_part(reverse(np_s), chr(1), 1))
+                + length(split_part(reverse(np_s), chr(1), 2))
+                + length(split_part(reverse(np_s), chr(1), 3))) + 1)
+           WHEN ind_k > 0 THEN
+             -- last indicator match, +2000 chars
+             substring(t, length(t)
+               - length(split_part(reverse(ind_s), chr(1), 1)) + 1, 2000)
+           {phrase_case}
+           WHEN length(t) > 5000
+             THEN substring(t, CAST(floor(length(t) * 0.8) AS BIGINT) + 1)
+           WHEN length(t) > 1000 THEN substring(t, length(t) - 999)
+           ELSE t
+         END AS conclusion
+  FROM cnt
+), pos AS (
+  SELECT doc_id, document_type, rule_decision,
+         CASE WHEN conclusion IS NULL OR conclusion = '' THEN NULL
+              WHEN regexp_matches(conclusion, '(?i){_STUB_WON_RE}')
+                THEN length(regexp_replace(conclusion, '(?is)({_STUB_WON_RE}).*$', '')) END AS w_pos,
+         CASE WHEN conclusion IS NULL OR conclusion = '' THEN NULL
+              WHEN regexp_matches(conclusion, '(?i){_STUB_LOST_RE}')
+                THEN length(regexp_replace(conclusion, '(?is)({_STUB_LOST_RE}).*$', '')) END AS l_pos
+  FROM concl
+), llm AS (
+  SELECT doc_id, document_type, rule_decision,
+         CASE WHEN w_pos IS NOT NULL AND (l_pos IS NULL OR w_pos <= l_pos)
+                THEN 'appellant_won'
+              WHEN l_pos IS NOT NULL THEN 'appellant_lost'
+              ELSE 'invalid' END AS llm_decision
+  FROM pos
+)
+SELECT doc_id, document_type, rule_decision,
+       CASE WHEN rule_decision = 'invalid' THEN llm_decision
+            ELSE rule_decision END AS case_decision
+FROM llm
+ORDER BY doc_id
+"""
 
 
 #: LLM-stub vocabularies (operators/conclusion.py:131-134), re-exported as
@@ -417,7 +534,7 @@ QUERIES = [
     QuerySpec("doc_metadata", doc_metadata, DOC_METADATA_SQL, "F10/F11 metadata extraction"),
     QuerySpec("geomean_udaf", geomean_udaf, GEOMEAN_UDAF_SQL, "U5 pandas GROUPED_AGG UDAF, integer-micros exact"),
     QuerySpec("table_stats", table_stats, TABLE_STATS_SQL, "ANALYZE-style column profiling (nulls/NDV/min/max)"),
-    QuerySpec("full_decision_pipeline", full_decision_pipeline, None, "T3+U2 cascade→LLM-stub pipeline"),
+    QuerySpec("full_decision_pipeline", full_decision_pipeline, _full_decision_pipeline_sql(), "T3+U2 cascade→LLM-stub pipeline (oracle-backed since r6: sentinel-insertion finditer recovery)"),
     QuerySpec("decision_llm_stage", decision_llm_stage, DECISION_LLM_STAGE_SQL, "U2/T3 LLM-stub + gating stage (oracle-backed since r3)"),
     QuerySpec("conclusion_positional", conclusion_positional, CONCLUSION_POSITIONAL_SQL, "F7 positional fallback tier"),
 ]

@@ -44,6 +44,8 @@ threshold compares the ROUNDED value so both engines keep identical pairs.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -55,6 +57,13 @@ NEAR_TERMS = ("vector", "merge")
 NEAR_DIST = 3
 TOP_DOCS = 20
 JACC_T = 0.8
+# Exact rational form of the threshold (4/5): every PPJoin bound below is
+# evaluated in INTEGER arithmetic so no float ceil can overshoot the exact
+# rational bound (ceil((0.8/1.8)*s) computed through the double
+# 0.4444444444444445 > 4/9 first overshoots at s = 63, wrongly pruning
+# pairs whose jaccard is exactly 0.8 — the unpruned oracle keeps them).
+_JACC_FRAC = Fraction(str(JACC_T))
+_JP, _JQ = _JACC_FRAC.numerator, _JACC_FRAC.denominator  # τ = _JP/_JQ = 4/5
 
 _TOKS_EXPR = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
 _TOKS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
@@ -203,8 +212,10 @@ def ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("trank"))
         )
     )
+    # rn ≤ n − ⌈τ·n⌉ + 1  ⟺  ⌈_JP·n/_JQ⌉ ≤ n − rn + 1  ⟺ (integer RHS)
+    # _JP·n ≤ _JQ·(n − rn + 1) — exact, no float ceil.
     prefix = ordered.filter(
-        F.col("rn") <= F.col("n") - F.ceil(F.lit(JACC_T) * F.col("n")) + 1
+        F.lit(_JP) * F.col("n") <= F.lit(_JQ) * (F.col("n") - F.col("rn") + 1)
     ).select("doc_id", "term", "rn", "n")
     pa = prefix.select(
         F.col("doc_id").alias("id_a"),
@@ -225,21 +236,28 @@ def ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token-saturated corpus (tiny vocab ⇒ every df grows ∝ N) the bare
     # prefix join degenerates toward all-pairs: measured at sf1, they cut
     # the candidate exchange ~10×.
-    # ansi: Python-literal constant fold (τ/(1+τ)), no column division
-    alpha = F.ceil(F.lit(JACC_T / (1.0 + JACC_T)) * (F.col("na") + F.col("nb")))
+    # α = ⌈τ/(1+τ)·(na+nb)⌉ = ⌈_JP·s/(_JP+_JQ)⌉; integer x ≥ ⌈p/q⌉ ⟺
+    # q·x ≥ p, so the comparison needs no ceil (and no float) at all.
+    _apq = _JP + _JQ  # τ/(1+τ) = _JP/(_JP+_JQ) = 4/9 exactly
     cand = (
         pa.join(pb, "term")
         .filter(F.col("id_a") < F.col("id_b"))
-        # length filter (Arasu/Bayardo AllPairs): τ·na ≤ nb ≤ na/τ
+        # length filter (Arasu/Bayardo AllPairs): τ·na ≤ nb ≤ na/τ,
+        # as exact integers: _JP·na ≤ _JQ·nb ∧ _JP·nb ≤ _JQ·na
         .filter(
-            (F.col("nb") >= F.lit(JACC_T) * F.col("na"))
-            & (F.col("na") >= F.lit(JACC_T) * F.col("nb"))
+            (F.lit(_JQ) * F.col("nb") >= F.lit(_JP) * F.col("na"))
+            & (F.lit(_JQ) * F.col("na") >= F.lit(_JP) * F.col("nb"))
         )
         # positional filter: tokens before the match can't contribute, so
-        # overlap ≤ 1 + min(remaining suffix lengths); require ≥ α
+        # overlap ≤ 1 + min(remaining suffix lengths); require ≥ α:
+        # (_JP+_JQ)·(1 + least(...)) ≥ _JP·(na+nb)
         .filter(
-            F.lit(1) + F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b"))
-            >= alpha
+            F.lit(_apq)
+            * (
+                F.lit(1)
+                + F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b"))
+            )
+            >= F.lit(_JP) * (F.col("na") + F.col("nb"))
         )
         .select("id_a", "id_b")
         .distinct()

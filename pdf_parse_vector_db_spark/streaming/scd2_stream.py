@@ -30,6 +30,17 @@ from pyspark.sql.streaming import StreamingQuery
 
 #: dimension schema: key + versioned attributes + validity bookkeeping
 DIM_COLS = ("c_custkey", "segment", "acctbal_cents", "version", "valid_from", "valid_to", "is_current")
+
+
+def checked_rename(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` signals failure by returning FALSE, not
+    raising (e.g. dst already exists on HDFS, src vanished, cross-volume).
+    An unchecked false in the atomic-publish swap could publish a stale
+    dimension while the streaming checkpoint still commits the batch —
+    exactly the silent-loss class the protocol exists to eliminate. Raise
+    so the micro-batch fails and checkpoint replay retries."""
+    if not fs.rename(src, dst):
+        raise IOError(f"FileSystem.rename returned false: {src} -> {dst}")
 _CHANGE_SCHEMA = "c_custkey bigint, segment string, acctbal_cents bigint, eff_date date"
 
 
@@ -102,12 +113,16 @@ def stream_scd2_apply(
         tmp_path = jvm.org.apache.hadoop.fs.Path(dim_dir + "__tmp")
         bak_path = jvm.org.apache.hadoop.fs.Path(dim_dir + "__bak")
         fs = dim_path.getFileSystem(conf)
+
+        def _rename(src, dst):
+            checked_rename(fs, src, dst)
+
         if fs.exists(tmp_path):  # leftover from a crash mid-write: discard
             fs.delete(tmp_path, True)
         if fs.exists(dim_path):
             dim = sess.read.parquet(dim_dir)
         elif fs.exists(bak_path):  # crashed between the two renames: restore
-            fs.rename(bak_path, dim_path)
+            _rename(bak_path, dim_path)
             dim = sess.read.parquet(dim_dir)
         else:
             # Empty-initialize ONLY when the dimension genuinely doesn't
@@ -126,8 +141,8 @@ def stream_scd2_apply(
         if fs.exists(bak_path):
             fs.delete(bak_path, True)
         if fs.exists(dim_path):
-            fs.rename(dim_path, bak_path)
-        fs.rename(tmp_path, dim_path)
+            _rename(dim_path, bak_path)
+        _rename(tmp_path, dim_path)
         fs.delete(bak_path, True)
 
     reader = spark.readStream.schema(_CHANGE_SCHEMA).parquet(changes_dir)

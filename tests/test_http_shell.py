@@ -105,3 +105,40 @@ def test_health_route(shell):
     assert body["status"] == "healthy"
     assert body["service"] == "legal-case-search-api"
     assert body["chunks_indexed"] == 0
+
+
+def test_legacy_collection_dir_fallback(spark, tmp_path):
+    """Round-6 ADVICE: collections persisted under the pre-digest layout
+    `__collections__/{safe}` must stay reachable — when the legacy dir
+    exists and the digest-suffixed one doesn't, the shell serves the
+    legacy dir instead of silently starting an empty collection."""
+    import os
+
+    base = str(tmp_path / "warehouse")
+    svc = SparkVectorService(spark, base)
+    # simulate an upgrade: a collection persisted under the OLD naming
+    legacy_svc = SparkVectorService(spark, f"{base}/__collections__/old_cases")
+    legacy_svc.ingest_legal_document("case_a.pdf", DOC, 3)
+    app = create_app(svc)
+    app.config["TESTING"] = True
+    client = app.test_client()
+    r = client.post(
+        "/api/v1/search-similar-cases",
+        data={"case_file": _pdf(QUERY), "court_level": "2", "collection": "old_cases"},
+        content_type="multipart/form-data",
+    )
+    assert r.status_code == 200
+    assert r.get_json()["result_count"] >= 1  # found the legacy document
+    # fresh names (no legacy dir) still get the digest-suffixed namespace
+    r = client.post(
+        "/api/v1/ingest-legal-document",
+        data={
+            "file": (io.BytesIO(DOC.encode()), "b.pdf"),
+            "court_level": "2",
+            "collection": "new cases",
+        },
+        content_type="multipart/form-data",
+    )
+    assert r.status_code == 200
+    dirs = os.listdir(f"{base}/__collections__")
+    assert any(d.startswith("new_cases-") for d in dirs), dirs

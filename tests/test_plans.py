@@ -632,5 +632,10 @@ def test_ppjoin_prefix_filters_before_join(spark):
     the prefix term."""
     body = _plan(spark, "ppjoin_near_dups")
     assert "CartesianProduct" not in body, body
-    # the size columns only exist in the plan if the filters survived
-    assert "na" in body and "nb" in body, body
+    # Distinctive renderings of the exact-integer bounds (round-6 ADVICE:
+    # the old `"na" in body` pin matched unrelated plan text like 'isnan').
+    # Catalyst renders the length filter as (nb# * 5) >= (na# * 4) and the
+    # positional filter as (least(...) + 1) * 9) >= ((na# + nb#) * 4).
+    assert " * 5) >= (na" in body, body
+    assert "least((na" in body, body
+    assert " * 9) >= ((na" in body, body

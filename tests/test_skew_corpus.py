@@ -15,6 +15,7 @@ Pins three operator families the round-4 verdict called out:
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -108,6 +109,12 @@ def test_lsh_band_join_mega_cluster(spark, skew_dirs):
     assert top["count"] >= 0.9 * n_mega
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_PERF") != "1",
+    reason="wall-clock ratio flakes under host load (round-6 ADVICE); "
+    "set SPARK_GRAFT_PERF=1 to run — the deterministic candidate-volume "
+    "invariant below covers the same regression class in the default gate",
+)
 def test_skewed_wall_ratio_bounded(spark, skew_dirs):
     """Coarse regression bound: the banded pipeline on the skewed twin
     must stay within a small factor of the uniform twin at equal corpus
@@ -124,3 +131,36 @@ def test_skewed_wall_ratio_bounded(spark, skew_dirs):
 
     t_uni, t_skw = run(uni), run(skw)
     assert t_skw <= max(8.0 * t_uni, t_uni + 5.0), (t_uni, t_skw)
+
+
+def test_skewed_candidate_volume_bounded(spark, skew_dirs):
+    """Deterministic twin of the wall-ratio bound (default-gate safe): the
+    number of band-colliding candidate PAIRS on the skewed twin must stay
+    within the volume the mega-dup cluster legitimately implies. If the
+    band-blocking key were lost (the regression the wall test watched
+    for), the candidate count jumps to ~n²/2 regardless of host load."""
+    from pdf_parse_vector_db_spark.operators.dedup import minhash_portable_banded
+
+    uni, skw = skew_dirs
+
+    def n_cands(d: str) -> tuple[int, int]:
+        docs = _docs(spark, d)
+        stacked = minhash_portable_banded(docs)
+        cands = (
+            stacked.alias("l")
+            .join(stacked.alias("r"), on=["band_idx", "key"])
+            .filter(F.col("l.__id") < F.col("r.__id"))
+            .select(F.col("l.__id"), F.col("r.__id"))
+            .distinct()
+        )
+        return cands.count(), docs.count()
+
+    c_uni, n = n_cands(uni)
+    c_skw, n2 = n_cands(skw)
+    assert n == n2
+    # mega cluster: ~8% of docs pairwise-colliding → ≤ (0.08n)²/2 extra,
+    # plus slack for hot-label coincidental collisions
+    mega = int(0.08 * n) + 2
+    bound = c_uni + mega * (mega - 1) // 2 + 4 * n
+    assert c_skw <= bound, (c_uni, c_skw, bound)
+    assert c_skw < n * (n - 1) // 4, (c_skw, n)  # nowhere near all-pairs

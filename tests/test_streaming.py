@@ -765,3 +765,28 @@ def test_stream_scd2_crash_recovery_paths(spark, tmp_path):
     # publish is clean: no leftover tmp or backup dirs
     assert not (tmp_path / "dim__tmp").exists()
     assert not (tmp_path / "dim__bak").exists()
+
+
+def test_scd2_checked_rename_raises_on_false():
+    """Round-6 ADVICE: Hadoop FileSystem.rename signals failure by
+    returning FALSE, not raising (HDFS: dst exists, src vanished) — the
+    publish swap must turn that into an exception so the micro-batch
+    fails and checkpoint replay retries, instead of silently publishing a
+    stale dimension. (The local FS throws instead of returning false, so
+    the false path is exercised through a stub with the same interface.)"""
+    from pdf_parse_vector_db_spark.streaming.scd2_stream import checked_rename
+
+    class _FS:
+        def __init__(self, ok):
+            self.ok = ok
+            self.calls = []
+
+        def rename(self, src, dst):
+            self.calls.append((src, dst))
+            return self.ok
+
+    with pytest.raises(IOError, match="rename returned false"):
+        checked_rename(_FS(False), "dim", "bak")
+    good = _FS(True)
+    checked_rename(good, "tmp", "dim")  # true → passes through silently
+    assert good.calls == [("tmp", "dim")]
