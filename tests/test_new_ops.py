@@ -1189,3 +1189,48 @@ def test_lang_id_confusion_shares_sum_to_one(spark):
         assert abs(v - 1.0) <= 1e-4
     agree = sum(1 for r in lang_id(spark, SF_SMOKE).collect() if r.agree)
     assert diag == agree
+
+
+def test_bitext_ivf_recall_contracts(spark, tmp_path):
+    """Round-6 scale tier: bitext_mining_ivf must (a) reproduce the exact
+    tier's nominations on the driver fixture at sf0.001 (measured 1.0 at
+    _MINE_NPROBE=16; pinned at >= 0.9), and (b) achieve >= 0.9 recall on a
+    CLUSTERED fixture — the data shape IVF's cell-locality assumption
+    actually models (near-uniform fixture vectors lower-bound recall at
+    ~nprobe/nlist by construction, so (a) alone would under-sell the
+    tier)."""
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.plans.curation import (
+        bitext_mining,
+        bitext_mining_ivf,
+    )
+
+    # (a) driver fixture
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.src_id, r.tgt_id) for r in bitext_mining(spark, sf).collect()}
+    ivf = {(r.src_id, r.tgt_id) for r in bitext_mining_ivf(spark, sf).collect()}
+    assert exact, "exact tier empty — fixture changed?"
+    assert len(exact & ivf) / len(exact) >= 0.9, (len(exact), len(ivf), len(exact & ivf))
+
+    # (b) clustered twin: 12 well-separated centers, src/tgt pairs jittered
+    # around the same center -> the true nomination lives in the source's
+    # own (or a directly adjacent) cell, the regime IVF is built for
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(12, 64)) * 10.0
+    rows = []
+    vid = 0
+    for c in range(12):
+        for j in range(25):
+            for label in (0, 1):
+                v = centers[c] + rng.normal(size=64) * 0.05
+                rows.append((vid, [float(x) for x in v], label))
+                vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    d = str(tmp_path / "clustered")
+    df.coalesce(1).write.parquet(d + "/embeddings.parquet")
+    exact_c = {(r.src_id, r.tgt_id) for r in bitext_mining(spark, d).collect()}
+    ivf_c = {(r.src_id, r.tgt_id) for r in bitext_mining_ivf(spark, d).collect()}
+    assert exact_c, "clustered exact tier produced no nominations"
+    assert len(exact_c & ivf_c) / len(exact_c) >= 0.9, (
+        len(exact_c), len(ivf_c), len(exact_c & ivf_c))
