@@ -79,8 +79,16 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    full, line = build_payloads(timings, errors, sf_val)
-    with open(os.path.join(ROOT, "BENCH_FULL.json"), "w") as fh:
+    prev = None
+    prev_path = os.path.join(ROOT, "BENCH_FULL.json")
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh)
+        except Exception:  # noqa: BLE001 — a corrupt artifact never kills the bench
+            prev = None
+    full, line = build_payloads(timings, errors, sf_val, prev=prev)
+    with open(prev_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     print(line)
     sys.stdout.flush()
@@ -104,14 +112,23 @@ HEADLINE = [
 
 
 def build_payloads(
-    timings: dict[str, float], errors: dict[str, str], sf_val
+    timings: dict[str, float], errors: dict[str, str], sf_val, prev: dict | None = None
 ) -> tuple[dict, str]:
     """(full BENCH_FULL.json payload, compact final stdout line).
 
     The compact line carries the totals plus as many per-query timings as
     fit: headline queries first, then the slowest of the rest, cut off at
     LINE_BUDGET chars so the driver's stdout tail always contains one
-    complete parseable JSON object. Contract pinned by tests/test_bench.py."""
+    complete parseable JSON object. Contract pinned by tests/test_bench.py.
+
+    Drift guard (round-5 lesson): host load shifts EVERY query by a
+    similar factor (r5's uniform +10%), which reads like a regression
+    until someone re-derives the per-query deltas. When the previous
+    BENCH_FULL.json (same sf) is supplied, the full payload records
+    per-query relative deltas and their MEDIAN; the compact line carries
+    just the median. A loaded host shows median_rel_drift ~= the uniform
+    factor with small spread; a genuine plan regression shows a few large
+    per-query deltas against a ~zero median."""
     full = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 4),
@@ -122,6 +139,9 @@ def build_payloads(
     }
     if errors:
         full["errors"] = errors
+    drift = drift_vs_prev(timings, sf_val, prev)
+    if drift is not None:
+        full["drift_vs_prev"] = drift
     compact = {
         "metric": full["metric"],
         "value": full["value"],
@@ -130,6 +150,8 @@ def build_payloads(
         "n_queries": len(timings),
         "queries": {},
     }
+    if drift is not None:
+        compact["median_rel_drift"] = drift["median_rel"]
     if errors:
         first = sorted(errors)[0]
         compact["errors"] = {first: errors[first][:120], "_count": len(errors)}
@@ -143,6 +165,35 @@ def build_payloads(
     line = json.dumps(compact)
     assert len(line) <= LINE_BUDGET + 100, len(line)
     return full, line
+
+
+def drift_vs_prev(
+    timings: dict[str, float], sf_val, prev: dict | None
+) -> dict | None:
+    """Per-query relative drift vs a previous same-sf BENCH_FULL payload:
+    {"median_rel", "n_common", "prev_value", "per_query": {q: rel}} where
+    rel = (now - before) / before, rounded to 4 dp. None when there is no
+    comparable previous run (missing, different sf, or no common query
+    with a nonzero previous timing)."""
+    if not prev or prev.get("sf") != sf_val:
+        return None
+    prev_q = prev.get("queries") or {}
+    rels = {
+        q: round((t - prev_q[q]) / prev_q[q], 4)
+        for q, t in timings.items()
+        if q in prev_q and prev_q[q] > 0
+    }
+    if not rels:
+        return None
+    ordered = sorted(rels.values())
+    n = len(ordered)
+    med = ordered[n // 2] if n % 2 else (ordered[n // 2 - 1] + ordered[n // 2]) / 2
+    return {
+        "median_rel": round(med, 4),
+        "n_common": n,
+        "prev_value": prev.get("value"),
+        "per_query": rels,
+    }
 
 
 if __name__ == "__main__":

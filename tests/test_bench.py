@@ -43,3 +43,27 @@ def test_compact_line_survives_many_errors():
     assert len(line) <= LINE_BUDGET + 100
     parsed = json.loads(line)
     assert parsed["errors"]["_count"] == 50
+
+
+def test_drift_guard_fields():
+    """Round-6 bench-noise guard: with a comparable previous BENCH_FULL
+    payload, the full payload records per-query relative deltas + median
+    and the compact line carries the median, so uniform host-load drift
+    is separable from a plan regression without re-deriving deltas."""
+    import json
+
+    from bench import build_payloads, drift_vs_prev
+
+    timings = {"a": 1.1, "b": 2.2, "c": 3.3}
+    prev = {"sf": 0.1, "value": 6.0, "queries": {"a": 1.0, "b": 2.0, "c": 3.0}}
+    full, line = build_payloads(timings, {}, 0.1, prev=prev)
+    d = full["drift_vs_prev"]
+    assert d["n_common"] == 3 and d["prev_value"] == 6.0
+    assert abs(d["median_rel"] - 0.1) < 0.01
+    assert set(d["per_query"]) == {"a", "b", "c"}
+    assert json.loads(line)["median_rel_drift"] == d["median_rel"]
+    # no comparable previous run -> fields absent, line unchanged shape
+    full2, line2 = build_payloads(timings, {}, 0.1, prev={"sf": 0.01, "queries": {}})
+    assert "drift_vs_prev" not in full2
+    assert "median_rel_drift" not in json.loads(line2)
+    assert drift_vs_prev(timings, 0.1, None) is None
