@@ -382,6 +382,7 @@ def _ingested_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pdf_parse_vector_db_spark.functions.classifiers import case_decision_sql as _cds
 
 _DECISION_TEXT_SQL = _cds("text")
+from pdf_parse_vector_db_spark.schemas import CHUNK_MAX_TOKENS as _CHUNK_BUDGET  # noqa: E402
 from pdf_parse_vector_db_spark.schemas import EMBEDDING_DIM as _EDIM  # noqa: E402
 
 #: sha256 feature-hashing embedder in SQL (operators/embedder.embed_text_py):
@@ -389,50 +390,78 @@ from pdf_parse_vector_db_spark.schemas import EMBEDDING_DIM as _EDIM  # noqa: E4
 #: an exact-integer norm, float32 components — the multimodal_features
 #: digest-math recipe applied to the INGEST embedder, which makes the
 #: full-circle write->read query hash-checkable.
+#: CHUNK-granular since round 6 (the skew sweep's Zipf lengths make docs
+#: multi-chunk): the fold mirrors INGEST_CHUNKS_SQL's two-branch
+#: single-paragraph chunker; empty chunks have no tokens, so they get no
+#: vector row — the SQL image of the embedder's NULL-on-empty, matching
+#: the Spark side's embedding IS NOT NULL retrieval filter. The per-file
+#: best dedup (a no-op at one chunk/doc) is now explicit.
 SEARCH_INGESTED_SQL = f"""
-WITH chunks AS (
-  SELECT doc_id,
-         doc_id * 1000 AS chunk_id,
-         trim(text) AS text,
-         'doc_' || doc_id || '.pdf' AS file_name,
-         CAST(doc_id % 5 AS TINYINT) AS court_level,
-         {_DECISION_TEXT_SQL} AS case_decision
+WITH raw AS (
+  SELECT doc_id, trim(text) AS t, text AS raw_text,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS ntok
   FROM documents
   WHERE trim(text) <> ''
-), tok AS (
-  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM chunks
-), h AS (
+), chunks AS (
   SELECT doc_id,
+         doc_id * 1000 + chunk_idx AS chunk_id,
+         chunk_idx,
+         text,
+         'doc_' || doc_id || '.pdf' AS file_name,
+         CAST(doc_id % 5 AS TINYINT) AS court_level,
+         {_cds('raw_text')} AS case_decision
+  FROM (
+    SELECT doc_id, raw_text, 0 AS chunk_idx,
+           CASE WHEN ntok < {_CHUNK_BUDGET} THEN t ELSE '' END AS text
+    FROM raw
+    UNION ALL
+    SELECT doc_id, raw_text, 1 AS chunk_idx, t
+    FROM raw WHERE ntok >= {_CHUNK_BUDGET}
+  )
+), tok AS (
+  SELECT chunk_id, unnest(string_split_regex(text, '\\s+')) AS t FROM chunks
+), h AS (
+  SELECT chunk_id,
          ('0x' || substr(sha256(t), 1, 8))::BIGINT % {_EDIM} AS idx,
          CASE WHEN ('0x' || substr(sha256(t), 9, 2))::INT % 2 = 1
               THEN 1 ELSE -1 END AS sign
   FROM tok WHERE t <> ''
 ), acc AS (
-  SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS c FROM h GROUP BY doc_id, idx
+  SELECT chunk_id, idx, CAST(sum(sign) AS BIGINT) AS c FROM h GROUP BY chunk_id, idx
 ), ssq AS (
-  SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm FROM acc GROUP BY doc_id
+  SELECT chunk_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm FROM acc GROUP BY chunk_id
 ), vec AS (
-  SELECT d.doc_id,
+  SELECT d.chunk_id,
          list(CAST(CAST(coalesce(a.c, 0) AS DOUBLE) / s.nrm AS REAL) ORDER BY i.i) AS v
-  FROM (SELECT DISTINCT doc_id FROM acc) d
+  FROM (SELECT DISTINCT chunk_id FROM acc) d
   CROSS JOIN (SELECT unnest(range({_EDIM})) AS i) i
-  LEFT JOIN acc a ON a.doc_id = d.doc_id AND a.idx = i.i
-  JOIN ssq s ON s.doc_id = d.doc_id
-  GROUP BY d.doc_id
+  LEFT JOIN acc a ON a.chunk_id = d.chunk_id AND a.idx = i.i
+  JOIN ssq s ON s.chunk_id = d.chunk_id
+  GROUP BY d.chunk_id
 ), q AS (
-  SELECT v AS qv FROM vec WHERE doc_id = 0
+  SELECT vec.v AS qv
+  FROM vec JOIN chunks USING (chunk_id)
+  WHERE chunks.doc_id = 0
+  ORDER BY chunks.chunk_idx
+  LIMIT 1
 ), scored AS (
   SELECT c.doc_id, c.chunk_id, c.file_name, c.case_decision,
          list_distance(CAST(vec.v AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS dist
   FROM chunks c
-  JOIN vec ON vec.doc_id = c.doc_id
+  JOIN vec ON vec.chunk_id = c.chunk_id
   CROSS JOIN q
   WHERE c.court_level = 2
-  ORDER BY dist, chunk_id
+  ORDER BY dist, c.chunk_id
   LIMIT 100
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY file_name
+                               ORDER BY dist, chunk_id) AS rn
+  FROM scored
 )
 SELECT doc_id, file_name, case_decision, round(dist, 4) AS score
-FROM scored
+FROM best
+WHERE rn = 1
 ORDER BY dist, chunk_id
 LIMIT 5
 """
@@ -450,8 +479,15 @@ def search_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round-1's "embedder isn't SQL-expressible" claim measured false,
     same as the JSON response)."""
     chunks = _ingested_chunks(spark, sf_dir)
+    # Query = doc 0's first EMBEDDABLE chunk. On an over-budget doc the
+    # reference chunker emits a stripped-empty chunk 0 (edge (a)); the
+    # deterministic embedder maps empty text to NULL (U3 null-on-failure),
+    # so the first non-null-embedding chunk is the query — and
+    # null-embedding rows are excluded from ranking (a retrieval engine
+    # cannot rank a vectorless row; exposed by the round-6 skew sweep).
     qvec = (
-        chunks.filter((F.col("doc_id") == 0) & (F.col("chunk_idx") == 0))
+        chunks.filter((F.col("doc_id") == 0) & F.col("embedding").isNotNull())
+        .orderBy("chunk_idx")
         .select("embedding")
         .collect()[0]
         .embedding
@@ -459,7 +495,7 @@ def search_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = knn.search_pipeline(
         chunks,
         qvec,
-        filter_cond=F.col("court_level") == 2,
+        filter_cond=(F.col("court_level") == 2) & F.col("embedding").isNotNull(),
         group_col="file_id",
         tiebreak_cols=("chunk_id",),
     )

@@ -52,14 +52,26 @@ def profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = _t(spark, sf_dir, "supplier")
     na = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
-    amount = _disc() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    # Exact integer ten-thousandths: prices are cents-exact, discounts
+    # 2-dec, retailprice 1-dec, quantity integral (verified on the driver
+    # data law), so the per-row amount ×1e4 is an exact integer and the
+    # group sum is order-independent — a double sum flips the rounded last
+    # cent between engines on large skewed groups (found by the round-6
+    # skew-corpus oracle sweep).
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    ret_d = F.round(F.col("p_retailprice") * 10).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    # ansi: per-row |amount_e4| < 1e10 fits long; decimal(38,0) pre-sum
+    amount_e4 = (ext_c * (100 - disc_c) - 600 * ret_d * qty).cast("decimal(38,0)")
     return (
         li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        # ansi: exact decimal sum; cast double only for the final /1e4
+        .agg(F.round(F.sum(amount_e4).cast("double") / 1e4, 2).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -67,8 +79,11 @@ def profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFIT_BY_NATION_SQL = """
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS INT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      - 600 * CAST(round(p_retailprice * 10) AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / 1e4, 2) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
