@@ -60,6 +60,40 @@ def covariance_partials(emb: DataFrame, vec_col: str = "embedding") -> DataFrame
     )
 
 
+def combined_partial(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Reduce the per-partition partials to ONE row in a single executor
+    task — treeAggregate's final level as a visible, testable relation.
+    Partials are summed in deterministic (n, s[0]) order so the float
+    folds are run-to-run identical (the same order the driver-side merge
+    historically used)."""
+
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True)
+        order = sorted(
+            range(len(allp)), key=lambda i: (allp["n"][i], allp["s"][i][0])
+        )
+        d = len(allp["s"].iloc[0])
+        s = np.zeros(d)
+        ss = np.zeros(d * d)
+        n = 0
+        for i in order:
+            n += int(allp["n"][i])
+            s += np.asarray(allp["s"][i])
+            ss += np.asarray(allp["ss"][i])
+        yield pd.DataFrame(
+            {"n": [n], "s": [[float(x) for x in s]], "ss": [[float(x) for x in ss]]}
+        )
+
+    return (
+        covariance_partials(emb, vec_col)
+        .repartition(1)
+        .mapInPandas(combine, "n bigint, s array<double>, ss array<double>")
+    )
+
+
 def pca_explained_variance(
     emb: DataFrame, vec_col: str = "embedding", k: int = 8
 ) -> list[dict]:
@@ -67,11 +101,17 @@ def pca_explained_variance(
 
     Returns driver-side dicts (component, eigenvalue, explained, cumulative)
     — the artifact a dimension-reduction decision is made from. Partials
-    are combined in sorted order for run-to-run determinism."""
-    rows = covariance_partials(emb, vec_col).collect()
+    are combined in sorted order for run-to-run determinism.
+
+    Two-level merge (round-6 dim-1536 fix): a partial is 1 + dim + dim²
+    floats — ~19 MB at the reference's dim 1536 — so collecting one per
+    partition scales the driver transfer with the partition count. The
+    partials are instead pre-combined in ONE executor task
+    (combined_partial below), and the driver receives exactly one partial
+    regardless of how many partitions scanned the corpus."""
+    rows = combined_partial(emb, vec_col).collect()
     if not rows:
         return []
-    rows = sorted(rows, key=lambda r: (r["n"], r["s"][0] if r["s"] else 0.0))
     n = sum(r["n"] for r in rows)
     dim = len(rows[0]["s"])
     s = np.zeros(dim)

@@ -378,10 +378,17 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LABEL_CENTROIDS_SQL = """
-SELECT label, CAST(t.i AS INTEGER) AS dim,
-       round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS centroid
-FROM embeddings, range(1, 65) AS t(i)
-GROUP BY label, t.i
+-- dim-agnostic (round-6 dim-1536 stress): positions come from the array
+-- itself, not a hard-coded range(1, 65)
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INTEGER) AS dim,
+       round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+FROM ex
+GROUP BY label, pos
 ORDER BY label, dim
 """
 

@@ -975,10 +975,15 @@ def fisher_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FISHER_DIMS_SQL = """
-WITH ex AS (
-  SELECT label, t.i AS pos,
-         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT) AS m
-  FROM embeddings, range(1, 65) AS t(i)
+WITH raw AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT label, pos,
+         CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS m
+  FROM raw
 ),
 lab AS (
   SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
@@ -1012,8 +1017,9 @@ LIMIT 10
 
 EMBEDDING_OUTLIERS_SQL = """
 WITH ex AS (
-  SELECT vec_id, label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
-  FROM embeddings, range(1, 65) AS t(i)
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
 ),
 cent AS (SELECT label, pos, round(avg(v), 6) AS c FROM ex GROUP BY 1, 2),
 d AS (

@@ -802,28 +802,31 @@ def lsh_portable_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture corpus at w=0.25 — random uniform vectors are LSH-adversarial;
     clustered real corpora prune far harder), exact rounded-L2 rerank.
     Every stage — projections, bucket ids, candidate union, rerank — is
-    under the oracle hash."""
+    under the oracle hash.
+
+    DIM-ADAPTIVE since round 6 (the reference is dim 1536): planes are
+    generated at the corpus's runtime dimensionality and shipped as a
+    broadcast 1-row DataFrame instead of codegen literals — at dim 1536 a
+    literal array is 1536 expression children per plane × 8 dot sites,
+    exactly the 64 KB-method codegen cliff the round-4 fix crawled out
+    of; as data, plane width costs bytes, not generated code. The oracle
+    twin computes the SAME md5-derived planes in SQL from the corpus
+    width, so one static SQL string is correct at any dim."""
+    from pdf_parse_vector_db_spark.functions.vector import dot_product
+
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    planes = spark.createDataFrame(
+        [tuple(_e2lsh_plane(t, dim) for t in range(_E2LSH_TABLES))],
+        ", ".join(f"__p{t} array<double>" for t in range(_E2LSH_TABLES)),
+    )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     v = F.col("embedding").cast("array<double>")
     qv = F.col("qvec").cast("array<double>")
 
-    def dot(col, plane):
-        # literal plane as ONE array literal + the hot path's aggregate
-        # fold (same left-to-right order as the oracle's unrolled chain;
-        # the 0.0 seed is IEEE-exact). The previous 64-term unrolled
-        # multiply-add chain × 8 bucket columns pushed the whole-stage
-        # method past the JVM's 64 KB limit and silently dropped the
-        # ENTIRE stage to interpreted execution (ERROR CodeGenerator in
-        # every bench run) — the compact form keeps codegen alive.
-        from pdf_parse_vector_db_spark.functions.vector import dot_product
-
-        return dot_product(col, F.array(*[F.lit(p) for p in plane]))
-
     def bucket(col, t):
-        plane = _e2lsh_plane(t)
         return (
-            F.round(dot(col, plane) * 1e6).cast("bigint")
+            F.round(dot_product(col, F.col(f"__p{t}")) * 1e6).cast("bigint")
             + F.lit(_e2lsh_offset_mic(t) + _E2LSH_SHIFT)
         ).cast("bigint")
 
@@ -833,7 +836,7 @@ def lsh_portable_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"__qb{t} div {_E2LSH_W_MIC}"
         )
         cand_cond = eq if cand_cond is None else (cand_cond | eq)
-    staged = emb.crossJoin(F.broadcast(q))
+    staged = emb.crossJoin(F.broadcast(q)).crossJoin(F.broadcast(planes))
     for t in range(_E2LSH_TABLES):
         staged = staged.withColumn(f"__b{t}", bucket(v, t)).withColumn(
             f"__qb{t}", bucket(qv, t)
@@ -852,18 +855,19 @@ def lsh_portable_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _e2lsh_sql() -> str:
-    def dot_sql(col, plane):
-        terms = [f"{col}[{j + 1}] * ({plane[j]!r})" for j in range(len(plane))]
-        out = terms[0]
-        for term in terms[1:]:
-            out = f"({out} + {term})"
-        return out
+    """Dim-agnostic twin (round 6): the planes are recomputed IN SQL from
+    the corpus's own width (generate_subscripts of the query row) with the
+    identical md5-byte formula, so this one static string is correct at
+    dim 64 and dim 1536 alike; list_dot_product's sequential fold matches
+    the Spark aggregate fold (hash-verified at both dims). Offsets are
+    dim-independent Python literals (Python round() is banker's — keep it
+    on one side only)."""
 
     def bucket_sql(col, t):
-        plane = _e2lsh_plane(t)
         off = _e2lsh_offset_mic(t) + _E2LSH_SHIFT
         return (
-            f"(CAST(round(({dot_sql(col, plane)}) * 1e6) AS BIGINT) + {off})"
+            f"(CAST(round(list_dot_product({col}, "
+            f"(SELECT p FROM planes WHERE t = {t})) * 1e6) AS BIGINT) + {off})"
             f" // {_E2LSH_W_MIC}"
         )
 
@@ -872,7 +876,16 @@ def _e2lsh_sql() -> str:
         for t in range(_E2LSH_TABLES)
     )
     return f"""
-WITH e AS (
+WITH jdx AS (
+  SELECT generate_subscripts(embedding, 1) AS j
+  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0)
+), planes AS (
+  SELECT r.t,
+         list(((('0x' || substr(md5(r.t || ':' || (j.j - 1)), 1, 2))::INT
+                - 127.5) / 128.0) ORDER BY j.j) AS p
+  FROM range(0, {_E2LSH_TABLES}) r(t), jdx j
+  GROUP BY r.t
+), e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
@@ -1063,15 +1076,20 @@ def _pi_core(emb: DataFrame):
     `_PI_ROUNDS` rounds. Both `power_iteration_top_pc` and
     `embedding_pca_variance` consume it; their SQL twins share the same
     `_PI_SQL_PREFIX` so all four stay bit-identical."""
+    # Narrow explode + self-join on vec_id (round-6 dim-1536 fix): the old
+    # shape carried the FULL vector array through the first explode —
+    # n·dim rows × a dim-double payload is ~1 GB at dim 1536 before the
+    # second explode even starts (GC-thrashed the 8 GB driver). The join
+    # streams the same n·dim² integer pairs through a hash join of two
+    # n·dim NARROW relations instead; values (hence hashes) are identical.
     ex = emb.select(
+        "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "xj"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).select("j", F.round(F.col("xj") * 1e6).cast("bigint").alias("mj"), "v")
-    pairs = ex.select(
-        "j",
-        "mj",
-        F.posexplode(F.col("v")).alias("k", "xk"),
-    ).select("j", "k", "mj", F.round(F.col("xk") * 1e6).cast("bigint").alias("mk"))
+    ).select("vec_id", "j", F.round(F.col("xj") * 1e6).cast("bigint").alias("mj"))
+    pairs = ex.join(
+        ex.select("vec_id", F.col("j").alias("k"), F.col("mj").alias("mk")),
+        on="vec_id",
+    ).select("j", "k", "mj", "mk")
     stats = pairs.groupBy("j", "k").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("mj").alias("sj"),
@@ -1193,20 +1211,24 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every CTE below is integer-exact, so both finals sit under the value hash).
 _PI_SQL_PREFIX = f"""
 WITH ex AS (
-  SELECT generate_subscripts(embedding, 1) - 1 AS j,
-         CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS mj,
-         CAST(embedding AS DOUBLE[]) AS v
+  -- narrow explode + self-join on vec_id: same n·dim² integer pairs as
+  -- the old double-unnest, without a dim-double list payload per row
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS mj
   FROM embeddings
 ), pairs AS (
-  SELECT j, mj, generate_subscripts(v, 1) - 1 AS k,
-         CAST(round(unnest(v) * 1e6) AS BIGINT) AS mk
-  FROM ex
-), stats AS (
+  SELECT a.j, a.mj, b.j AS k, b.mj AS mk
+  FROM ex a JOIN ex b USING (vec_id)
+), stats AS MATERIALIZED (
   SELECT j, k, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(mj) AS BIGINT) AS sj, CAST(sum(mk) AS BIGINT) AS sk,
          CAST(sum(CAST(mj AS HUGEINT) * mk) AS HUGEINT) AS sjk
   FROM pairs GROUP BY j, k
-), c AS (
+), c AS MATERIALIZED (
+  -- MATERIALIZED (round-6 dim-1536 fix): c is referenced by every
+  -- iteration round plus num/nr/tr; inlining re-evaluates the n·dim²
+  -- Gram once per reference — exponentially through the vN scalar
+  -- subqueries (13.7 s/eval at dim 1536 -> minutes). Same for each wN.
   SELECT j, k, CAST(n AS HUGEINT) * sjk - CAST(sj AS HUGEINT) * sk AS cjk, n
   FROM stats
 ), v0 AS (
@@ -1214,13 +1236,13 @@ WITH ex AS (
          CAST(CASE WHEN k = 0 THEN {_PI_SCALE} ELSE 0 END AS HUGEINT) AS vk
   FROM c
 ),
-w1 AS (SELECT c.j, sum(cjk * vk) AS wj FROM c JOIN v0 ON c.k = v0.k GROUP BY c.j),
+w1 AS MATERIALIZED (SELECT c.j, sum(cjk * vk) AS wj FROM c JOIN v0 ON c.k = v0.k GROUP BY c.j),
 v1 AS (SELECT j AS k, CAST(round(CAST(wj AS DOUBLE) / (SELECT CAST(max(abs(wj)) AS DOUBLE) FROM w1) * {_PI_SCALE}) AS HUGEINT) AS vk FROM w1),
-w2 AS (SELECT c.j, sum(cjk * vk) AS wj FROM c JOIN v1 ON c.k = v1.k GROUP BY c.j),
+w2 AS MATERIALIZED (SELECT c.j, sum(cjk * vk) AS wj FROM c JOIN v1 ON c.k = v1.k GROUP BY c.j),
 v2 AS (SELECT j AS k, CAST(round(CAST(wj AS DOUBLE) / (SELECT CAST(max(abs(wj)) AS DOUBLE) FROM w2) * {_PI_SCALE}) AS HUGEINT) AS vk FROM w2),
-w3 AS (SELECT c.j, sum(cjk * vk) AS wj FROM c JOIN v2 ON c.k = v2.k GROUP BY c.j),
+w3 AS MATERIALIZED (SELECT c.j, sum(cjk * vk) AS wj FROM c JOIN v2 ON c.k = v2.k GROUP BY c.j),
 v3 AS (SELECT j AS k, CAST(round(CAST(wj AS DOUBLE) / (SELECT CAST(max(abs(wj)) AS DOUBLE) FROM w3) * {_PI_SCALE}) AS HUGEINT) AS vk FROM w3),
-vq AS (SELECT k, CAST(round(CAST(vk AS DOUBLE) / 1000) AS HUGEINT) AS vk FROM v3),
+vq AS MATERIALIZED (SELECT k, CAST(round(CAST(vk AS DOUBLE) / 1000) AS HUGEINT) AS vk FROM v3),
 num AS (
   SELECT sum(vj.vk * c.cjk * vk.vk) AS vCv
   FROM c JOIN vq vk ON c.k = vk.k JOIN vq vj ON c.j = vj.k

@@ -21,6 +21,22 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Long-session heap bounds (round-6 verdict #5). Even with the UI
+#: disabled, AppStatusListener retains the last 1000 executions' SQL plan
+#: graphs and 1000 jobs/stages for the status API — on plan-heavy
+#: workloads that is the dominant driver-heap accumulator over a
+#: 100k-query service lifetime (measured: tools/session_heap_audit.py).
+#: Bounding retention keeps the status store O(1) in query count; the
+#: numbers still cover any realistic debugging window.
+STATUS_RETENTION: dict[str, str] = {
+    "spark.sql.ui.retainedExecutions": "50",
+    "spark.ui.retainedJobs": "200",
+    "spark.ui.retainedStages": "200",
+    "spark.ui.retainedTasks": "2000",
+    "spark.ui.retainedDeadExecutors": "10",
+    "spark.appStateStore.asyncTracking.enable": "true",
+}
+
 
 def get_spark(
     app_name: str = "pdf_parse_vector_db_spark",
@@ -51,4 +67,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    for k, v in STATUS_RETENTION.items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,124 @@
+"""Reference-dimensionality stress pins (round-6 verdict #1).
+
+The reference embeds at dim 1536 (text-embedding-ada-002,
+/root/reference/extract_and_embed.py:46) while every fixture before round
+6 was dim 64. Three scale hazards appear only at the wide dim, and each
+got a code fix this round; these tests pin the fixes so a refactor can't
+silently reintroduce them:
+
+  * E2LSH planes as DATA, not codegen literals — a 1536-element literal
+    array per plane x 8 dot sites regenerates the 64 KB-method codegen
+    cliff (silent whole-stage fallback) that round 4 fixed at dim 64.
+  * PCA two-level partial merge — a covariance partial is 1+dim+dim²
+    doubles (~19 MB at dim 1536); collecting one PER PARTITION scales
+    driver transfer with the scan width, so partials now pre-combine in
+    one executor task and the driver receives exactly one.
+  * dim-agnostic oracle twins — label_centroids/fisher_dims/E2LSH SQL
+    derive positions/planes from the corpus's own width instead of a
+    hard-coded range(1, 65).
+
+The full-family correctness + scaling evidence lives in
+SCALING_DIM1536.md (tools/scaling_audit.py over the --dim 1536 fixtures);
+this module is the fast in-gate subset.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.operators.pca import (
+    combined_partial,
+    covariance_partials,
+    pca_explained_variance,
+)
+from pdf_parse_vector_db_spark.plans.similarity import _e2lsh_plane, lsh_portable_knn
+
+_DIM = 1536
+
+
+@pytest.fixture(scope="module")
+def dim_dir(tmp_path_factory):
+    from tools.gen_sf import generate
+
+    d = str(tmp_path_factory.mktemp("dimfix") / "sf0.01dim1536")
+    generate(0.01, d, dim=_DIM)
+    return d
+
+
+def test_fixture_is_reference_width(spark, dim_dir):
+    emb = spark.read.parquet(f"{dim_dir}/embeddings.parquet")
+    widths = emb.select(F.size("embedding").alias("w")).distinct().collect()
+    assert [r["w"] for r in widths] == [_DIM]
+
+
+def test_e2lsh_plane_adapts_to_dim():
+    """Planes are generated at the corpus's runtime width with the same
+    md5-byte formula at every dim (the DuckDB twin recomputes them in SQL
+    from generate_subscripts, so the formula is the cross-engine
+    contract)."""
+    for dim in (8, 64, _DIM):
+        p = _e2lsh_plane(3, dim)
+        assert len(p) == dim
+        j = dim - 1
+        want = (hashlib.md5(f"3:{j}".encode()).digest()[0] - 127.5) / 128.0
+        assert p[j] == want
+
+
+def test_e2lsh_planes_are_broadcast_data_not_literals(spark, dim_dir):
+    """At dim 1536 a literal plane is 1536 expression children; 8 dot
+    sites of those blew the JVM's 64 KB generated-method limit and
+    dropped the stage to interpreted execution. The plan must reference
+    the broadcast plane COLUMNS (__p0..__p3) and carry no wide array
+    literal."""
+    df = lsh_portable_knn(spark, dim_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__p0" in plan and "__p3" in plan
+    # a literal 1536-wide array would render thousands of commas in one
+    # expression; the whole plan stays small when planes travel as data
+    assert len(plan) < 200_000
+    assert df.count() == 5
+
+
+def test_pca_driver_receives_one_combined_partial(spark, dim_dir):
+    """The corpus scan produces >=1 partial per partition; the two-level
+    merge must reduce them to exactly ONE row before the collect (driver
+    transfer is O(dim²), not O(partitions x dim²))."""
+    emb = spark.read.parquet(f"{dim_dir}/embeddings.parquet").repartition(8)
+    assert covariance_partials(emb, "embedding").count() >= 2  # real merge work
+    assert combined_partial(emb, "embedding").count() == 1
+
+    comps = pca_explained_variance(emb, "embedding", k=4)
+    assert len(comps) == 4
+    total = comps[-1]["cumulative"]
+    assert 0.0 < comps[0]["explained"] <= total <= 1.000001
+
+
+def test_pca_two_level_merge_matches_naive_merge(spark):
+    """Equivalence at a tiny dim: the executor-side combine must produce
+    bit-identical moments to a driver-side sum over the same partials
+    (deterministic combine order is part of the contract)."""
+    rng = np.random.default_rng(7)
+    data = [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(64)]
+    emb = spark.createDataFrame(data, "vec_id bigint, embedding array<double>")
+    emb = emb.repartition(6)
+
+    naive = covariance_partials(emb, "embedding").collect()
+    n = sum(r["n"] for r in naive)
+    s = np.sum([np.asarray(r["s"]) for r in naive], axis=0)
+
+    comps = pca_explained_variance(emb, "embedding", k=3)
+    # recompute the same eigen-decomposition from the naive moments
+    ss = np.sum([np.asarray(r["ss"]) for r in naive], axis=0).reshape(8, 8)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    expl = evals / evals.sum()
+    for i, c in enumerate(comps):
+        # production rounds to 6 dp for the report; the pre-round value
+        # must match the naive merge to float precision
+        assert c["explained"] == round(float(expl[i]), 6)

@@ -71,7 +71,7 @@ def _day_ts(rng: np.random.Generator, n: int, lo: str, hi: str) -> pa.Array:
     return pa.array(days * DAY_US, type=pa.timestamp("us"))
 
 
-def generate(sf: float, out_dir: str, skew: bool = False) -> None:
+def generate(sf: float, out_dir: str, skew: bool = False, dim: int = 64) -> None:
     """skew=True produces the ADVERSARIAL twin (same schemas, same row
     counts): Zipf document lengths with a heavy tail, one mega-duplicate
     document cluster (~8% of the corpus are 2-word mutations of one
@@ -80,7 +80,12 @@ def generate(sf: float, out_dir: str, skew: bool = False) -> None:
     (~50% of vectors in label 0) plus a 5%-of-corpus near-identical
     vector cluster, and Zipf-hot event users (the top user owns ~15-20%
     of events). Real corpora are Zipfian; the uniform fixtures never
-    exercise AQE skew handling — this twin does."""
+    exercise AQE skew handling — this twin does.
+
+    dim: embedding dimensionality (round-6 verdict #1: the reference is
+    dim 1536, extract_and_embed.py:46). Row count scales by 64/dim so a
+    --dim twin holds embedding BYTES roughly constant while stressing
+    per-vector width (codegen chains, PCA dim² partials, 6 KB rows)."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(int(42 + sf * 1000) + (7 if skew else 0))
 
@@ -91,7 +96,7 @@ def generate(sf: float, out_dir: str, skew: bool = False) -> None:
     n_li = int(6_000_000 * sf)
     n_ev = int(1_000_000 * sf)
     n_doc = int(50_000 * sf)
-    n_emb = int(8_000 * sf)
+    n_emb = max(50, int(8_000 * sf * 64 // dim))
 
     _write(out_dir, "region", pa.table({
         "r_regionkey": pa.array(range(5), type=pa.int32()),
@@ -213,7 +218,7 @@ def generate(sf: float, out_dir: str, skew: bool = False) -> None:
         "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
     }))
 
-    vecs = rng.standard_normal((n_emb, 64))
+    vecs = rng.standard_normal((n_emb, dim))
     if skew:
         labels = np.where(
             rng.random(n_emb) < 0.5, 0, rng.integers(1, 10, n_emb)
@@ -221,8 +226,8 @@ def generate(sf: float, out_dir: str, skew: bool = False) -> None:
         # 5% near-identical vector cluster (cosine ~0.999 to a shared base)
         n_dup = max(2, int(n_emb * 0.05))
         dup_ids = rng.choice(n_emb, n_dup, replace=False)
-        base = rng.standard_normal(64)
-        vecs[dup_ids] = base + rng.standard_normal((n_dup, 64)) * 0.01
+        base = rng.standard_normal(dim)
+        vecs[dup_ids] = base + rng.standard_normal((n_dup, dim)) * 0.01
     else:
         labels = rng.integers(0, 10, n_emb).astype(np.int32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -235,11 +240,17 @@ def generate(sf: float, out_dir: str, skew: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--skew"]
-    skew = "--skew" in sys.argv[1:]
+    argv = sys.argv[1:]
+    dim = 64
+    if "--dim" in argv:
+        i = argv.index("--dim")
+        dim = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--skew"]
+    skew = "--skew" in argv
     sf = float(args[0]) if args else 1.0
     out = args[1] if len(args) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        f"testdata_sf{sf:g}" + ("skew" if skew else ""),
+        f"testdata_sf{sf:g}" + ("skew" if skew else "") + (f"dim{dim}" if dim != 64 else ""),
     )
-    generate(sf, out, skew=skew)
+    generate(sf, out, skew=skew, dim=dim)

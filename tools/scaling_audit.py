@@ -81,6 +81,16 @@ _STATE_PATH = os.environ.get(
     "SCALING_STATE", os.path.join(ROOT, ".scaling_state.json")
 )
 
+#: SCALING_ONLY=a,b,c restricts the audit to a query subset (used by the
+#: dim-1536 stress run, which audits the vector family over the --dim
+#: fixtures without re-timing the 200+ text/relational queries whose
+#: plans don't touch embedding width). SCALING_OUT redirects the report
+#: so a subset run can't clobber the full-registry SCALING.md.
+_ONLY = {
+    q.strip() for q in os.environ.get("SCALING_ONLY", "").split(",") if q.strip()
+}
+_OUT_PATH = os.environ.get("SCALING_OUT", os.path.join(ROOT, "SCALING.md"))
+
 
 def _load_state() -> dict:
     try:
@@ -102,6 +112,8 @@ def time_queries(spark, sf_dir: str, runs: int) -> dict[str, float]:
     out: dict[str, float] = dict(state.get(sf_dir, {}))
     qs = entrymod.queries()
     for name, fn in qs.items():
+        if _ONLY and name not in _ONLY:
+            continue
         if name in out:
             continue
         fn(spark, sf_dir).limit(1).collect()  # warm plan + listing
@@ -184,7 +196,7 @@ def main() -> None:
 
     flagged = [r for r in rows if r[7] == "SUPERLINEAR"]
     quad = [r for r in rows if r[7] == "quadratic-by-spec"]
-    with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
+    with open(_OUT_PATH, "w") as f:
         f.write(
             "# SCALING — measured per-query wall-time ratios\n\n"
             f"Generated by tools/scaling_audit.py over {small_dir} / {mid_dir} /\n"
