@@ -524,6 +524,37 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_partitioned_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_knn with the assignment MATERIALIZED as the storage layout —
+    the claim ivf_knn's docstring has made since round 3 ("cluster_id
+    becomes a Parquet partition key, making the IN (probe cells) filter
+    partition pruning, exactly like nprobe/nlist in Milvus"), now true in
+    code. Build: assign once with the same pinned √N quantizer, write
+    partitionBy("cluster_id") (operators/ivf_index). Search: nprobe
+    nearest cells bootstrap a LITERAL IN on the partition column —
+    static partition pruning; non-probed cells are never listed or
+    decoded (PartitionFilters pinned in tests/test_ivf_index.py). Same
+    rows as ivf_knn, so the same DuckDB oracle certifies the whole
+    build-then-probe path."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pdf_parse_vector_db_spark.operators import ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = _ivf_seeds(emb)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "pdf_parse_vector_db_spark_ivf",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    ivf_index.build_ivf_index(emb, seeds, path)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
+    return ivf_index.search_ivf_index(spark, path, q, cids, k=5)
+
+
 IVF_KNN_SQL = f"""
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
@@ -1956,6 +1987,7 @@ QUERIES = [
     QuerySpec("lsh_band_tuning", lsh_band_tuning, LSH_BAND_TUNING_SQL, "X2 empirical banding tuner: 4 (bands,rows) configs over one shared 32-hash signature"),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, IVF_KNN_SQL, "IVF ANN top-5, pinned coarse quantizer (oracle-backed since r3)"),
+    QuerySpec("ivf_partitioned_knn", ivf_partitioned_knn, IVF_KNN_SQL, "IVF ANN top-5 over the cell-PARTITIONED parquet index: build partitionBy(cluster_id), probe via static partition pruning (round 6)"),
     QuerySpec("pq_knn", pq_knn, PQ_KNN_SQL, "PQ ADC + exact-rerank ANN top-5, pinned codebooks (oracle-backed since r3)"),
     QuerySpec("lsh_portable_knn", lsh_portable_knn, LSH_PORTABLE_KNN_SQL, "portable E2LSH candidates + exact rerank (pinned projections, oracle-backed)"),
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),

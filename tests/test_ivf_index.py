@@ -1,0 +1,159 @@
+"""Cell-partitioned IVF index: layout, pruning, stream==batch (round 6).
+
+Pins the three properties that make the index a real scale path:
+  * the probe-pruned search equals the in-query ivf_knn answer exactly
+    (same pinned quantizer, same integer argmin pack, same rerank);
+  * the probe filter reaches the scan as PartitionFilters and the scan
+    lists ONLY nprobe partitions — the Milvus nprobe/nlist property as
+    Spark partition pruning;
+  * streaming ingest through the frozen quantizer produces the same
+    search answer as the batch build over the same corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parse_vector_db_spark.operators import ivf_index
+from pdf_parse_vector_db_spark.plans.similarity import (
+    _IVF_NPROBE,
+    _ivf_seeds,
+    ivf_knn,
+    ivf_partitioned_knn,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seeds = _ivf_seeds(emb)
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    ivf_index.build_ivf_index(emb, seeds, path)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return emb, seeds, path, q
+
+
+def test_layout_is_cell_partitioned(built):
+    _, _, path, _ = built
+    parts = [d for d in os.listdir(path) if d.startswith("cluster_id=")]
+    assert len(parts) >= _IVF_NPROBE  # real cells to prune between
+
+
+def test_partitioned_search_equals_in_query_ivf(spark, built):
+    got = ivf_partitioned_knn(spark, SF).collect()
+    want = ivf_knn(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_probe_prunes_partitions_in_plan(spark, built):
+    emb, seeds, path, q = built
+    cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
+    assert len(cids) == _IVF_NPROBE
+    df = ivf_index.search_ivf_index(spark, path, q, cids)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    # the scan must touch only the probed cells, not the whole index
+    scanned = spark.read.parquet(path).filter(F.col("cluster_id").isin(cids))
+    n_cells = (
+        spark.read.parquet(path).select("cluster_id").distinct().count()
+    )
+    assert scanned.select("cluster_id").distinct().count() == _IVF_NPROBE < n_cells
+
+
+def test_stream_ingest_matches_batch_build(spark, built, tmp_path):
+    from pdf_parse_vector_db_spark.streaming.ann_stream import stream_ingest_ivf
+
+    emb, seeds, batch_path, q = built
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # 4 micro-batches covering the corpus exactly once
+    for i in range(4):
+        emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream_path = str(tmp_path / "index")
+    qy = stream_ingest_ivf(
+        spark, landing, stream_path, str(tmp_path / "ckpt"), seeds
+    )
+    qy.awaitTermination(120)
+
+    assert (
+        spark.read.parquet(stream_path).count()
+        == spark.read.parquet(batch_path).count()
+        == emb.count()
+    )
+    cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
+    got = ivf_index.search_ivf_index(spark, stream_path, q, cids).collect()
+    want = ivf_index.search_ivf_index(spark, batch_path, q, cids).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def _n_files(path: str, cid: int) -> int:
+    cell = os.path.join(path, f"cluster_id={cid}")
+    return sum(1 for f in os.listdir(cell) if not f.startswith((".", "_")))
+
+
+def test_compaction_merges_fragmented_cells(spark, built, tmp_path):
+    emb, seeds, _, q = built
+    path = str(tmp_path / "index")
+    # fragment: 6 single-cell appends = 6 files in every touched cell
+    for i in range(6):
+        ivf_index.assign_cells(emb.filter(F.col("vec_id") % 6 == i), seeds).coalesce(
+            1
+        ).write.mode("append").partitionBy("cluster_id").parquet(path)
+
+    before = ivf_index.search_ivf_index(spark, path, q, ivf_index.probe_cells(seeds, q, _IVF_NPROBE)).collect()
+    frag_cells = [
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if d.startswith("cluster_id=") and _n_files(path, int(d.split("=")[1])) > 4
+    ]
+    assert frag_cells, "fixture should fragment at least one cell"
+
+    n = ivf_index.compact_ivf_index(spark, path, max_files_per_cell=4)
+    assert n == len(frag_cells)
+    for cid in frag_cells:
+        assert _n_files(path, cid) == 1
+    after = ivf_index.search_ivf_index(spark, path, q, ivf_index.probe_cells(seeds, q, _IVF_NPROBE)).collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    # idempotent: a compacted index compacts to a no-op
+    assert ivf_index.compact_ivf_index(spark, path, max_files_per_cell=4) == 0
+
+
+def test_compaction_recovers_from_crash_states(spark, built, tmp_path):
+    """A cell stranded mid-swap (only __old present) is restored; orphan
+    __tmp and leftover __old subtrees are swept."""
+    import shutil
+
+    emb, seeds, _, q = built
+    path = str(tmp_path / "index")
+    ivf_index.build_ivf_index(emb, seeds, path)
+    cells = sorted(
+        int(d.split("=")[1]) for d in os.listdir(path) if d.startswith("cluster_id=")
+    )
+    victim, survivor = cells[0], cells[1]
+    total = spark.read.parquet(path).count()
+
+    # crash between rename(cell->old) and rename(tmp->cell)
+    shutil.move(f"{path}/cluster_id={victim}", f"{path}/cluster_id={victim}__old")
+    # crash during the tmp write beside a live cell
+    shutil.copytree(
+        f"{path}/cluster_id={survivor}", f"{path}/cluster_id={survivor}__tmp"
+    )
+    # crash after the second rename, before the old delete
+    shutil.copytree(
+        f"{path}/cluster_id={survivor}", f"{path}/cluster_id={survivor}__old"
+    )
+
+    ivf_index.compact_ivf_index(spark, path, max_files_per_cell=10_000)
+    assert {
+        d for d in os.listdir(path) if d.startswith("cluster_id=")
+    } == {f"cluster_id={c}" for c in cells}
+    assert spark.read.parquet(path).count() == total
