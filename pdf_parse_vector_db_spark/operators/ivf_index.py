@@ -148,6 +148,47 @@ def compact_ivf_index(
     return len(frag)
 
 
+def delete_from_ivf_index(spark: SparkSession, path: str, vec_ids: list[int]) -> int:
+    """Hard-delete vectors (the GDPR erasure path, plans/privacy's
+    gdpr_delete_audit applied to the index): only cells CONTAINING a
+    victim are rewritten — at nlist ∝ √N cells the blast radius of a
+    deletion batch is ~len(vec_ids) cells out of √N, everything else is
+    untouched metadata-only. Each rewrite goes through the same
+    temp-write + checked-rename swap as compaction (crash leaves the cell
+    readable; a replayed delete of an absent id is a no-op). Returns the
+    number of cells rewritten."""
+    from pdf_parse_vector_db_spark.streaming.scd2_stream import checked_rename
+
+    hit = (
+        spark.read.parquet(path)
+        .filter(F.col("vec_id").isin([int(v) for v in vec_ids]))
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for row in hit:
+        cell_dir = f"{path}/cluster_id={int(row['cluster_id'])}"
+        tmp_dir = cell_dir + "__tmp"
+        old_dir = cell_dir + "__old"
+        (
+            spark.read.parquet(cell_dir)
+            .filter(~F.col("vec_id").isin([int(v) for v in vec_ids]))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp_dir)
+        )
+        cell_p = jvm.org.apache.hadoop.fs.Path(cell_dir)
+        tmp_p = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+        old_p = jvm.org.apache.hadoop.fs.Path(old_dir)
+        fs = cell_p.getFileSystem(conf)
+        checked_rename(fs, cell_p, old_p)
+        checked_rename(fs, tmp_p, cell_p)
+        fs.delete(old_p, True)
+    return len(hit)
+
+
 def search_ivf_index(
     spark: SparkSession, path: str, q: DataFrame, cids: list[int], k: int = 5
 ) -> DataFrame:

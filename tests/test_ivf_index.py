@@ -127,6 +127,43 @@ def test_compaction_merges_fragmented_cells(spark, built, tmp_path):
     assert ivf_index.compact_ivf_index(spark, path, max_files_per_cell=4) == 0
 
 
+def test_delete_rewrites_only_hit_cells(spark, built, tmp_path):
+    """GDPR erasure on the index: victims vanish, untouched cells keep
+    their files byte-identical (metadata-only blast radius), replaying
+    the same delete is a no-op."""
+    emb, seeds, _, q = built
+    path = str(tmp_path / "index")
+    ivf_index.build_ivf_index(emb, seeds, path)
+
+    victims = [r["vec_id"] for r in ivf_index.assign_cells(emb, seeds).limit(3).collect()]
+    victim_cells = {
+        int(r["cluster_id"])
+        for r in ivf_index.assign_cells(emb, seeds)
+        .filter(F.col("vec_id").isin(victims))
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    }
+    untouched = [
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if d.startswith("cluster_id=") and int(d.split("=")[1]) not in victim_cells
+    ]
+    assert untouched, "need at least one untouched cell"
+    probe_file = os.path.join(path, f"cluster_id={untouched[0]}")
+    before_files = sorted(os.listdir(probe_file))
+    n_before = spark.read.parquet(path).count()
+
+    n = ivf_index.delete_from_ivf_index(spark, path, victims)
+    assert n == len(victim_cells)
+    assert sorted(os.listdir(probe_file)) == before_files  # untouched cell: no rewrite
+    left = spark.read.parquet(path)
+    assert left.count() == n_before - len(victims)
+    assert left.filter(F.col("vec_id").isin(victims)).count() == 0
+    # idempotent replay
+    assert ivf_index.delete_from_ivf_index(spark, path, victims) == 0
+
+
 def test_compaction_recovers_from_crash_states(spark, built, tmp_path):
     """A cell stranded mid-swap (only __old present) is restored; orphan
     __tmp and leftover __old subtrees are swept."""

@@ -96,13 +96,14 @@ AUDIT = {
     "apportion_sample_slots": "|langs|-row agg; remainder ranking window over <=|langs| rows",
     "encoding_advisor": "bucket-partitioned run lags; boundary correction over the bounded bucket table",
     "ivf_knn": "seed broadcast; assignment argmin as one MIN agg; probe IN-filter = partition pruning at scale",
+    "ivf_partitioned_knn": "the materialized form: scan shows PartitionFilters cluster_id IN (nprobe cells) over the partitionBy layout; only probed cells listed/decoded",
     "decision_llm_stage": "cascade CASE + substring map-side; one Arrow-batched UDF; no exchange before the sort",
     "zorder_layout": "global row_number = the Z-ORDER rewrite sort; zone-map accounting on 2x64 rows",
     "scd2_customer_history": "one dim x batch full-outer join; three projection legs unioned, no window",
     "multimodal_features": "pure mapInPandas feature stage; norm fold in codegen over the float array",
-    "lsh_portable_knn": "literal-plane projections in codegen; candidate OR-filter before the top-k cut",
+    "lsh_portable_knn": "planes broadcast as DATA (dim-agnostic since r6, no 64 KB codegen cliff); candidate OR-filter before the top-k cut",
     "inference_batch_packing": "one documents scan -> stack unpivot; both strategies share the ranking windows",
-    "power_iteration_top_pc": "dim^2-key Gram exchange once (checkpointed); matvecs join a broadcast dim-row vector",
+    "power_iteration_top_pc": "narrow explode + vec_id self-join (r6: no dim-wide payload); dim^2-key Gram exchange once (checkpointed); matvecs join a broadcast dim-row vector",
     "search_ingested": "ingest chunks cached once; search is filtered scan + TakeOrderedAndProject over it",
     "ann_recall": "probe ranking as a window over broadcast seeds; recall as a left-semi count - no driver loop",
     "substring_dedup_plan": "one shingle-hash exchange (rank window); island merge windows keyed doc_id; no UDFs",
