@@ -189,6 +189,136 @@ def delete_from_ivf_index(spark: SparkSession, path: str, vec_ids: list[int]) ->
     return len(hit)
 
 
+def cell_versions(spark: SparkSession, path: str, cids: list[int]) -> dict[int, int]:
+    """(exists → mtime-ms) snapshot of the probed cell dirs. A swap
+    publish (compact/delete) replaces the cell dir wholesale, so its
+    modification time identifies the published version; an absent cell
+    maps to -1 (a coarse cell that never received a vector is never
+    written by partitionBy). The index ROOT's mtime is included under the
+    sentinel key -1: every swap rename updates the parent dir's mtime
+    (POSIX and HDFS semantics), so two snapshots that agree on the root
+    prove no swap happened between them — closing the measure-zero corner
+    where a cell is caught absent in the vanish windows of two DIFFERENT
+    republishes and would otherwise read as legitimately empty."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root_p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root_p.getFileSystem(conf)
+    out: dict[int, int] = {-1: fs.getFileStatus(root_p).getModificationTime()}
+    for cid in cids:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/cluster_id={int(cid)}")
+        if fs.exists(p):
+            out[int(cid)] = fs.getFileStatus(p).getModificationTime()
+        elif fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/cluster_id={int(cid)}__old")
+        ) or fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/cluster_id={int(cid)}__tmp")
+        ):
+            # absent WITH a swap sibling on disk: a republish is mid-flight
+            # (or crashed mid-flight) — the cell is not legitimately empty,
+            # it is in the vanish window; -2 is never accepted by
+            # _snapshots_agree, so readers wait it out
+            out[int(cid)] = -2
+        else:
+            out[int(cid)] = -1
+    return out
+
+
+def search_ivf_index_consistent(
+    spark: SparkSession,
+    path: str,
+    q: DataFrame,
+    cids: list[int],
+    k: int = 5,
+    max_retries: int = 12,
+    backoff_s: float = 0.05,
+) -> list:
+    """Concurrent-reader tier of :func:`search_ivf_index` — a consistent
+    read against an index that compaction/deletion republishes via the
+    rename-swap protocol, without any lock shared with the writer.
+
+    The hazard: between ``rename(cell→old)`` and ``rename(tmp→cell)`` a
+    probed cell is momentarily ABSENT. A reader that lists the index root
+    in that window gets a smaller partition listing and returns a
+    silently-incomplete top-k — no error, wrong answer; and in the window
+    where ``cell__old`` still exists beside the republished cell, root
+    partition discovery would even surface the old copy as a bogus
+    string-typed partition value. Two mechanisms close both holes:
+
+    * the scan reads the probed cell dirs EXPLICITLY (``basePath`` keeps
+      the partition column) instead of discovering partitions from the
+      root — a vanished cell is then a plan/execute-time error, never a
+      silent miss, and ``__old``/``__tmp`` subtrees are invisible;
+    * the probed cells' version snapshot (:func:`cell_versions`) is taken
+      before and after the read and must be IDENTICAL — a swap that
+      overlaps the read in any way forces a retry, so an accepted result
+      reflects one published state of every probed cell.
+
+    Cells absent in both snapshots are legitimately empty (never-written
+    coarse cells) and are skipped. Raises ``IOError`` after
+    ``max_retries`` conflicting attempts (a writer republishing in a
+    tight loop faster than a read completes — not a steady state any
+    real compactor produces)."""
+    import time as _time
+
+    last_err: Exception | None = None
+    for attempt in range(max_retries):
+        v1 = cell_versions(spark, path, cids)
+        if any(mt == -2 for cid, mt in v1.items() if cid != -1):
+            _time.sleep(backoff_s * (attempt + 1))
+            continue
+        live = [cid for cid, mt in v1.items() if cid != -1 and mt != -1]
+        try:
+            if not live:
+                rows: list = []
+            else:
+                idx = spark.read.option("basePath", path).parquet(
+                    *[f"{path}/cluster_id={cid}" for cid in live]
+                )
+                rows = (
+                    idx.crossJoin(F.broadcast(q))
+                    .select(
+                        "vec_id",
+                        "label",
+                        F.round(
+                            l2_distance(F.col("embedding"), F.col("qvec")), 6
+                        ).alias("d"),
+                    )
+                    .orderBy("d", "vec_id")
+                    .limit(k)
+                    .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+                    .collect()
+                )
+        except Exception as exc:  # noqa: BLE001 — vanished-mid-read; retry
+            last_err = exc
+            _time.sleep(backoff_s * (attempt + 1))
+            continue
+        if _snapshots_agree(v1, cell_versions(spark, path, cids)):
+            return rows
+        _time.sleep(backoff_s * (attempt + 1))
+    raise IOError(
+        f"no consistent read of {path} after {max_retries} attempts"
+    ) from last_err
+
+
+def _snapshots_agree(v1: dict[int, int], v2: dict[int, int]) -> bool:
+    """Accept a read only if no republish could have changed what it saw:
+    every PROBED cell's version must be identical — the root mtime is
+    consulted only when a probed cell was absent in both snapshots, where
+    an unchanged root proves no rename (and hence no vanish window)
+    occurred between them. Comparing probed cells rather than the whole
+    root keeps readers live while a compactor churns UNRELATED cells.
+    The -2 "vanish window" marker (cell absent but its __old/__tmp swap
+    sibling on disk) is never accepted on either side."""
+    if any(mt == -2 for c, mt in list(v1.items()) + list(v2.items()) if c != -1):
+        return False
+    if any(v2[c] != mt for c, mt in v1.items() if c != -1):
+        return False
+    if any(mt == -1 for c, mt in v1.items() if c != -1) and v1[-1] != v2[-1]:
+        return False
+    return True
+
+
 def search_ivf_index(
     spark: SparkSession, path: str, q: DataFrame, cids: list[int], k: int = 5
 ) -> DataFrame:

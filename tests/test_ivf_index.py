@@ -194,3 +194,163 @@ def test_compaction_recovers_from_crash_states(spark, built, tmp_path):
         d for d in os.listdir(path) if d.startswith("cluster_id=")
     } == {f"cluster_id={c}" for c in cells}
     assert spark.read.parquet(path).count() == total
+
+
+# ---- concurrent-reader certification (round 6) ---------------------------
+#
+# The swap publish (compact/delete) has a vanish window between
+# rename(cell->old) and rename(tmp->cell): a reader that discovers
+# partitions from the index root in that window silently loses the cell.
+# search_ivf_index_consistent closes it (explicit cell-dir reads + a
+# before/after version snapshot); these tests hammer the protocol with a
+# live writer on a shared SparkSession — the reference's deployment shape
+# (one service process, background index maintenance).
+
+
+def _small_index(spark, tmp_path, n=120):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < n)
+    seeds = _ivf_seeds(emb)
+    path = str(tmp_path / "live_index")
+    ivf_index.build_ivf_index(emb, seeds, path)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return emb, seeds, path, q
+
+
+def test_consistent_search_under_compaction_storm(spark, tmp_path):
+    """A writer republishing cells in a tight rename-swap loop never makes
+    a consistent reader return a wrong or partial top-k."""
+    import threading
+
+    emb, seeds, path, q = _small_index(spark, tmp_path)
+    cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
+    expected = [
+        tuple(r) for r in ivf_index.search_ivf_index(spark, path, q, cids).collect()
+    ]
+    assert expected
+
+    stop = threading.Event()
+    writer_err: list = []
+
+    def writer():
+        try:
+            while not stop.is_set():
+                # max_files_per_cell=0: every cell republished every pass —
+                # a continuous stream of rename-swap windows
+                ivf_index.compact_ivf_index(spark, path, max_files_per_cell=0)
+        except Exception as exc:  # noqa: BLE001 — surfaced after join
+            writer_err.append(exc)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for _ in range(10):
+            rows = ivf_index.search_ivf_index_consistent(
+                spark, path, q, cids, max_retries=30
+            )
+            assert [tuple(r) for r in rows] == expected
+    finally:
+        stop.set()
+        t.join(120)
+    assert not writer_err, writer_err
+
+
+def test_consistent_search_under_delete_republish(spark, tmp_path):
+    """Writer alternates GDPR-delete and re-append of the top hit; every
+    consistent read equals one of the two quiescent answers — never a
+    partial state, never the silent-miss anomaly."""
+    import threading
+
+    emb, seeds, path, q = _small_index(spark, tmp_path)
+    cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
+    full = [
+        tuple(r) for r in ivf_index.search_ivf_index(spark, path, q, cids).collect()
+    ]
+    victim = int(full[0][0])  # the top hit: its absence is always visible
+    victim_rows = ivf_index.assign_cells(
+        emb.filter(F.col("vec_id") == victim), seeds
+    )
+    ivf_index.delete_from_ivf_index(spark, path, [victim])
+    reduced = [
+        tuple(r) for r in ivf_index.search_ivf_index(spark, path, q, cids).collect()
+    ]
+    assert reduced != full
+    victim_rows.write.mode("append").partitionBy("cluster_id").parquet(path)
+
+    stop = threading.Event()
+    writer_err: list = []
+
+    def writer():
+        try:
+            while not stop.is_set():
+                ivf_index.delete_from_ivf_index(spark, path, [victim])
+                victim_rows.write.mode("append").partitionBy("cluster_id").parquet(
+                    path
+                )
+        except Exception as exc:  # noqa: BLE001
+            writer_err.append(exc)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for _ in range(10):
+            rows = [
+                tuple(r)
+                for r in ivf_index.search_ivf_index_consistent(
+                    spark, path, q, cids, max_retries=30
+                )
+            ]
+            assert rows in (full, reduced)
+    finally:
+        stop.set()
+        t.join(120)
+    assert not writer_err, writer_err
+
+
+def test_consistent_search_retries_through_vanish_window(spark, tmp_path):
+    """Deterministic replay of the hazard itself: with a probed cell
+    renamed away, the naive root-discovery search silently returns an
+    incomplete answer; the consistent reader refuses it and succeeds once
+    the cell is republished."""
+    import shutil
+    import threading
+    import time
+
+    emb, seeds, path, q = _small_index(spark, tmp_path)
+    cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
+    expected = [
+        tuple(r) for r in ivf_index.search_ivf_index(spark, path, q, cids).collect()
+    ]
+    # hold the top hit's cell in the vanish state
+    victim_cell = int(
+        ivf_index.assign_cells(emb.filter(F.col("vec_id") == int(expected[0][0])), seeds)
+        .select("cluster_id")
+        .collect()[0][0]
+    )
+    assert victim_cell in cids
+    cell_dir = f"{path}/cluster_id={victim_cell}"
+    shutil.move(cell_dir, cell_dir + "__old")
+
+    # the anomaly this module exists to stop: root partition discovery in
+    # the vanish state either silently loses the cell (pre-ANSI: the
+    # "5__old" partition value strings the column and nulls the IN) or
+    # errors on the bogus partition value — never the right answer
+    try:
+        naive = [
+            tuple(r)
+            for r in ivf_index.search_ivf_index(spark, path, q, cids).collect()
+        ]
+        assert naive != expected
+    except Exception:  # noqa: BLE001 — ANSI cast failure is the other face
+        pass
+
+    def restore():
+        time.sleep(1.0)
+        shutil.move(cell_dir + "__old", cell_dir)
+
+    t = threading.Thread(target=restore)
+    t.start()
+    rows = ivf_index.search_ivf_index_consistent(
+        spark, path, q, cids, max_retries=60, backoff_s=0.2
+    )
+    t.join(30)
+    assert [tuple(r) for r in rows] == expected
