@@ -25,6 +25,7 @@ collection; the long-lived SparkSession plays the module-global client
 from __future__ import annotations
 
 import json
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,7 @@ from pdf_parse_vector_db_spark.schemas import (
     SEARCH_FETCH_K,
     SEARCH_TOP_K,
 )
+from pdf_parse_vector_db_spark.session import scoped_pool
 
 
 class SparkVectorService:
@@ -49,6 +51,15 @@ class SparkVectorService:
         self.spark = spark
         self.path = warehouse_path
         self.dim = dim
+        # Concurrent requests (round 6): searches are lock-free — they
+        # only read. Ingest COMMITS must serialize within the process:
+        # two concurrent append jobs on one parquet root share
+        # ``_temporary/0`` under the default FileOutputCommitter, and
+        # either job's cleanup can delete the other's in-flight task
+        # files (silently lost writes). A single service process is the
+        # reference's deployment shape; multi-process writers need a
+        # table format with a real commit protocol instead.
+        self._write_lock = threading.Lock()
 
     # -- write path --------------------------------------------------------
 
@@ -96,12 +107,17 @@ class SparkVectorService:
                 "case_decision",
             )
         )
-        chunks.write.mode("append").partitionBy("court_level").parquet(self.path)
-
-        written = self._chunks().filter(F.col("file_id") == F.sha2(F.lit(file_name), 256))
-        row = written.agg(
-            F.count(F.lit(1)).alias("n"), F.first("case_decision").alias("d")
-        ).collect()[0]
+        with scoped_pool(self.spark, "ingest"):
+            with self._write_lock:
+                chunks.write.mode("append").partitionBy("court_level").parquet(
+                    self.path
+                )
+            written = self._chunks().filter(
+                F.col("file_id") == F.sha2(F.lit(file_name), 256)
+            )
+            row = written.agg(
+                F.count(F.lit(1)).alias("n"), F.first("case_decision").alias("d")
+            ).collect()[0]
         return {"chunks_inserted": row.n, "case_decision": row.d}
 
     # -- read path ---------------------------------------------------------
@@ -129,33 +145,35 @@ class SparkVectorService:
             raise ValueError("No text could be extracted from the PDF")
         q = F.array(*[F.lit(float(x)) for x in qvec])
 
-        hits = (
-            self._chunks()
-            .filter(F.col("court_level") == target)
-            .withColumn("dist", l2_distance(F.col("embedding"), q))
-            .orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
-            .limit(SEARCH_FETCH_K)
-        )
-        best = knn.dedup_best_per_group(
-            hits, group_col="file_id", score_col="dist", tiebreak_cols=("chunk_id",)
-        )
-        top = (
-            best.orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
-            .limit(top_k)
-            .withColumn("score", F.round(F.col("dist"), 4))
-        )
-        resp = knn.search_response(top, file_name, int(court_level))
-        return json.loads(resp.collect()[0][0])
+        with scoped_pool(self.spark, "search"):
+            hits = (
+                self._chunks()
+                .filter(F.col("court_level") == target)
+                .withColumn("dist", l2_distance(F.col("embedding"), q))
+                .orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
+                .limit(SEARCH_FETCH_K)
+            )
+            best = knn.dedup_best_per_group(
+                hits, group_col="file_id", score_col="dist", tiebreak_cols=("chunk_id",)
+            )
+            top = (
+                best.orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
+                .limit(top_k)
+                .withColumn("score", F.round(F.col("dist"), 4))
+            )
+            resp = knn.search_response(top, file_name, int(court_level))
+            return json.loads(resp.collect()[0][0])
 
     # -- liveness ----------------------------------------------------------
 
     def health(self) -> dict:
         """Static-JSON analog with a real liveness probe: one no-op job."""
-        self.spark.range(1).count()
-        try:
-            n = self._chunks().count()
-        except Exception:
-            n = 0
+        with scoped_pool(self.spark, "health"):
+            self.spark.range(1).count()
+            try:
+                n = self._chunks().count()
+            except Exception:
+                n = 0
         return {"status": "healthy", "chunks_indexed": n}
 
     def _chunks(self) -> DataFrame:

@@ -1,0 +1,149 @@
+"""Concurrent serving certification (round 6).
+
+The reference is a multi-request Flask service (extract_and_search_v2.py
+serves ingest/search/health concurrently from one process over one
+module-global Milvus client). The engine's analog — one long-lived
+SparkSession shared by request threads — is certified here:
+
+  * concurrent searches return exactly the serial answers (thread-safe
+    read path, no cross-request state bleed);
+  * concurrent ingests lose no writes (the facade serializes parquet
+    COMMITS within the process — two concurrent append jobs on one root
+    share ``_temporary/0`` under the default committer and can delete
+    each other's in-flight task files);
+  * a mixed ingest+search storm completes with every response correct;
+  * scheduler pools are request-thread-local (scoped_pool) and the
+    session runs the FAIR scheduler, so an analytic job cannot
+    head-of-line block the interactive search path.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from pdf_parse_vector_db_spark.api import SparkVectorService
+from pdf_parse_vector_db_spark.session import scoped_pool
+
+DOC = (
+    "The appellant filed a motion for review. " * 30
+    + "\n\n"
+    + "The court finds in favor of the appellant and the appeal is allowed. " * 20
+)
+
+
+@pytest.fixture()
+def svc(spark, tmp_path):
+    return SparkVectorService(spark, str(tmp_path / "warehouse"))
+
+
+def _run_threads(fns):
+    """Run callables concurrently; return per-thread results, re-raising
+    the first worker exception (a swallowed assert is a fake pass)."""
+    results = [None] * len(fns)
+    errors: list[BaseException] = []
+
+    def wrap(i, fn):
+        try:
+            results[i] = fn()
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=wrap, args=(i, fn)) for i, fn in enumerate(fns)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    if errors:
+        raise errors[0]
+    return results
+
+
+def test_concurrent_searches_match_serial(svc):
+    for i in range(4):
+        svc.ingest_legal_document(f"case_{i}.pdf", DOC + f" variant {i}", court_level=3)
+    queries = [f"{DOC} probe {j}" for j in range(6)]
+    serial = [
+        svc.search_similar_cases(f"q{j}.pdf", q, court_level=2)
+        for j, q in enumerate(queries)
+    ]
+    for _ in range(2):  # two storms: reuse of the session must stay clean
+        concurrent = _run_threads(
+            [
+                (lambda j=j, q=q: svc.search_similar_cases(f"q{j}.pdf", q, court_level=2))
+                for j, q in enumerate(queries)
+            ]
+        )
+        assert concurrent == serial
+
+
+def test_concurrent_ingests_lose_no_writes(svc):
+    # the warehouse must exist before threads race (first write creates it)
+    first = svc.ingest_legal_document("case_seed.pdf", DOC, court_level=3)
+    outs = _run_threads(
+        [
+            (
+                lambda i=i: svc.ingest_legal_document(
+                    f"case_{i}.pdf", DOC + f" variant {i}", court_level=3 + (i % 2)
+                )
+            )
+            for i in range(8)
+        ]
+    )
+    assert all(o["chunks_inserted"] >= 1 for o in outs)
+    total = svc._chunks().count()
+    assert total == first["chunks_inserted"] + sum(o["chunks_inserted"] for o in outs)
+
+
+def test_mixed_ingest_search_storm(svc):
+    for i in range(3):
+        svc.ingest_legal_document(f"base_{i}.pdf", DOC + f" base {i}", court_level=3)
+    want = svc.search_similar_cases("probe.pdf", DOC, court_level=2)
+
+    def search():
+        resp = svc.search_similar_cases("probe.pdf", DOC, court_level=2)
+        # ingests land concurrently, so the result set may grow — but the
+        # response must stay well-formed, deduped, ascending, and include
+        # everything that was already committed before the storm
+        assert resp["status"] == "success"
+        ids = [r["file_id"] for r in resp["results"]]
+        assert len(ids) == len(set(ids))
+        scores = [r["score"] for r in resp["results"]]
+        assert scores == sorted(scores)
+        assert resp["result_count"] >= want["result_count"]
+        return resp
+
+    def ingest(i):
+        return svc.ingest_legal_document(
+            f"storm_{i}.pdf", DOC + f" storm {i}", court_level=3
+        )
+
+    _run_threads(
+        [lambda i=i: ingest(i) for i in range(3)] + [search] * 5
+    )
+    # quiescent check: all storm ingests visible to a final search
+    final = svc.search_similar_cases("probe.pdf", DOC, court_level=2)
+    assert final["result_count"] >= want["result_count"]
+    assert svc.health()["chunks_indexed"] == svc._chunks().count()
+
+
+def test_scheduler_is_fair_and_pools_are_thread_local(spark):
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+    sc = spark.sparkContext
+    seen = {}
+    barrier = threading.Barrier(2)
+
+    def worker(name):
+        with scoped_pool(spark, name):
+            barrier.wait(30)  # both threads inside their scopes at once
+            seen[name] = sc.getLocalProperty("spark.scheduler.pool")
+            spark.range(10).count()  # a real job under the pool tag
+            barrier.wait(30)
+        seen[name + "_after"] = sc.getLocalProperty("spark.scheduler.pool")
+
+    _run_threads([lambda: worker("alpha"), lambda: worker("beta")])
+    assert seen["alpha"] == "alpha" and seen["beta"] == "beta"
+    assert seen["alpha_after"] is None and seen["beta_after"] is None
