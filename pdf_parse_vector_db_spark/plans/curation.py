@@ -1626,6 +1626,102 @@ ORDER BY merge_round
 
 
 # ---------------------------------------------------------------------------
+# BPE ENCODING (round 6, X42) — the APPLY side of the tokenizer. Training
+# (bpe_learn_merges above) elects merges; a pipeline then needs to
+# TOKENIZE the corpus with them — exact subword token counting is what
+# sizes a pretraining mix (whitespace counts over-estimate tokens 20-40%).
+# Sequentially applying the learned merges in rank order to each word is
+# exactly the reference BPE encode (applying rank r can never create a
+# lower-rank pair: rank r-1's components all existed before rank r's
+# output symbol did — Sennrich et al. 2016), and the trainer's
+# double-space symbol representation already makes each replace
+# boundary-safe and greedy-left-to-right in both engines.
+#
+# Scale: merges are learned and applied on the VOCABULARY relation
+# (distinct filtered words + counts), never the token stream — the corpus
+# is touched once by the word-count agg; each round exchanges |vocab|
+# short strings; the elected merge re-enters as a 1-row broadcast. At
+# 100 TB the vocab is bounded (words, not documents), so R rounds cost
+# R small shuffles after one corpus-sized agg.
+# ---------------------------------------------------------------------------
+
+_BPE_ENCODE_ROUNDS = 6
+_BPE_ENC_TOP = 20
+
+
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42: learn _BPE_ENCODE_ROUNDS merges, ENCODE the vocabulary with
+    them, and return the resulting subword vocabulary — top-20 tokens by
+    occurrence-weighted count (count desc, token asc: a total order, so
+    both engines elect identical merges and produce identical rows)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    )
+    words = (
+        tok.filter(F.col("w").rlike("^[a-z]+$") & F.length("w").between(2, 12))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        "cnt",
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), '  '), ' ')"
+        ).alias("s"),
+    )
+    for _ in range(_BPE_ENCODE_ROUNDS):
+        pairs = (
+            cur.select("cnt", F.explode(F.expr(_SYM_PAIRS)).alias("pair"))
+            .filter(F.col("pair").isNotNull())
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("wcnt"))
+        )
+        best = pairs.orderBy(F.desc("wcnt"), F.asc("pair")).limit(1)
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("pair")))
+            .withColumn("s", F.expr(_APPLY_MERGE))
+            .drop("pair")
+        )
+    return (
+        cur.select("cnt", F.explode(F.split(F.trim(F.col("s")), "  ")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("wcnt"))
+        .orderBy(F.desc("wcnt"), F.asc("token"))
+        .limit(_BPE_ENC_TOP)
+    )
+
+
+BPE_ENCODE_TOKENS_SQL = (
+    """
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok
+  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) BETWEEN 2 AND 12
+  GROUP BY w),
+s0 AS (
+  SELECT cnt,
+         ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+                i -> substring(w, i, 1)), '  ') || ' ' AS s
+  FROM words),"""
+    + ",".join(
+        _bpe_round_sql(i) + "," + _bpe_apply_sql(i)
+        for i in range(1, _BPE_ENCODE_ROUNDS + 1)
+    )
+    + f"""
+SELECT token, CAST(sum(cnt) AS BIGINT) AS wcnt
+FROM (SELECT cnt, unnest(string_split(trim(s), '  ')) AS token
+      FROM s{_BPE_ENCODE_ROUNDS})
+GROUP BY token
+ORDER BY wcnt DESC, token
+LIMIT {_BPE_ENC_TOP}
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Two-stage retrieval rerank (over-fetch + refine, generalized)
 # ---------------------------------------------------------------------------
 
@@ -2200,6 +2296,12 @@ QUERIES = [
         bpe_learn_merges,
         BPE_LEARN_MERGES_SQL,
         "X14 BPE merge learning: 3 unrolled elect-and-apply rounds",
+    ),
+    QuerySpec(
+        "bpe_encode_tokens",
+        bpe_encode_tokens,
+        BPE_ENCODE_TOKENS_SQL,
+        "X42 BPE encoding: apply 6 learned merges to the vocab, subword top-20",
     ),
     QuerySpec(
         "edit_distance_dups",
