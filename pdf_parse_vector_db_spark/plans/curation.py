@@ -1722,6 +1722,273 @@ LIMIT {_BPE_ENC_TOP}
 
 
 # ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage (round 6, X44) — the SCORING
+# side of entity resolution. The repo's dedup tiers decide "same or not" by
+# thresholded similarity; FS instead learns per-field match/non-match
+# agreement rates (m, u) from the candidate pairs themselves via EM
+# (Fellegi & Sunter 1969; Winkler 1988) and scores pairs by agreement
+# weights — the standard method behind production record linkage (Splink,
+# febrl). Two EM rounds are unrolled (this repo's standard way to make a
+# data-dependent loop oracle-checkable, cf. bpe_learn_merges/pagerank):
+#
+#   E-step: pair responsibility g = p·Πm_f^(a_f)(1-m_f)^(1-a_f) /
+#           (that + (1-p)·Π u_f ...) — written as fixed-order products of
+#           CASE arms (no pow), identical expression order both engines,
+#           then QUANTIZED to integer ppm (floor(g·1e6 + 0.5)) so the
+#           M-step sums are exact BIGINT arithmetic — double summation
+#           order can never flip a bit between engines.
+#   M-step: m_f = Σ g·a_f / Σ g,  u_f = Σ (1-g)·a_f / Σ (1-g),
+#           p = Σ g / N — single bigint/bigint divisions.
+#
+# Candidates come from sorted-neighborhood blocking (block on nation —
+# the stable attribute — sort by balance cents, lead window 3), so the
+# pair relation is LINEAR in the data; the EM statistics are one small
+# agg per round broadcast back as one row. Output weights are m/u
+# RATIOS, not ln-weights: division is correctly-rounded IEEE in both
+# engines, libm log differs in the last ulp. The linkage scenario: a 10%
+# twin feed of the customer file with deterministic field corruptions —
+# name %7 (suffix), segment %9 (relocated), balance %3 (+1 cent, which
+# also keeps the twin adjacent in the SNM sort). Names are unique and
+# balances near-unique in the fixture, so EM's match class is the twin
+# cluster and the learned weights are textbook: high-m/low-u name and
+# balance, weak segment.
+# ---------------------------------------------------------------------------
+
+_FS_TWIN_OFFSET = 10_000_000_000
+_FS_WINDOW = 3
+_FS_PPM = 1_000_000
+_FS_FLAGS = ("nm", "seg", "bal")  # fixed EM product order (same in SQL)
+
+
+def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44: per-field (m, u, m/u weight) after 2 unrolled EM rounds over
+    SNM candidate pairs of the customer file vs its corrupted twin feed."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("bigint").alias("rid"),
+        F.col("c_name").alias("nm"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    twins = base.filter(F.col("rid") % 10 == 0).select(
+        (F.col("rid") + _FS_TWIN_OFFSET).alias("rid"),
+        F.when(F.col("rid") % 7 == 0, F.concat(F.col("nm"), F.lit(" jr")))
+        .otherwise(F.col("nm"))
+        .alias("nm"),
+        F.when(F.col("rid") % 9 == 0, F.lit("RELOCATED"))
+        .otherwise(F.col("seg"))
+        .alias("seg"),
+        F.col("nat"),
+        F.when(F.col("rid") % 3 == 0, F.col("bal") + 1).otherwise(F.col("bal")).alias("bal"),
+    )
+    corpus = base.unionByName(twins)
+    w = Window.partitionBy("nat").orderBy("bal", "rid")
+    nbrs = corpus.select(
+        "nm",
+        "seg",
+        "bal",
+        F.array(
+            *[
+                F.lead(F.struct("rid", "nm", "seg", "bal"), i).over(w)
+                for i in range(1, _FS_WINDOW + 1)
+            ]
+        ).alias("nbrs"),
+    )
+    pairs = (
+        nbrs.select("nm", "seg", "bal", F.explode("nbrs").alias("nb"))
+        .filter(F.col("nb").isNotNull())
+        .select(
+            (F.col("nm") == F.col("nb.nm")).cast("bigint").alias("a_nm"),
+            (F.col("seg") == F.col("nb.seg")).cast("bigint").alias("a_seg"),
+            (F.col("bal") == F.col("nb.bal")).cast("bigint").alias("a_bal"),
+        )
+    )
+
+    flags = _FS_FLAGS
+
+    def em_stats(pairs_g: DataFrame, gcol) -> DataFrame:
+        """One M-step: 1-row DataFrame of m_f, u_f, p from exact BIGINT
+        sums of the ppm-quantized responsibilities."""
+        aggs = [
+            F.sum(gcol).alias("sg"),
+            F.sum(F.lit(_FS_PPM) - gcol).alias("sn"),
+            F.count(F.lit(1)).alias("n"),
+        ]
+        for f in flags:
+            aggs.append(F.sum(gcol * F.col(f"a_{f}")).alias(f"sga_{f}"))
+            aggs.append(
+                F.sum((F.lit(_FS_PPM) - gcol) * F.col(f"a_{f}")).alias(f"sna_{f}")
+            )
+        row = pairs_g.agg(*aggs)
+        cols = [
+            (F.col("sg").cast("double") / (F.lit(float(_FS_PPM)) * F.col("n").cast("double"))).alias("p")
+        ]
+        for f in flags:
+            cols.append(
+                (F.col(f"sga_{f}").cast("double") / F.col("sg").cast("double")).alias(f"m_{f}")
+            )
+            cols.append(
+                (F.col(f"sna_{f}").cast("double") / F.col("sn").cast("double")).alias(f"u_{f}")
+            )
+        return row.select(*cols)
+
+    def resp(mcol, ucol, a):
+        """One field's contribution pair: (match-arm, nonmatch-arm)."""
+        return (
+            F.when(a == 1, mcol).otherwise(F.lit(1.0) - mcol),
+            F.when(a == 1, ucol).otherwise(F.lit(1.0) - ucol),
+        )
+
+    def g_ppm(stats: DataFrame, m_of, u_of, pcol) -> DataFrame:
+        """E-step: ppm-quantized responsibility, fixed product order."""
+        joined = pairs.crossJoin(F.broadcast(stats))
+        pm, pu = F.lit(1.0), F.lit(1.0)
+        for f in flags:  # fixed order: nm, br, ty, sz, pb — same in SQL
+            tm, tu = resp(m_of(f), u_of(f), F.col(f"a_{f}"))
+            pm, pu = pm * tm, pu * tu
+        g = pcol * pm / (pcol * pm + (F.lit(1.0) - pcol) * pu)
+        return joined.select(
+            *[f"a_{f}" for f in flags],
+            F.floor(g * _FS_PPM + F.lit(0.5)).cast("bigint").alias("g"),
+        )
+
+    # round 0: m=0.9 literal, u = candidate agreement rate, p=0.1
+    u0 = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"a_{f}").alias(f"sa_{f}") for f in flags],
+    ).select(
+        *[
+            (F.col(f"sa_{f}").cast("double") / F.col("n").cast("double")).alias(f"u_{f}")
+            for f in flags
+        ]
+    )
+    g1 = g_ppm(u0, lambda f: F.lit(0.9), lambda f: F.col(f"u_{f}"), F.lit(0.1))
+    s1 = em_stats(g1, F.col("g"))
+    g2 = g_ppm(s1, lambda f: F.col(f"m_{f}"), lambda f: F.col(f"u_{f}"), F.col("p"))
+    s2 = em_stats(g2, F.col("g"))
+
+    # outputs quantized identically in both engines — floor(x*1e6+0.5)/1e6,
+    # never round() (HALF_UP in Spark vs banker's in DuckDB at boundaries)
+    return s2.select(
+        F.expr(
+            "stack({n}, {args}) as (field, m, u, weight)".format(
+                n=len(flags),
+                args=", ".join(
+                    f"'{f}', "
+                    f"cast(floor(m_{f} * 1e6 + 0.5) as bigint) / 1e6, "
+                    f"cast(floor(u_{f} * 1e6 + 0.5) as bigint) / 1e6, "
+                    f"cast(floor(m_{f} / greatest(u_{f}, 1e-9) * 1e4 + 0.5) as bigint) / 1e4"
+                    for f in flags
+                ),
+            )
+        )
+    ).orderBy("field")
+
+
+def _fs_sql() -> str:
+    """DuckDB twin of fs_record_linkage, generated by the same loops so
+    the floating-point product/CASE order is textually identical."""
+    flags = _FS_FLAGS
+    leads = ",\n         ".join(
+        f"lead({c}, {i}) OVER w AS {c}{i}"
+        for i in range(1, _FS_WINDOW + 1)
+        for c in ("rid", "nm", "seg", "bal")
+    )
+    pair_arm = "\n  UNION ALL ".join(
+        f"""SELECT CAST(nm = nm{i} AS BIGINT) AS a_nm,
+         CAST(seg = seg{i} AS BIGINT) AS a_seg,
+         CAST(bal = bal{i} AS BIGINT) AS a_bal
+  FROM win WHERE rid{i} IS NOT NULL"""
+        for i in range(1, _FS_WINDOW + 1)
+    )
+
+    # every fractional literal is e-notation: 0.9 parses as DECIMAL in
+    # DuckDB (exact arithmetic) but F.lit(0.9) is a DOUBLE in Spark —
+    # 9e-1 is DOUBLE in both, keeping the EM product chains bit-identical
+    def prod(arm_of) -> str:
+        out = "1e0"
+        for f in flags:
+            out = f"{out} * {arm_of(f)}"
+        return out
+
+    pm1 = prod(lambda f: f"(CASE WHEN a_{f} = 1 THEN 9e-1 ELSE 1e0 - 9e-1 END)")
+    pu1 = prod(lambda f: f"(CASE WHEN a_{f} = 1 THEN u_{f} ELSE 1e0 - u_{f} END)")
+    pm2 = prod(lambda f: f"(CASE WHEN a_{f} = 1 THEN m_{f} ELSE 1e0 - m_{f} END)")
+    pu2 = prod(lambda f: f"(CASE WHEN a_{f} = 1 THEN u_{f} ELSE 1e0 - u_{f} END)")
+
+    def mstep(src: str) -> str:
+        cols = [
+            f"CAST(sum(g) AS DOUBLE) / (1e6 * CAST(count(*) AS DOUBLE)) AS p"
+        ]
+        for f in flags:
+            cols.append(
+                f"CAST(sum(g * a_{f}) AS DOUBLE) / CAST(sum(g) AS DOUBLE) AS m_{f}"
+            )
+            cols.append(
+                f"CAST(sum(({_FS_PPM} - g) * a_{f}) AS DOUBLE)"
+                f" / CAST(sum({_FS_PPM} - g) AS DOUBLE) AS u_{f}"
+            )
+        return f"SELECT {', '.join(cols)} FROM {src}"
+
+    u0_cols = ", ".join(
+        f"CAST(sum(a_{f}) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS u_{f}" for f in flags
+    )
+    final = "\n  UNION ALL ".join(
+        f"""SELECT '{f}' AS field,
+         CAST(floor(m_{f} * 1e6 + 0.5) AS BIGINT) / 1e6 AS m,
+         CAST(floor(u_{f} * 1e6 + 0.5) AS BIGINT) / 1e6 AS u,
+         CAST(floor(m_{f} / greatest(u_{f}, 1e-9) * 1e4 + 0.5) AS BIGINT) / 1e4 AS weight
+  FROM m2"""
+        for f in flags
+    )
+    a_cols = ", ".join(f"a_{f}" for f in flags)
+    return f"""
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS rid, c_name AS nm,
+         c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer),
+twins AS (
+  SELECT rid + {_FS_TWIN_OFFSET} AS trid,
+         CASE WHEN rid % 7 = 0 THEN nm || ' jr' ELSE nm END AS tnm,
+         CASE WHEN rid % 9 = 0 THEN 'RELOCATED' ELSE seg END AS tseg,
+         nat AS tnat,
+         CASE WHEN rid % 3 = 0 THEN bal + 1 ELSE bal END AS tbal
+  FROM base WHERE rid % 10 = 0),
+corpus AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT trid, tnm, tseg, tnat, tbal FROM twins),
+win AS (
+  SELECT nm, seg, bal,
+         {leads}
+  FROM corpus
+  WINDOW w AS (PARTITION BY nat ORDER BY bal, rid)),
+pairs AS MATERIALIZED (
+  {pair_arm}),
+u0 AS (SELECT {u0_cols} FROM pairs),
+g1 AS (
+  SELECT {a_cols},
+         CAST(floor(1e-1 * ({pm1}) / (1e-1 * ({pm1}) + (1e0 - 1e-1) * ({pu1}))
+              * {_FS_PPM} + 0.5) AS BIGINT) AS g
+  FROM pairs, u0),
+m1 AS ({mstep('g1')}),
+g2 AS (
+  SELECT {a_cols},
+         CAST(floor(p * ({pm2}) / (p * ({pm2}) + (1e0 - p) * ({pu2}))
+              * {_FS_PPM} + 0.5) AS BIGINT) AS g
+  FROM pairs, m1),
+m2 AS ({mstep('g2')})
+{final}
+ORDER BY field
+"""
+
+
+FS_RECORD_LINKAGE_SQL = _fs_sql()
+
+
+# ---------------------------------------------------------------------------
 # Two-stage retrieval rerank (over-fetch + refine, generalized)
 # ---------------------------------------------------------------------------
 
@@ -2302,6 +2569,12 @@ QUERIES = [
         bpe_encode_tokens,
         BPE_ENCODE_TOKENS_SQL,
         "X42 BPE encoding: apply 6 learned merges to the vocab, subword top-20",
+    ),
+    QuerySpec(
+        "fs_record_linkage",
+        fs_record_linkage,
+        FS_RECORD_LINKAGE_SQL,
+        "X44 Fellegi-Sunter record linkage: 2 unrolled EM rounds, ppm-exact M-steps",
     ),
     QuerySpec(
         "edit_distance_dups",
