@@ -27,6 +27,17 @@ analog of the Milvus index file:
 All assignment/probe arithmetic reuses the pinned quantizer's integer
 (distance-micros, cid) argmin pack so the end-to-end answer stays
 hash-identical to plans/similarity.ivf_knn and its DuckDB oracle.
+
+Concurrency contract (round 6): READERS need no coordination —
+search_ivf_index_consistent gives lock-free consistent reads against
+live compact/delete republishes. WRITERS (streaming ingest, compaction,
+deletion) must be serialized by the caller: a delete/compact rewrite
+snapshots a cell and swap-replaces it, so an append landing in that cell
+between the snapshot and the swap would be silently dropped. One
+maintenance mutex per index is the deployment shape (what a table
+format's commit protocol would otherwise provide); the service soak test
+(tests/test_service_soak.py) runs the full lifecycle under exactly that
+contract.
 """
 
 from __future__ import annotations
