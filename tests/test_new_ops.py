@@ -1234,3 +1234,98 @@ def test_bitext_ivf_recall_contracts(spark, tmp_path):
     assert exact_c, "clustered exact tier produced no nominations"
     assert len(exact_c & ivf_c) / len(exact_c) >= 0.9, (
         len(exact_c), len(ivf_c), len(exact_c & ivf_c))
+
+
+def test_fs_record_linkage_learns_the_twin_class(spark):
+    """EM must converge to the corrupted-twin match class: per-field m
+    near the engineered corruption survival rates (name 6/7, segment
+    8/9, balance 2/3), u far below m, and the weight ordering
+    balance > name > segment that the field cardinalities imply
+    (near-unique balance, unique name, 5-value segment)."""
+    from pdf_parse_vector_db_spark.plans.curation import fs_record_linkage
+
+    rows = {r["field"]: r for r in fs_record_linkage(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"nm", "seg", "bal"}
+    for f, rate in (("nm", 6 / 7), ("seg", 8 / 9), ("bal", 2 / 3)):
+        assert abs(rows[f]["m"] - rate) < 0.25, (f, rows[f]["m"])
+        assert rows[f]["u"] < rows[f]["m"]
+    assert rows["bal"]["weight"] > rows["nm"]["weight"] > rows["seg"]["weight"] > 1
+
+
+def test_bpe_encode_matches_greedy_reference(spark):
+    """The rank-order merge application must equal the reference greedy
+    BPE encode (repeatedly merge the best-ranked adjacent pair) on every
+    distinct corpus word — the equivalence the operator's docstring
+    claims (a later merge can never create an earlier pair)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.plans.curation import (
+        _BPE_ENCODE_ROUNDS,
+        bpe_encode_tokens,
+    )
+    from pdf_parse_vector_db_spark.sources.registry import load_table
+
+    # re-learn the merges exactly as the operator does (elect by weighted
+    # count desc, pair asc), but in python over the collected vocab
+    docs = load_table(spark, SF_SMOKE, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & F.length("w").between(2, 12))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    vocab = {r["w"]: r["cnt"] for r in words}
+
+    def pair_counts(seqs):
+        counts: dict = {}
+        for syms, cnt in seqs:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        return counts
+
+    def apply_merge(syms, pair):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    seqs = [(tuple(w), c) for w, c in vocab.items()]
+    merges = []
+    for _ in range(_BPE_ENCODE_ROUNDS):
+        counts = pair_counts(seqs)
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        seqs = [(tuple(apply_merge(list(s), best)), c) for s, c in seqs]
+
+    # reference greedy encode: repeatedly merge the best-ranked pair
+    rank = {p: i for i, p in enumerate(merges)}
+
+    def greedy_encode(word):
+        syms = list(word)
+        while True:
+            ranked = [
+                (rank[p], i)
+                for i, p in enumerate(zip(syms, syms[1:]))
+                if p in rank
+            ]
+            if not ranked:
+                return syms
+            r, _ = min(ranked)
+            syms = apply_merge(syms, merges[r])
+
+    want: dict = {}
+    for w, c in vocab.items():
+        for t in greedy_encode(w):
+            want[t] = want.get(t, 0) + c
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = [(r["token"], r["wcnt"]) for r in bpe_encode_tokens(spark, SF_SMOKE).collect()]
+    assert got == top
