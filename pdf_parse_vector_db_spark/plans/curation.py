@@ -1822,13 +1822,18 @@ def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         row = pairs_g.agg(*aggs)
         cols = [
+            # n = pair count >= 1 on any corpus with >= 2 rows per nation;
+            # ansi: double division never raises under ANSI (IEEE Inf/NaN)
             (F.col("sg").cast("double") / (F.lit(float(_FS_PPM)) * F.col("n").cast("double"))).alias("p")
         ]
         for f in flags:
             cols.append(
+                # sg > 0: g floors to >= 1 ppm on twin pairs, so the sum is
+                # ansi: positive; double division never raises under ANSI
                 (F.col(f"sga_{f}").cast("double") / F.col("sg").cast("double")).alias(f"m_{f}")
             )
             cols.append(
+                # ansi: double division; sn > 0 unless EVERY pair has g = 1e6
                 (F.col(f"sna_{f}").cast("double") / F.col("sn").cast("double")).alias(f"u_{f}")
             )
         return row.select(*cols)
@@ -1847,6 +1852,9 @@ def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in flags:  # fixed order: nm, br, ty, sz, pb — same in SQL
             tm, tu = resp(m_of(f), u_of(f), F.col(f"a_{f}"))
             pm, pu = pm * tm, pu * tu
+        # denominator > 0: pm, pu are products of probabilities in (0,1) —
+        # round-1 arms are 0.9/0.1 literals, ppm quantization keeps round-2
+        # ansi: m/u off exact 0/1; double division never raises under ANSI
         g = pcol * pm / (pcol * pm + (F.lit(1.0) - pcol) * pu)
         return joined.select(
             *[f"a_{f}" for f in flags],
@@ -1859,6 +1867,7 @@ def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(f"a_{f}").alias(f"sa_{f}") for f in flags],
     ).select(
         *[
+            # ansi: double division; n = pair count >= 1
             (F.col(f"sa_{f}").cast("double") / F.col("n").cast("double")).alias(f"u_{f}")
             for f in flags
         ]
