@@ -1548,6 +1548,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     outs = []
+    # lineage cut per round: cur feeds both the election and the merge,
+    # doubling the plan every round without a checkpoint (round 6 fix,
+    # shared rationale with bpe_encode_tokens below); values unchanged
+    cur = cur.localCheckpoint()
     for r in range(1, _BPE_ROUNDS + 1):
         pairs = (
             cur.select("cnt", F.explode(F.expr(_SYM_PAIRS)).alias("pair"))
@@ -1562,6 +1566,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cur.crossJoin(F.broadcast(best.select("pair")))
                 .withColumn("s", F.expr(_APPLY_MERGE))
                 .drop("pair")
+                .localCheckpoint()
             )
     res = outs[0]
     for o in outs[1:]:
@@ -1670,6 +1675,12 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> substring(w, i, 1)), '  '), ' ')"
         ).alias("s"),
     )
+    # lineage cut per round (the components/pagerank pattern): `cur` is
+    # referenced twice per round (pair election + merge application), so
+    # without a checkpoint the plan doubles every round — 2^R copies of
+    # the corpus word-count agg. localCheckpoint materializes each round
+    # once; values are unchanged.
+    cur = cur.localCheckpoint()
     for _ in range(_BPE_ENCODE_ROUNDS):
         pairs = (
             cur.select("cnt", F.explode(F.expr(_SYM_PAIRS)).alias("pair"))
@@ -1682,6 +1693,7 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.crossJoin(F.broadcast(best.select("pair")))
             .withColumn("s", F.expr(_APPLY_MERGE))
             .drop("pair")
+            .localCheckpoint()
         )
     return (
         cur.select("cnt", F.explode(F.split(F.trim(F.col("s")), "  ")).alias("token"))

@@ -639,3 +639,24 @@ def test_ppjoin_prefix_filters_before_join(spark):
     assert " * 5) >= (na" in body, body
     assert "least((na" in body, body
     assert " * 9) >= ((na" in body, body
+
+
+def test_bpe_encode_lineage_cut_collapses_plan(spark):
+    """Round-6 pin: the per-round localCheckpoint must hold — without it
+    `cur` is referenced twice per round and the plan doubles every round
+    (2^6 copies of the corpus word-count agg, 128 exchanges measured).
+    The final plan reads the checkpointed vocabulary: one token-count
+    exchange, no broadcast-join chain."""
+    body = _final_plan(spark, "bpe_encode_tokens")
+    assert body.count("Exchange hashpartitioning") <= 2, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+
+
+def test_fs_linkage_no_cartesian_and_broadcast_stats(spark):
+    """X44 pin: the EM statistics re-enter as 1-row broadcasts (never a
+    shuffled join), the SNM window partitions on the nation block key,
+    and nothing degenerates to CartesianProduct."""
+    body = _final_plan(spark, "fs_record_linkage")
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" in body, body
+    assert "hashpartitioning(nat" in body, body

@@ -115,6 +115,8 @@ AUDIT = {
     "soft_dedup_weights": "components reused from dup pipeline; csize agg + broadcast-back; integer-micros sums",
     "pq_knn": "FIXED-ksub codebook broadcast (r5); encode argmin one MIN agg; ADC TakeOrdered over codes only",
     "embedding_pca_variance": "shared _pi_core Gram exchange + matvecs; trace = dim-row filter of checkpointed C*",
+    "bpe_encode_tokens": "per-round localCheckpoint lineage cuts (r6): corpus word agg once, each round one |vocab| exchange + 1-row broadcast merge; final plan = one token-count exchange over the checkpointed vocab",
+    "fs_record_linkage": "SNM window hashpartitions on the nation block key; EM stats are SinglePartition aggs re-entering as 1-row BroadcastNestedLoopJoins; no CartesianProduct",
 }
 
 
