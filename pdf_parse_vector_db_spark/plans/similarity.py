@@ -555,6 +555,93 @@ def ivf_partitioned_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index.search_ivf_index(spark, path, q, cids, k=5)
 
 
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45: IVF index-health audit — the quantizer-rebuild trigger. The
+    coarse quantizer is trained once and frozen (the Milvus/FAISS insert
+    contract, streaming/ann_stream); as the corpus grows or drifts, cell
+    occupancy skews, and a hot cell degrades every probe that touches it
+    (a probe scans its cells fully — worst-case latency is max-cell
+    size, not ideal-cell size). This audit reports the occupancy
+    distribution under the pinned quantizer: nlist, rows, occupied
+    cells, max cell, hot cells (>2x the ideal rows/cell), and the
+    imbalance factor max/ideal — the number an operator alerts on to
+    schedule a quantizer retrain + index rebuild.
+
+    Scale: the same one broadcast-seeds argmin agg as ivf_knn (no probe
+    leg), then two tiny aggs; imbalance is exact integer arithmetic
+    ((max*nlist*10000) div rows, then /1e4) — no float summation
+    anywhere, so the DuckDB twin is hash-exact at any scale."""
+    from pdf_parse_vector_db_spark.operators.ivf_index import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = _ivf_seeds(emb)
+    # occupancy is ~sqrt(N) rows but costs the full corpus argmin agg —
+    # checkpoint so the two consumers below don't scan the corpus twice
+    occ = (
+        assign_cells(emb, seeds)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    tot = seeds.agg(F.count(F.lit(1)).alias("nlist"))
+    stats = (
+        occ.crossJoin(F.broadcast(tot))
+        .groupBy("nlist")
+        .agg(
+            F.sum("c").alias("nrows"),
+            F.count(F.lit(1)).alias("cells_occupied"),
+            F.max("c").alias("max_cell"),
+        )
+    )
+    hot = (
+        occ.crossJoin(F.broadcast(stats.select("nlist", "nrows")))
+        # c > 2*nrows/nlist without division: exact integer comparison
+        .filter(F.col("c") * F.col("nlist") > 2 * F.col("nrows"))
+        .agg(F.count(F.lit(1)).alias("hot_cells"))
+    )
+    return stats.crossJoin(F.broadcast(hot)).select(
+        "nlist",
+        "nrows",
+        "cells_occupied",
+        "max_cell",
+        "hot_cells",
+        # ansi: integer div on positives, nrows >= 1; products bounded by
+        # N * sqrt(N) * 1e4 << int64 under the 1e7-id seed contract
+        (F.expr("(max_cell * nlist * 10000) div nrows") / F.lit(1e4)).alias(
+            "imbalance"
+        ),
+    )
+
+
+IVF_CELL_BALANCE_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD_SQL} = {_IVF_SEED_OFF}
+), assign AS (
+  SELECT e.vec_id,
+         min(CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]), s.cvec) * 1e6)
+                  AS BIGINT) * {_IVF_KEY_BASE} + s.cid) % {_IVF_KEY_BASE} AS cluster_id
+  FROM embeddings e CROSS JOIN seeds s
+  GROUP BY e.vec_id
+), occ AS MATERIALIZED (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS c FROM assign GROUP BY cluster_id
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nlist FROM seeds
+), stats AS (
+  SELECT nlist, CAST(sum(c) AS BIGINT) AS nrows,
+         CAST(count(*) AS BIGINT) AS cells_occupied,
+         CAST(max(c) AS BIGINT) AS max_cell
+  FROM occ, tot GROUP BY nlist
+), hot AS (
+  SELECT CAST(count(*) AS BIGINT) AS hot_cells
+  FROM occ, stats WHERE c * nlist > 2 * nrows
+)
+SELECT nlist, nrows, cells_occupied, max_cell, hot_cells,
+       (max_cell * nlist * 10000) // nrows / 1e4 AS imbalance
+FROM stats, hot
+"""
+
+
 IVF_KNN_SQL = f"""
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
@@ -1988,6 +2075,7 @@ QUERIES = [
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, IVF_KNN_SQL, "IVF ANN top-5, pinned coarse quantizer (oracle-backed since r3)"),
     QuerySpec("ivf_partitioned_knn", ivf_partitioned_knn, IVF_KNN_SQL, "IVF ANN top-5 over the cell-PARTITIONED parquet index: build partitionBy(cluster_id), probe via static partition pruning (round 6)"),
+    QuerySpec("ivf_cell_balance", ivf_cell_balance, IVF_CELL_BALANCE_SQL, "X45 IVF index-health audit: cell-occupancy distribution + imbalance factor, the quantizer-rebuild trigger (round 6)"),
     QuerySpec("pq_knn", pq_knn, PQ_KNN_SQL, "PQ ADC + exact-rerank ANN top-5, pinned codebooks (oracle-backed since r3)"),
     QuerySpec("lsh_portable_knn", lsh_portable_knn, LSH_PORTABLE_KNN_SQL, "portable E2LSH candidates + exact rerank (pinned projections, oracle-backed)"),
     QuerySpec("lsh_knn", lsh_knn, None, "MLlib LSH ANN top-5 (rows-only)"),
