@@ -60,6 +60,19 @@ class SparkVectorService:
         # reference's deployment shape; multi-process writers need a
         # table format with a real commit protocol instead.
         self._write_lock = threading.Lock()
+        # Response cache (round 6): the reference re-embeds and re-runs
+        # every identical search (extract_and_search_v2.py has no cache);
+        # a serving engine should not pay a Spark job for a repeated
+        # query. Keys include the warehouse VERSION — bumped under the
+        # write lock on every ingest — so a hit can never return
+        # pre-ingest results (external writers bypassing this facade are
+        # out of cache scope, as they are for the write lock itself).
+        self._cache: dict = {}
+        self._cache_lock = threading.Lock()
+        self._version = 0
+        self.cache_hits = 0
+        self.cache_misses = 0
+        self.search_cache_size = 128
 
     # -- write path --------------------------------------------------------
 
@@ -112,6 +125,7 @@ class SparkVectorService:
                 chunks.write.mode("append").partitionBy("court_level").parquet(
                     self.path
                 )
+                self._version += 1  # invalidates every cached search
             written = self._chunks().filter(
                 F.col("file_id") == F.sha2(F.lit(file_name), 256)
             )
@@ -131,6 +145,23 @@ class SparkVectorService:
         if not text or not text.strip():
             raise ValueError("No text could be extracted from the PDF")
         target = int(court_level) + 1
+
+        import hashlib
+
+        # version read is deliberately pre-search: a concurrent ingest
+        # committing mid-search bumps the version, so this entry is
+        # already stale at insert and can never serve post-ingest readers
+        key = (
+            hashlib.sha256(text.encode()).hexdigest(),
+            file_name,
+            target,
+            int(top_k),
+            self._version,
+        )
+        with self._cache_lock:
+            if key in self._cache:
+                self.cache_hits += 1
+                return self._cache[key]
 
         # the reference embeds every chunk and keeps [0]
         # (extract_and_search_v2.py:124-135); embedding only the first chunk
@@ -162,7 +193,16 @@ class SparkVectorService:
                 .withColumn("score", F.round(F.col("dist"), 4))
             )
             resp = knn.search_response(top, file_name, int(court_level))
-            return json.loads(resp.collect()[0][0])
+            out = json.loads(resp.collect()[0][0])
+        with self._cache_lock:
+            self.cache_misses += 1
+            if len(self._cache) >= self.search_cache_size:
+                # FIFO eviction: dicts preserve insertion order; the
+                # version bump already evicts whole generations, so
+                # recency bookkeeping buys little here
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = out
+        return out
 
     # -- liveness ----------------------------------------------------------
 

@@ -147,3 +147,34 @@ def test_scheduler_is_fair_and_pools_are_thread_local(spark):
     _run_threads([lambda: worker("alpha"), lambda: worker("beta")])
     assert seen["alpha"] == "alpha" and seen["beta"] == "beta"
     assert seen["alpha_after"] is None and seen["beta_after"] is None
+
+
+def test_search_response_cache_hits_and_invalidates(svc, spark):
+    svc.ingest_legal_document("c0.pdf", DOC, court_level=3)
+    r1 = svc.search_similar_cases("q.pdf", DOC, court_level=2)
+    assert (svc.cache_hits, svc.cache_misses) == (0, 1)
+    # identical request: served from cache, byte-identical
+    jobs_before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    r2 = svc.search_similar_cases("q.pdf", DOC, court_level=2)
+    assert r2 == r1 and svc.cache_hits == 1
+    assert spark.sparkContext.statusTracker().getJobIdsForGroup(None) == jobs_before
+    # different file_name is a different response (it echoes the query)
+    r3 = svc.search_similar_cases("other.pdf", DOC, court_level=2)
+    assert r3["query"]["file_name"] == "other.pdf" and svc.cache_misses == 2
+    # ingest invalidates: the repeated query must see the new document
+    svc.ingest_legal_document("c1.pdf", DOC + " fresher", court_level=3)
+    r4 = svc.search_similar_cases("q.pdf", DOC, court_level=2)
+    assert svc.cache_misses == 3
+    assert r4["result_count"] == r1["result_count"] + 1
+
+
+def test_cache_never_serves_stale_across_concurrent_ingest(svc):
+    """A search that straddles an ingest commit may cache its pre-ingest
+    answer only under the pre-ingest version: the next lookup (post-bump)
+    must MISS and recompute."""
+    svc.ingest_legal_document("c0.pdf", DOC, court_level=3)
+    r1 = svc.search_similar_cases("q.pdf", DOC, court_level=2)
+    # simulate the straddle: the bump lands after r1's key was built
+    svc.ingest_legal_document("c1.pdf", DOC + " newer", court_level=3)
+    r2 = svc.search_similar_cases("q.pdf", DOC, court_level=2)
+    assert r2["result_count"] > r1["result_count"]
