@@ -1,0 +1,224 @@
+"""Manifest-committed table layer: snapshot isolation without rename-swap.
+
+Round 6 gave the IVF index lock-free consistent READS against rename-swap
+republishes, but two limits remain by design there:
+
+  * writers must serialize in-process (a swap can drop a concurrent
+    append) — multi-process writers are unsafe;
+  * the read protocol leans on POSIX/HDFS directory-mtime semantics,
+    which object stores do not provide.
+
+The standard cure (Delta/Iceberg/Hudi) is a MANIFEST commit protocol:
+data files are immutable and uniquely named, and the table state is a
+numbered manifest file listing exactly the live files. This module is
+that protocol's minimal correct core, on the Hadoop FileSystem API:
+
+  * writers stage part files under ``data/<commit-uuid>/``, then commit
+    by writing ``_manifests/v{N+1}.json.tmp`` and renaming it to
+    ``_manifests/v{N+1}.json``. ``FileSystem.rename`` returns FALSE when
+    the destination exists (checked, never ignored — the SCD2 lesson),
+    so the rename is a compare-and-swap on the version number: two
+    racing writers (threads OR processes) cannot both win N+1; the
+    loser re-reads the head and retries against N+2.
+  * readers list ``_manifests``, take the highest version, and read
+    exactly that manifest's file list — a true snapshot: no vanish
+    window, no partial append, no dependence on directory mtimes.
+  * replace-commits (compaction, deletion rewrites) stage new files and
+    publish a manifest that drops the replaced ones; the files
+    themselves are deleted later by ``vacuum`` (only files unreferenced
+    by the CURRENT head and older than a grace period — in-flight
+    readers of recent snapshots keep working).
+
+Partition semantics: a staged commit keeps whatever ``partitionBy``
+layout the writer used under its commit dir; readers pass the file list
+with ``basePath`` pointing at the commit dir so partition columns
+survive. Cross-commit reads union per-commit DataFrames by name —
+unions of parquet scans, which Catalyst plans as one multi-scan union
+(filters/projections push into every leg).
+
+CAS validity: Hadoop ``FileSystem.rename`` returns false on an existing
+destination for LocalFileSystem (verified empirically in this
+container: dst intact, rename false) and HDFS — Hadoop checks the
+destination, it does NOT fall through to POSIX rename(2) overwrite
+semantics. Raw object stores (S3A) have no atomic rename: there this
+protocol needs the store's conditional-put (S3 If-None-Match) or an
+external lock table, exactly as Delta/Iceberg deploy it — the manifest
+format itself is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401 — re-exported for callers
+
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+def _jvm_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _jpath(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path)
+
+
+def head_version(spark: SparkSession, table: str) -> int:
+    """Highest committed manifest version (0 = empty table)."""
+    jvm, fs = _jvm_fs(spark, table)
+    glob = _jpath(jvm, f"{table}/{_MANIFESTS}/v*.json")
+    best = 0
+    for st in fs.globStatus(glob) or []:
+        name = st.getPath().getName()  # v{N}.json
+        best = max(best, int(name[1:-5]))
+    return best
+
+
+def _read_manifest(spark: SparkSession, table: str, version: int) -> dict:
+    jvm, fs = _jvm_fs(spark, table)
+    p = _jpath(jvm, f"{table}/{_MANIFESTS}/v{version}.json")
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _try_commit(spark: SparkSession, table: str, version: int, manifest: dict) -> bool:
+    """Write v{version}.json via tmp + rename-CAS. True iff this writer won."""
+    jvm, fs = _jvm_fs(spark, table)
+    fs.mkdirs(_jpath(jvm, f"{table}/{_MANIFESTS}"))
+    tmp = _jpath(jvm, f"{table}/{_MANIFESTS}/v{version}.json.tmp.{uuid.uuid4().hex}")
+    dst = _jpath(jvm, f"{table}/{_MANIFESTS}/v{version}.json")
+    out = fs.create(tmp, False)
+    try:
+        out.write(bytearray(json.dumps(manifest, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+    # rename returns false when dst exists: the CAS. A false here is a
+    # LOST RACE, not corruption — clean the tmp and let the caller retry.
+    if fs.rename(tmp, dst):
+        return True
+    fs.delete(tmp, False)
+    return False
+
+
+def commit_append(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    partition_by: tuple[str, ...] = (),
+    max_retries: int = 20,
+) -> int:
+    """Stage `df` as immutable files under a fresh commit dir, then CAS a
+    manifest that ADDS the commit. Safe under concurrent writers in any
+    number of threads or processes; returns the committed version."""
+    commit_dir = f"{_DATA}/{uuid.uuid4().hex}"
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{table}/{commit_dir}")
+    for _ in range(max_retries):
+        head = head_version(spark, table)
+        prev = _read_manifest(spark, table, head) if head else {"commits": []}
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "commits": prev["commits"] + [commit_dir],
+        }
+        if _try_commit(spark, table, head + 1, manifest):
+            return head + 1
+    raise IOError(f"commit_append lost the CAS race {max_retries} times on {table}")
+
+
+def commit_replace(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    drop_commits: list[str],
+    partition_by: tuple[str, ...] = (),
+    max_retries: int = 20,
+) -> int:
+    """Publish `df` as the replacement for `drop_commits` (compaction /
+    deletion rewrite). The dropped commits' FILES stay on disk for
+    in-flight readers until vacuum; only the manifest changes. Fails the
+    CAS (and retries against the new head) if another writer commits
+    first — and aborts if a racing commit already dropped one of ours."""
+    commit_dir = f"{_DATA}/{uuid.uuid4().hex}"
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{table}/{commit_dir}")
+    for _ in range(max_retries):
+        head = head_version(spark, table)
+        prev = _read_manifest(spark, table, head) if head else {"commits": []}
+        missing = [c for c in drop_commits if c not in prev["commits"]]
+        if missing:
+            raise IOError(
+                f"commit_replace conflict: {missing} already replaced by a racing commit"
+            )
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "commits": [c for c in prev["commits"] if c not in drop_commits]
+            + [commit_dir],
+        }
+        if _try_commit(spark, table, head + 1, manifest):
+            return head + 1
+    raise IOError(f"commit_replace lost the CAS race {max_retries} times on {table}")
+
+
+def snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> tuple[int, DataFrame | None]:
+    """(version, DataFrame) of a committed snapshot — the head by
+    default, or time travel to any retained `version`. Reading a
+    manifest's exact commit list is immune to concurrent commits,
+    partial appends, and rename windows; None for an empty table."""
+    v = head_version(spark, table) if version is None else version
+    if v == 0:
+        return 0, None
+    man = _read_manifest(spark, table, v)
+    if not man["commits"]:
+        return v, None
+    parts = [
+        spark.read.option("basePath", f"{table}/{c}").parquet(f"{table}/{c}")
+        for c in man["commits"]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return v, out
+
+
+def vacuum(spark: SparkSession, table: str, keep_versions: int = 2) -> int:
+    """Delete commit dirs unreferenced by the newest `keep_versions`
+    manifests, then drop older manifests. Readers of retained snapshots
+    are unaffected; returns the number of commit dirs removed."""
+    head = head_version(spark, table)
+    if head == 0:
+        return 0
+    keep = set()
+    floor_v = max(1, head - keep_versions + 1)
+    for v in range(floor_v, head + 1):
+        keep.update(_read_manifest(spark, table, v)["commits"])
+    jvm, fs = _jvm_fs(spark, table)
+    removed = 0
+    for st in fs.globStatus(_jpath(jvm, f"{table}/{_DATA}/*")) or []:
+        rel = f"{_DATA}/{st.getPath().getName()}"
+        if rel not in keep:
+            fs.delete(st.getPath(), True)
+            removed += 1
+    for st in fs.globStatus(_jpath(jvm, f"{table}/{_MANIFESTS}/v*.json")) or []:
+        name = st.getPath().getName()
+        if int(name[1:-5]) < floor_v:
+            fs.delete(st.getPath(), False)
+    return removed
