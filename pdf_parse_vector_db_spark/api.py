@@ -47,10 +47,24 @@ class SparkVectorService:
     """One instance per warehouse — the engine-side analog of the reference's
     module-global Milvus client + collection pair."""
 
-    def __init__(self, spark: SparkSession, warehouse_path: str, dim: int = EMBEDDING_DIM):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_path: str,
+        dim: int = EMBEDDING_DIM,
+        manifested: bool = False,
+    ):
         self.spark = spark
         self.path = warehouse_path
         self.dim = dim
+        # manifested=True stores chunks through the manifest-committed
+        # table layer (sources/manifest.py): ingest publishes via
+        # rename-CAS instead of a raw parquet append, so writers are safe
+        # across PROCESSES (the in-process write lock below still
+        # serializes this instance's committers, but correctness no
+        # longer depends on it), and searches read a true snapshot. The
+        # manifest head version doubles as the cache version.
+        self.manifested = manifested
         # Concurrent requests (round 6): searches are lock-free — they
         # only read. Ingest COMMITS must serialize within the process:
         # two concurrent append jobs on one parquet root share
@@ -122,10 +136,17 @@ class SparkVectorService:
         )
         with scoped_pool(self.spark, "ingest"):
             with self._write_lock:
-                chunks.write.mode("append").partitionBy("court_level").parquet(
-                    self.path
-                )
-                self._version += 1  # invalidates every cached search
+                if self.manifested:
+                    from pdf_parse_vector_db_spark.sources import manifest as M
+
+                    self._version = M.commit_append(
+                        self.spark, self.path, chunks, partition_by=("court_level",)
+                    )
+                else:
+                    chunks.write.mode("append").partitionBy("court_level").parquet(
+                        self.path
+                    )
+                    self._version += 1  # invalidates every cached search
             written = self._chunks().filter(
                 F.col("file_id") == F.sha2(F.lit(file_name), 256)
             )
@@ -217,4 +238,11 @@ class SparkVectorService:
         return {"status": "healthy", "chunks_indexed": n}
 
     def _chunks(self) -> DataFrame:
+        if self.manifested:
+            from pdf_parse_vector_db_spark.sources import manifest as M
+
+            _, df = M.snapshot(self.spark, self.path)
+            if df is None:  # parity with the raw path's missing-dir error
+                raise FileNotFoundError(f"empty manifested warehouse: {self.path}")
+            return df
         return self.spark.read.parquet(self.path)

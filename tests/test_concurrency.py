@@ -178,3 +178,34 @@ def test_cache_never_serves_stale_across_concurrent_ingest(svc):
     svc.ingest_legal_document("c1.pdf", DOC + " newer", court_level=3)
     r2 = svc.search_similar_cases("q.pdf", DOC, court_level=2)
     assert r2["result_count"] > r1["result_count"]
+
+
+def test_manifested_service_matches_raw_and_survives_ingest_race(spark, tmp_path):
+    """The manifested warehouse returns the same search answers as the
+    raw-append warehouse over the same documents, and concurrent ingests
+    land via rename-CAS with distinct versions and no lost chunks."""
+    raw = SparkVectorService(spark, str(tmp_path / "raw"))
+    man = SparkVectorService(spark, str(tmp_path / "man"), manifested=True)
+    for i in range(3):
+        raw.ingest_legal_document(f"c{i}.pdf", DOC + f" v{i}", court_level=3)
+        man.ingest_legal_document(f"c{i}.pdf", DOC + f" v{i}", court_level=3)
+    r_raw = raw.search_similar_cases("q.pdf", DOC, court_level=2)
+    r_man = man.search_similar_cases("q.pdf", DOC, court_level=2)
+    assert r_man == r_raw
+    # cache invalidation rides the manifest head version
+    man.ingest_legal_document("c9.pdf", DOC + " fresh", court_level=3)
+    r2 = man.search_similar_cases("q.pdf", DOC, court_level=2)
+    assert r2["result_count"] == r_man["result_count"] + 1
+    # concurrent manifested ingests: every chunk lands
+    before = man._chunks().count()
+    outs = _run_threads(
+        [
+            (
+                lambda i=i: man.ingest_legal_document(
+                    f"race{i}.pdf", DOC + f" race {i}", court_level=3
+                )
+            )
+            for i in range(4)
+        ]
+    )
+    assert man._chunks().count() == before + sum(o["chunks_inserted"] for o in outs)
