@@ -330,6 +330,101 @@ def _snapshots_agree(v1: dict[int, int], v2: dict[int, int]) -> bool:
     return True
 
 
+# ---------------------------------------------------------------------------
+# Manifested tier (round 6, X46): the index as a manifest-committed table.
+# The rename-swap tier above gives lock-free consistent reads but needs
+# single-process writers and POSIX/HDFS dir-mtime semantics; storing the
+# cells through sources/manifest.py removes both limits — maintenance is
+# a transactional commit_replace (multi-process CAS), and a reader's
+# snapshot is immutable, so searches never retry at all. Granularity
+# tradeoff, stated honestly: manifests here are commit-granular, so a
+# deletion rewrite republishes the whole table's live set (Delta/Iceberg
+# use file-granular manifests to shrink that to touched files); probe
+# pruning still works — the cluster_id IN filter reaches every snapshot
+# leg's scan as PartitionFilters.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index_manifested(emb: DataFrame, seeds: DataFrame, table: str) -> int:
+    """Assign once and publish as manifest version 1."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    df = assign_cells(emb, seeds)
+    return M.commit_append(df.sparkSession, table, df, partition_by=("cluster_id",))
+
+
+def stream_ingest_ivf_manifested(batch_df: DataFrame, seeds: DataFrame, table: str) -> int:
+    """foreachBatch body for streaming ingest into the manifested index:
+    one micro-batch = one commit (exactly-once composes with the file
+    source's checkpointed replay: a replayed batch re-stages new files
+    and commits again — duplicate COMMITS are prevented by the stream's
+    checkpoint, racing with maintenance by the CAS)."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    df = assign_cells(batch_df, seeds)
+    return M.commit_append(df.sparkSession, table, df, partition_by=("cluster_id",))
+
+
+def compact_ivf_index_manifested(spark: SparkSession, table: str) -> int:
+    """Major compaction: replace every live commit with one cell-sorted
+    commit. Transactional — concurrent searches keep reading their
+    snapshot; a racing ingest makes the CAS retry see it (its commit is
+    not in drop_commits, so it survives the replace)."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    head = M.head_version(spark, table)
+    commits = M._read_manifest(spark, table, head)["commits"] if head else []
+    if len(commits) <= 1:
+        return head
+    _, df = M.snapshot(spark, table, version=head)
+    return M.commit_replace(
+        spark, table, df, drop_commits=commits, partition_by=("cluster_id",)
+    )
+
+
+def delete_from_ivf_index_manifested(
+    spark: SparkSession, table: str, vec_ids: list[int]
+) -> int:
+    """GDPR erasure as a replace-commit; physical bytes vanish at vacuum."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    head = M.head_version(spark, table)
+    commits = M._read_manifest(spark, table, head)["commits"]
+    _, df = M.snapshot(spark, table, version=head)
+    kept = df.filter(~F.col("vec_id").isin([int(v) for v in vec_ids]))
+    return M.commit_replace(
+        spark, table, kept, drop_commits=commits, partition_by=("cluster_id",)
+    )
+
+
+def search_ivf_index_snapshot(
+    spark: SparkSession, table: str, q: DataFrame, cids: list[int], k: int = 5
+) -> list:
+    """Probe-pruned exact-rerank search over the manifest head snapshot.
+    No retry loop, no version validation: the snapshot's files are
+    immutable, so the read is consistent BY CONSTRUCTION even while
+    compaction/erasure republish concurrently. The cluster_id IN filter
+    pushes into every snapshot leg as PartitionFilters."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    _, idx = M.snapshot(spark, table)
+    if idx is None:
+        return []
+    return (
+        idx.filter(F.col("cluster_id").isin([int(c) for c in cids]))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 6).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(k)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+        .collect()
+    )
+
+
 def search_ivf_index(
     spark: SparkSession, path: str, q: DataFrame, cids: list[int], k: int = 5
 ) -> DataFrame:

@@ -354,3 +354,83 @@ def test_consistent_search_retries_through_vanish_window(spark, tmp_path):
     )
     t.join(30)
     assert [tuple(r) for r in rows] == expected
+
+
+# ---- manifested tier (round 6, X46) ---------------------------------------
+
+
+def test_manifested_index_matches_swap_tier_and_prunes(spark, built, tmp_path):
+    emb, seeds, swap_path, q = built
+    table = str(tmp_path / "mtable")
+    ivf_index.build_ivf_index_manifested(emb, seeds, table)
+    cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
+    want = [
+        tuple(r)
+        for r in ivf_index.search_ivf_index(spark, swap_path, q, cids).collect()
+    ]
+    got = [
+        tuple(r) for r in ivf_index.search_ivf_index_snapshot(spark, table, q, cids)
+    ]
+    assert got == want
+    # the probe filter reaches the snapshot scan as partition pruning
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    _, idx = M.snapshot(spark, table)
+    plan = (
+        idx.filter(ivf_index.F.col("cluster_id").isin(cids))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def test_manifested_maintenance_is_transactional(spark, tmp_path):
+    """Searches during a compact/delete/re-ingest storm never retry and
+    never waver: every read is one immutable snapshot."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 120)
+    seeds = _ivf_seeds(emb)
+    table = str(tmp_path / "mtable")
+    ivf_index.build_ivf_index_manifested(emb, seeds, table)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
+    full = ivf_index.search_ivf_index_snapshot(spark, table, q, cids)
+    victim = int(full[0][0])
+    victim_df = emb.filter(F.col("vec_id") == victim)
+    ivf_index.delete_from_ivf_index_manifested(spark, table, [victim])
+    reduced = ivf_index.search_ivf_index_snapshot(spark, table, q, cids)
+    assert reduced != full
+    ivf_index.stream_ingest_ivf_manifested(victim_df, seeds, table)
+
+    stop = threading.Event()
+    errors: list = []
+
+    def maintainer():
+        try:
+            while not stop.is_set():
+                ivf_index.delete_from_ivf_index_manifested(spark, table, [victim])
+                ivf_index.stream_ingest_ivf_manifested(victim_df, seeds, table)
+                ivf_index.compact_ivf_index_manifested(spark, table)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    t = threading.Thread(target=maintainer)
+    t.start()
+    try:
+        for _ in range(8):
+            rows = ivf_index.search_ivf_index_snapshot(spark, table, q, cids)
+            assert rows in (full, reduced)
+    finally:
+        stop.set()
+        t.join(180)
+    assert not errors, errors
+    # quiescent: compaction preserved content; vacuum keeps the head
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    M.vacuum(spark, table, keep_versions=1)
+    final = ivf_index.search_ivf_index_snapshot(spark, table, q, cids)
+    assert final in (full, reduced)
