@@ -353,16 +353,53 @@ def build_ivf_index_manifested(emb: DataFrame, seeds: DataFrame, table: str) -> 
     return M.commit_append(df.sparkSession, table, df, partition_by=("cluster_id",))
 
 
-def stream_ingest_ivf_manifested(batch_df: DataFrame, seeds: DataFrame, table: str) -> int:
+def stream_ingest_ivf_manifested(
+    batch_df: DataFrame, seeds: DataFrame, table: str, batch_id: int | None = None
+) -> int:
     """foreachBatch body for streaming ingest into the manifested index:
-    one micro-batch = one commit (exactly-once composes with the file
-    source's checkpointed replay: a replayed batch re-stages new files
-    and commits again — duplicate COMMITS are prevented by the stream's
-    checkpoint, racing with maintenance by the CAS)."""
+    one micro-batch = one EXACTLY-ONCE commit. The replay hazard (sink
+    commit succeeded, stream checkpoint write crashed, batch re-runs) is
+    closed by the manifest's idempotency-key window — a replayed
+    batch_id is a no-op that deletes its re-staged files — and the keys
+    ride in the manifest itself, so dedup survives restarts and
+    maintenance replaces."""
     from pdf_parse_vector_db_spark.sources import manifest as M
 
     df = assign_cells(batch_df, seeds)
-    return M.commit_append(df.sparkSession, table, df, partition_by=("cluster_id",))
+    key = None if batch_id is None else f"ivf-ingest-b{int(batch_id)}"
+    return M.commit_append(
+        df.sparkSession, table, df, partition_by=("cluster_id",), idempotency_key=key
+    )
+
+
+def stream_ingest_ivf_manifested_query(
+    spark: SparkSession,
+    landing_dir: str,
+    table: str,
+    checkpoint_dir: str,
+    seeds: DataFrame,
+):
+    """readStream wrapper: drain a landing dir into the manifested index
+    (the streaming/ann_stream.stream_ingest_ivf analog on the manifest
+    tier)."""
+    from pdf_parse_vector_db_spark.streaming.ann_stream import EMB_SCHEMA
+
+    seeds.cache().count()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stream_ingest_ivf_manifested(batch_df, seeds, table, batch_id=batch_id)
+
+    src = spark.readStream.schema(EMB_SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        landing_dir
+    )
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def compact_ivf_index_manifested(spark: SparkSession, table: str) -> int:

@@ -111,16 +111,37 @@ def _try_commit(spark: SparkSession, table: str, version: int, manifest: dict) -
     return False
 
 
+#: idempotency keys retained in the manifest (insertion-ordered). The
+#: replay horizon of a checkpointed stream is ONE batch, so even a small
+#: window is generous; keeping a window (not forever) bounds manifest size.
+_KEY_WINDOW = 100
+
+
 def commit_append(
     spark: SparkSession,
     table: str,
     df: DataFrame,
     partition_by: tuple[str, ...] = (),
     max_retries: int = 20,
+    idempotency_key: str | None = None,
 ) -> int:
     """Stage `df` as immutable files under a fresh commit dir, then CAS a
     manifest that ADDS the commit. Safe under concurrent writers in any
-    number of threads or processes; returns the committed version."""
+    number of threads or processes; returns the committed version.
+
+    `idempotency_key` makes the commit EXACTLY-ONCE under replay (the
+    foreachBatch contract: sink commit succeeded, stream checkpoint write
+    crashed, batch re-runs): a key already present in the manifest's key
+    window turns the call into a no-op returning the current head, and
+    the freshly staged duplicate files are deleted. Keys ride in the
+    manifest itself, so the dedup survives process restarts and works
+    across racing writers — the CAS serializes key insertion."""
+    if idempotency_key is not None:
+        head = head_version(spark, table)
+        if head and idempotency_key in (
+            _read_manifest(spark, table, head).get("keys") or {}
+        ):
+            return head
     commit_dir = f"{_DATA}/{uuid.uuid4().hex}"
     writer = df.write.mode("errorifexists")
     if partition_by:
@@ -128,11 +149,26 @@ def commit_append(
     writer.parquet(f"{table}/{commit_dir}")
     for _ in range(max_retries):
         head = head_version(spark, table)
-        prev = _read_manifest(spark, table, head) if head else {"commits": []}
+        prev = (
+            _read_manifest(spark, table, head)
+            if head
+            else {"commits": [], "keys": {}}
+        )
+        keys = dict(prev.get("keys") or {})
+        if idempotency_key is not None and idempotency_key in keys:
+            # a racing replay won between our pre-check and this attempt
+            jvm, fs = _jvm_fs(spark, table)
+            fs.delete(_jpath(jvm, f"{table}/{commit_dir}"), True)
+            return head
+        if idempotency_key is not None:
+            keys[idempotency_key] = commit_dir
+            while len(keys) > _KEY_WINDOW:
+                keys.pop(next(iter(keys)))
         manifest = {
             "version": head + 1,
             "parent": head,
             "commits": prev["commits"] + [commit_dir],
+            "keys": keys,
         }
         if _try_commit(spark, table, head + 1, manifest):
             return head + 1
@@ -170,6 +206,10 @@ def commit_replace(
             "parent": head,
             "commits": [c for c in prev["commits"] if c not in drop_commits]
             + [commit_dir],
+            # idempotency keys survive replaces: a compaction racing the
+            # stream's last uncheckpointed batch must not reopen the
+            # replay-duplicate window
+            "keys": prev.get("keys") or {},
         }
         if _try_commit(spark, table, head + 1, manifest):
             return head + 1

@@ -434,3 +434,55 @@ def test_manifested_maintenance_is_transactional(spark, tmp_path):
     M.vacuum(spark, table, keep_versions=1)
     final = ivf_index.search_ivf_index_snapshot(spark, table, q, cids)
     assert final in (full, reduced)
+
+
+def test_manifested_stream_ingest_is_exactly_once(spark, built, tmp_path):
+    """End-to-end: landing files drain through the checkpointed stream
+    into manifest commits; a REPLAYED foreachBatch (the crash-between-
+    sink-commit-and-checkpoint case) is a keyed no-op with no orphan
+    files; re-running the stream over the same checkpoint adds nothing."""
+    import os
+
+    emb, seeds, batch_path, q = built
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode("append").parquet(
+            landing
+        )
+    table = str(tmp_path / "mtable")
+    ivf_index.stream_ingest_ivf_manifested_query(
+        spark, landing, table, str(tmp_path / "ckpt"), seeds
+    ).awaitTermination(120)
+
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    head, df = M.snapshot(spark, table)
+    assert df.count() == emb.count()
+    cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
+    want = [
+        tuple(r)
+        for r in ivf_index.search_ivf_index(spark, batch_path, q, cids).collect()
+    ]
+    got = [
+        tuple(r) for r in ivf_index.search_ivf_index_snapshot(spark, table, q, cids)
+    ]
+    assert got == want
+
+    # simulate the replay: the same batch_id committed again is a no-op
+    replay = emb.filter(F.col("vec_id") % 3 == 0)
+    v1 = ivf_index.stream_ingest_ivf_manifested(replay, seeds, table, batch_id=0)
+    assert v1 == head  # key already in the manifest window
+    assert M.snapshot(spark, table)[1].count() == emb.count()
+
+    # replay AFTER a compaction: keys survive the replace
+    ivf_index.compact_ivf_index_manifested(spark, table)
+    v2 = ivf_index.stream_ingest_ivf_manifested(replay, seeds, table, batch_id=1)
+    assert M.snapshot(spark, table)[1].count() == emb.count()
+    assert v2 == M.head_version(spark, table)
+
+    # re-running the whole stream over the same checkpoint adds nothing
+    ivf_index.stream_ingest_ivf_manifested_query(
+        spark, landing, table, str(tmp_path / "ckpt"), seeds
+    ).awaitTermination(120)
+    assert M.snapshot(spark, table)[1].count() == emb.count()
