@@ -239,10 +239,22 @@ def snapshot(
     return v, out
 
 
-def vacuum(spark: SparkSession, table: str, keep_versions: int = 2) -> int:
+def vacuum(
+    spark: SparkSession, table: str, keep_versions: int = 2, min_age_s: float = 600.0
+) -> int:
     """Delete commit dirs unreferenced by the newest `keep_versions`
     manifests, then drop older manifests. Readers of retained snapshots
-    are unaffected; returns the number of commit dirs removed."""
+    are unaffected; returns the number of commit dirs removed.
+
+    `min_age_s` is load-bearing, not politeness: a concurrent writer's
+    commit dir is staged BEFORE its manifest CAS, so an unreferenced dir
+    younger than the grace window may be an in-flight commit — deleting
+    it would fail the racing writer (or worse, publish a manifest whose
+    files are gone). Only dirs older than the window can be abandoned
+    stages or replaced commits. The same retention-vs-in-flight rule as
+    Delta's VACUUM."""
+    import time as _time
+
     head = head_version(spark, table)
     if head == 0:
         return 0
@@ -252,9 +264,10 @@ def vacuum(spark: SparkSession, table: str, keep_versions: int = 2) -> int:
         keep.update(_read_manifest(spark, table, v)["commits"])
     jvm, fs = _jvm_fs(spark, table)
     removed = 0
+    now_ms = _time.time() * 1000.0
     for st in fs.globStatus(_jpath(jvm, f"{table}/{_DATA}/*")) or []:
         rel = f"{_DATA}/{st.getPath().getName()}"
-        if rel not in keep:
+        if rel not in keep and now_ms - st.getModificationTime() >= min_age_s * 1000.0:
             fs.delete(st.getPath(), True)
             removed += 1
     for st in fs.globStatus(_jpath(jvm, f"{table}/{_MANIFESTS}/v*.json")) or []:

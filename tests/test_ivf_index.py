@@ -431,7 +431,7 @@ def test_manifested_maintenance_is_transactional(spark, tmp_path):
     # quiescent: compaction preserved content; vacuum keeps the head
     from pdf_parse_vector_db_spark.sources import manifest as M
 
-    M.vacuum(spark, table, keep_versions=1)
+    M.vacuum(spark, table, keep_versions=1, min_age_s=0)
     final = ivf_index.search_ivf_index_snapshot(spark, table, q, cids)
     assert final in (full, reduced)
 

@@ -104,7 +104,11 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
     commits = M._read_manifest(spark, t, 2)["commits"]
     M.commit_replace(spark, t, M.snapshot(spark, t)[1], drop_commits=list(commits))
     assert len(os.listdir(f"{t}/data")) == 3
-    removed = M.vacuum(spark, t, keep_versions=1)
+    # a fresh unreferenced dir is protected by the grace window (it
+    # may be a racing writer's in-flight stage) ...
+    assert M.vacuum(spark, t, keep_versions=1) == 0
+    # ... and reclaimed once demonstrably old
+    removed = M.vacuum(spark, t, keep_versions=1, min_age_s=0)
     assert removed == 2  # the two replaced commit dirs
     assert len(os.listdir(f"{t}/data")) == 1
     v, df = M.snapshot(spark, t)
