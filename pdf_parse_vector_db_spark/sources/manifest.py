@@ -36,14 +36,18 @@ survive. Cross-commit reads union per-commit DataFrames by name —
 unions of parquet scans, which Catalyst plans as one multi-scan union
 (filters/projections push into every leg).
 
-CAS validity: Hadoop ``FileSystem.rename`` returns false on an existing
-destination for LocalFileSystem (verified empirically in this
-container: dst intact, rename false) and HDFS — Hadoop checks the
-destination, it does NOT fall through to POSIX rename(2) overwrite
-semantics. Raw object stores (S3A) have no atomic rename: there this
-protocol needs the store's conditional-put (S3 If-None-Match) or an
-external lock table, exactly as Delta/Iceberg deploy it — the manifest
-format itself is unchanged.
+CAS validity — measured, then corrected: Hadoop LocalFileSystem's
+rename-onto-existing returns false in a single-threaded probe, but the
+check is CHECK-THEN-RENAME — under real contention the 6-writer race
+test caught two writers both winning the same version (one commit
+silently lost). The claim step therefore uses a primitive that is
+atomic on each backend: ``java.io.File.createNewFile`` (O_CREAT|O_EXCL
+by Javadoc contract) on the local filesystem, exclusive ``fs.create``
+on HDFS (atomic under the namenode lock); raw object stores need the
+store's conditional-put (S3 If-None-Match) or an external lock table,
+exactly as Delta/Iceberg deploy it — the manifest format is unchanged.
+A claimant that dies mid-publish is self-healing: losers sweep a claim
+older than a grace window that published nothing.
 """
 
 from __future__ import annotations
@@ -92,23 +96,79 @@ def _read_manifest(spark: SparkSession, table: str, version: int) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
+#: a .claim older than this with no published manifest is a dead claimant
+_CLAIM_GRACE_MS = 60_000
+
+
+def _atomic_claim(jvm, fs, path: str) -> bool:
+    """Exclusively create `path`; True iff WE created it. On the local
+    filesystem this must be java.io.File.createNewFile (O_CREAT|O_EXCL,
+    atomic by Javadoc contract) — Hadoop's LocalFileSystem rename AND
+    exclusive create are both check-then-act, and the race test caught
+    two writers winning the same version through that TOCTOU under
+    load. On HDFS, fs.create(overwrite=false) is atomic under the
+    namenode lock, and object stores provide conditional-put."""
+    if fs.getUri().getScheme() in (None, "file"):
+        local = path[5:] if path.startswith("file:") else path
+        return bool(jvm.java.io.File(local).createNewFile())
+    try:
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(path), False)
+        out.close()
+        return True
+    except Exception:  # noqa: BLE001 — FileAlreadyExists == lost the claim
+        return False
+
+
 def _try_commit(spark: SparkSession, table: str, version: int, manifest: dict) -> bool:
-    """Write v{version}.json via tmp + rename-CAS. True iff this writer won."""
+    """Publish v{version}.json exactly once: atomic claim → write tmp →
+    rename onto the (claim-protected, therefore absent) destination.
+    True iff this writer won. A crashed claimant is self-healing: losers
+    delete a stale claim (old, with no published manifest) so the next
+    attempt can take the version."""
+    import time as _time
+
     jvm, fs = _jvm_fs(spark, table)
     fs.mkdirs(_jpath(jvm, f"{table}/{_MANIFESTS}"))
-    tmp = _jpath(jvm, f"{table}/{_MANIFESTS}/v{version}.json.tmp.{uuid.uuid4().hex}")
     dst = _jpath(jvm, f"{table}/{_MANIFESTS}/v{version}.json")
-    out = fs.create(tmp, False)
+    if fs.exists(dst):
+        return False
+    claim_s = f"{table}/{_MANIFESTS}/v{version}.claim"
+    claim = _jpath(jvm, claim_s)
+    if not _atomic_claim(jvm, fs, claim_s):
+        # lost the claim — or found a dead claimant's leftovers
+        if fs.exists(dst):
+            # claimant published but crashed before removing its claim:
+            # the claim is permanent garbage, sweep it
+            fs.delete(claim, False)
+        else:
+            try:
+                stale = (
+                    _time.time() * 1000.0
+                    - fs.getFileStatus(claim).getModificationTime()
+                    > _CLAIM_GRACE_MS
+                )
+            except Exception:  # noqa: BLE001 — winner released it mid-inspection
+                stale = False
+            if stale:
+                fs.delete(claim, False)  # dead before publishing; free the slot
+        return False
     try:
-        out.write(bytearray(json.dumps(manifest, sort_keys=True).encode("utf-8")))
+        if fs.exists(dst):  # stale-claim steal raced a late publisher
+            return False
+        tmp = _jpath(
+            jvm, f"{table}/{_MANIFESTS}/v{version}.json.tmp.{uuid.uuid4().hex}"
+        )
+        out = fs.create(tmp, False)
+        try:
+            out.write(bytearray(json.dumps(manifest, sort_keys=True).encode("utf-8")))
+        finally:
+            out.close()
+        if fs.rename(tmp, dst):
+            return True
+        fs.delete(tmp, False)
+        return False
     finally:
-        out.close()
-    # rename returns false when dst exists: the CAS. A false here is a
-    # LOST RACE, not corruption — clean the tmp and let the caller retry.
-    if fs.rename(tmp, dst):
-        return True
-    fs.delete(tmp, False)
-    return False
+        fs.delete(claim, False)
 
 
 #: idempotency keys retained in the manifest (insertion-ordered). The

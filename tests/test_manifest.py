@@ -51,15 +51,25 @@ def test_racing_appends_all_land_with_distinct_versions(spark, tmp_path):
         except BaseException as exc:  # noqa: BLE001
             errors.append(exc)
 
-    threads = [threading.Thread(target=writer, args=(i,)) for i in range(6)]
+    # 10 writers through a barrier: this exact test (at 6 writers, no
+    # barrier) caught Hadoop LocalFileSystem's rename TOCTOU — two
+    # writers winning one version, a commit silently lost — which is why
+    # the claim step is java.io.File.createNewFile / exclusive create
+    barrier = threading.Barrier(10)
+
+    def synced(i):
+        barrier.wait(60)
+        writer(i)
+
+    threads = [threading.Thread(target=synced, args=(i,)) for i in range(10)]
     for th in threads:
         th.start()
     for th in threads:
-        th.join(120)
+        th.join(180)
     assert not errors, errors
-    assert sorted(versions) == [1, 2, 3, 4, 5, 6]  # every CAS winner distinct
+    assert sorted(versions) == list(range(1, 11))  # every CAS winner distinct
     v, df = M.snapshot(spark, t)
-    assert v == 6 and df.count() == 60  # no lost writes
+    assert v == 10 and df.count() == 100  # no lost writes
 
 
 def test_snapshots_are_immutable_under_later_commits(spark, tmp_path):
