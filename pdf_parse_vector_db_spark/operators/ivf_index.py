@@ -218,9 +218,15 @@ def cell_versions(spark: SparkSession, path: str, cids: list[int]) -> dict[int, 
     out: dict[int, int] = {-1: fs.getFileStatus(root_p).getModificationTime()}
     for cid in cids:
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/cluster_id={int(cid)}")
-        if fs.exists(p):
+        # stat directly and treat FileNotFound as absent: an exists()→
+        # getFileStatus() pair is a TOCTOU against a concurrent swap (the
+        # same class the manifest race test caught in its claim sweep)
+        try:
             out[int(cid)] = fs.getFileStatus(p).getModificationTime()
-        elif fs.exists(
+            continue
+        except Exception:  # noqa: BLE001 — absent or renamed mid-stat
+            pass
+        if fs.exists(
             jvm.org.apache.hadoop.fs.Path(f"{path}/cluster_id={int(cid)}__old")
         ) or fs.exists(
             jvm.org.apache.hadoop.fs.Path(f"{path}/cluster_id={int(cid)}__tmp")
