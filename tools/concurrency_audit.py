@@ -56,14 +56,23 @@ def main() -> None:
         for n_threads in (1, 2, 4, 8):
             errors: list[BaseException] = []
 
-            def client():
+            def client(tid, n_threads=n_threads):
+                # every request text is unique across the whole audit, so
+                # these numbers measure the ENGINE path — the response
+                # cache (which would otherwise serve repeats at memory
+                # speed) reports separately as cached_qps below
                 try:
                     for j in range(n_per_thread):
-                        svc.search_similar_cases(f"q{j}.pdf", DOC + f" p{j}", 2)
+                        svc.search_similar_cases(
+                            f"q{j}.pdf", DOC + f" p{n_threads}-{tid}-{j}", 2
+                        )
                 except BaseException as exc:  # noqa: BLE001
                     errors.append(exc)
 
-            threads = [threading.Thread(target=client) for _ in range(n_threads)]
+            threads = [
+                threading.Thread(target=client, args=(tid,))
+                for tid in range(n_threads)
+            ]
             t0 = time.perf_counter()
             for t in threads:
                 t.start()
@@ -74,6 +83,14 @@ def main() -> None:
                 raise errors[0]
             per_threads[str(n_threads)] = round(n_threads * n_per_thread / wall, 2)
 
+        # the repeated-query path: version-keyed cache, no Spark job
+        svc.search_similar_cases("hot.pdf", DOC + " hot", 2)
+        t0 = time.perf_counter()
+        for _ in range(200):
+            svc.search_similar_cases("hot.pdf", DOC + " hot", 2)
+        cached_qps = round(200 / (time.perf_counter() - t0), 1)
+
+    churn = _consistent_read_churn(spark, n_per_thread)
     print(
         json.dumps(
             {
@@ -81,9 +98,60 @@ def main() -> None:
                 "per_threads": per_threads,
                 "searches_per_thread": n_per_thread,
                 "scaleup_8v1": round(per_threads["8"] / per_threads["1"], 2),
+                "cached_qps": cached_qps,
+                "ivf_consistent_reads": churn,
             }
         )
     )
+
+
+def _consistent_read_churn(spark, n_reads: int) -> dict:
+    """Cost of the consistent-read protocol on the IVF index, quiet vs a
+    live compactor republishing every cell in a paced loop — how much a
+    reader pays for validate-and-retry when maintenance actually churns."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.operators import ivf_index
+    from pdf_parse_vector_db_spark.plans.similarity import _IVF_NPROBE, _ivf_seeds
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    seeds = _ivf_seeds(emb)
+    out = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/index"
+        ivf_index.build_ivf_index(emb, seeds, path)
+        q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+        cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
+
+        def reads():
+            t0 = time.perf_counter()
+            for _ in range(n_reads):
+                ivf_index.search_ivf_index_consistent(
+                    spark, path, q, cids, max_retries=60
+                )
+            return round(n_reads / (time.perf_counter() - t0), 2)
+
+        out["quiet_qps"] = reads()
+        stop = threading.Event()
+
+        def compactor():
+            while not stop.is_set():
+                ivf_index.compact_ivf_index(spark, path, max_files_per_cell=0)
+                time.sleep(0.25)
+
+        t = threading.Thread(target=compactor)
+        t.start()
+        try:
+            out["churn_qps"] = reads()
+        finally:
+            stop.set()
+            t.join(120)
+        out["churn_penalty"] = round(out["quiet_qps"] / max(out["churn_qps"], 1e-9), 2)
+    return out
 
 
 if __name__ == "__main__":
