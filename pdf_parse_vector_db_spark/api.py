@@ -24,6 +24,7 @@ collection; the long-lived SparkSession plays the module-global client
 
 from __future__ import annotations
 
+import copy
 import json
 import threading
 
@@ -171,18 +172,29 @@ class SparkVectorService:
 
         # version read is deliberately pre-search: a concurrent ingest
         # committing mid-search bumps the version, so this entry is
-        # already stale at insert and can never serve post-ingest readers
+        # already stale at insert and can never serve post-ingest readers.
+        # Manifested mode exists for MULTI-PROCESS writers, so the local
+        # counter is not enough there — key on the manifest head (one
+        # cheap globStatus), which any process's commit advances.
+        if self.manifested:
+            from pdf_parse_vector_db_spark.sources import manifest as M
+
+            version = M.head_version(self.spark, self.path)
+        else:
+            version = self._version
         key = (
             hashlib.sha256(text.encode()).hexdigest(),
             file_name,
             target,
             int(top_k),
-            self._version,
+            version,
         )
         with self._cache_lock:
             if key in self._cache:
                 self.cache_hits += 1
-                return self._cache[key]
+                # defensive copy: a caller annotating the response must
+                # not poison every later hit on this key
+                return copy.deepcopy(self._cache[key])
 
         # the reference embeds every chunk and keeps [0]
         # (extract_and_search_v2.py:124-135); embedding only the first chunk
@@ -222,7 +234,8 @@ class SparkVectorService:
                 # version bump already evicts whole generations, so
                 # recency bookkeeping buys little here
                 self._cache.pop(next(iter(self._cache)))
-            self._cache[key] = out
+            # store our own private copy for the same reason as the hit path
+            self._cache[key] = copy.deepcopy(out)
         return out
 
     # -- liveness ----------------------------------------------------------

@@ -428,10 +428,14 @@ def compact_ivf_index_manifested(spark: SparkSession, table: str) -> int:
 def delete_from_ivf_index_manifested(
     spark: SparkSession, table: str, vec_ids: list[int]
 ) -> int:
-    """GDPR erasure as a replace-commit; physical bytes vanish at vacuum."""
+    """GDPR erasure as a replace-commit; physical bytes vanish at vacuum.
+    No-op (returns the current head) on an empty table or an empty id
+    list, mirroring the compact path's head==0 guard."""
     from pdf_parse_vector_db_spark.sources import manifest as M
 
     head = M.head_version(spark, table)
+    if head == 0 or not vec_ids:
+        return head
     commits = M._read_manifest(spark, table, head)["commits"]
     _, df = M.snapshot(spark, table, version=head)
     kept = df.filter(~F.col("vec_id").isin([int(v) for v in vec_ids]))

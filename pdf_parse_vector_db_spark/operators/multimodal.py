@@ -175,6 +175,108 @@ def frame_sample_fused(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+#: pigeonhole guarantee: hamming(a, b) <= PHASH_RADIUS with PHASH_BANDS
+#: bands means at least one band is bit-identical (radius < bands), so the
+#: band-bucket self-join misses no true pair — the Manku et al. (WWW'07)
+#: fingerprint-dedup decomposition.
+PHASH_BANDS = 4
+PHASH_RADIUS = 3
+
+# One projection, one pass, zero Python: every array is bound exactly once
+# via the single-element-array transform trick (a bare withColumn alias is
+# inlined by Catalyst's projection collapse, re-evaluating split() per
+# reference — the O(n^2) cliff the verify notes pin). Shape:
+#   words  = whitespace tokens of the decoded payload
+#   pixels = 64 'grayscale blocks': total token chars in each of 64 equal
+#            word slices (the deterministic, locality-preserving stand-in
+#            for Pillow's 8x8 block means — small edits move few blocks)
+#   bit i  = pixel_i > mean  (compared as 64*pixel_i > total: exact ints)
+#   bands  = four 16-bit ints b0..b3 (packing 64 bits into one BIGINT would
+#            fight the sign bit in BOTH engines; bands are what the join
+#            keys on anyway)
+_PHASH_EXPR = r"""
+transform(array(split(trim(decode(content, 'UTF-8')), '\\s+')), ws ->
+  transform(array(transform(sequence(0, 63), i ->
+      aggregate(
+        slice(ws, ((i * size(ws)) div 64) + 1,
+              (((i + 1) * size(ws)) div 64) - ((i * size(ws)) div 64)),
+        0L, (a, w) -> a + length(w)))), px ->
+    transform(array(aggregate(px, 0L, (a, x) -> a + x)), tot ->
+      named_struct(
+        'b0', aggregate(sequence(0, 15), 0,
+                (a, j) -> a + if(64 * element_at(px, j + 1)  > tot, shiftleft(1, j), 0)),
+        'b1', aggregate(sequence(0, 15), 0,
+                (a, j) -> a + if(64 * element_at(px, j + 17) > tot, shiftleft(1, j), 0)),
+        'b2', aggregate(sequence(0, 15), 0,
+                (a, j) -> a + if(64 * element_at(px, j + 33) > tot, shiftleft(1, j), 0)),
+        'b3', aggregate(sequence(0, 15), 0,
+                (a, j) -> a + if(64 * element_at(px, j + 49) > tot, shiftleft(1, j), 0))
+      ))[0])[0])[0]
+"""
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint of each binary payload:
+    64 content-derived 'pixel' blocks, one bit per block (above/below the
+    mean), emitted as four 16-bit band ints — the image near-dup device
+    (pHash family) behind every large-scale vision-corpus dedup.
+
+    The pixel stage is the deterministic decode fake shared by this module
+    (a real pipeline swaps in Pillow: grayscale 8x8 block means — one line,
+    same downstream): block i is the character mass of the i-th of 64 equal
+    word slices, so it is LOCALITY-PRESERVING — a small edit perturbs a few
+    blocks, an exact dup matches in all 64 — unlike the sha256 fakes, which
+    are deliberately avalanche. Pure codegen map (no UDF, no shuffle);
+    output is 4 ints/row, the only bytes later joins exchange."""
+    return media.select(
+        "doc_id", F.expr(_PHASH_EXPR).alias("ph")
+    ).select("doc_id", "ph.b0", "ph.b1", "ph.b2", "ph.b3")
+
+
+def phash_near_dup_pairs(hashes: DataFrame, radius: int = PHASH_RADIUS) -> DataFrame:
+    """Banded hamming-radius self-join over perceptual hashes: explode each
+    hash into its 4 bands, bucket-join on (band_idx, band_value) — pigeonhole-
+    complete for radius < 4 — then verify candidates with the exact popcount
+    distance. Same candidate-generation-then-verify shape as the simhash
+    tier; the exchange carries (doc_id, band, val) = 16 bytes/row."""
+    if radius >= PHASH_BANDS:
+        raise ValueError("banding is only pigeonhole-complete for radius < bands")
+    bands = hashes.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"{c}_a") for c in ("b0", "b1", "b2", "b3")],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}_b") for c in ("b0", "b1", "b2", "b3")],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"{c}_a ^ {c}_b")) for c in ("b0", "b1", "b2", "b3")
+    )
+    return (
+        cands.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= radius)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 RESIZE_SCHEMA = (
     "doc_id bigint, kind string, src_w int, src_h int, dst_w int, dst_h int, "
     "scale double, out_bytes bigint, out_sha string"

@@ -14,12 +14,15 @@ numbered manifest file listing exactly the live files. This module is
 that protocol's minimal correct core, on the Hadoop FileSystem API:
 
   * writers stage part files under ``data/<commit-uuid>/``, then commit
-    by writing ``_manifests/v{N+1}.json.tmp`` and renaming it to
-    ``_manifests/v{N+1}.json``. ``FileSystem.rename`` returns FALSE when
-    the destination exists (checked, never ignored — the SCD2 lesson),
-    so the rename is a compare-and-swap on the version number: two
-    racing writers (threads OR processes) cannot both win N+1; the
-    loser re-reads the head and retries against N+2.
+    by writing ``_manifests/v{N+1}.json.tmp`` and atomically publishing
+    it as ``_manifests/v{N+1}.json`` (kernel-atomic link(2) locally,
+    namenode-atomic no-overwrite rename on HDFS) — a compare-and-swap on
+    the version number: two racing writers (threads OR processes) cannot
+    both win N+1; the loser re-reads the head and retries against N+2.
+    Every manifest carries a per-attempt ``writer`` fencing token that is
+    re-read from the destination after publish, so even a writer whose
+    claim lease was swept while it was paused can never report success
+    over another writer's committed manifest.
   * readers list ``_manifests``, take the highest version, and read
     exactly that manifest's file list — a true snapshot: no vanish
     window, no partial append, no dependence on directory mtimes.
@@ -47,7 +50,12 @@ on HDFS (atomic under the namenode lock); raw object stores need the
 store's conditional-put (S3 If-None-Match) or an external lock table,
 exactly as Delta/Iceberg deploy it — the manifest format is unchanged.
 A claimant that dies mid-publish is self-healing: losers sweep a claim
-older than a grace window that published nothing.
+older than a grace window that published nothing. The sweep makes the
+claim a revocable LEASE, so the publish step cannot trust it: the final
+publish is itself atomic-no-overwrite, and success is only reported
+after verifying the destination bytes carry this writer's fencing token
+(see ``_try_commit``). Staleness comparisons use the filesystem's own
+clock (probe-file mtime), never the local host clock.
 """
 
 from __future__ import annotations
@@ -100,6 +108,25 @@ def _read_manifest(spark: SparkSession, table: str, version: int) -> dict:
 _CLAIM_GRACE_MS = 60_000
 
 
+def _local_path(path: str) -> str:
+    return path[5:] if path.startswith("file:") else path
+
+
+def _fs_now_ms(jvm, fs, dir_s: str) -> float:
+    """The filesystem's OWN notion of 'now': mtime of a freshly created
+    probe file. Staleness checks (claim sweep, vacuum grace) compare this
+    against mtimes written by OTHER hosts — using the local clock there
+    breaks under cross-host clock skew on shared storage (an in-flight
+    commit could look an hour old). One create+stat+delete per check."""
+    probe = _jpath(jvm, f"{dir_s}/.now.{uuid.uuid4().hex}")
+    out = fs.create(probe, True)
+    out.close()
+    try:
+        return float(fs.getFileStatus(probe).getModificationTime())
+    finally:
+        fs.delete(probe, False)
+
+
 def _atomic_claim(jvm, fs, path: str) -> bool:
     """Exclusively create `path`; True iff WE created it. On the local
     filesystem this must be java.io.File.createNewFile (O_CREAT|O_EXCL,
@@ -109,8 +136,7 @@ def _atomic_claim(jvm, fs, path: str) -> bool:
     load. On HDFS, fs.create(overwrite=false) is atomic under the
     namenode lock, and object stores provide conditional-put."""
     if fs.getUri().getScheme() in (None, "file"):
-        local = path[5:] if path.startswith("file:") else path
-        return bool(jvm.java.io.File(local).createNewFile())
+        return bool(jvm.java.io.File(_local_path(path)).createNewFile())
     try:
         out = fs.create(jvm.org.apache.hadoop.fs.Path(path), False)
         out.close()
@@ -119,17 +145,47 @@ def _atomic_claim(jvm, fs, path: str) -> bool:
         return False
 
 
+def _atomic_publish(jvm, fs, tmp_s: str, dst_s: str) -> bool:
+    """Make the fully written `tmp_s` appear at `dst_s` atomically,
+    failing (never overwriting) if the destination exists. On the local
+    filesystem the primitive is link(2) via java.nio Files.createLink —
+    EEXIST is checked IN THE KERNEL, unlike Hadoop local rename (a
+    userspace check-then-rename that can silently overwrite a racing
+    publisher's manifest). On HDFS, rename-without-overwrite is atomic
+    under the namenode lock. The linked/renamed file is complete at
+    publish time, so readers never observe a partial manifest."""
+    if fs.getUri().getScheme() in (None, "file"):
+        try:
+            jvm.java.nio.file.Files.createLink(
+                jvm.java.io.File(_local_path(dst_s)).toPath(),
+                jvm.java.io.File(_local_path(tmp_s)).toPath(),
+            )
+            return True
+        except Exception:  # noqa: BLE001 — FileAlreadyExists == lost
+            return False
+    return bool(fs.rename(_jpath(jvm, tmp_s), _jpath(jvm, dst_s)))
+
+
 def _try_commit(spark: SparkSession, table: str, version: int, manifest: dict) -> bool:
     """Publish v{version}.json exactly once: atomic claim → write tmp →
-    rename onto the (claim-protected, therefore absent) destination.
-    True iff this writer won. A crashed claimant is self-healing: losers
-    delete a stale claim (old, with no published manifest) so the next
-    attempt can take the version."""
-    import time as _time
+    atomically link/rename onto the absent destination → VERIFY the
+    destination carries this writer's fencing token. True iff this
+    writer won. A crashed claimant is self-healing: losers delete a
+    stale claim (old, with no published manifest) so the next attempt
+    can take the version.
 
+    The claim is a lease, and the stale-claim sweep makes leases
+    revocable — so a claimant paused past the grace window (GC pause,
+    slow staging FS) can wake to find another writer holding "its"
+    version. Two defenses close that hole: the publish primitive itself
+    is an atomic no-overwrite CAS (`_atomic_publish`), and the manifest
+    embeds a per-attempt `writer` UUID that is re-read from the
+    destination after publish — a writer only returns True when the
+    bytes on disk are provably its own (the fencing-token check)."""
     jvm, fs = _jvm_fs(spark, table)
     fs.mkdirs(_jpath(jvm, f"{table}/{_MANIFESTS}"))
-    dst = _jpath(jvm, f"{table}/{_MANIFESTS}/v{version}.json")
+    dst_s = f"{table}/{_MANIFESTS}/v{version}.json"
+    dst = _jpath(jvm, dst_s)
     if fs.exists(dst):
         return False
     claim_s = f"{table}/{_MANIFESTS}/v{version}.claim"
@@ -143,7 +199,7 @@ def _try_commit(spark: SparkSession, table: str, version: int, manifest: dict) -
         else:
             try:
                 stale = (
-                    _time.time() * 1000.0
+                    _fs_now_ms(jvm, fs, f"{table}/{_MANIFESTS}")
                     - fs.getFileStatus(claim).getModificationTime()
                     > _CLAIM_GRACE_MS
                 )
@@ -155,18 +211,31 @@ def _try_commit(spark: SparkSession, table: str, version: int, manifest: dict) -
     try:
         if fs.exists(dst):  # stale-claim steal raced a late publisher
             return False
-        tmp = _jpath(
-            jvm, f"{table}/{_MANIFESTS}/v{version}.json.tmp.{uuid.uuid4().hex}"
-        )
+        manifest = dict(manifest)
+        manifest["writer"] = uuid.uuid4().hex  # fencing token
+        payload = json.dumps(manifest, sort_keys=True).encode("utf-8")
+        tmp_s = f"{table}/{_MANIFESTS}/v{version}.json.tmp.{uuid.uuid4().hex}"
+        tmp = _jpath(jvm, tmp_s)
         out = fs.create(tmp, False)
         try:
-            out.write(bytearray(json.dumps(manifest, sort_keys=True).encode("utf-8")))
+            out.write(bytearray(payload))
         finally:
             out.close()
-        if fs.rename(tmp, dst):
-            return True
-        fs.delete(tmp, False)
-        return False
+        won = _atomic_publish(jvm, fs, tmp_s, dst_s)
+        fs.delete(tmp, False)  # local publish is a link; drop the tmp name
+        if not won:
+            return False
+        # fencing-token verification: the destination must be OUR bytes.
+        # If a paused-lease steal let another writer publish this version
+        # (or anything else went sideways), claim defeat and retry.
+        stream = fs.open(dst)
+        try:
+            back = bytes(
+                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        return back == payload
     finally:
         fs.delete(claim, False)
 
@@ -312,9 +381,12 @@ def vacuum(
     it would fail the racing writer (or worse, publish a manifest whose
     files are gone). Only dirs older than the window can be abandoned
     stages or replaced commits. The same retention-vs-in-flight rule as
-    Delta's VACUUM."""
-    import time as _time
-
+    Delta's VACUUM. Two operational requirements follow: `min_age_s`
+    MUST exceed the longest plausible staging write (a 10-minute default
+    is for tests; size it to your slowest commit), and 'now' is derived
+    from the FILESYSTEM (probe-file mtime, `_fs_now_ms`) rather than the
+    local clock, so cross-host clock skew on shared storage cannot make
+    an in-flight stage look older than it is."""
     head = head_version(spark, table)
     if head == 0:
         return 0
@@ -324,7 +396,7 @@ def vacuum(
         keep.update(_read_manifest(spark, table, v)["commits"])
     jvm, fs = _jvm_fs(spark, table)
     removed = 0
-    now_ms = _time.time() * 1000.0
+    now_ms = _fs_now_ms(jvm, fs, f"{table}/{_MANIFESTS}")
     for st in fs.globStatus(_jpath(jvm, f"{table}/{_DATA}/*")) or []:
         rel = f"{_DATA}/{st.getPath().getName()}"
         if rel not in keep and now_ms - st.getModificationTime() >= min_age_s * 1000.0:

@@ -77,3 +77,31 @@ def test_health_counts_chunks(svc):
     svc.ingest_legal_document("case_h.pdf", DOC, court_level=2)
     h = svc.health()
     assert h["status"] == "healthy" and h["chunks_indexed"] >= 1
+
+
+def test_cached_response_is_mutation_proof(svc):
+    """A caller annotating a returned response must not poison later
+    cache hits (ADVICE r6: the cache stored/returned one mutable dict)."""
+    svc.ingest_legal_document("case_m.pdf", DOC, court_level=3)
+    r1 = svc.search_similar_cases("query.pdf", QUERY, court_level=2)
+    r1["status"] = "mangled"
+    r1["results"].append({"injected": True})
+    r2 = svc.search_similar_cases("query.pdf", QUERY, court_level=2)
+    assert svc.cache_hits >= 1  # second call was served from cache
+    assert r2["status"] == "success"
+    assert all("injected" not in r for r in r2["results"])
+
+
+def test_manifested_cache_sees_foreign_commits(spark, tmp_path):
+    """Manifested mode exists for multi-process writers, so the search
+    cache must key on the manifest head, not the in-process counter: a
+    commit from ANOTHER service instance invalidates our cached entry."""
+    path = str(tmp_path / "wh")
+    ours = SparkVectorService(spark, path, manifested=True)
+    theirs = SparkVectorService(spark, path, manifested=True)
+    ours.ingest_legal_document("case_0.pdf", DOC, court_level=3)
+    r1 = ours.search_similar_cases("query.pdf", QUERY, court_level=2)
+    # a foreign process commits; our local counter never moves
+    theirs.ingest_legal_document("case_1.pdf", DOC + " variant b", court_level=3)
+    r2 = ours.search_similar_cases("query.pdf", QUERY, court_level=2)
+    assert r2["result_count"] == r1["result_count"] + 1  # not the stale hit

@@ -495,3 +495,16 @@ def test_manifested_stream_ingest_is_exactly_once(spark, built, tmp_path):
         spark, landing, table, str(tmp_path / "ckpt"), seeds
     ).awaitTermination(120)
     assert M.snapshot(spark, table)[1].count() == emb.count()
+
+
+def test_manifested_delete_guards_empty_table_and_empty_ids(spark, built, tmp_path):
+    """ADVICE r6: delete on an empty table raised an opaque JVM
+    FileNotFoundException instead of no-op'ing like the compact path."""
+    empty = str(tmp_path / "never_built")
+    assert ivf_index.delete_from_ivf_index_manifested(spark, empty, [1, 2]) == 0
+
+    emb, seeds, _, _ = built
+    table = str(tmp_path / "mtable_guard")
+    v = ivf_index.build_ivf_index_manifested(emb, seeds, table)
+    # empty id list: no replace-commit, head unchanged
+    assert ivf_index.delete_from_ivf_index_manifested(spark, table, []) == v

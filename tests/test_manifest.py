@@ -126,3 +126,68 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
     # pre-replace manifests are gone with their files
     assert M.head_version(spark, t) == 3
     assert not os.path.exists(f"{t}/_manifests/v1.json")
+
+
+def test_published_manifest_carries_writer_fencing_token(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 5))
+    man = M._read_manifest(spark, t, 1)
+    assert len(man.get("writer", "")) == 32  # per-attempt uuid4 hex
+
+
+def test_atomic_publish_refuses_to_overwrite(spark, tmp_path):
+    """The publish primitive itself is the CAS: linking onto an existing
+    manifest must fail and leave the winner's bytes untouched."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 5))
+    jvm, fs = M._jvm_fs(spark, t)
+    dst_s = f"{t}/_manifests/v1.json"
+    before = open(dst_s, "rb").read()
+    tmp_s = f"{t}/_manifests/v1.json.tmp.attacker"
+    with open(tmp_s, "wb") as fh:
+        fh.write(b'{"forged": true}')
+    assert M._atomic_publish(jvm, fs, tmp_s, dst_s) is False
+    assert open(dst_s, "rb").read() == before
+
+
+def test_paused_lease_steal_cannot_lose_a_commit(spark, tmp_path):
+    """The ADVICE race: claimant A pauses past the grace window, a loser
+    sweeps its claim, writer C takes the version and publishes — then A
+    wakes and tries to publish 'its' version. A's publish must fail and
+    C's manifest must survive byte-for-byte."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(f"{t}/_manifests")
+    # A's claim, paused >60s (mtime pushed into the past)
+    claim = f"{t}/_manifests/v1.claim"
+    open(claim, "w").close()
+    past = os.path.getmtime(claim) - 120.0
+    os.utime(claim, (past, past))
+    # C commits: first attempt loses to the stale claim but sweeps it,
+    # the retry wins the version
+    v = M.commit_append(spark, t, _df(spark, 0, 5))
+    assert v == 1
+    winner_bytes = open(f"{t}/_manifests/v1.json", "rb").read()
+    # A wakes with a fully written tmp and publishes late
+    a_tmp = f"{t}/_manifests/v1.json.tmp.paused"
+    with open(a_tmp, "wb") as fh:
+        fh.write(b'{"version": 1, "commits": ["data/ghost"], "writer": "a"}')
+    jvm, fs = M._jvm_fs(spark, t)
+    assert M._atomic_publish(jvm, fs, a_tmp, f"{t}/_manifests/v1.json") is False
+    assert open(f"{t}/_manifests/v1.json", "rb").read() == winner_bytes
+    # and the table still reads C's commit
+    assert M.snapshot(spark, t)[1].count() == 5
+
+
+def test_fs_now_probe_leaves_no_residue(spark, tmp_path):
+    import os
+    import time
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(f"{t}/_manifests")
+    jvm, fs = M._jvm_fs(spark, t)
+    now = M._fs_now_ms(jvm, fs, f"{t}/_manifests")
+    # same host here, so the fs clock tracks the local clock
+    assert abs(now - time.time() * 1000.0) < 30_000
+    assert not [f for f in os.listdir(f"{t}/_manifests") if f.startswith(".now.")]
