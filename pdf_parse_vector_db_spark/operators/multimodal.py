@@ -186,21 +186,25 @@ PHASH_RADIUS = 3
 # via the single-element-array transform trick (a bare withColumn alias is
 # inlined by Catalyst's projection collapse, re-evaluating split() per
 # reference — the O(n^2) cliff the verify notes pin). Shape:
-#   words  = whitespace tokens of the decoded payload
-#   pixels = 64 'grayscale blocks': total token chars in each of 64 equal
-#            word slices (the deterministic, locality-preserving stand-in
-#            for Pillow's 8x8 block means — small edits move few blocks)
+#   chars  = the decoded payload as a character array
+#   pixels = 64 'grayscale blocks': codepoint mass of each of 64 equal
+#            character slices (the deterministic, locality-preserving
+#            stand-in for Pillow's 8x8 block means — small edits move few
+#            blocks). Character granularity matters: WORD-slice occupancy
+#            turned out to be a pure function of the word count (period-8
+#            moiré patterns collapsed thousands of unrelated docs onto one
+#            hash); char slices keep every block occupied and content-driven.
 #   bit i  = pixel_i > mean  (compared as 64*pixel_i > total: exact ints)
 #   bands  = four 16-bit ints b0..b3 (packing 64 bits into one BIGINT would
 #            fight the sign bit in BOTH engines; bands are what the join
 #            keys on anyway)
 _PHASH_EXPR = r"""
-transform(array(split(trim(decode(content, 'UTF-8')), '\\s+')), ws ->
+transform(array(split(trim(decode(content, 'UTF-8')), '')), ws ->
   transform(array(transform(sequence(0, 63), i ->
       aggregate(
         slice(ws, ((i * size(ws)) div 64) + 1,
               (((i + 1) * size(ws)) div 64) - ((i * size(ws)) div 64)),
-        0L, (a, w) -> a + length(w)))), px ->
+        0L, (a, w) -> a + ascii(w)))), px ->
     transform(array(aggregate(px, 0L, (a, x) -> a + x)), tot ->
       named_struct(
         'b0', aggregate(sequence(0, 15), 0,
@@ -223,10 +227,10 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
 
     The pixel stage is the deterministic decode fake shared by this module
     (a real pipeline swaps in Pillow: grayscale 8x8 block means — one line,
-    same downstream): block i is the character mass of the i-th of 64 equal
-    word slices, so it is LOCALITY-PRESERVING — a small edit perturbs a few
-    blocks, an exact dup matches in all 64 — unlike the sha256 fakes, which
-    are deliberately avalanche. Pure codegen map (no UDF, no shuffle);
+    same downstream): block i is the codepoint mass of the i-th of 64 equal
+    character slices, so it is LOCALITY-PRESERVING — a small edit perturbs
+    few blocks, an exact dup matches in all 64 — unlike the sha256 fakes,
+    which are deliberately avalanche. Pure codegen map (no UDF, no shuffle);
     output is 4 ints/row, the only bytes later joins exchange."""
     return media.select(
         "doc_id", F.expr(_PHASH_EXPR).alias("ph")

@@ -12,6 +12,8 @@ from pdf_parse_vector_db_spark.operators.multimodal import (
     decode_media_meta,
     extract_features,
     frame_sample_fused,
+    perceptual_hash,
+    phash_near_dup_pairs,
     resize_media,
 )
 from pdf_parse_vector_db_spark.plans.registry import QuerySpec
@@ -296,8 +298,80 @@ ORDER BY doc_id
 """
 
 
+def phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47: perceptual-hash (aHash) image near-dup pairs — the missing
+    member of the multimodal dedup family (LAION-scale vision corpora dedup
+    on pHash hamming distance, not byte equality). 64 locality-preserving
+    'pixel' blocks per payload → one above-mean bit each → four 16-bit
+    bands; banded self-join (pigeonhole-complete at radius 3 < 4 bands,
+    Manku et al. WWW'07) then exact popcount verify. Everything is integer
+    arithmetic over a whitespace tokenization both engines share, so the
+    WHOLE pipeline — blocks, bits, banding, verify — sits under the value
+    hash. Scale shape: hash stage is a pure codegen map (4 ints/row); the
+    only exchange is the 16-byte band-bucket key; verify joins ride the
+    already-distinct candidate pairs."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    hashes = perceptual_hash(attach_binary(docs))
+    return phash_near_dup_pairs(hashes).orderBy("doc_a", "doc_b")
+
+
+PHASH_NEAR_DUPS_SQL = r"""
+WITH ws AS (
+  SELECT doc_id, string_split(trim(text), '') AS w FROM documents
+),
+px AS (
+  SELECT doc_id,
+         list_transform(range(64), i ->
+           coalesce(list_sum(list_transform(
+             w[CAST((i * len(w)) // 64 + 1 AS BIGINT)
+               : CAST(((i + 1) * len(w)) // 64 AS BIGINT)],
+             x -> ascii(x))), 0)::BIGINT) AS px
+  FROM ws
+),
+tot AS (
+  SELECT doc_id, px, coalesce(list_sum(px), 0)::BIGINT AS tot FROM px
+),
+hashes AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(range(16), j ->
+           CASE WHEN 64 * px[CAST(j + 1 AS BIGINT)]  > tot THEN (1 << j) ELSE 0 END)), 0)::INT AS b0,
+         coalesce(list_sum(list_transform(range(16), j ->
+           CASE WHEN 64 * px[CAST(j + 17 AS BIGINT)] > tot THEN (1 << j) ELSE 0 END)), 0)::INT AS b1,
+         coalesce(list_sum(list_transform(range(16), j ->
+           CASE WHEN 64 * px[CAST(j + 33 AS BIGINT)] > tot THEN (1 << j) ELSE 0 END)), 0)::INT AS b2,
+         coalesce(list_sum(list_transform(range(16), j ->
+           CASE WHEN 64 * px[CAST(j + 49 AS BIGINT)] > tot THEN (1 << j) ELSE 0 END)), 0)::INT AS b3
+  FROM tot
+),
+bx AS (
+  SELECT doc_id, j AS band,
+         CASE j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS val
+  FROM hashes, range(4) t(j)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bx a JOIN bx b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(ha.b0::BIGINT, hb.b0::BIGINT))
+          + bit_count(xor(ha.b1::BIGINT, hb.b1::BIGINT))
+          + bit_count(xor(ha.b2::BIGINT, hb.b2::BIGINT))
+          + bit_count(xor(ha.b3::BIGINT, hb.b3::BIGINT)) AS INT) AS hamming
+FROM cands c
+JOIN hashes ha ON ha.doc_id = c.doc_a
+JOIN hashes hb ON hb.doc_id = c.doc_b
+WHERE bit_count(xor(ha.b0::BIGINT, hb.b0::BIGINT))
+    + bit_count(xor(ha.b1::BIGINT, hb.b1::BIGINT))
+    + bit_count(xor(ha.b2::BIGINT, hb.b2::BIGINT))
+    + bit_count(xor(ha.b3::BIGINT, hb.b3::BIGINT)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = [
     QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, "X6 binary metadata"),
+    QuerySpec("phash_near_dups", phash_near_dups, PHASH_NEAR_DUPS_SQL, "X47 perceptual-hash image near-dup pairs (banded hamming, integer-exact oracle)"),
     QuerySpec("clip_pair_filter", clip_pair_filter, CLIP_PAIR_FILTER_SQL, "X6 cross-modal cosine pair gate"),
     QuerySpec("multimodal_decode", multimodal_decode, MULTIMODAL_DECODE_SQL, "X6 decode plumbing (digest-math oracle)"),
     QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL, "X6 feature extraction (digest-math oracle since r3)"),

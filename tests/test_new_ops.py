@@ -1329,3 +1329,80 @@ def test_bpe_encode_matches_greedy_reference(spark):
 
     got = [(r["token"], r["wcnt"]) for r in bpe_encode_tokens(spark, SF_SMOKE).collect()]
     assert got == top
+
+
+def test_phash_locality_and_banding_completeness(spark):
+    """X47 perceptual hash: exact dups collide in all 64 bits; a small
+    edit moves few blocks; the band-bucket join finds EXACTLY the pairs a
+    brute-force hamming scan finds (pigeonhole completeness at radius 3
+    with 4 bands, Manku et al. WWW'07); and the hash stage is pure codegen
+    (no Python eval, no cartesian product anywhere in the query)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.operators.multimodal import (
+        attach_binary,
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    # localized heavy edit: ~11% of the characters, all in one region ->
+    # only the blocks covering that region can flip
+    edited = base[:100] + "Z" * 100 + base[200:]
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, edited),                                 # localized edit
+        (3, "completely different content with other words " * 25),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    h = perceptual_hash(attach_binary(docs))
+    hm = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in h.collect()}
+    assert hm[0] == hm[1]  # exact dup -> identical hash
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    # locality: the edit region spans ~8 of 64 blocks; flips stay near it
+    assert 0 < hamming(hm[0], hm[2]) <= 16
+    assert hamming(hm[0], hm[3]) > 16          # unrelated content
+
+    # banding completeness vs brute force on the fixture corpus
+    docs = load_table(spark, SF_SMOKE, "documents").limit(300)
+    hashes = perceptual_hash(attach_binary(docs)).cache()
+    banded = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in phash_near_dup_pairs(hashes, radius=3).collect()
+    )
+    a = hashes.select(*[F.col(c).alias(f"{c}_a") for c in ("doc_id", "b0", "b1", "b2", "b3")])
+    b = hashes.select(*[F.col(c).alias(f"{c}_b") for c in ("doc_id", "b0", "b1", "b2", "b3")])
+    brute = sorted(
+        (r.doc_id_a, r.doc_id_b, r.hd)
+        for r in a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn(
+            "hd",
+            sum(
+                F.bit_count(F.expr(f"{c}_a ^ {c}_b")) for c in ("b0", "b1", "b2", "b3")
+            ).cast("int"),
+        )
+        .filter(F.col("hd") <= 3)
+        .collect()
+    )
+    assert banded == brute
+    hashes.unpersist()
+
+    # radius >= bands would break the pigeonhole guarantee -> refuse
+    import pytest
+
+    with pytest.raises(ValueError):
+        phash_near_dup_pairs(hashes, radius=4)
+
+    # plan hygiene: hash is codegen (no BatchEvalPython), join is not cartesian
+    from pdf_parse_vector_db_spark.plans.multimodal import phash_near_dups
+
+    plan = (
+        phash_near_dups(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
