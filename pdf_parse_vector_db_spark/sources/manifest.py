@@ -351,7 +351,13 @@ def snapshot(
     """(version, DataFrame) of a committed snapshot — the head by
     default, or time travel to any retained `version`. Reading a
     manifest's exact commit list is immune to concurrent commits,
-    partial appends, and rename windows; None for an empty table."""
+    partial appends, and rename windows; None for an empty table.
+
+    Schema evolution (Delta's mergeSchema semantics): commits may add
+    columns over time; the union is by NAME with missing columns
+    null-filled, so old snapshots' files read cleanly under the widened
+    schema. Dropping or retyping a column requires a replace-commit
+    that rewrites the data — same rule as Delta/Iceberg v1."""
     v = head_version(spark, table) if version is None else version
     if v == 0:
         return 0, None
@@ -364,8 +370,72 @@ def snapshot(
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return v, out
+
+
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+    ignore_replaces: bool = False,
+) -> tuple[int, DataFrame | None]:
+    """Change feed (Delta's table_changes / streaming-source semantics):
+    the rows APPENDED strictly after `from_version`, up to and including
+    `to_version` (head by default). Returns (to_version, DataFrame|None);
+    feed the returned version back as the next call's `from_version` for
+    exactly-once incremental consumption — the cursor is just an int, so
+    callers can persist it wherever their checkpoint lives.
+
+    Commit type is INFERRED from the manifest diff (no format change): a
+    version whose commit list only adds dirs is an append; one that drops
+    a parent dir is a replace (compaction / erasure rewrite). Replaced
+    data is not new rows — consuming it would double-count — so a replace
+    inside the window raises unless `ignore_replaces=True` (Delta's
+    ignoreChanges), which skips it and keeps consuming appends. Raises if
+    `from_version`'s manifest was vacuumed away (retention horizon), like
+    a Delta stream falling behind VACUUM."""
+    head = head_version(spark, table)
+    to = head if to_version is None else to_version
+    if to > head:
+        raise IOError(f"to_version {to} beyond head {head} on {table}")
+    if from_version >= to:
+        return to, None
+    try:
+        prev = (
+            _read_manifest(spark, table, from_version)["commits"]
+            if from_version
+            else []
+        )
+    except Exception as exc:  # noqa: BLE001 — vacuumed manifest
+        raise IOError(
+            f"change-feed cursor v{from_version} is beyond the retention "
+            f"horizon on {table} (vacuumed); re-bootstrap from a snapshot"
+        ) from exc
+    added_dirs: list[str] = []
+    for v in range(from_version + 1, to + 1):
+        cur = _read_manifest(spark, table, v)["commits"]
+        dropped = [c for c in prev if c not in cur]
+        if dropped:
+            if not ignore_replaces:
+                raise IOError(
+                    f"v{v} on {table} is a replace-commit (drops {dropped}); "
+                    "pass ignore_replaces=True to skip rewrites in the feed"
+                )
+        else:
+            added_dirs.extend(c for c in cur if c not in prev)
+        prev = cur
+    if not added_dirs:
+        return to, None
+    parts = [
+        spark.read.option("basePath", f"{table}/{c}").parquet(f"{table}/{c}")
+        for c in added_dirs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return to, out
 
 
 def vacuum(
@@ -405,5 +475,16 @@ def vacuum(
     for st in fs.globStatus(_jpath(jvm, f"{table}/{_MANIFESTS}/v*.json")) or []:
         name = st.getPath().getName()
         if int(name[1:-5]) < floor_v:
+            fs.delete(st.getPath(), False)
+    # crash residue: a writer that died mid-publish leaves a staged tmp
+    # (swept once demonstrably old — a LIVE writer's tmp is younger than
+    # the grace window) and possibly a claim for an already-published
+    # version (permanent garbage the moment v{N}.json exists, any age)
+    for st in fs.globStatus(_jpath(jvm, f"{table}/{_MANIFESTS}/v*.json.tmp.*")) or []:
+        if now_ms - st.getModificationTime() >= min_age_s * 1000.0:
+            fs.delete(st.getPath(), False)
+    for st in fs.globStatus(_jpath(jvm, f"{table}/{_MANIFESTS}/v*.claim")) or []:
+        v = int(st.getPath().getName()[1:-6])
+        if v <= head:
             fs.delete(st.getPath(), False)
     return removed

@@ -191,3 +191,156 @@ def test_fs_now_probe_leaves_no_residue(spark, tmp_path):
     # same host here, so the fs clock tracks the local clock
     assert abs(now - time.time() * 1000.0) < 30_000
     assert not [f for f in os.listdir(f"{t}/_manifests") if f.startswith(".now.")]
+
+
+def test_schema_evolution_union_by_name(spark, tmp_path):
+    """Delta mergeSchema semantics: a later commit may add columns; old
+    commits' rows read back null-filled under the widened schema, and
+    time travel still shows the original narrow schema."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 5))
+    wide = _df(spark, 5, 8).withColumn("source", F.lit("crawl-2026"))
+    M.commit_append(spark, t, wide)
+    v, df = M.snapshot(spark, t)
+    assert v == 2 and set(df.columns) == {"id", "court_level", "source"}
+    rows = {r.id: r.source for r in df.collect()}
+    assert rows[0] is None and rows[6] == "crawl-2026"
+    assert set(M.snapshot(spark, t, version=1)[1].columns) == {"id", "court_level"}
+
+
+def test_change_feed_appends_exactly_once(spark, tmp_path):
+    """Incremental consumption: each call returns exactly the rows
+    appended since the cursor, the cursor is just the returned version,
+    and an empty window returns None."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10))
+    M.commit_append(spark, t, _df(spark, 10, 15))
+    cur, feed = M.table_changes(spark, t, from_version=0)
+    assert cur == 2 and feed.count() == 15  # bootstrap: everything
+    M.commit_append(spark, t, _df(spark, 15, 18))
+    cur2, feed2 = M.table_changes(spark, t, from_version=cur)
+    assert cur2 == 3
+    assert sorted(r.id for r in feed2.collect()) == [15, 16, 17]  # only the delta
+    cur3, feed3 = M.table_changes(spark, t, from_version=cur2)
+    assert (cur3, feed3) == (3, None)  # caught up
+
+
+def test_change_feed_replace_commits(spark, tmp_path):
+    """A compaction inside the window must raise (its rows are rewrites,
+    not new data) unless ignore_replaces, which skips the rewrite but
+    still delivers appends on both sides of it."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10))
+    cur, _ = M.table_changes(spark, t, from_version=0)
+    M.commit_append(spark, t, _df(spark, 10, 15))
+    commits = M._read_manifest(spark, t, 2)["commits"]
+    M.commit_replace(spark, t, M.snapshot(spark, t)[1], drop_commits=commits)
+    M.commit_append(spark, t, _df(spark, 15, 18))
+    try:
+        M.table_changes(spark, t, from_version=cur)
+        raise AssertionError("replace inside the window must raise")
+    except IOError:
+        pass
+    cur2, feed = M.table_changes(spark, t, from_version=cur, ignore_replaces=True)
+    assert cur2 == 4
+    assert sorted(r.id for r in feed.collect()) == [10, 11, 12, 13, 14, 15, 16, 17]
+
+
+def test_change_feed_cursor_beyond_retention_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 40, 10):
+        M.commit_append(spark, t, _df(spark, lo, lo + 10))
+    M.vacuum(spark, t, keep_versions=1, min_age_s=0)
+    try:
+        M.table_changes(spark, t, from_version=1)
+        raise AssertionError("vacuumed cursor must raise, not silently skip")
+    except IOError as exc:
+        assert "retention" in str(exc)
+
+
+def test_vacuum_sweeps_crash_residue(spark, tmp_path):
+    """A writer that dies mid-publish leaves a staged tmp and/or a claim
+    for a version that later published; vacuum reclaims both (tmps only
+    once older than the grace window, claims for published versions at
+    any age) without touching a LIVE writer's fresh tmp."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 5))
+    mdir = f"{t}/_manifests"
+    old_tmp = f"{mdir}/v2.json.tmp.deadwriter"
+    open(old_tmp, "wb").write(b"{}")
+    past = os.path.getmtime(old_tmp) - 7200
+    os.utime(old_tmp, (past, past))
+    fresh_tmp = f"{mdir}/v2.json.tmp.livewriter"
+    open(fresh_tmp, "wb").write(b"{}")
+    garbage_claim = f"{mdir}/v1.claim"  # v1 already published
+    open(garbage_claim, "w").close()
+    M.vacuum(spark, t, keep_versions=2)
+    assert not os.path.exists(old_tmp)
+    assert os.path.exists(fresh_tmp)  # inside the grace window — maybe live
+    assert not os.path.exists(garbage_claim)
+    os.remove(fresh_tmp)
+
+
+def test_multiprocess_writers_all_land(spark, tmp_path):
+    """The layer's headline claim, certified with real PROCESSES: three
+    separate JVMs (not threads) race commit_append on one table through a
+    file barrier; every commit lands, versions are distinct, no rows are
+    lost. This is the scenario the in-JVM barrier test cannot reach — a
+    cross-process TOCTOU in the claim/publish path would only show here."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    nproc = 3
+    t = str(tmp_path / "tbl")
+    barrier = str(tmp_path / "barrier")
+    os.makedirs(barrier)
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as fh:
+        fh.write(textwrap.dedent(f"""
+            import os, sys, time
+            sys.path.insert(0, {os.getcwd()!r})
+            from pyspark.sql import SparkSession
+            from pdf_parse_vector_db_spark.sources import manifest as M
+            idx = int(sys.argv[1])
+            spark = (SparkSession.builder.master("local[2]")
+                     .appName(f"mp-writer-{{idx}}")
+                     .config("spark.ui.enabled", "false")
+                     .config("spark.sql.shuffle.partitions", "2")
+                     .config("spark.sql.warehouse.dir", {str(tmp_path)!r} + f"/wh{{idx}}")
+                     .getOrCreate())
+            df = spark.range(idx * 100, idx * 100 + 10).selectExpr(
+                "id", "CAST(3 AS INT) AS court_level")
+            open({barrier!r} + f"/ready{{idx}}", "w").close()
+            deadline = time.time() + 120
+            while len(os.listdir({barrier!r})) < {nproc}:
+                if time.time() > deadline:
+                    raise SystemExit("barrier timeout")
+                time.sleep(0.05)
+            v = M.commit_append(spark, {t!r}, df)
+            print(f"VERSION {{idx}} {{v}}", flush=True)
+            spark.stop()
+        """))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            cwd=os.getcwd(),
+        )
+        for i in range(nproc)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    versions = sorted(
+        int(line.split()[2])
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("VERSION")
+    )
+    assert versions == [1, 2, 3]  # every CAS winner distinct, none lost
+    v, df = M.snapshot(spark, t)
+    assert v == 3 and df.count() == 30
