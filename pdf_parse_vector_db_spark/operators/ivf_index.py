@@ -378,6 +378,46 @@ def stream_ingest_ivf_manifested(
     )
 
 
+def sync_ivf_index_from_feed(
+    spark: SparkSession,
+    source_table: str,
+    index_table: str,
+    seeds: DataFrame,
+    cursor: int,
+) -> int:
+    """Incremental index maintenance off the manifest CHANGE FEED (X48):
+    pull the rows appended to the manifested `source_table` since
+    `cursor`, assign them to their frozen-quantizer cells, and commit
+    them to the manifested `index_table` — exactly once. Returns the new
+    cursor (feed it back next call; persist it wherever the caller's
+    checkpoint lives).
+
+    Exactly-once under BOTH failure modes: a crash after the index
+    commit but before the caller persists its cursor replays the same
+    window, and the idempotency key — derived from the source version
+    window, not a batch counter — makes the replay a no-op that deletes
+    its re-staged files. Source compactions are invisible to the sync
+    (`ignore_replaces=True`): a rewrite is not new vectors. This is the
+    CDC-driven index-maintenance loop (Delta streaming source → vector
+    index) that keeps a search index fresh without ever rebuilding it."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    to, feed = M.table_changes(
+        spark, source_table, from_version=cursor, ignore_replaces=True
+    )
+    if feed is None:
+        return to
+    df = assign_cells(feed, seeds)
+    M.commit_append(
+        spark,
+        index_table,
+        df,
+        partition_by=("cluster_id",),
+        idempotency_key=f"feed-sync-v{cursor}-v{to}",
+    )
+    return to
+
+
 def stream_ingest_ivf_manifested_query(
     spark: SparkSession,
     landing_dir: str,

@@ -508,3 +508,42 @@ def test_manifested_delete_guards_empty_table_and_empty_ids(spark, built, tmp_pa
     v = ivf_index.build_ivf_index_manifested(emb, seeds, table)
     # empty id list: no replace-commit, head unchanged
     assert ivf_index.delete_from_ivf_index_manifested(spark, table, []) == v
+
+
+def test_feed_sync_is_incremental_and_exactly_once(spark, built, tmp_path):
+    """X48 CDC loop: appends to the manifested SOURCE table flow into the
+    manifested index via the change feed — each window once, a replayed
+    cursor is a no-op, and a source compaction adds nothing."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    emb, seeds, _, q = built
+    src = str(tmp_path / "source")
+    idx = str(tmp_path / "index")
+
+    first = emb.filter(F.col("vec_id") < 400)
+    second = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500))
+    M.commit_append(spark, src, first)
+    cur = ivf_index.sync_ivf_index_from_feed(spark, src, idx, seeds, cursor=0)
+    n1 = M.snapshot(spark, idx)[1].count()
+    assert n1 == first.count()
+
+    M.commit_append(spark, src, second)
+    cur2 = ivf_index.sync_ivf_index_from_feed(spark, src, idx, seeds, cursor=cur)
+    assert cur2 > cur
+    assert M.snapshot(spark, idx)[1].count() == n1 + second.count()
+
+    # crash-replay: the caller lost its cursor and re-syncs the same window
+    assert ivf_index.sync_ivf_index_from_feed(spark, src, idx, seeds, cursor=cur) == cur2
+    assert M.snapshot(spark, idx)[1].count() == n1 + second.count()  # no dups
+
+    # a source compaction is a rewrite, not new vectors
+    commits = M._read_manifest(spark, src, M.head_version(spark, src))["commits"]
+    M.commit_replace(spark, src, M.snapshot(spark, src)[1], drop_commits=commits)
+    cur3 = ivf_index.sync_ivf_index_from_feed(spark, src, idx, seeds, cursor=cur2)
+    assert cur3 == M.head_version(spark, src)
+    assert M.snapshot(spark, idx)[1].count() == n1 + second.count()
+
+    # and the synced index answers searches like the swap-tier build
+    cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
+    got = ivf_index.search_ivf_index_snapshot(spark, idx, q, cids)
+    assert got and got[0][0] == 0  # the query vector finds itself
