@@ -239,45 +239,47 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
 
 def phash_near_dup_pairs(hashes: DataFrame, radius: int = PHASH_RADIUS) -> DataFrame:
     """Banded hamming-radius self-join over perceptual hashes: explode each
-    hash into its 4 bands, bucket-join on (band_idx, band_value) — pigeonhole-
-    complete for radius < 4 — then verify candidates with the exact popcount
-    distance. Same candidate-generation-then-verify shape as the simhash
-    tier; the exchange carries (doc_id, band, val) = 16 bytes/row."""
+    hash into its 4 bands, bucket-join on (band_idx, band_value) —
+    pigeonhole-complete for radius < 4 — then verify candidates with the
+    exact popcount distance. Same candidate-generation-then-verify shape
+    as the simhash tier.
+
+    Plan shape (read off PLANS.md, not assumed): the exploded rows CARRY
+    the full 4-band hash, so the band join alone supplies both sides of
+    the verify — the first cut re-joined the hash table per side, which
+    re-computed the 64-block expression on four plan legs; this shape
+    computes it once per self-join leg and verifies inline before the
+    DISTINCT pair cut. The band-bucket exchange carries 6 ints/row."""
     if radius >= PHASH_BANDS:
         raise ValueError("banding is only pigeonhole-complete for radius < bands")
     bands = hashes.select(
         "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val"),
     )
     left = bands.alias("l")
     right = bands.alias("r")
-    cands = (
+    hamming = sum(
+        F.bit_count(F.expr(f"l.{c} ^ r.{c}")) for c in ("b0", "b1", "b2", "b3")
+    )
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.val") == F.col("r.val"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    ha = hashes.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(c).alias(f"{c}_a") for c in ("b0", "b1", "b2", "b3")],
-    )
-    hb = hashes.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(c).alias(f"{c}_b") for c in ("b0", "b1", "b2", "b3")],
-    )
-    hamming = sum(
-        F.bit_count(F.expr(f"{c}_a ^ {c}_b")) for c in ("b0", "b1", "b2", "b3")
-    )
-    return (
-        cands.join(ha, "doc_a")
-        .join(hb, "doc_b")
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= radius)
-        .select("doc_a", "doc_b", "hamming")
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            "hamming",
+        )
+        .distinct()
     )
 
 

@@ -246,6 +246,26 @@ def _try_commit(spark: SparkSession, table: str, version: int, manifest: dict) -
 _KEY_WINDOW = 100
 
 
+def _commit_stats(
+    spark: SparkSession, table: str, commit_dir: str, stats_cols: tuple[str, ...]
+) -> dict:
+    """Per-commit [min, max] zone map for `stats_cols`, computed from the
+    STAGED FILES (not the input DataFrame) so the stats are provably
+    consistent with the bytes the manifest references. One agg job over
+    the freshly written commit — at 100 TB this is the same pass Delta's
+    writer piggybacks on file close."""
+    staged = spark.read.parquet(f"{table}/{commit_dir}")
+    aggs = []
+    for c in stats_cols:
+        aggs.extend([F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")])
+    row = staged.agg(*aggs).collect()[0]
+
+    def _j(v):  # JSON-safe: dates/timestamps as ISO strings (ordering-safe)
+        return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+
+    return {c: [_j(row[f"min_{c}"]), _j(row[f"max_{c}"])] for c in stats_cols}
+
+
 def commit_append(
     spark: SparkSession,
     table: str,
@@ -253,6 +273,7 @@ def commit_append(
     partition_by: tuple[str, ...] = (),
     max_retries: int = 20,
     idempotency_key: str | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> int:
     """Stage `df` as immutable files under a fresh commit dir, then CAS a
     manifest that ADDS the commit. Safe under concurrent writers in any
@@ -276,6 +297,9 @@ def commit_append(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{table}/{commit_dir}")
+    my_stats = (
+        _commit_stats(spark, table, commit_dir, stats_cols) if stats_cols else None
+    )
     for _ in range(max_retries):
         head = head_version(spark, table)
         prev = (
@@ -293,11 +317,15 @@ def commit_append(
             keys[idempotency_key] = commit_dir
             while len(keys) > _KEY_WINDOW:
                 keys.pop(next(iter(keys)))
+        stats = dict(prev.get("stats") or {})
+        if my_stats is not None:
+            stats[commit_dir] = my_stats
         manifest = {
             "version": head + 1,
             "parent": head,
             "commits": prev["commits"] + [commit_dir],
             "keys": keys,
+            "stats": {c: s for c, s in stats.items() if c in prev["commits"] or c == commit_dir},
         }
         if _try_commit(spark, table, head + 1, manifest):
             return head + 1
@@ -311,6 +339,7 @@ def commit_replace(
     drop_commits: list[str],
     partition_by: tuple[str, ...] = (),
     max_retries: int = 20,
+    stats_cols: tuple[str, ...] = (),
 ) -> int:
     """Publish `df` as the replacement for `drop_commits` (compaction /
     deletion rewrite). The dropped commits' FILES stay on disk for
@@ -322,6 +351,9 @@ def commit_replace(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{table}/{commit_dir}")
+    my_stats = (
+        _commit_stats(spark, table, commit_dir, stats_cols) if stats_cols else None
+    )
     for _ in range(max_retries):
         head = head_version(spark, table)
         prev = _read_manifest(spark, table, head) if head else {"commits": []}
@@ -330,19 +362,92 @@ def commit_replace(
             raise IOError(
                 f"commit_replace conflict: {missing} already replaced by a racing commit"
             )
+        live = [c for c in prev["commits"] if c not in drop_commits] + [commit_dir]
+        stats = {
+            c: s for c, s in (prev.get("stats") or {}).items() if c in live
+        }
+        if my_stats is not None:
+            stats[commit_dir] = my_stats
         manifest = {
             "version": head + 1,
             "parent": head,
-            "commits": [c for c in prev["commits"] if c not in drop_commits]
-            + [commit_dir],
+            "commits": live,
             # idempotency keys survive replaces: a compaction racing the
             # stream's last uncheckpointed batch must not reopen the
             # replay-duplicate window
             "keys": prev.get("keys") or {},
+            "stats": stats,
         }
         if _try_commit(spark, table, head + 1, manifest):
             return head + 1
     raise IOError(f"commit_replace lost the CAS race {max_retries} times on {table}")
+
+
+def commit_merge(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Delta-style MERGE (keyed upsert) with FILE PRUNING: rewrite ONLY
+    the commit dirs that contain a matching key — untouched commits
+    survive in the new manifest BY REFERENCE, not by rewrite. Matched
+    keys take the update row (whole-row semantics); unmatched keys
+    append. At 100 TB this pruning is the difference between an upsert
+    that rewrites a few files and one that rewrites the table: a merge
+    touching 0.1% of keys rewrites ~0.1% of commits.
+
+    Hit detection is ONE job: every commit leg is scanned with a
+    constant `_commit` column and LEFT SEMI-joined against the
+    (broadcast, deduped) update keys, so Catalyst pushes the key
+    projection into each parquet leg. Callers must dedupe `updates` on
+    `key_cols` (enforced; last-writer-wins across CALLS is the CAS
+    serialization, within a call it would be nondeterministic).
+    Concurrency: the rewrite goes through commit_replace's CAS — a
+    racing commit forces a retry, a racing replace of our hit commits
+    aborts loudly."""
+    key_cols = tuple(key_cols)
+    if not key_cols:
+        raise ValueError("commit_merge needs at least one key column")
+    if updates.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count():
+        raise ValueError(f"updates are not unique on {key_cols}")
+    head = head_version(spark, table)
+    if head == 0:
+        return commit_append(spark, table, updates, partition_by=partition_by)
+    commits = _read_manifest(spark, table, head)["commits"]
+    keys = updates.select(*key_cols).distinct()
+    legs = [
+        spark.read.option("basePath", f"{table}/{c}")
+        .parquet(f"{table}/{c}")
+        .select(*key_cols)
+        .withColumn("_commit", F.lit(c))
+        for c in commits
+    ]
+    all_keys = legs[0]
+    for leg in legs[1:]:
+        all_keys = all_keys.unionByName(leg)
+    hits = sorted(
+        r._commit
+        for r in all_keys.join(F.broadcast(keys), list(key_cols), "left_semi")
+        .select("_commit")
+        .distinct()
+        .collect()
+    )
+    if not hits:
+        return commit_append(spark, table, updates, partition_by=partition_by)
+    survivors = None
+    for c in hits:
+        leg = spark.read.option("basePath", f"{table}/{c}").parquet(f"{table}/{c}")
+        survivors = leg if survivors is None else survivors.unionByName(
+            leg, allowMissingColumns=True
+        )
+    merged = survivors.join(
+        F.broadcast(keys), list(key_cols), "left_anti"
+    ).unionByName(updates, allowMissingColumns=True)
+    return commit_replace(
+        spark, table, merged, drop_commits=hits, partition_by=partition_by
+    )
 
 
 def snapshot(
@@ -372,6 +477,51 @@ def snapshot(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return v, out
+
+
+def snapshot_pruned(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[int, DataFrame | None, int]:
+    """Data-skipping read (Delta zone-map semantics): return only the
+    commit legs whose [min, max] stats for `col` OVERLAP [lo, hi], with
+    the range filter applied on top (stats prune FILES, the filter prunes
+    ROWS — both are needed, pruning alone is not a predicate). Commits
+    with no recorded stats for `col` are never pruned (safe: unknown ≠
+    disjoint). Returns (version, DataFrame|None, commits_skipped).
+
+    At 100 TB this is the read-side payoff of `stats_cols`: a time-range
+    or id-range query over an append-mostly table opens only the commits
+    whose zone maps overlap, before parquet footers are even listed —
+    the same manifest-level skipping Delta/Iceberg do ahead of row-group
+    skipping inside each file."""
+    v = head_version(spark, table) if version is None else version
+    if v == 0:
+        return 0, None, 0
+    man = _read_manifest(spark, table, v)
+    stats = man.get("stats") or {}
+    keep, skipped = [], 0
+    for c in man["commits"]:
+        rng = (stats.get(c) or {}).get(col)
+        # all-null stat bounds read as unknown, never disjoint
+        if rng is not None and None not in rng and (rng[0] > hi or rng[1] < lo):
+            skipped += 1
+            continue
+        keep.append(c)
+    if not keep:
+        return v, None, skipped
+    parts = [
+        spark.read.option("basePath", f"{table}/{c}").parquet(f"{table}/{c}")
+        for c in keep
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return v, out.filter((F.col(col) >= lo) & (F.col(col) <= hi)), skipped
 
 
 def table_changes(

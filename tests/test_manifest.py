@@ -344,3 +344,87 @@ def test_multiprocess_writers_all_land(spark, tmp_path):
     assert versions == [1, 2, 3]  # every CAS winner distinct, none lost
     v, df = M.snapshot(spark, t)
     assert v == 3 and df.count() == 30
+
+
+def test_merge_rewrites_only_hit_commits(spark, tmp_path):
+    """Delta-style MERGE with file pruning: an upsert touching keys in
+    one commit rewrites THAT commit only — the others survive in the new
+    manifest by reference — matched keys take the update row, new keys
+    append, and duplicate update keys are refused."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10))    # commit A: ids 0-9
+    M.commit_append(spark, t, _df(spark, 10, 20))   # commit B: ids 10-19
+    M.commit_append(spark, t, _df(spark, 20, 30))   # commit C: ids 20-29
+    before = M._read_manifest(spark, t, 3)["commits"]
+
+    updates = spark.createDataFrame(
+        [(12, 99), (15, 99), (1000, 99)], ["id", "court_level"]
+    )
+    v = M.commit_merge(spark, t, updates, key_cols=("id",))
+    assert v == 4
+    after = M._read_manifest(spark, t, 4)["commits"]
+    # A and C survive BY REFERENCE; only B (the hit commit) was dropped
+    assert before[0] in after and before[2] in after and before[1] not in after
+    assert len(after) == 3  # A, C, and the one rewrite commit
+
+    _, df = M.snapshot(spark, t)
+    rows = {r.id: r.court_level for r in df.collect()}
+    assert len(rows) == 31  # 30 originals + 1 new key, no dup ids
+    assert rows[12] == 99 and rows[15] == 99 and rows[1000] == 99
+    assert rows[0] == 3 and rows[20] == 3  # untouched commits intact
+
+    # all-new keys -> pure append, nothing dropped
+    v2 = M.commit_merge(
+        spark, t, spark.createDataFrame([(2000, 5)], ["id", "court_level"]), ("id",)
+    )
+    assert v2 == 5
+    assert set(after) <= set(M._read_manifest(spark, t, 5)["commits"])
+
+    # duplicate update keys are nondeterministic -> refused
+    dup = spark.createDataFrame([(1, 1), (1, 2)], ["id", "court_level"])
+    try:
+        M.commit_merge(spark, t, dup, ("id",))
+        raise AssertionError("duplicate update keys must raise")
+    except ValueError:
+        pass
+
+
+def test_data_skipping_prunes_disjoint_commits(spark, tmp_path):
+    """Zone-map skipping: commits carry [min,max] stats computed from the
+    STAGED files; a range read opens only overlapping commits, results
+    equal the unpruned filter, stats survive compaction, and commits
+    without stats are never pruned (unknown != disjoint)."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 100), stats_cols=("id",))
+    M.commit_append(spark, t, _df(spark, 100, 200), stats_cols=("id",))
+    M.commit_append(spark, t, _df(spark, 200, 300), stats_cols=("id",))
+
+    v, df, skipped = M.snapshot_pruned(spark, t, "id", 120, 180)
+    assert v == 3 and skipped == 2
+    got = sorted(r.id for r in df.collect())
+    assert got == list(range(120, 181))
+    # the pruned plan reads ONE commit dir
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+
+    # fully disjoint range -> nothing to read at all
+    v2, none_df, sk2 = M.snapshot_pruned(spark, t, "id", 900, 950)
+    assert none_df is None and sk2 == 3
+
+    # a stats-less commit must never be pruned
+    M.commit_append(spark, t, _df(spark, 300, 400))  # no stats_cols
+    _, df3, sk3 = M.snapshot_pruned(spark, t, "id", 120, 180)
+    assert sk3 == 2  # old disjoint commits pruned; the unknown one kept
+    assert sorted(r.id for r in df3.collect()) == list(range(120, 181))
+
+    # stats survive a compaction that recomputes them for the rewrite
+    commits = M._read_manifest(spark, t, 4)["commits"]
+    M.commit_replace(
+        spark, t, M.snapshot(spark, t)[1], drop_commits=commits, stats_cols=("id",)
+    )
+    _, df4, sk4 = M.snapshot_pruned(spark, t, "id", 120, 180)
+    assert sk4 == 0  # one commit now spans everything
+    assert sorted(r.id for r in df4.collect()) == list(range(120, 181))
+    st = M._read_manifest(spark, t, 5)["stats"]
+    (only,) = st.values()
+    assert only["id"] == [0, 399]

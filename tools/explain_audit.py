@@ -117,6 +117,7 @@ AUDIT = {
     "embedding_pca_variance": "shared _pi_core Gram exchange + matvecs; trace = dim-row filter of checkpointed C*",
     "bpe_encode_tokens": "per-round localCheckpoint lineage cuts (r6): corpus word agg once, each round one |vocab| exchange + 1-row broadcast merge; final plan = one token-count exchange over the checkpointed vocab",
     "fs_record_linkage": "SNM window hashpartitions on the nation block key; EM stats are SinglePartition aggs re-entering as 1-row BroadcastNestedLoopJoins; no CartesianProduct",
+    "phash_near_dups": "pure-codegen 64-block hash (no UDF); band-bucket equi-join exchanges 16-byte keys; popcount verify after DISTINCT candidate cut; no CartesianProduct",
 }
 
 
