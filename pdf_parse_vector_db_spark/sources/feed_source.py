@@ -36,7 +36,9 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _MANIFESTS = "_manifests"
@@ -113,9 +115,144 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's checkpoint; nothing to release
 
 
+#: idempotency keys retained in the manifest — mirrors manifest._KEY_WINDOW
+_KEY_WINDOW = 100
+
+
+def _py_commit_append(
+    table: str, commit_dirs: list[str], idempotency_key: str
+) -> int:
+    """Pure-Python manifest CAS (driver-side of the streaming sink; the
+    DataSource worker has no SparkSession). Same wire protocol and same
+    SYSCALLS as manifest._try_commit — O_CREAT|O_EXCL claim, fully
+    written tmp, kernel-atomic link(2) publish, post-publish writer-token
+    verification — so Python-sink commits and JVM-side writers race
+    safely on one table. One version may add SEVERAL commit dirs (one
+    per sink task); snapshot/table_changes/manifest_feed all handle that."""
+    import uuid as _uuid
+
+    root = _local(table)
+    mdir = os.path.join(root, _MANIFESTS)
+    os.makedirs(mdir, exist_ok=True)
+    for _ in range(20):
+        head = _head_version(table)
+        prev = (
+            _read_manifest(table, head)
+            if head
+            else {"commits": [], "keys": {}}
+        )
+        keys = dict(prev.get("keys") or {})
+        if idempotency_key in keys:  # replayed batch: drop re-staged files
+            import shutil
+
+            for c in commit_dirs:
+                shutil.rmtree(os.path.join(root, c), ignore_errors=True)
+            return head
+        keys[idempotency_key] = commit_dirs[0]
+        while len(keys) > _KEY_WINDOW:
+            keys.pop(next(iter(keys)))
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "commits": prev["commits"] + commit_dirs,
+            "keys": keys,
+            "stats": prev.get("stats") or {},
+            "writer": _uuid.uuid4().hex,
+        }
+        payload = json.dumps(manifest, sort_keys=True).encode("utf-8")
+        claim = os.path.join(mdir, f"v{head + 1}.claim")
+        try:
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            continue  # lost the claim; re-read the head and retry
+        try:
+            dst = os.path.join(mdir, f"v{head + 1}.json")
+            if os.path.exists(dst):
+                continue
+            tmp = os.path.join(mdir, f"v{head + 1}.json.tmp.{_uuid.uuid4().hex}")
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            try:
+                os.link(tmp, dst)
+            except FileExistsError:
+                continue
+            finally:
+                os.remove(tmp)
+            with open(dst, "rb") as f:
+                if f.read() == payload:  # fencing-token verification
+                    return head + 1
+        finally:
+            try:
+                os.remove(claim)
+            except FileNotFoundError:
+                pass
+    raise IOError(f"manifest sink lost the CAS race 20 times on {table}")
+
+
+class _SinkCommit(WriterCommitMessage):
+    def __init__(self, commit_dir: str | None):
+        self.commit_dir = commit_dir
+
+
+class ManifestFeedStreamWriter(DataSourceStreamWriter):
+    """Two-phase exactly-once sink: each TASK stages its rows as one
+    immutable commit dir (pyarrow parquet, arrow schema derived from the
+    Spark schema) and reports the dir name; the DRIVER publishes ONE
+    manifest version adding every staged dir, keyed by the batch id —
+    a replayed micro-batch is a no-op that deletes its re-staged files.
+    A crashed batch's orphan dirs are unreferenced-and-young, exactly
+    what vacuum's grace window reclaims."""
+
+    def __init__(self, schema, options):
+        self.table = options["table"]
+        self.schema = schema
+
+    def write(self, iterator) -> _SinkCommit:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = list(iterator)
+        if not rows:
+            return _SinkCommit(None)
+        arrow_schema = to_arrow_schema(self.schema)
+        names = [f.name for f in self.schema.fields]
+        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+        tbl = pa.table(
+            {n: pa.array(cols[n], type=arrow_schema.field(n).type) for n in names},
+            schema=arrow_schema,
+        )
+        commit_dir = f"data/{_uuid.uuid4().hex}"
+        out_dir = os.path.join(_local(self.table), commit_dir)
+        os.makedirs(out_dir)
+        pq.write_table(tbl, os.path.join(out_dir, "part-00000.parquet"))
+        return _SinkCommit(commit_dir)
+
+    def commit(self, messages, batchId: int) -> None:
+        dirs = [m.commit_dir for m in messages if m is not None and m.commit_dir]
+        if dirs:
+            _py_commit_append(self.table, sorted(dirs), f"manifest-sink-b{batchId}")
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        for m in messages:
+            if m is not None and m.commit_dir:
+                shutil.rmtree(
+                    os.path.join(_local(self.table), m.commit_dir),
+                    ignore_errors=True,
+                )
+
+
 class ManifestFeedDataSource(DataSource):
     """``format("manifest_feed")`` — register once per session:
-    ``spark.dataSource.register(ManifestFeedDataSource)``."""
+    ``spark.dataSource.register(ManifestFeedDataSource)``. Readable AND
+    writable: ``spark.readStream.format("manifest_feed")`` streams the
+    table's appends; ``df.writeStream.format("manifest_feed")`` is a
+    native exactly-once sink (two-phase commit onto the manifest CAS)."""
 
     @classmethod
     def name(cls) -> str:
@@ -142,3 +279,6 @@ class ManifestFeedDataSource(DataSource):
 
     def streamReader(self, schema):
         return ManifestFeedStreamReader(schema, self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return ManifestFeedStreamWriter(schema, self.options)

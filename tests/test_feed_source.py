@@ -109,3 +109,118 @@ def test_empty_table_schema_inference_refuses(spark, tmp_path):
             .option("table", str(tmp_path / "never"))
             .load()
         )
+
+
+def _land(spark, path, lo, hi, mode="append"):
+    _df(spark, lo, hi).write.mode(mode).parquet(path)
+
+
+def _sink_pass(spark, land, table, ckpt):
+    q = (
+        spark.readStream.schema("id bigint, court_level int")
+        .parquet(land)
+        .writeStream.format("manifest_feed")
+        .option("table", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+
+def test_sink_commits_each_batch_exactly_once(spark, tmp_path):
+    """Native exactly-once sink: every micro-batch is ONE manifest
+    version keyed by batch id; a replayed commit (crash between sink
+    commit and checkpoint write) is a no-op that deletes its re-staged
+    files; the table reads back complete and duplicate-free."""
+    import os
+
+    land = str(tmp_path / "land")
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _land(spark, land, 0, 20, mode="overwrite")
+    _sink_pass(spark, land, t, ckpt)
+    v, df = M.snapshot(spark, t)
+    assert df.count() == 20
+    _land(spark, land, 20, 25)
+    _sink_pass(spark, land, t, ckpt)
+    v2, df2 = M.snapshot(spark, t)
+    assert v2 > v and sorted(r.id for r in df2.collect()) == list(range(25))
+    keys = M._read_manifest(spark, t, v2)["keys"]
+    assert any(k.startswith("manifest-sink-b") for k in keys)
+
+    # replay the LAST batch's commit by hand: same key, fresh staged dir
+    from pdf_parse_vector_db_spark.sources.feed_source import _py_commit_append
+
+    ghost_rel = "data/replayghost"
+    ghost = os.path.join(t, ghost_rel)
+    os.makedirs(ghost)
+    open(os.path.join(ghost, "part-00000.parquet"), "wb").write(b"x")
+    replay_key = [k for k in keys if k.startswith("manifest-sink-b")][-1]
+    assert _py_commit_append(t, [ghost_rel], replay_key) == v2  # no-op
+    assert not os.path.exists(ghost)  # re-staged files swept
+    assert M.snapshot(spark, t)[1].count() == 25
+
+
+def test_python_and_jvm_writers_race_safely(spark, tmp_path):
+    """The sink's pure-Python CAS and the JVM-side manifest CAS use the
+    same syscalls (O_EXCL claim, link(2) publish, token verify) — racing
+    them on ONE table must land every commit on a distinct version."""
+    import os
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_vector_db_spark.sources.feed_source import _py_commit_append
+
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 5))  # bootstrap the table
+    versions, errors = [], []
+    barrier = threading.Barrier(4)
+
+    def py_writer(i):
+        try:
+            rel = f"data/py{i}"
+            os.makedirs(os.path.join(t, rel))
+            pq.write_table(
+                pa.table({"id": pa.array([100 + i], pa.int64()),
+                          "court_level": pa.array([3], pa.int32())}),
+                os.path.join(t, rel, "part-00000.parquet"),
+            )
+            barrier.wait(60)
+            versions.append(_py_commit_append(t, [rel], f"py-{i}"))
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def jvm_writer(i):
+        try:
+            df = _df(spark, 200 + i, 201 + i)
+            barrier.wait(60)
+            versions.append(M.commit_append(spark, t, df))
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=py_writer, args=(i,)) for i in range(2)] + [
+        threading.Thread(target=jvm_writer, args=(i,)) for i in range(2)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(180)
+    assert not errors, errors
+    assert sorted(versions) == [2, 3, 4, 5]  # all land, all distinct
+    assert M.snapshot(spark, t)[1].count() == 5 + 2 + 2
+
+
+def test_table_as_stream_hub_sink_then_feed(spark, tmp_path):
+    """Round trip: a stream WRITES into the manifest table (native sink)
+    and another stream READS it back (native source) — the table layer is
+    a durable exactly-once stream hub end to end."""
+    land = str(tmp_path / "land")
+    t = str(tmp_path / "tbl")
+    _land(spark, land, 0, 30, mode="overwrite")
+    _sink_pass(spark, land, t, str(tmp_path / "ckpt_in"))
+    got = _drain(spark, t, str(tmp_path / "ckpt_out"))
+    assert sorted(x for b in got for x in b) == list(range(30))
