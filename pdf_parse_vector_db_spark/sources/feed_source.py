@@ -35,8 +35,10 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -194,6 +196,35 @@ class _SinkCommit(WriterCommitMessage):
         self.commit_dir = commit_dir
 
 
+def _stage_rows(table: str, schema, iterator) -> _SinkCommit:
+    """Executor-side half of the two-phase commit: write this task's rows
+    as one immutable commit dir (pyarrow parquet with the EXACT arrow
+    schema the Spark schema maps to) and report its name; staging is
+    invisible until a driver-side manifest CAS references it."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    rows = list(iterator)
+    if not rows:
+        return _SinkCommit(None)
+    arrow_schema = to_arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+    cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+    tbl = pa.table(
+        {n: pa.array(cols[n], type=arrow_schema.field(n).type) for n in names},
+        schema=arrow_schema,
+    )
+    commit_dir = f"data/{_uuid.uuid4().hex}"
+    out_dir = os.path.join(_local(table), commit_dir)
+    os.makedirs(out_dir)
+    pq.write_table(tbl, os.path.join(out_dir, "part-00000.parquet"))
+    return _SinkCommit(commit_dir)
+
+
 class ManifestFeedStreamWriter(DataSourceStreamWriter):
     """Two-phase exactly-once sink: each TASK stages its rows as one
     immutable commit dir (pyarrow parquet, arrow schema derived from the
@@ -208,28 +239,7 @@ class ManifestFeedStreamWriter(DataSourceStreamWriter):
         self.schema = schema
 
     def write(self, iterator) -> _SinkCommit:
-        import uuid as _uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        rows = list(iterator)
-        if not rows:
-            return _SinkCommit(None)
-        arrow_schema = to_arrow_schema(self.schema)
-        names = [f.name for f in self.schema.fields]
-        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
-        tbl = pa.table(
-            {n: pa.array(cols[n], type=arrow_schema.field(n).type) for n in names},
-            schema=arrow_schema,
-        )
-        commit_dir = f"data/{_uuid.uuid4().hex}"
-        out_dir = os.path.join(_local(self.table), commit_dir)
-        os.makedirs(out_dir)
-        pq.write_table(tbl, os.path.join(out_dir, "part-00000.parquet"))
-        return _SinkCommit(commit_dir)
+        return _stage_rows(self.table, self.schema, iterator)
 
     def commit(self, messages, batchId: int) -> None:
         dirs = [m.commit_dir for m in messages if m is not None and m.commit_dir]
@@ -247,12 +257,80 @@ class ManifestFeedStreamWriter(DataSourceStreamWriter):
                 )
 
 
+class ManifestSnapshotReader(DataSourceReader):
+    """Batch read = one snapshot: bind the head (or ``version`` option)
+    manifest's exact commit list at planning time, one InputPartition per
+    commit dir, executor-side pyarrow scans — `spark.read.format(
+    "manifest_feed")` is `manifest.snapshot` without a JVM-side union."""
+
+    def __init__(self, schema, options):
+        self.table = options["table"]
+        self.schema = schema
+        v = options.get("version")
+        self.version = int(v) if v is not None else _head_version(self.table)
+
+    def partitions(self):
+        commits = (
+            _read_manifest(self.table, self.version)["commits"] if self.version else []
+        )
+        return [
+            _CommitSlice(os.path.join(_local(self.table), c)) for c in commits
+        ] or [_CommitSlice("")]
+
+    def read(self, partition: _CommitSlice):
+        if not partition.commit_path:
+            return iter(())
+        import pyarrow.dataset as pads
+
+        dataset = pads.dataset(partition.commit_path, partitioning="hive")
+        return dataset.scanner(
+            columns=[f.name for f in self.schema.fields]
+        ).to_batches()
+
+
+class ManifestBatchWriter(DataSourceWriter):
+    """Batch append: tasks stage commit dirs, the driver CAS-publishes one
+    manifest version (``mode("append")``; overwrite is a replace-commit of
+    everything live — expressed through the JVM API, refused here)."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "manifest_feed batch writes are append-only; use "
+                "manifest.commit_replace for rewrites"
+            )
+        self.table = options["table"]
+        self.schema = schema
+
+    def write(self, iterator) -> _SinkCommit:
+        return _stage_rows(self.table, self.schema, iterator)
+
+    def commit(self, messages) -> None:
+        import uuid as _uuid
+
+        dirs = [m.commit_dir for m in messages if m is not None and m.commit_dir]
+        if dirs:
+            _py_commit_append(
+                self.table, sorted(dirs), f"batch-write-{_uuid.uuid4().hex}"
+            )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        for m in messages:
+            if m is not None and m.commit_dir:
+                shutil.rmtree(
+                    os.path.join(_local(self.table), m.commit_dir),
+                    ignore_errors=True,
+                )
+
+
 class ManifestFeedDataSource(DataSource):
     """``format("manifest_feed")`` — register once per session:
-    ``spark.dataSource.register(ManifestFeedDataSource)``. Readable AND
-    writable: ``spark.readStream.format("manifest_feed")`` streams the
-    table's appends; ``df.writeStream.format("manifest_feed")`` is a
-    native exactly-once sink (two-phase commit onto the manifest CAS)."""
+    ``spark.dataSource.register(ManifestFeedDataSource)``. Fully
+    symmetric: ``spark.read`` = snapshot (``version`` option time
+    travels), ``spark.readStream`` = change feed, ``df.write`` = CAS
+    append, ``df.writeStream`` = exactly-once two-phase sink."""
 
     @classmethod
     def name(cls) -> str:
@@ -276,6 +354,12 @@ class ManifestFeedDataSource(DataSource):
         commits = _read_manifest(table, head)["commits"]
         ds = pads.dataset(os.path.join(_local(table), commits[0]), partitioning="hive")
         return from_arrow_schema(ds.schema)
+
+    def reader(self, schema):
+        return ManifestSnapshotReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return ManifestBatchWriter(schema, self.options, overwrite)
 
     def streamReader(self, schema):
         return ManifestFeedStreamReader(schema, self.options)

@@ -224,3 +224,40 @@ def test_table_as_stream_hub_sink_then_feed(spark, tmp_path):
     _sink_pass(spark, land, t, str(tmp_path / "ckpt_in"))
     got = _drain(spark, t, str(tmp_path / "ckpt_out"))
     assert sorted(x for b in got for x in b) == list(range(30))
+
+
+def test_batch_read_is_snapshot_with_time_travel(spark, tmp_path):
+    """spark.read.format('manifest_feed') binds one manifest version at
+    planning time; the `version` option time-travels."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10), partition_by=("court_level",))
+    M.commit_append(spark, t, _df(spark, 10, 15, level=4), partition_by=("court_level",))
+    df = spark.read.format("manifest_feed").option("table", t).load()
+    assert sorted(r.id for r in df.collect()) == list(range(15))
+    assert df.filter(F.col("court_level") == 4).count() == 5  # hive col
+    old = (
+        spark.read.format("manifest_feed")
+        .option("table", t)
+        .option("version", "1")
+        .load()
+    )
+    assert sorted(r.id for r in old.collect()) == list(range(10))
+
+
+def test_batch_write_appends_through_the_cas(spark, tmp_path):
+    """df.write.format('manifest_feed').mode('append') CAS-commits one
+    version; overwrite is refused (rewrites are commit_replace's job);
+    and the written table reads back via the JVM-side snapshot too."""
+    t = str(tmp_path / "tbl")
+    _df(spark, 0, 10).write.format("manifest_feed").option("table", t).mode(
+        "append"
+    ).save()
+    _df(spark, 10, 15).write.format("manifest_feed").option("table", t).mode(
+        "append"
+    ).save()
+    v, df = M.snapshot(spark, t)
+    assert sorted(r.id for r in df.collect()) == list(range(15))
+    with pytest.raises(Exception, match="append-only"):
+        _df(spark, 0, 1).write.format("manifest_feed").option("table", t).mode(
+            "overwrite"
+        ).save()
