@@ -67,6 +67,24 @@ class _CommitSlice(InputPartition):
         self.commit_path = commit_path
 
 
+def _scan_commit(commit_path: str, spark_schema):
+    """Executor-side scan of one commit dir: hive-partitioned pyarrow
+    dataset, batches CAST to the exact arrow schema the Spark schema maps
+    to. The cast is load-bearing, not cosmetic: Spark writes INT96
+    timestamps, which pyarrow surfaces as timestamp[ns] — Spark's arrow
+    ingest rejects nanoseconds, so every batch is normalized to the
+    timestamp[us]/typed layout `to_arrow_schema` prescribes (found by the
+    event-time window composition test, not by review)."""
+    import pyarrow.dataset as pads
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(spark_schema)
+    dataset = pads.dataset(commit_path, partitioning="hive")
+    scanner = dataset.scanner(columns=[f.name for f in spark_schema.fields])
+    return (batch.cast(target) for batch in scanner.to_batches())
+
+
 class ManifestFeedStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self.table = options["table"]
@@ -107,11 +125,7 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
     def read(self, partition: _CommitSlice):
         if not partition.commit_path:
             return iter(())
-        import pyarrow.dataset as pads
-
-        dataset = pads.dataset(partition.commit_path, partitioning="hive")
-        scanner = dataset.scanner(columns=[f.name for f in self.schema.fields])
-        return scanner.to_batches()
+        return _scan_commit(partition.commit_path, self.schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing to release
@@ -280,12 +294,7 @@ class ManifestSnapshotReader(DataSourceReader):
     def read(self, partition: _CommitSlice):
         if not partition.commit_path:
             return iter(())
-        import pyarrow.dataset as pads
-
-        dataset = pads.dataset(partition.commit_path, partitioning="hive")
-        return dataset.scanner(
-            columns=[f.name for f in self.schema.fields]
-        ).to_batches()
+        return _scan_commit(partition.commit_path, self.schema)
 
 
 class ManifestBatchWriter(DataSourceWriter):

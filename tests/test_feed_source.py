@@ -261,3 +261,46 @@ def test_batch_write_appends_through_the_cas(spark, tmp_path):
         _df(spark, 0, 1).write.format("manifest_feed").option("table", t).mode(
             "overwrite"
         ).save()
+
+
+def test_feed_composes_with_event_time_windows(spark, tmp_path):
+    """The source composes with ordinary event-time machinery: a
+    watermarked tumbling-window count over the feed equals the same
+    aggregation over the snapshot (stream == batch)."""
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    events = spark.range(0, 120).select(
+        F.col("id"),
+        F.lit(3).alias("court_level"),
+        F.to_timestamp(
+            F.concat(F.lit("2026-01-01 00:"), F.lpad((F.col("id") % 60), 2, "0"), F.lit(":00"))
+        ).alias("ts"),
+    )
+    M.commit_append(spark, t, events)
+    got: list = []
+    q = (
+        spark.readStream.format("manifest_feed")
+        .option("table", t)
+        .load()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda b, i: got.append(
+                sorted((r["window"]["start"].isoformat(), r["n"]) for r in b.collect())
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    batch = sorted(
+        (r["window"]["start"].isoformat(), r["n"])
+        for r in M.snapshot(spark, t)[1]
+        .groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got and got[-1] == batch and sum(n for _, n in batch) == 120
