@@ -69,20 +69,32 @@ class _CommitSlice(InputPartition):
 
 def _scan_commit(commit_path: str, spark_schema):
     """Executor-side scan of one commit dir: hive-partitioned pyarrow
-    dataset, batches CAST to the exact arrow schema the Spark schema maps
-    to. The cast is load-bearing, not cosmetic: Spark writes INT96
-    timestamps, which pyarrow surfaces as timestamp[ns] — Spark's arrow
-    ingest rejects nanoseconds, so every batch is normalized to the
-    timestamp[us]/typed layout `to_arrow_schema` prescribes (found by the
-    event-time window composition test, not by review)."""
+    dataset, batches normalized COLUMN BY COLUMN to the exact arrow
+    schema the Spark schema maps to. Two normalizations are load-bearing:
+    Spark writes INT96 timestamps, which pyarrow surfaces as
+    timestamp[ns] and Spark's arrow ingest rejects (caught by the
+    event-time window composition test); and under schema evolution an
+    OLD commit lacks columns later commits added — those are null-filled
+    here, mirroring snapshot()'s union-by-name semantics."""
+    import pyarrow as pa
     import pyarrow.dataset as pads
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(spark_schema)
     dataset = pads.dataset(commit_path, partitioning="hive")
-    scanner = dataset.scanner(columns=[f.name for f in spark_schema.fields])
-    return (batch.cast(target) for batch in scanner.to_batches())
+    avail = set(dataset.schema.names)
+    scanner = dataset.scanner(
+        columns=[f.name for f in spark_schema.fields if f.name in avail]
+    )
+    for batch in scanner.to_batches():
+        arrays = [
+            batch.column(f.name).cast(f.type)
+            if f.name in avail
+            else pa.nulls(batch.num_rows, f.type)
+            for f in target
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
 class ManifestFeedStreamReader(DataSourceStreamReader):
@@ -180,7 +192,25 @@ def _py_commit_append(
         try:
             os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
         except FileExistsError:
-            continue  # lost the claim; re-read the head and retry
+            # lost the claim. Mirror the JVM path's self-healing: a claim
+            # past the grace window with no published manifest is a dead
+            # claimant — sweep it so the slot frees (publish stays safe
+            # regardless: link(2) + token verify are the real CAS).
+            import time as _time
+
+            try:
+                dead = (
+                    not os.path.exists(os.path.join(mdir, f"v{head + 1}.json"))
+                    and _time.time() - os.path.getmtime(claim) > 60.0
+                )
+            except FileNotFoundError:
+                dead = False
+            if dead:
+                try:
+                    os.remove(claim)
+                except FileNotFoundError:
+                    pass
+            continue  # re-read the head and retry
         try:
             dst = os.path.join(mdir, f"v{head + 1}.json")
             if os.path.exists(dst):
@@ -361,8 +391,17 @@ class ManifestFeedDataSource(DataSource):
                 f"(empty table: {table}); or pass an explicit .schema(...)"
             )
         commits = _read_manifest(table, head)["commits"]
-        ds = pads.dataset(os.path.join(_local(table), commits[0]), partitioning="hive")
-        return from_arrow_schema(ds.schema)
+        # newest commit: schema evolution only ADDS columns, so the last
+        # commit carries the widest schema (older legs null-fill) — which
+        # is also why every field must surface NULLABLE, whatever the
+        # newest files claim
+        from pyspark.sql.types import StructField, StructType
+
+        ds = pads.dataset(os.path.join(_local(table), commits[-1]), partitioning="hive")
+        inferred = from_arrow_schema(ds.schema)
+        return StructType(
+            [StructField(f.name, f.dataType, True) for f in inferred.fields]
+        )
 
     def reader(self, schema):
         return ManifestSnapshotReader(schema, self.options)

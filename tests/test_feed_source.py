@@ -304,3 +304,46 @@ def test_feed_composes_with_event_time_windows(spark, tmp_path):
         .collect()
     )
     assert got and got[-1] == batch and sum(n for _, n in batch) == 120
+
+
+def test_python_cas_sweeps_dead_claimants(spark, tmp_path):
+    """A crashed Python-sink claimant must not wedge later Python
+    commits: an aged claim with no published manifest is swept and the
+    commit lands (mirrors the JVM path's self-healing)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parse_vector_db_spark.sources.feed_source import _py_commit_append
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(f"{t}/_manifests")
+    claim = f"{t}/_manifests/v1.claim"
+    open(claim, "w").close()
+    past = os.path.getmtime(claim) - 120
+    os.utime(claim, (past, past))
+    rel = "data/solo"
+    os.makedirs(os.path.join(t, rel))
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64())}),
+        os.path.join(t, rel, "part-00000.parquet"),
+    )
+    assert _py_commit_append(t, [rel], "k1") == 1
+    assert not os.path.exists(claim)
+    assert M.snapshot(spark, t)[1].count() == 1
+
+
+def test_feed_and_batch_read_under_schema_evolution(spark, tmp_path):
+    """A later commit adds a column: the inferred schema is the WIDEST
+    one, old commits' rows null-fill (both read paths), and the feed
+    still delivers every row."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 5))
+    M.commit_append(spark, t, _df(spark, 5, 8).withColumn("source", F.lit("crawl")))
+    df = spark.read.format("manifest_feed").option("table", t).load()
+    assert set(df.columns) == {"id", "court_level", "source"}
+    rows = {r.id: r.source for r in df.collect()}
+    assert rows[0] is None and rows[6] == "crawl"
+    got = _drain(spark, t, str(tmp_path / "ckpt"))
+    assert sorted(x for b in got for x in b) == list(range(8))
