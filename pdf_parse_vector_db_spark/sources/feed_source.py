@@ -18,13 +18,13 @@ analog of reading a Delta table as a stream:
     ignoreChanges), else the batch fails loudly.
 
 Scale notes: the driver never touches data bytes — it reads two JSON
-manifests per trigger; each commit dir scans in parallel across
-executors. Partition granularity is one commit dir (micro-batch commits
-are file-sized by construction); splitting per parquet file inside a
-commit is a listing-only change in ``partitions``. This module reads
-``file:`` tables with the standard library + pyarrow — object stores
-plug in through ``pyarrow.fs.FileSystem.from_uri`` with no protocol
-change (the manifest layer never renames).
+manifests per trigger and LISTS the added commits' parquet files;
+partition granularity is one FILE (hive partition values recovered
+against the commit root), so even a compacted commit holding the whole
+table scans in parallel across executors. This module reads ``file:``
+tables with the standard library + pyarrow — object stores plug in
+through ``pyarrow.fs.FileSystem.from_uri`` with no protocol change (the
+manifest layer never renames).
 """
 
 from __future__ import annotations
@@ -63,26 +63,47 @@ def _read_manifest(table: str, version: int) -> dict:
 
 
 class _CommitSlice(InputPartition):
-    def __init__(self, commit_path: str):
-        self.commit_path = commit_path
+    """One scan task: a subset of a commit dir's parquet files (hive
+    partition values recovered against the commit root). Splitting at
+    file granularity, not commit granularity, is what keeps a COMPACTED
+    commit (one dir holding the whole table) parallel across executors."""
+
+    def __init__(self, commit_root: str, files: list[str]):
+        self.commit_root = commit_root
+        self.files = files
 
 
-def _scan_commit(commit_path: str, spark_schema):
-    """Executor-side scan of one commit dir: hive-partitioned pyarrow
-    dataset, batches normalized COLUMN BY COLUMN to the exact arrow
-    schema the Spark schema maps to. Two normalizations are load-bearing:
-    Spark writes INT96 timestamps, which pyarrow surfaces as
-    timestamp[ns] and Spark's arrow ingest rejects (caught by the
-    event-time window composition test); and under schema evolution an
-    OLD commit lacks columns later commits added — those are null-filled
-    here, mirroring snapshot()'s union-by-name semantics."""
+def _commit_slices(commit_root: str) -> list[_CommitSlice]:
+    """One slice per parquet file of a commit dir (driver-side listing)."""
+    files = sorted(
+        os.path.join(dirpath, f)
+        for dirpath, _, names in os.walk(commit_root)
+        for f in names
+        if f.endswith(".parquet")
+    )
+    return [_CommitSlice(commit_root, [f]) for f in files]
+
+
+def _scan_commit(partition: _CommitSlice, spark_schema):
+    """Executor-side scan of one slice (parquet files + their commit root
+    for hive partition recovery): batches normalized COLUMN BY COLUMN to
+    the exact arrow schema the Spark schema maps to. Two normalizations
+    are load-bearing: Spark writes INT96 timestamps, which pyarrow
+    surfaces as timestamp[ns] and Spark's arrow ingest rejects (caught by
+    the event-time window composition test); and under schema evolution
+    an OLD commit lacks columns later commits added — those are
+    null-filled here, mirroring snapshot()'s union-by-name semantics."""
     import pyarrow as pa
     import pyarrow.dataset as pads
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(spark_schema)
-    dataset = pads.dataset(commit_path, partitioning="hive")
+    dataset = pads.dataset(
+        partition.files,
+        partitioning="hive",
+        partition_base_dir=partition.commit_root,
+    )
     avail = set(dataset.schema.names)
     scanner = dataset.scanner(
         columns=[f.name for f in spark_schema.fields if f.name in avail]
@@ -130,14 +151,18 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             if not dropped:
                 added.extend(c for c in cur if c not in prev)
             prev = cur
-        return [
-            _CommitSlice(os.path.join(_local(self.table), c)) for c in added
-        ] or [_CommitSlice("")]  # Spark requires >=1 partition per batch
+        slices = [
+            sl
+            for c in added
+            for sl in _commit_slices(os.path.join(_local(self.table), c))
+        ]
+        # Spark requires >=1 partition per batch
+        return slices or [_CommitSlice("", [])]
 
     def read(self, partition: _CommitSlice):
-        if not partition.commit_path:
+        if not partition.files:
             return iter(())
-        return _scan_commit(partition.commit_path, self.schema)
+        return _scan_commit(partition, self.schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing to release
@@ -317,14 +342,17 @@ class ManifestSnapshotReader(DataSourceReader):
         commits = (
             _read_manifest(self.table, self.version)["commits"] if self.version else []
         )
-        return [
-            _CommitSlice(os.path.join(_local(self.table), c)) for c in commits
-        ] or [_CommitSlice("")]
+        slices = [
+            sl
+            for c in commits
+            for sl in _commit_slices(os.path.join(_local(self.table), c))
+        ]
+        return slices or [_CommitSlice("", [])]
 
     def read(self, partition: _CommitSlice):
-        if not partition.commit_path:
+        if not partition.files:
             return iter(())
-        return _scan_commit(partition.commit_path, self.schema)
+        return _scan_commit(partition, self.schema)
 
 
 class ManifestBatchWriter(DataSourceWriter):

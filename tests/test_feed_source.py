@@ -347,3 +347,31 @@ def test_feed_and_batch_read_under_schema_evolution(spark, tmp_path):
     assert rows[0] is None and rows[6] == "crawl"
     got = _drain(spark, t, str(tmp_path / "ckpt"))
     assert sorted(x for b in got for x in b) == list(range(8))
+
+
+def test_scan_parallelism_is_per_file_not_per_commit(spark, tmp_path):
+    """A multi-file commit (e.g. a compaction of the whole table) must
+    fan out one scan task per parquet file — commit-granular tasks would
+    serialize the biggest commits exactly when parallelism matters most."""
+    from pdf_parse_vector_db_spark.sources.feed_source import (
+        ManifestFeedStreamReader,
+        _commit_slices,
+    )
+
+    t = str(tmp_path / "tbl")
+    M.commit_append(
+        spark, t, _df(spark, 0, 60).repartition(6), partition_by=("court_level",)
+    )
+    commit = M._read_manifest(spark, t, 1)["commits"][0]
+    slices = _commit_slices(f"{t}/{commit}")
+    assert len(slices) >= 6 and all(len(s.files) == 1 for s in slices)
+
+    reader = ManifestFeedStreamReader(
+        spark.read.format("manifest_feed").option("table", t).load().schema,
+        {"table": t},
+    )
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    assert len(parts) == len(slices)
+    # and the partitioned read still reassembles the exact rows
+    df = spark.read.format("manifest_feed").option("table", t).load()
+    assert sorted(r.id for r in df.collect()) == list(range(60))
