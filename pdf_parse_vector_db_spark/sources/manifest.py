@@ -588,6 +588,37 @@ def table_changes(
     return to, out
 
 
+def maybe_compact(
+    spark: SparkSession,
+    table: str,
+    max_live_commits: int = 16,
+    partition_by: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Small-file maintenance trigger (Delta's OPTIMIZE policy): when the
+    head manifest references more than `max_live_commits` commit dirs —
+    the steady state of a micro-batch sink left alone — rewrite them all
+    as ONE commit via a replace. No-op (returns the head) below the
+    threshold, so it is safe to call after every sink pass; readers keep
+    their snapshots, the change feed skips the rewrite, and a racing
+    append survives (its commit is not in drop_commits)."""
+    head = head_version(spark, table)
+    if head == 0:
+        return 0
+    commits = _read_manifest(spark, table, head)["commits"]
+    if len(commits) <= max_live_commits:
+        return head
+    _, df = snapshot(spark, table, version=head)
+    return commit_replace(
+        spark,
+        table,
+        df,
+        drop_commits=commits,
+        partition_by=partition_by,
+        stats_cols=stats_cols,
+    )
+
+
 def vacuum(
     spark: SparkSession, table: str, keep_versions: int = 2, min_age_s: float = 600.0
 ) -> int:

@@ -428,3 +428,21 @@ def test_data_skipping_prunes_disjoint_commits(spark, tmp_path):
     st = M._read_manifest(spark, t, 5)["stats"]
     (only,) = st.values()
     assert only["id"] == [0, 399]
+
+
+def test_maybe_compact_triggers_on_commit_count(spark, tmp_path):
+    """OPTIMIZE policy: below the threshold it is a no-op; above it, the
+    head becomes one commit holding every row, old snapshots still time
+    travel, and the change feed never re-delivers the rewrite."""
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 40, 10):
+        M.commit_append(spark, t, _df(spark, lo, lo + 10))
+    assert M.maybe_compact(spark, t, max_live_commits=16) == 4  # no-op
+    v = M.maybe_compact(spark, t, max_live_commits=3)
+    assert v == 5
+    man = M._read_manifest(spark, t, 5)
+    assert len(man["commits"]) == 1
+    assert M.snapshot(spark, t)[1].count() == 40
+    assert M.snapshot(spark, t, version=4)[1].count() == 40  # time travel
+    cur, feed = M.table_changes(spark, t, from_version=4, ignore_replaces=True)
+    assert (cur, feed) == (5, None)  # the rewrite is not new rows
