@@ -33,6 +33,7 @@ FLOOR_SEC = 1.0
 #: the hot label + duplicate vector cluster
 QUERIES = [
     "minhash_portable_dups",
+    "phash_near_dups",
     "dup_components",
     "dedup_keepers",
     "soft_dedup_weights",
