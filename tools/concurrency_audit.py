@@ -90,6 +90,42 @@ def main() -> None:
             svc.search_similar_cases("hot.pdf", DOC + " hot", 2)
         cached_qps = round(200 / (time.perf_counter() - t0), 1)
 
+        # manifested mode pays a head_version globStatus per search (the
+        # round-7 cross-process cache-invalidation fix) + a deepcopy per
+        # cache hit — measure both so the fix's serving cost is a number,
+        # not a guess
+        man = SparkVectorService(
+            spark, os.path.join(tmp, "man_wh"), manifested=True
+        )
+        for i in range(6):
+            man.ingest_legal_document(f"mcase_{i}.pdf", DOC + f" v{i}", court_level=3)
+        man.search_similar_cases("mwarm.pdf", DOC, court_level=2)
+        t0 = time.perf_counter()
+        for j in range(2 * n_per_thread):
+            man.search_similar_cases(f"mq{j}.pdf", DOC + f" m{j}", 2)
+        manifested_qps = round(2 * n_per_thread / (time.perf_counter() - t0), 2)
+        man.search_similar_cases("mhot.pdf", DOC + " hot", 2)
+        t0 = time.perf_counter()
+        for _ in range(200):
+            man.search_similar_cases("mhot.pdf", DOC + " hot", 2)
+        manifested_cached_qps = round(200 / (time.perf_counter() - t0), 1)
+
+        # the OPTIMIZE payoff: 6 ingests = 6 commit legs per scan until
+        # maybe_compact folds them into one
+        from pdf_parse_vector_db_spark.sources import manifest as M
+
+        M.maybe_compact(
+            spark, os.path.join(tmp, "man_wh"), max_live_commits=1,
+            partition_by=("court_level",),
+        )
+        man.search_similar_cases("cwarm.pdf", DOC + " cw", 2)
+        t0 = time.perf_counter()
+        for j in range(2 * n_per_thread):
+            man.search_similar_cases(f"cq{j}.pdf", DOC + f" c{j}", 2)
+        manifested_compacted_qps = round(
+            2 * n_per_thread / (time.perf_counter() - t0), 2
+        )
+
     churn = _consistent_read_churn(spark, n_per_thread)
     print(
         json.dumps(
@@ -99,6 +135,9 @@ def main() -> None:
                 "searches_per_thread": n_per_thread,
                 "scaleup_8v1": round(per_threads["8"] / per_threads["1"], 2),
                 "cached_qps": cached_qps,
+                "manifested_qps": manifested_qps,
+                "manifested_compacted_qps": manifested_compacted_qps,
+                "manifested_cached_qps": manifested_cached_qps,
                 "ivf_consistent_reads": churn,
             }
         )
