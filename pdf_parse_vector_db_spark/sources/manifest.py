@@ -406,7 +406,16 @@ def commit_merge(
     serialization, within a call it would be nondeterministic).
     Concurrency: the rewrite goes through commit_replace's CAS — a
     racing commit forces a retry, a racing replace of our hit commits
-    aborts loudly."""
+    aborts loudly.
+
+    Change-feed interaction (same contract as Delta): a merge that hits
+    existing keys publishes a replace-commit, so `table_changes`/
+    `manifest_feed` skip it under ignore_replaces — including any
+    brand-new keys that rode in the same call (an all-new-keys merge
+    degrades to a plain append and streams normally). A
+    pipeline that must stream rows added via merge needs a change-data-
+    feed column strategy (or append-only writes); a feed that must only
+    never double-count is already correct."""
     key_cols = tuple(key_cols)
     if not key_cols:
         raise ValueError("commit_merge needs at least one key column")

@@ -105,3 +105,24 @@ def test_manifested_cache_sees_foreign_commits(spark, tmp_path):
     theirs.ingest_legal_document("case_1.pdf", DOC + " variant b", court_level=3)
     r2 = ours.search_similar_cases("query.pdf", QUERY, court_level=2)
     assert r2["result_count"] == r1["result_count"] + 1  # not the stale hit
+
+
+def test_manifested_auto_compact_bounds_commit_legs(spark, tmp_path):
+    """A long-lived manifested service must not accrete one scan leg per
+    ingest: past the threshold, ingest folds the live commits into one
+    (measured 2.2x search-wall payoff in tools/concurrency_audit.py)."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    path = str(tmp_path / "wh")
+    svc = SparkVectorService(spark, path, manifested=True, auto_compact_commits=3)
+    for i in range(5):
+        svc.ingest_legal_document(f"case_{i}.pdf", DOC + f" v{i}", court_level=3)
+    head = M.head_version(spark, path)
+    live = M._read_manifest(spark, path, head)["commits"]
+    assert len(live) <= 3  # compaction triggered along the way
+    # nothing lost: all five files' chunks are present
+    _, df = M.snapshot(spark, path)
+    assert df.select("file_name").distinct().count() == 5
+    # searches see the compacted table (cache version tracked the replace)
+    resp = svc.search_similar_cases("q.pdf", QUERY, court_level=2)
+    assert resp["result_count"] == 5
