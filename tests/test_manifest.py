@@ -446,3 +446,44 @@ def test_maybe_compact_triggers_on_commit_count(spark, tmp_path):
     assert M.snapshot(spark, t, version=4)[1].count() == 40  # time travel
     cur, feed = M.table_changes(spark, t, from_version=4, ignore_replaces=True)
     assert (cur, feed) == (5, None)  # the rewrite is not new rows
+
+
+def test_merge_randomized_equivalence(spark, tmp_path):
+    """Seeded property check: for random commit partitions and random
+    update sets, merge == (table ANTI-JOIN update-keys) UNION updates,
+    and every commit containing no hit key survives by reference."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        t = str(tmp_path / f"tbl{trial}")
+        ids = list(range(120))
+        rng.shuffle(ids)
+        cuts = sorted(rng.sample(range(1, 120), 3))
+        chunks = [ids[a:b] for a, b in zip([0] + cuts, cuts + [120])]
+        for chunk in chunks:
+            M.commit_append(
+                spark,
+                t,
+                spark.createDataFrame(
+                    [(i, 3) for i in chunk], ["id", "court_level"]
+                ),
+            )
+        upd_keys = rng.sample(range(150), 25)  # some hit, some new
+        updates = spark.createDataFrame(
+            [(k, 9) for k in upd_keys], ["id", "court_level"]
+        )
+        before = M._read_manifest(spark, t, 4)["commits"]
+        hit_commits = {
+            c
+            for c, chunk in zip(before, chunks)
+            if any(k in chunk for k in upd_keys)
+        }
+        M.commit_merge(spark, t, updates, key_cols=("id",))
+        after = M._read_manifest(spark, t, M.head_version(spark, t))["commits"]
+        for c, chunk in zip(before, chunks):
+            assert (c in after) == (c not in hit_commits)
+        got = {r.id: r.court_level for r in M.snapshot(spark, t)[1].collect()}
+        want = {i: 3 for i in range(120)}
+        want.update({k: 9 for k in upd_keys})
+        assert got == want
