@@ -375,3 +375,26 @@ def test_scan_parallelism_is_per_file_not_per_commit(spark, tmp_path):
     # and the partitioned read still reassembles the exact rows
     df = spark.read.format("manifest_feed").option("table", t).load()
     assert sorted(r.id for r in df.collect()) == list(range(60))
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    """startingVersion bootstraps the stream at a cursor instead of the
+    table's beginning — the Delta startingVersion contract."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10))
+    M.commit_append(spark, t, _df(spark, 10, 15))
+    got: list[list[int]] = []
+    q = (
+        spark.readStream.format("manifest_feed")
+        .option("table", t)
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: got.append(sorted(r.id for r in b.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(x for b in got for x in b) == list(range(10, 15))
