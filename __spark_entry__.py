@@ -24,6 +24,7 @@ from pdf_parse_vector_db_spark.plans import curation as _curation
 from pdf_parse_vector_db_spark.plans import evaluation as _evaluation
 from pdf_parse_vector_db_spark.plans import ingest as _ingest
 from pdf_parse_vector_db_spark.plans import graph as _graph
+from pdf_parse_vector_db_spark.plans import knn_graph as _knn_graph
 from pdf_parse_vector_db_spark.plans import registry as _registry
 from pdf_parse_vector_db_spark.plans import relational as _relational
 from pdf_parse_vector_db_spark.plans import retrieval as _retrieval
@@ -53,6 +54,7 @@ _MODULES = [
     _similarity,
     _sketches,
     _graph,
+    _knn_graph,
     _retrieval,
     _postings,
     _metadata,

@@ -118,6 +118,8 @@ AUDIT = {
     "bpe_encode_tokens": "per-round localCheckpoint lineage cuts (r6): corpus word agg once, each round one |vocab| exchange + 1-row broadcast merge; final plan = one token-count exchange over the checkpointed vocab",
     "fs_record_linkage": "SNM window hashpartitions on the nation block key; EM stats are SinglePartition aggs re-entering as 1-row BroadcastNestedLoopJoins; no CartesianProduct",
     "phash_near_dups": "pure-codegen 64-block hash (no UDF); band-bucket equi-join exchanges 16-byte keys; popcount verify after DISTINCT candidate cut; no CartesianProduct",
+    "nn_descent_graph": "stride init is a 3-row BroadcastNestedLoopJoin + semi-join; per-round local join = hash self-joins on integer ids, canonical-pair DISTINCT before ONE dot-product fold per pair (norms precomputed, broadcast); windowed top-K; no CartesianProduct",
+    "dbscan_clusters": "eps-pairs ride the bucketed applyInPandas BLAS kernel keyed by IVF cell; degree/core/border are integer-key hash aggs and semi/anti joins; components via the localCheckpoint'd Pregel fixpoint; no CartesianProduct",
 }
 
 
