@@ -125,15 +125,51 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         self.ignore_replaces = (
             str(options.get("ignorereplaces", "true")).lower() == "true"
         )
+        #: admission control (Delta's maxFilesPerTrigger analog, in commit
+        #: dirs): a backlogged stream — bootstrap of a 100 TB table, or a
+        #: consumer resuming after downtime — drains in bounded micro-
+        #: batches instead of one giant catch-up batch. 0/absent = uncapped.
+        self.max_commits = int(options.get("maxcommitsperbatch", 0)) or None
+        #: last version this reader knows was handed to Spark. Lifecycle
+        #: (measured on Spark 4.1): a FRESH query calls latestOffset before
+        #: initialOffset, so the cursor anchors lazily at startingVersion —
+        #: correct there by definition; on a RESTART Spark re-plans the
+        #: checkpointed window via partitions() before asking for a new
+        #: latestOffset, which primes the cursor with the true committed
+        #: position (pinned by the admission tests in test_feed_source.py)
+        self._cursor: int | None = None
         self.schema = schema
 
     def initialOffset(self) -> dict:
+        self._cursor = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _head_version(self.table)}
+        head = _head_version(self.table)
+        if self.max_commits is None:
+            return {"version": head}
+        if self._cursor is None:
+            self._cursor = self.start_version
+        v = base = self._cursor
+        budget = self.max_commits
+        prev = set(_read_manifest(self.table, v)["commits"]) if v else set()
+        while v < head:
+            man = _read_manifest(self.table, v + 1)
+            cur = man["commits"]
+            dropped = [c for c in prev if c not in cur]
+            rewrite = bool(dropped) or man.get("restored_from") is not None
+            n_added = 0 if rewrite else sum(1 for c in cur if c not in prev)
+            if n_added > budget and v > base:
+                break  # next version alone overflows — close the batch
+            budget -= n_added  # a version is never split across batches
+            v += 1
+            prev = set(cur)
+            if budget <= 0:
+                break
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
+        self._cursor = end["version"]
         prev = (
             _read_manifest(self.table, start["version"])["commits"]
             if start["version"]
@@ -141,14 +177,20 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         )
         added: list[str] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            cur = _read_manifest(self.table, v)["commits"]
+            man = _read_manifest(self.table, v)
+            cur = man["commits"]
             dropped = [c for c in prev if c not in cur]
-            if dropped and not self.ignore_replaces:
+            # RESTORE versions are rewrites even when the diff only
+            # re-adds dirs (restore forward) — streaming them would
+            # double-count rows consumed before the restore
+            rewrite = bool(dropped) or man.get("restored_from") is not None
+            if rewrite and not self.ignore_replaces:
                 raise IOError(
-                    f"v{v} is a replace-commit (drops {dropped}); set "
+                    f"v{v} is a replace-commit (drops {dropped}, "
+                    f"restored_from {man.get('restored_from')}); set "
                     "ignoreReplaces=true to stream past rewrites"
                 )
-            if not dropped:
+            if not rewrite:
                 added.extend(c for c in cur if c not in prev)
             prev = cur
         slices = [
@@ -165,7 +207,8 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         return _scan_commit(partition, self.schema)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in Spark's checkpoint; nothing to release
+        # offsets live in Spark's checkpoint; track locally for admission
+        self._cursor = max(self._cursor or 0, end["version"])
 
 
 #: idempotency keys retained in the manifest — mirrors manifest._KEY_WINDOW

@@ -574,13 +574,19 @@ def table_changes(
         ) from exc
     added_dirs: list[str] = []
     for v in range(from_version + 1, to + 1):
-        cur = _read_manifest(spark, table, v)["commits"]
+        man = _read_manifest(spark, table, v)
+        cur = man["commits"]
         dropped = [c for c in prev if c not in cur]
-        if dropped:
+        # a RESTORE is a rewrite even when its diff only re-adds dirs
+        # (restore forward re-references undone commits — streaming them
+        # would double-count rows a consumer already saw pre-restore)
+        rewrite = dropped or man.get("restored_from") is not None
+        if rewrite:
             if not ignore_replaces:
                 raise IOError(
-                    f"v{v} on {table} is a replace-commit (drops {dropped}); "
-                    "pass ignore_replaces=True to skip rewrites in the feed"
+                    f"v{v} on {table} is a replace-commit (drops {dropped}, "
+                    f"restored_from {man.get('restored_from')}); pass "
+                    "ignore_replaces=True to skip rewrites in the feed"
                 )
         else:
             added_dirs.extend(c for c in cur if c not in prev)
@@ -595,6 +601,72 @@ def table_changes(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return to, out
+
+
+def restore_table(
+    spark: SparkSession, table: str, version: int, max_retries: int = 20
+) -> int:
+    """RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF` parity): make
+    the table's LIVE state equal `version`'s state again by publishing a
+    NEW head whose commit list is the target's — history only ever rolls
+    forward, so time travel to the undone versions keeps working and
+    concurrent readers never see a vanish window. No data files move;
+    the restore is one manifest CAS.
+
+    Semantics pinned by tests/test_manifest.py:
+      * restoring to the current head is a no-op (returns head, no new
+        version) — re-runnable;
+      * a restore that drops newer commits is a REPLACE for the change
+        feed (table_changes / manifest_feed skip it under
+        ignore_replaces, fail loudly otherwise) — consuming undone rows
+        again would double-count, same rule as compaction;
+      * fails loudly if any target commit dir was vacuumed away
+        (retention horizon — like Delta RESTORE past VACUUM);
+      * the idempotency-key window is carried from the CURRENT head, not
+        the target: restore undoes DATA, not the exactly-once ledger, so
+        a replayed sink batch stays a no-op instead of resurrecting the
+        rows the restore just removed.
+    """
+    head = head_version(spark, table)
+    if version < 1 or version > head:
+        raise ValueError(f"restore target v{version} outside 1..{head} on {table}")
+    try:
+        target = _read_manifest(spark, table, version)
+    except Exception as exc:  # noqa: BLE001 — vacuumed manifest
+        raise IOError(
+            f"cannot restore {table} to v{version}: its manifest is beyond "
+            "the retention horizon (vacuumed)"
+        ) from exc
+    jvm, fs = _jvm_fs(spark, table)
+    missing = [
+        c
+        for c in target["commits"]
+        if not fs.exists(_jpath(jvm, f"{table}/{c}"))
+    ]
+    if missing:
+        raise IOError(
+            f"cannot restore {table} to v{version}: commit dirs {missing} "
+            "were vacuumed (retention horizon)"
+        )
+    for _ in range(max_retries):
+        head = head_version(spark, table)
+        if head == version:
+            return head
+        prev = _read_manifest(spark, table, head)
+        # target stats win for target commits; prev contributes entries
+        # carried forward for commits that are live in both
+        stats = {**(prev.get("stats") or {}), **(target.get("stats") or {})}
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "commits": list(target["commits"]),
+            "keys": prev.get("keys") or {},
+            "stats": {c: s for c, s in stats.items() if c in target["commits"]},
+            "restored_from": version,
+        }
+        if _try_commit(spark, table, head + 1, manifest):
+            return head + 1
+    raise IOError(f"restore_table lost the CAS race {max_retries} times on {table}")
 
 
 def maybe_compact(

@@ -398,3 +398,77 @@ def test_starting_version_skips_history(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(x for b in got for x in b) == list(range(10, 15))
+
+
+def _drain_capped(spark, t, ckpt, got, max_commits, expect_rows, timeout_s=120):
+    """Run a capped feed with a steady trigger until `expect_rows` ids
+    arrive (admission control needs latestOffset called once per trigger;
+    availableNow captures the end offset once, so it can't exercise it)."""
+    import time
+
+    q = (
+        spark.readStream.format("manifest_feed")
+        .option("table", t)
+        .option("maxCommitsPerBatch", max_commits)
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: got.append(sorted(r.id for r in b.collect()))
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    while time.time() < deadline and sum(len(b) for b in got) < expect_rows:
+        time.sleep(1)
+    time.sleep(2)  # let the final commit() land before stopping
+    q.stop()
+
+
+def test_max_commits_per_batch_bounds_catchup(spark, tmp_path):
+    """Admission control (Delta maxFilesPerTrigger parity, in commit
+    dirs): a 6-commit backlog drains in ≥3 bounded batches under
+    maxCommitsPerBatch=2 — never one giant catch-up batch — and the
+    union is still exactly the snapshot, exactly once. Then a RESTART
+    with new commits stays bounded and replays nothing (Spark re-plans
+    the checkpointed window via partitions(), priming the cursor)."""
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(6):
+        M.commit_append(spark, t, _df(spark, i * 10, i * 10 + 10))
+    got: list[list[int]] = []
+    _drain_capped(spark, t, ckpt, got, max_commits=2, expect_rows=60)
+    batches = [b for b in got if b]
+    assert len(batches) >= 3, [len(b) for b in got]
+    assert all(len(b) <= 20 for b in batches), [len(b) for b in got]
+    assert sorted(x for b in got for x in b) == list(range(60))
+
+    for i in range(6, 8):
+        M.commit_append(spark, t, _df(spark, i * 10, i * 10 + 10))
+    got2: list[list[int]] = []
+    _drain_capped(spark, t, ckpt, got2, max_commits=2, expect_rows=20)
+    assert sorted(x for b in got2 for x in b) == list(range(60, 80))
+    assert all(len(b) <= 20 for b in got2 if b), [len(b) for b in got2]
+
+
+def test_max_commits_per_batch_skips_replaces_and_restores(spark, tmp_path):
+    """Rewrite versions consume no admission budget and stream no rows
+    themselves: a compaction and a restore inside the backlog are
+    skipped, every APPEND in history streams exactly once, bounded
+    (≤1 commit ⇒ ≤10 rows per batch). Note the Delta-CDF-parity
+    semantics: the feed walks history, so an append a LATER restore
+    undid (v4 here) still streams — under ignoreReplaces the restore is
+    a skipped rewrite, not a retraction. A consumer that must exclude
+    undone rows bootstraps from a post-restore snapshot instead."""
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    M.commit_append(spark, t, _df(spark, 0, 10))    # v1
+    M.commit_append(spark, t, _df(spark, 10, 20))   # v2
+    M.maybe_compact(spark, t, max_live_commits=1)   # v3: replace
+    M.commit_append(spark, t, _df(spark, 20, 30))   # v4
+    M.restore_table(spark, t, 3)                    # v5: restore (drops v4)
+    M.commit_append(spark, t, _df(spark, 30, 40))   # v6
+    got: list[list[int]] = []
+    _drain_capped(spark, t, ckpt, got, max_commits=1, expect_rows=40)
+    assert sorted(x for b in got for x in b) == list(range(40))
+    assert all(len(b) <= 10 for b in got if b), [len(b) for b in got]

@@ -487,3 +487,70 @@ def test_merge_randomized_equivalence(spark, tmp_path):
         want = {i: 3 for i in range(120)}
         want.update({k: 9 for k in upd_keys})
         assert got == want
+
+
+def test_restore_rolls_forward_to_an_old_state(spark, tmp_path):
+    """RESTORE parity: the new head equals the target's state, history
+    only grows (the undone versions still time travel), and restoring to
+    the current head is a re-runnable no-op."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10))
+    M.commit_append(spark, t, _df(spark, 10, 15))
+    M.commit_append(spark, t, _df(spark, 15, 18))
+    v4 = M.restore_table(spark, t, 1)
+    assert v4 == 4
+    v, df = M.snapshot(spark, t)
+    assert v == 4 and sorted(r.id for r in df.collect()) == list(range(10))
+    # the undone versions still time travel
+    _, old = M.snapshot(spark, t, version=3)
+    assert old.count() == 18
+    # restore to the current head: no new version
+    assert M.restore_table(spark, t, 4) == 4
+    assert M.head_version(spark, t) == 4
+
+
+def test_restore_is_a_replace_for_the_change_feed(spark, tmp_path):
+    """A consumer at the pre-restore head must not re-consume rows: the
+    restore version is skipped under ignore_replaces and fails loudly
+    without it — in BOTH directions (back and forward: a forward restore
+    only re-adds dirs, so the diff alone looks like an append)."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10))   # v1
+    M.commit_append(spark, t, _df(spark, 10, 15))  # v2
+    M.restore_table(spark, t, 1)                   # v3: drops v2's commit
+    M.restore_table(spark, t, 2)                   # v4: re-adds it (forward)
+    with _pytest.raises(IOError):
+        M.table_changes(spark, t, 2)
+    to, df = M.table_changes(spark, t, 2, ignore_replaces=True)
+    assert to == 4 and df is None  # nothing NEW was appended
+    # state equals v2 again
+    assert M.snapshot(spark, t)[1].count() == 15
+
+
+def test_restore_past_vacuum_raises(spark, tmp_path):
+    """The retention horizon is loud: once vacuum reclaimed a commit the
+    target references, restore refuses instead of publishing a manifest
+    that points at missing bytes."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10))     # v1
+    _, full = M.snapshot(spark, t)
+    M.commit_replace(spark, t, full, drop_commits=M._read_manifest(spark, t, 1)["commits"])  # v2 rewrite
+    M.vacuum(spark, t, keep_versions=1, min_age_s=0)
+    with _pytest.raises(IOError):
+        M.restore_table(spark, t, 1)
+
+
+def test_restore_keeps_the_idempotency_ledger(spark, tmp_path):
+    """Restore undoes DATA, not the exactly-once ledger: a sink batch key
+    committed before the restore stays a no-op after it."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10))  # v1
+    M.commit_append(spark, t, _df(spark, 10, 12), idempotency_key="b7")  # v2
+    M.restore_table(spark, t, 1)  # v3: b7's rows are gone
+    head = M.commit_append(spark, t, _df(spark, 10, 12), idempotency_key="b7")
+    assert head == 3  # replay is still a no-op
+    assert M.snapshot(spark, t)[1].count() == 10
