@@ -603,6 +603,143 @@ def table_changes(
     return to, out
 
 
+def commit_delete(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    stats_cols: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
+) -> tuple[int, int]:
+    """Row-level DELETE with FILE PRUNING (Delta `DELETE WHERE col
+    BETWEEN lo AND hi` parity): commits whose [min, max] zone map for
+    `col` is DISJOINT from [lo, hi] survive in the new manifest BY
+    REFERENCE; only overlapping (or stats-less — unknown is never
+    disjoint) commits rewrite, each keeping its rows outside the range.
+    A rewritten commit left empty is dropped outright. At 100 TB a
+    retention delete over a date-clustered table rewrites only the
+    commits whose zone maps straddle the cutoff.
+
+    Returns (version, commits_rewritten). The rewrite rides
+    commit_replace's CAS (racing appends survive; a racing replace of a
+    hit commit aborts loudly); the feed sees one replace version."""
+    head = head_version(spark, table)
+    if head == 0:
+        return 0, 0
+    man = _read_manifest(spark, table, head)
+    stats = man.get("stats") or {}
+    hits = []
+    for c in man["commits"]:
+        rng = (stats.get(c) or {}).get(col)
+        if rng is not None and None not in rng and (rng[0] > hi or rng[1] < lo):
+            continue  # provably disjoint: survives by reference
+        hits.append(c)
+    if not hits:
+        return head, 0
+    parts = [
+        spark.read.option("basePath", f"{table}/{c}").parquet(f"{table}/{c}")
+        for c in hits
+    ]
+    survivors = parts[0]
+    for p in parts[1:]:
+        survivors = survivors.unionByName(p, allowMissingColumns=True)
+    kept = survivors.filter(~((F.col(col) >= lo) & (F.col(col) <= hi)))
+    return (
+        commit_replace(
+            spark,
+            table,
+            kept,
+            drop_commits=hits,
+            partition_by=partition_by,
+            stats_cols=stats_cols,
+        ),
+        len(hits),
+    )
+
+
+def optimize_clustered(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    n_buckets: int = 8,
+    stats_cols: tuple[str, ...] | None = None,
+    max_retries: int = 20,
+) -> int:
+    """OPTIMIZE with range clustering (Delta `OPTIMIZE ... ZORDER BY
+    (col)` in its 1-D essence): rewrite the live commits as `n_buckets`
+    commits each covering a DISJOINT `col` range, published atomically
+    as ONE replace version. Zone maps are per-commit here, so a plain
+    compaction (one dir) gives the stats nothing to prune with — the
+    clustered rewrite is what makes `snapshot_pruned` skip all but the
+    overlapping buckets on later range reads (the pinned payoff in
+    tests/test_manifest.py). Bucket boundaries come from approxQuantile
+    on `col` (driver-side list of n_buckets-1 doubles — constant size).
+
+    Multi-dimensional clustering plugs in by passing a precomputed
+    Z-value column (the Morton machinery in plans/curation.zorder_layout)
+    as `col`; the commit protocol is the same."""
+    head = head_version(spark, table)
+    if head == 0:
+        return 0
+    commits = _read_manifest(spark, table, head)["commits"]
+    _, df = snapshot(spark, table, version=head)
+    if df is None:
+        return head
+    qs = df.approxQuantile(
+        col, [i / n_buckets for i in range(1, n_buckets)], 0.01
+    )
+    bounds = sorted(set(qs))
+    legs = []
+    prev_b = None
+    for i, b in enumerate(bounds + [None]):
+        cond = None
+        if prev_b is not None:
+            cond = F.col(col) > F.lit(prev_b)
+        if b is not None:
+            upper = F.col(col) <= F.lit(b)
+            cond = upper if cond is None else (cond & upper)
+        legs.append(df if cond is None else df.filter(cond))
+        prev_b = b
+    stats_cols = (col,) if stats_cols is None else tuple(stats_cols)
+    staged: list[str] = []
+    jvm, fs = _jvm_fs(spark, table)
+    my_stats: dict[str, dict] = {}
+    for leg in legs:
+        commit_dir = f"{_DATA}/{uuid.uuid4().hex}"
+        leg.write.mode("errorifexists").parquet(f"{table}/{commit_dir}")
+        # an empty bucket (skewed quantiles) stages an empty dir; keep it
+        # out of the manifest and reclaim it now
+        if spark.read.parquet(f"{table}/{commit_dir}").limit(1).count() == 0:
+            fs.delete(_jpath(jvm, f"{table}/{commit_dir}"), True)
+            continue
+        staged.append(commit_dir)
+        if stats_cols:
+            my_stats[commit_dir] = _commit_stats(spark, table, commit_dir, stats_cols)
+    for _ in range(max_retries):
+        head = head_version(spark, table)
+        prev = _read_manifest(spark, table, head)
+        missing = [c for c in commits if c not in prev["commits"]]
+        if missing:
+            raise IOError(
+                f"optimize_clustered conflict: {missing} already replaced "
+                "by a racing commit"
+            )
+        live = [c for c in prev["commits"] if c not in commits] + staged
+        stats = {c: s for c, s in (prev.get("stats") or {}).items() if c in live}
+        stats.update(my_stats)
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "commits": live,
+            "keys": prev.get("keys") or {},
+            "stats": stats,
+        }
+        if _try_commit(spark, table, head + 1, manifest):
+            return head + 1
+    raise IOError(f"optimize_clustered lost the CAS race {max_retries} times on {table}")
+
+
 def restore_table(
     spark: SparkSession, table: str, version: int, max_retries: int = 20
 ) -> int:
@@ -701,11 +838,19 @@ def maybe_compact(
 
 
 def vacuum(
-    spark: SparkSession, table: str, keep_versions: int = 2, min_age_s: float = 600.0
+    spark: SparkSession,
+    table: str,
+    keep_versions: int = 2,
+    min_age_s: float = 600.0,
+    dry_run: bool = False,
 ) -> int:
     """Delete commit dirs unreferenced by the newest `keep_versions`
     manifests, then drop older manifests. Readers of retained snapshots
     are unaffected; returns the number of commit dirs removed.
+
+    `dry_run=True` (Delta `VACUUM ... DRY RUN` parity) counts the commit
+    dirs that WOULD be reclaimed under the same age/reference rules and
+    deletes nothing — manifests, tmps, and claims included.
 
     `min_age_s` is load-bearing, not politeness: a concurrent writer's
     commit dir is staged BEFORE its manifest CAS, so an unreferenced dir
@@ -732,8 +877,11 @@ def vacuum(
     for st in fs.globStatus(_jpath(jvm, f"{table}/{_DATA}/*")) or []:
         rel = f"{_DATA}/{st.getPath().getName()}"
         if rel not in keep and now_ms - st.getModificationTime() >= min_age_s * 1000.0:
-            fs.delete(st.getPath(), True)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
             removed += 1
+    if dry_run:
+        return removed
     for st in fs.globStatus(_jpath(jvm, f"{table}/{_MANIFESTS}/v*.json")) or []:
         name = st.getPath().getName()
         if int(name[1:-5]) < floor_v:

@@ -554,3 +554,73 @@ def test_restore_keeps_the_idempotency_ledger(spark, tmp_path):
     head = M.commit_append(spark, t, _df(spark, 10, 12), idempotency_key="b7")
     assert head == 3  # replay is still a no-op
     assert M.snapshot(spark, t)[1].count() == 10
+
+
+def test_delete_where_rewrites_only_overlapping_commits(spark, tmp_path):
+    """DELETE with zone-map pruning: commits provably disjoint from the
+    range survive by reference (same dirs in the new manifest), only the
+    straddling commits rewrite, and an emptied commit is dropped."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 100), stats_cols=("id",))     # v1
+    M.commit_append(spark, t, _df(spark, 100, 200), stats_cols=("id",))  # v2
+    M.commit_append(spark, t, _df(spark, 200, 300), stats_cols=("id",))  # v3
+    before = M._read_manifest(spark, t, 3)["commits"]
+    v, rewritten = M.commit_delete(spark, t, "id", 150, 220, stats_cols=("id",))
+    assert (v, rewritten) == (4, 2)  # commits 2 and 3 overlap; 1 doesn't
+    after = M._read_manifest(spark, t, 4)["commits"]
+    assert before[0] in after  # the disjoint commit survived BY REFERENCE
+    assert before[1] not in after and before[2] not in after
+    _, df = M.snapshot(spark, t)
+    ids = sorted(r.id for r in df.collect())
+    assert ids == list(range(0, 150)) + list(range(221, 300))
+    # deleting an entire commit's range drops it outright
+    v2, rw2 = M.commit_delete(spark, t, "id", 0, 149, stats_cols=("id",))
+    assert rw2 >= 1
+    assert sorted(r.id for r in M.snapshot(spark, t)[1].collect()) == list(
+        range(221, 300)
+    )
+    # fully disjoint delete: no-op, same head
+    v3, rw3 = M.commit_delete(spark, t, "id", 1000, 2000)
+    assert (v3, rw3) == (v2, 0)
+
+
+def test_optimize_clustered_makes_zone_maps_prune(spark, tmp_path):
+    """The OPTIMIZE payoff: interleaved appends (every commit spans the
+    whole key range — zone maps prune NOTHING) become disjoint clustered
+    commits; the same range read then skips all non-overlapping buckets
+    and reads the same rows."""
+    t = str(tmp_path / "tbl")
+    # 4 interleaved appends: each takes ids = i mod 4 over 0..199
+    full = spark.range(0, 200).select("id", F.lit(3).alias("court_level"))
+    for i in range(4):
+        M.commit_append(
+            spark, t, full.filter(F.col("id") % 4 == i), stats_cols=("id",)
+        )
+    _, _, skipped_before = M.snapshot_pruned(spark, t, "id", 10, 20)
+    assert skipped_before == 0  # every commit spans ~[0,199]
+    v = M.optimize_clustered(spark, t, "id", n_buckets=8)
+    _, pruned, skipped_after = M.snapshot_pruned(spark, t, "id", 10, 20)
+    assert skipped_after >= 5, skipped_after
+    assert sorted(r.id for r in pruned.collect()) == list(range(10, 21))
+    # full snapshot unchanged by the rewrite
+    assert M.snapshot(spark, t)[1].count() == 200
+    # the feed sees one replace version, skippable
+    to, df = M.table_changes(spark, t, 4, ignore_replaces=True)
+    assert to == v and df is None
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    """DRY RUN parity: reports the same count the real vacuum reclaims,
+    but every byte (data dirs, old manifests) is still there after."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10))
+    _, full = M.snapshot(spark, t)
+    M.commit_replace(
+        spark, t, full, drop_commits=M._read_manifest(spark, t, 1)["commits"]
+    )
+    n_dry = M.vacuum(spark, t, keep_versions=1, min_age_s=0, dry_run=True)
+    assert n_dry == 1
+    # nothing was touched: v1 still time travels
+    assert M.snapshot(spark, t, version=1)[1].count() == 10
+    n_real = M.vacuum(spark, t, keep_versions=1, min_age_s=0)
+    assert n_real == n_dry
