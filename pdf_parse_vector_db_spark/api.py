@@ -25,6 +25,7 @@ collection; the long-lived SparkSession plays the module-global client
 from __future__ import annotations
 
 import copy
+import hashlib
 import json
 import threading
 
@@ -147,8 +148,13 @@ class SparkVectorService:
                 if self.manifested:
                     from pdf_parse_vector_db_spark.sources import manifest as M
 
+                    # file_id zone maps let forget_file() prune commits
                     self._version = M.commit_append(
-                        self.spark, self.path, chunks, partition_by=("court_level",)
+                        self.spark,
+                        self.path,
+                        chunks,
+                        partition_by=("court_level",),
+                        stats_cols=("file_id",),
                     )
                     if self.auto_compact_commits:
                         try:
@@ -159,6 +165,7 @@ class SparkVectorService:
                                     self.path,
                                     max_live_commits=self.auto_compact_commits,
                                     partition_by=("court_level",),
+                                    stats_cols=("file_id",),
                                 ),
                             )
                         except IOError:
@@ -261,6 +268,51 @@ class SparkVectorService:
             # store our own private copy for the same reason as the hit path
             self._cache[key] = copy.deepcopy(out)
         return out
+
+    # -- maintenance (manifested mode) ---------------------------------------
+
+    def forget_file(self, file_name: str) -> int:
+        """GDPR erasure through the table layer: row-level DELETE of every
+        chunk of `file_name` (the reference's delete-by-expr analog). The
+        per-commit file_id zone maps written at ingest prune the rewrite
+        to the commits that actually contain the document; the physical
+        bytes of replaced commits remain until vacuum (same erasure
+        window Delta documents). Manifested mode only — the raw-parquet
+        path has no commit protocol to rewrite safely under readers."""
+        if not self.manifested:
+            raise ValueError("forget_file requires manifested=True")
+        from pdf_parse_vector_db_spark.sources import manifest as M
+
+        fid = hashlib.sha256(file_name.encode()).hexdigest()
+        with scoped_pool(self.spark, "maintenance"):
+            with self._write_lock:
+                v, _ = M.commit_delete(
+                    self.spark,
+                    self.path,
+                    "file_id",
+                    fid,
+                    fid,
+                    stats_cols=("file_id",),
+                    partition_by=("court_level",),
+                )
+                self._version = max(self._version, v)
+        return self._version
+
+    def restore(self, version: int) -> int:
+        """Roll the warehouse back to `version` (Delta RESTORE parity —
+        one manifest CAS, history keeps rolling forward). The search
+        cache keys on the manifest head, so post-restore searches never
+        serve pre-restore results."""
+        if not self.manifested:
+            raise ValueError("restore requires manifested=True")
+        from pdf_parse_vector_db_spark.sources import manifest as M
+
+        with scoped_pool(self.spark, "maintenance"):
+            with self._write_lock:
+                self._version = max(
+                    self._version, M.restore_table(self.spark, self.path, version)
+                )
+        return self._version
 
     # -- liveness ----------------------------------------------------------
 

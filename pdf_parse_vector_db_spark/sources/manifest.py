@@ -351,8 +351,20 @@ def commit_replace(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{table}/{commit_dir}")
+    # an EMPTY partitioned write stages no part files — an unreadable dir
+    # that must never enter a manifest (a delete that empties the table is
+    # a legitimate replace: drop the old commits, add nothing)
+    jvm, fs = _jvm_fs(spark, table)
+    has_rows = any(
+        fs.globStatus(_jpath(jvm, f"{table}/{commit_dir}/{depth}part-*"))
+        for depth in ("", "*/", "*/*/")
+    )
+    if not has_rows:
+        fs.delete(_jpath(jvm, f"{table}/{commit_dir}"), True)
     my_stats = (
-        _commit_stats(spark, table, commit_dir, stats_cols) if stats_cols else None
+        _commit_stats(spark, table, commit_dir, stats_cols)
+        if stats_cols and has_rows
+        else None
     )
     for _ in range(max_retries):
         head = head_version(spark, table)
@@ -362,7 +374,9 @@ def commit_replace(
             raise IOError(
                 f"commit_replace conflict: {missing} already replaced by a racing commit"
             )
-        live = [c for c in prev["commits"] if c not in drop_commits] + [commit_dir]
+        live = [c for c in prev["commits"] if c not in drop_commits] + (
+            [commit_dir] if has_rows else []
+        )
         stats = {
             c: s for c, s in (prev.get("stats") or {}).items() if c in live
         }

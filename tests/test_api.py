@@ -126,3 +126,41 @@ def test_manifested_auto_compact_bounds_commit_legs(spark, tmp_path):
     # searches see the compacted table (cache version tracked the replace)
     resp = svc.search_similar_cases("q.pdf", QUERY, court_level=2)
     assert resp["result_count"] == 5
+
+
+def test_forget_file_erases_and_restore_undoes(spark, tmp_path):
+    """Maintenance surface (manifested mode): forget_file row-deletes one
+    document's chunks through the zone-map-pruned DELETE (searches and
+    health reflect it immediately — the cache keys on the manifest
+    head), and restore() rolls the warehouse back to a pre-delete
+    version, resurfacing the rows. Raw mode refuses both."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    path = str(tmp_path / "wh")
+    svc = SparkVectorService(spark, path, manifested=True, auto_compact_commits=0)
+    svc.ingest_legal_document("case_a.pdf", DOC, court_level=3)
+    svc.ingest_legal_document("case_b.pdf", DOC + " variant b", court_level=3)
+    pre_delete = M.head_version(spark, path)
+    r_before = svc.search_similar_cases("query.pdf", QUERY, court_level=2)
+    assert r_before["result_count"] == 2
+
+    svc.forget_file("case_a.pdf")
+    assert svc.health()["chunks_indexed"] > 0
+    _, df = M.snapshot(spark, path)
+    assert df.filter(F.col("file_name") == "case_a.pdf").count() == 0
+    r_after = svc.search_similar_cases("query.pdf", QUERY, court_level=2)
+    assert r_after["result_count"] == 1  # cache did not serve the stale hit
+
+    svc.restore(pre_delete)
+    r_restored = svc.search_similar_cases("query.pdf", QUERY, court_level=2)
+    assert r_restored["result_count"] == 2
+
+    raw = SparkVectorService(spark, str(tmp_path / "raw"), manifested=False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        raw.forget_file("x.pdf")
+    with _pytest.raises(ValueError):
+        raw.restore(1)

@@ -122,3 +122,19 @@ def test_pca_two_level_merge_matches_naive_merge(spark):
         # production rounds to 6 dp for the report; the pre-round value
         # must match the naive merge to float precision
         assert c["explained"] == round(float(expl[i]), 6)
+
+
+def test_graph_operators_hash_match_at_reference_width(spark, dim_dir):
+    """Round-7 graph family at dim 1536: NN-Descent's per-pair fold and
+    DBSCAN's blocked-BLAS eps-kernel are both dim-agnostic by
+    construction — pin it with a full value-hash compare against the
+    DuckDB twins on the wide fixture (the codegen-literal and
+    driver-collect hazards the other dim tests pin don't apply here:
+    strides and norms are data, not literals)."""
+    from pdf_parse_vector_db_spark.plans import knn_graph as kg
+    from tools.compare_oracle import compare_query, duckdb_connection
+
+    con = duckdb_connection(dim_dir)
+    for spec in kg.QUERIES:
+        problems = compare_query(spark, con, spec, dim_dir)
+        assert not problems, (spec.name, problems)
