@@ -701,6 +701,7 @@ def optimize_clustered(
     if df is None:
         return head
     qs = df.approxQuantile(
+        # ansi: driver-side Python floats, n_buckets >= 1 by signature
         col, [i / n_buckets for i in range(1, n_buckets)], 0.01
     )
     bounds = sorted(set(qs))
