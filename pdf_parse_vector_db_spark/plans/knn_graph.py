@@ -119,6 +119,28 @@ _STRIDES = (
 _ROUNDS = 3
 
 
+def _attach_and_score(pairs: DataFrame, ex: DataFrame, ey: DataFrame) -> DataFrame:
+    """Attach embedding payloads to canonical (lo, hi) id pairs and score
+    cosine distance. NO broadcast hint on ex/ey: at 100 TB the (vec_id,
+    vector, norm) relation is the whole vector corpus — plain equi-joins
+    on the integer id let AQE broadcast when genuinely small and fall
+    back to a co-partitioned shuffle hash join otherwise (round-7 verdict
+    finding; shape pinned in tests/test_plans.py)."""
+    denom = F.col("ln") * F.col("hn")
+    cos = (
+        # same contract as functions.vector.cosine_similarity, whose factors these are
+        # ansi: the denom > 0 CASE arm guards the division
+        F.when(denom > 0, dot_product(F.col("lv"), F.col("hv")) / denom)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        pairs.join(ex, on="lo")
+        .join(ey, on="hi")
+        .withColumn("d", F.round(F.lit(1.0) - cos, 6))
+        .select("lo", "hi", "d")
+    )
+
+
 def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X51: corpus-wide k-NN graph via NN-Descent (Dong et al., WWW'11).
 
@@ -166,13 +188,6 @@ def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ex = e.select(F.col("vec_id").alias("lo"), F.col("v").alias("lv"), F.col("nrm").alias("ln"))
     ey = e.select(F.col("vec_id").alias("hi"), F.col("v").alias("hv"), F.col("nrm").alias("hn"))
-    denom = F.col("ln") * F.col("hn")
-    cos = (
-        # same contract as functions.vector.cosine_similarity, whose factors these are
-        # ansi: the denom > 0 CASE arm guards the division
-        F.when(denom > 0, dot_product(F.col("lv"), F.col("hv")) / denom)
-        .otherwise(F.lit(0.0))
-    )
     w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst").asc())
 
     edges = g0
@@ -195,12 +210,7 @@ def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        scored = (
-            pairs.join(F.broadcast(ex), on="lo")
-            .join(F.broadcast(ey), on="hi")
-            .withColumn("d", F.round(F.lit(1.0) - cos, 6))
-            .select("lo", "hi", "d")
-        )
+        scored = _attach_and_score(pairs, ex, ey)
         both = scored.select(
             F.col("lo").alias("src"), F.col("hi").alias("dst"), "d"
         ).union(scored.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), "d"))
@@ -266,25 +276,16 @@ ORDER BY vec_id, rnk
 """
 
 
-def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X52: DBSCAN over embeddings, IVF cells as the eps candidate
-    generator. Core = node with ≥ minPts−1 same-cell cosine-eps
-    neighbors; clusters = connected components over core-core edges
-    (min-label Pregel, operators/components.py — the recursive-CTE
-    oracle cross-checks the fixpoint) plus isolated cores as singleton
-    clusters; border = non-core adjacent to a core, attached to the
-    minimum adjacent cluster id; everything else is noise. Output is one
-    row per cluster (cluster_id = min member core id, core/border/total
-    counts) plus a cluster_id = -1 noise row — constant-size per
-    cluster, integer-exact, so the whole density pipeline sits under
-    the value hash."""
+def _dbscan_from_pairs(
+    spark: SparkSession, emb: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Shared DBSCAN tail: given the eps-graph candidate edges (id_a,
+    id_b — already cosine-thresholded and canonical), derive cores by
+    degree, clusters as connected components over core-core edges plus
+    isolated cores, borders attached to the minimum adjacent cluster,
+    and the -1 noise row. Both the same-cell (X52) and halo (X54)
+    candidate generators feed this identical, integer-exact tail."""
     from pdf_parse_vector_db_spark.operators.components import connected_components
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    clustered = emb.join(_ivf_assign(emb), on="vec_id")
-    pairs = dedup.embedding_near_dup_pairs(
-        clustered, threshold=_EPS_COS, bucket_col="cluster_id"
-    ).select("id_a", "id_b").localCheckpoint()
 
     und = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -334,13 +335,114 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.unionByName(noise).orderBy("cluster_id")
 
 
-DBSCAN_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_ASSIGN_SQL},
-p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_EPS_COS}
-),
+def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52: DBSCAN over embeddings, IVF cells as the eps candidate
+    generator. Core = node with ≥ minPts−1 same-cell cosine-eps
+    neighbors; clusters = connected components over core-core edges
+    (min-label Pregel, operators/components.py — the recursive-CTE
+    oracle cross-checks the fixpoint) plus isolated cores as singleton
+    clusters; border = non-core adjacent to a core, attached to the
+    minimum adjacent cluster id; everything else is noise. Output is one
+    row per cluster (cluster_id = min member core id, core/border/total
+    counts) plus a cluster_id = -1 noise row — constant-size per
+    cluster, integer-exact, so the whole density pipeline sits under
+    the value hash.
+
+    Candidate generation is SAME-CELL only (the documented MR-DBSCAN
+    approximation); `dbscan_clusters_halo` (X54) adds the cross-cell
+    multi-probe tier with a measured eps-graph recall contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    clustered = emb.join(_ivf_assign(emb), on="vec_id")
+    pairs = dedup.embedding_near_dup_pairs(
+        clustered, threshold=_EPS_COS, bucket_col="cluster_id"
+    ).select("id_a", "id_b").localCheckpoint()
+    return _dbscan_from_pairs(spark, emb, pairs)
+
+
+#: halo multi-probe width: each point is ALSO compared in its 2nd-nearest
+#: IVF cell, so eps-pairs straddling a cell boundary (the MR-DBSCAN merge
+#: step's border pairs) become candidates — the bitext_mining_ivf probe
+#: asymmetry applied symmetrically to a self-join
+_HALO_NPROBE = 2
+
+
+def _ivf_probe_assign(emb: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, cluster_id) for each of the point's `nprobe` NEAREST
+    cells (row_number over the deterministic (distance-micros, cid)
+    pack). nprobe=1 degrades to the `_ivf_assign` argmin; the window is
+    per-point over nlist ∝ √N seed rows — the standard IVF assignment
+    cost, map-side after the broadcast seed crossJoin."""
+    seeds = _ivf_seeds(emb)
+    key = (
+        F.round(l2_distance(F.col("embedding"), F.col("cvec")) * 1e6).cast("bigint")
+        * _IVF_KEY_BASE
+        + F.col("cid")
+    )
+    w = Window.partitionBy("vec_id").orderBy("pk")
+    return (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", F.col("cid").alias("cluster_id"), key.alias("pk"))
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= nprobe)
+        .select("vec_id", "cluster_id")
+    )
+
+
+def dbscan_clusters_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54: DBSCAN with a CROSS-CELL halo candidate generator. Each point
+    is assigned to its `_HALO_NPROBE` nearest IVF cells (not just the
+    argmin), so two points within eps of each other but quantized into
+    adjacent cells still become a candidate pair whenever either's probe
+    set reaches the other's cell — MR-DBSCAN's cross-partition merge
+    step, realized as multi-probe co-location instead of a separate
+    border-exchange round. Pair space grows from Σ cell² to
+    ≤ nprobe²·Σ cell² (bounded, never corpus²); a pair sharing two
+    probed cells is scored twice and deduped by the distinct on the
+    already-rounded cosine pair. Same integer-exact tail as X52; the
+    eps-graph recall gain over same-cell is pinned against the
+    brute-force eps-graph in tests/test_knn_graph.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    clustered = emb.join(_ivf_probe_assign(emb, _HALO_NPROBE), on="vec_id")
+    pairs = (
+        dedup.embedding_near_dup_pairs(
+            clustered, threshold=_EPS_COS, bucket_col="cluster_id"
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    return _dbscan_from_pairs(spark, emb, pairs)
+
+
+#: multi-probe halo prelude: each point joins its _HALO_NPROBE nearest
+#: cells (deterministic (distance-micros, cid) pack, row_number ≤ nprobe)
+_ASSIGN_HALO_SQL = f"""
+seeds AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD_SQL} = {_IVF_SEED_OFF}
+), probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cid AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]), s.cvec)
+                                 * 1e6) AS BIGINT) * {_IVF_KEY_BASE} + s.cid
+           ) AS pr
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE pr <= {_HALO_NPROBE}
+), e AS (
+  SELECT p.cell, emb.vec_id, CAST(emb.embedding AS DOUBLE[]) AS v
+  FROM embeddings emb JOIN probe p ON emb.vec_id = p.vec_id
+)"""
+
+
+def _dbscan_sql(prelude: str, pair_select: str) -> str:
+    """Full DBSCAN oracle from a candidate-pair SELECT — the same tail
+    (degree → core → recursive components → border → counts → noise)
+    the Spark `_dbscan_from_pairs` computes, shared by X52 and X54."""
+    return f"""
+WITH RECURSIVE {prelude},
+p AS ({pair_select}),
 und AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
 deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
 core AS (SELECT src AS node FROM deg WHERE deg >= {_MIN_NBRS}),
@@ -386,6 +488,23 @@ SELECT * FROM clusters UNION ALL SELECT * FROM noise ORDER BY cluster_id
 """
 
 
+DBSCAN_CLUSTERS_SQL = _dbscan_sql(
+    _ASSIGN_SQL,
+    f"""
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_EPS_COS}""",
+)
+
+DBSCAN_HALO_SQL = _dbscan_sql(
+    _ASSIGN_HALO_SQL,
+    f"""
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_EPS_COS}""",
+)
+
+
 QUERIES = [
     QuerySpec(
         "nn_descent_graph",
@@ -398,5 +517,11 @@ QUERIES = [
         dbscan_clusters,
         DBSCAN_CLUSTERS_SQL,
         "X52 DBSCAN density clustering on the IVF eps-candidate graph",
+    ),
+    QuerySpec(
+        "dbscan_clusters_halo",
+        dbscan_clusters_halo,
+        DBSCAN_HALO_SQL,
+        "X54 DBSCAN with cross-cell multi-probe halo candidates (MR-DBSCAN merge)",
     ),
 ]

@@ -169,7 +169,10 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         return {"version": v}
 
     def partitions(self, start: dict, end: dict):
-        self._cursor = end["version"]
+        # MONOTONIC: a re-planned older window (checkpointed-batch replay
+        # after newer triggers) must not regress the admission cursor, or
+        # a capped latestOffset would re-admit versions → duplicate rows
+        self._cursor = max(self._cursor or 0, end["version"])
         prev = (
             _read_manifest(self.table, start["version"])["commits"]
             if start["version"]

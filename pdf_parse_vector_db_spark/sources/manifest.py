@@ -80,6 +80,17 @@ def _jpath(jvm, path: str):
     return jvm.org.apache.hadoop.fs.Path(path)
 
 
+def _has_part_files(jvm, fs, path: str) -> bool:
+    """True iff `path` contains at least one part file at ANY partition
+    depth (Hadoop RemoteIterator, recursive). One RPC stream per staged
+    commit — constant driver memory, works on object stores."""
+    it = fs.listFiles(_jpath(jvm, path), True)
+    while it.hasNext():
+        if it.next().getPath().getName().startswith("part-"):
+            return True
+    return False
+
+
 def head_version(spark: SparkSession, table: str) -> int:
     """Highest committed manifest version (0 = empty table)."""
     jvm, fs = _jvm_fs(spark, table)
@@ -353,12 +364,11 @@ def commit_replace(
     writer.parquet(f"{table}/{commit_dir}")
     # an EMPTY partitioned write stages no part files — an unreadable dir
     # that must never enter a manifest (a delete that empties the table is
-    # a legitimate replace: drop the old commits, add nothing)
+    # a legitimate replace: drop the old commits, add nothing). Listing is
+    # RECURSIVE — fixed-depth globs would misread a ≥3-column partitionBy
+    # layout as empty and silently publish a drop-only manifest.
     jvm, fs = _jvm_fs(spark, table)
-    has_rows = any(
-        fs.globStatus(_jpath(jvm, f"{table}/{commit_dir}/{depth}part-*"))
-        for depth in ("", "*/", "*/*/")
-    )
+    has_rows = _has_part_files(jvm, fs, f"{table}/{commit_dir}")
     if not has_rows:
         fs.delete(_jpath(jvm, f"{table}/{commit_dir}"), True)
     my_stats = (
@@ -397,12 +407,34 @@ def commit_replace(
     raise IOError(f"commit_replace lost the CAS race {max_retries} times on {table}")
 
 
+def _overlapping_commits(man: dict, col: str, lo, hi) -> list[str]:
+    """Zone-map prune: the manifest's commits that may contain a `col`
+    value in [lo, hi]. Conservative in every unknown direction — no
+    recorded stats, any-null bounds, or a null query range all keep the
+    commit. Shared by commit_delete and commit_merge hit detection."""
+    stats = man.get("stats") or {}
+    keep = []
+    for c in man["commits"]:
+        rng = (stats.get(c) or {}).get(col)
+        if (
+            lo is not None
+            and rng is not None
+            and None not in rng
+            and (rng[0] > hi or rng[1] < lo)
+        ):
+            continue
+        keep.append(c)
+    return keep
+
+
 def commit_merge(
     spark: SparkSession,
     table: str,
     updates: DataFrame,
     key_cols: tuple[str, ...],
     partition_by: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
+    max_restarts: int = 10,
 ) -> int:
     """Delta-style MERGE (keyed upsert) with FILE PRUNING: rewrite ONLY
     the commit dirs that contain a matching key — untouched commits
@@ -418,9 +450,23 @@ def commit_merge(
     projection into each parquet leg. Callers must dedupe `updates` on
     `key_cols` (enforced; last-writer-wins across CALLS is the CAS
     serialization, within a call it would be nondeterministic).
-    Concurrency: the rewrite goes through commit_replace's CAS — a
-    racing commit forces a retry, a racing replace of our hit commits
-    aborts loudly.
+    Concurrency (Delta's conflict-resolution semantics): the rewrite goes
+    through commit_replace's CAS. A racing APPEND just retries the CAS; a
+    racing REPLACE of one of our hit commits (e.g. another merge that
+    shared a file even on disjoint keys, or a compaction) RESTARTS the
+    whole merge from the new head — hit detection re-runs against the
+    racer's published commits, which still carry our keys' current rows —
+    so concurrent merges on disjoint keys BOTH land (serialized versions,
+    no caller-visible failure) and overlapping merges serialize with
+    last-CAS-winner-wins, pinned by the 2-writer barrier races in
+    tests/test_manifest.py.
+
+    Zone-map hit pruning: when the manifest carries stats for the first
+    key column, commits whose [min, max] is provably disjoint from the
+    updates' key range are excluded from hit detection BEFORE any parquet
+    leg is scanned — at 100 TB the hit-detection job reads only the
+    commits a key-clustered layout makes plausible. Pass `stats_cols` so
+    the merged replacement commit re-publishes stats and stays prunable.
 
     Change-feed interaction (same contract as Delta): a merge that hits
     existing keys publishes a replace-commit, so `table_changes`/
@@ -435,42 +481,64 @@ def commit_merge(
         raise ValueError("commit_merge needs at least one key column")
     if updates.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count():
         raise ValueError(f"updates are not unique on {key_cols}")
-    head = head_version(spark, table)
-    if head == 0:
-        return commit_append(spark, table, updates, partition_by=partition_by)
-    commits = _read_manifest(spark, table, head)["commits"]
-    keys = updates.select(*key_cols).distinct()
-    legs = [
-        spark.read.option("basePath", f"{table}/{c}")
-        .parquet(f"{table}/{c}")
-        .select(*key_cols)
-        .withColumn("_commit", F.lit(c))
-        for c in commits
-    ]
-    all_keys = legs[0]
-    for leg in legs[1:]:
-        all_keys = all_keys.unionByName(leg)
-    hits = sorted(
-        r._commit
-        for r in all_keys.join(F.broadcast(keys), list(key_cols), "left_semi")
-        .select("_commit")
-        .distinct()
-        .collect()
-    )
-    if not hits:
-        return commit_append(spark, table, updates, partition_by=partition_by)
-    survivors = None
-    for c in hits:
-        leg = spark.read.option("basePath", f"{table}/{c}").parquet(f"{table}/{c}")
-        survivors = leg if survivors is None else survivors.unionByName(
-            leg, allowMissingColumns=True
-        )
-    merged = survivors.join(
-        F.broadcast(keys), list(key_cols), "left_anti"
-    ).unionByName(updates, allowMissingColumns=True)
-    return commit_replace(
-        spark, table, merged, drop_commits=hits, partition_by=partition_by
-    )
+    kc = key_cols[0]
+    kb = updates.agg(F.min(kc).alias("lo"), F.max(kc).alias("hi")).first()
+    last_exc: IOError | None = None
+    for _ in range(max_restarts):
+        head = head_version(spark, table)
+        if head == 0:
+            return commit_append(
+                spark, table, updates, partition_by=partition_by,
+                stats_cols=stats_cols,
+            )
+        man = _read_manifest(spark, table, head)
+        candidates = _overlapping_commits(man, kc, kb.lo, kb.hi)
+        keys = updates.select(*key_cols).distinct()
+        hits: list[str] = []
+        if candidates:
+            legs = [
+                spark.read.option("basePath", f"{table}/{c}")
+                .parquet(f"{table}/{c}")
+                .select(*key_cols)
+                .withColumn("_commit", F.lit(c))
+                for c in candidates
+            ]
+            all_keys = legs[0]
+            for leg in legs[1:]:
+                all_keys = all_keys.unionByName(leg)
+            hits = sorted(
+                r._commit
+                for r in all_keys.join(F.broadcast(keys), list(key_cols), "left_semi")
+                .select("_commit")
+                .distinct()
+                .collect()
+            )
+        if not hits:
+            return commit_append(
+                spark, table, updates, partition_by=partition_by,
+                stats_cols=stats_cols,
+            )
+        survivors = None
+        for c in hits:
+            leg = spark.read.option("basePath", f"{table}/{c}").parquet(f"{table}/{c}")
+            survivors = leg if survivors is None else survivors.unionByName(
+                leg, allowMissingColumns=True
+            )
+        merged = survivors.join(
+            F.broadcast(keys), list(key_cols), "left_anti"
+        ).unionByName(updates, allowMissingColumns=True)
+        try:
+            return commit_replace(
+                spark, table, merged, drop_commits=hits,
+                partition_by=partition_by, stats_cols=stats_cols,
+            )
+        except IOError as exc:
+            if "conflict" not in str(exc):
+                raise
+            last_exc = exc  # racing replace took a hit commit: restart from new head
+    raise IOError(
+        f"commit_merge restarted {max_restarts} times on {table} without landing"
+    ) from last_exc
 
 
 def snapshot(
@@ -642,13 +710,8 @@ def commit_delete(
     if head == 0:
         return 0, 0
     man = _read_manifest(spark, table, head)
-    stats = man.get("stats") or {}
-    hits = []
-    for c in man["commits"]:
-        rng = (stats.get(c) or {}).get(col)
-        if rng is not None and None not in rng and (rng[0] > hi or rng[1] < lo):
-            continue  # provably disjoint: survives by reference
-        hits.append(c)
+    # provably disjoint commits survive by reference
+    hits = _overlapping_commits(man, col, lo, hi)
     if not hits:
         return head, 0
     parts = [
@@ -658,7 +721,13 @@ def commit_delete(
     survivors = parts[0]
     for p in parts[1:]:
         survivors = survivors.unionByName(p, allowMissingColumns=True)
-    kept = survivors.filter(~((F.col(col) >= lo) & (F.col(col) <= hi)))
+    # keep rows where the predicate is FALSE **or NULL** (Delta DELETE
+    # WHERE semantics: a NULL `col` never matches `BETWEEN lo AND hi`, so
+    # the row survives; `NOT (col >= lo AND col <= hi)` alone evaluates
+    # to NULL for NULL col and would silently drop those rows)
+    kept = survivors.filter(
+        (F.col(col) < lo) | (F.col(col) > hi) | F.col(col).isNull()
+    )
     return (
         commit_replace(
             spark,
@@ -714,23 +783,42 @@ def optimize_clustered(
         if b is not None:
             upper = F.col(col) <= F.lit(b)
             cond = upper if cond is None else (cond & upper)
+        if cond is not None and prev_b is None:
+            # rows whose clustering key is NULL satisfy NO range predicate
+            # (every comparison is NULL) — route them into the first bucket
+            # so OPTIMIZE stays row-preserving; zone-map stats for that
+            # bucket simply have null bounds, which prune conservatively
+            cond = cond | F.col(col).isNull()
         legs.append(df if cond is None else df.filter(cond))
         prev_b = b
     stats_cols = (col,) if stats_cols is None else tuple(stats_cols)
     staged: list[str] = []
     jvm, fs = _jvm_fs(spark, table)
     my_stats: dict[str, dict] = {}
+    staged_rows = 0
     for leg in legs:
         commit_dir = f"{_DATA}/{uuid.uuid4().hex}"
         leg.write.mode("errorifexists").parquet(f"{table}/{commit_dir}")
         # an empty bucket (skewed quantiles) stages an empty dir; keep it
         # out of the manifest and reclaim it now
-        if spark.read.parquet(f"{table}/{commit_dir}").limit(1).count() == 0:
+        leg_rows = spark.read.parquet(f"{table}/{commit_dir}").count()
+        if leg_rows == 0:
             fs.delete(_jpath(jvm, f"{table}/{commit_dir}"), True)
             continue
+        staged_rows += leg_rows
         staged.append(commit_dir)
         if stats_cols:
             my_stats[commit_dir] = _commit_stats(spark, table, commit_dir, stats_cols)
+    # OPTIMIZE is a pure re-layout: assert row preservation BEFORE the CAS
+    # so a bucketing bug can never publish silent data loss
+    expected_rows = df.count()
+    if staged_rows != expected_rows:
+        for c in staged:
+            fs.delete(_jpath(jvm, f"{table}/{c}"), True)
+        raise IOError(
+            f"optimize_clustered would lose rows on {table}: staged "
+            f"{staged_rows} != live {expected_rows}; aborted before publish"
+        )
     for _ in range(max_retries):
         head = head_version(spark, table)
         prev = _read_manifest(spark, table, head)

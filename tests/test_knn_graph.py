@@ -151,3 +151,77 @@ def test_plan_hygiene_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         body = plan.split("== Initial Plan ==")[0]
         assert "CartesianProduct" not in body, (fn.__name__, body)
+
+
+def test_dbscan_halo_eps_graph_recall(spark):
+    """X54 contract: the multi-probe halo candidate generator strictly
+    dominates same-cell (superset) and materially closes the gap to the
+    brute-force eps-graph on the uniformly-random driver fixture
+    (measured: same-cell 0.245, halo 0.556 — cross-cell eps-pairs are
+    MOST of what same-cell misses on unstructured data)."""
+    from pdf_parse_vector_db_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=kg._EPS_COS)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    same = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(
+            emb.join(kg._ivf_assign(emb), on="vec_id"),
+            threshold=kg._EPS_COS,
+            bucket_col="cluster_id",
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    halo = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(
+            emb.join(kg._ivf_probe_assign(emb, kg._HALO_NPROBE), on="vec_id"),
+            threshold=kg._EPS_COS,
+            bucket_col="cluster_id",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    assert same <= halo  # widening the probe set never loses a candidate
+    r_same = len(same & exact) / len(exact)
+    r_halo = len(halo & exact) / len(exact)
+    assert r_halo >= r_same + 0.2, (r_same, r_halo)
+    assert r_halo >= 0.5, r_halo
+
+
+def test_dbscan_halo_matches_exact_dbscan_on_planted(spark, planted):
+    """The halo tier is MORE faithful to exact DBSCAN than same-cell: on
+    the planted fixture the brute-force eps-graph genuinely links blocks
+    14 and 19 (their centers' cosine ≥ eps — verified numerically below),
+    so exact DBSCAN yields 19 clusters. Same-cell X52 misses that
+    cross-cell edge (its own test pins 20 clusters); the halo finds it
+    and reproduces the exact clustering: 18 pure blocks + one merged
+    14∪19, all core, no noise."""
+    d, vecs = planted
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    np.fill_diagonal(sims, -9.0)
+    ia, ib = np.nonzero(sims >= kg._EPS_COS)
+    cross = {
+        tuple(sorted((int(i) // _PER_CLUSTER, int(j) // _PER_CLUSTER)))
+        for i, j in zip(ia, ib)
+        if i // _PER_CLUSTER != j // _PER_CLUSTER
+    }
+    assert cross == {(14, 19)}  # the fixture's one true cross-block link
+    rows = {r.cluster_id: r for r in kg.dbscan_clusters_halo(spark, d).collect()}
+    noise = rows.pop(-1)
+    assert noise.n_total == 0
+    assert len(rows) == _N_CLUSTERS - 1  # exact DBSCAN's cluster count
+    merged = rows.pop(14 * _PER_CLUSTER)  # min member id of 14∪19
+    assert merged.n_core == 2 * _PER_CLUSTER and merged.n_border == 0
+    assert all(r.n_core == _PER_CLUSTER and r.n_border == 0 for r in rows.values())
+    assert set(rows) == {
+        i * _PER_CLUSTER for i in range(_N_CLUSTERS) if i not in (14, 19)
+    }

@@ -624,3 +624,190 @@ def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
     assert M.snapshot(spark, t, version=1)[1].count() == 10
     n_real = M.vacuum(spark, t, keep_versions=1, min_age_s=0)
     assert n_real == n_dry
+
+
+def test_delete_where_keeps_rows_with_null_predicate_col(spark, tmp_path):
+    """Delta DELETE WHERE semantics: rows whose predicate column is NULL
+    never match the range, so they SURVIVE the rewrite — including a
+    commit whose column is entirely NULL (its [null, null] zone map reads
+    as unknown, never disjoint, so it rewrites but loses nothing)."""
+    t = str(tmp_path / "tbl")
+    mixed = spark.range(0, 100).select(
+        F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise(F.col("id")).alias("id"),
+        F.lit(3).alias("court_level"),
+    )
+    all_null = spark.range(0, 7).select(
+        F.lit(None).cast("bigint").alias("id"), F.lit(4).alias("court_level")
+    )
+    M.commit_append(spark, t, mixed, stats_cols=("id",))     # v1
+    M.commit_append(spark, t, all_null, stats_cols=("id",))  # v2
+    v, rewritten = M.commit_delete(spark, t, "id", 40, 60, stats_cols=("id",))
+    assert rewritten == 2  # both overlap-or-unknown
+    _, df = M.snapshot(spark, t)
+    rows = df.collect()
+    # every NULL-id row survived: 10 from the mixed commit + 7 all-null
+    assert sum(1 for r in rows if r.id is None) == 17
+    kept_ids = sorted(r.id for r in rows if r.id is not None)
+    assert kept_ids == [
+        i for i in range(100) if i % 10 != 0 and not (40 <= i <= 60)
+    ]
+
+
+def test_optimize_clustered_preserves_null_clustering_rows(spark, tmp_path):
+    """OPTIMIZE is row-preserving even when the clustering key has NULLs:
+    NULL rows satisfy no range predicate, so they are routed into the
+    first bucket explicitly — and a row-count assert guards the CAS."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 200).select(
+        F.when(F.col("id") % 20 == 0, F.lit(None)).otherwise(F.col("id")).alias("id"),
+        F.lit(3).alias("court_level"),
+    )
+    M.commit_append(spark, t, df, stats_cols=("id",))
+    M.optimize_clustered(spark, t, "id", n_buckets=8)
+    _, snap = M.snapshot(spark, t)
+    rows = snap.collect()
+    assert len(rows) == 200  # nothing vanished
+    assert sum(1 for r in rows if r.id is None) == 10
+    # range reads over the clustered layout still prune and still answer
+    _, pruned, skipped = M.snapshot_pruned(spark, t, "id", 50, 60)
+    assert skipped >= 5
+    assert sorted(r.id for r in pruned.collect()) == [
+        i for i in range(50, 61) if i % 20 != 0
+    ]
+
+
+def test_replace_with_deep_partitioning_is_not_treated_as_empty(spark, tmp_path):
+    """The staged-commit emptiness probe must list RECURSIVELY: a 3-column
+    partitionBy stages part files at depth 3, which fixed-depth globs
+    would misread as an empty write and publish a drop-only manifest."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 24).select(
+        "id",
+        (F.col("id") % 2).alias("a"),
+        (F.col("id") % 3).alias("b"),
+        (F.col("id") % 4).alias("c"),
+    )
+    M.commit_append(spark, t, df)
+    old = M._read_manifest(spark, t, 1)["commits"]
+    v = M.commit_replace(
+        spark, t, df, drop_commits=old, partition_by=("a", "b", "c")
+    )
+    assert v == 2
+    _, snap = M.snapshot(spark, t)
+    assert snap.count() == 24  # the deep-partitioned replacement is LIVE
+    assert sorted(r.id for r in snap.collect()) == list(range(24))
+    # and a genuinely empty deep-partitioned replace still publishes drop-only
+    v2 = M.commit_replace(
+        spark,
+        t,
+        df.filter(F.lit(False)),
+        drop_commits=M._read_manifest(spark, t, v)["commits"],
+        partition_by=("a", "b", "c"),
+    )
+    assert M.snapshot(spark, t) == (v2, None)
+
+
+def test_concurrent_disjoint_merges_both_land(spark, tmp_path):
+    """Delta conflict-resolution semantics: two writers merging DISJOINT
+    keys that hit the SAME commit file no longer abort — the CAS loser
+    restarts hit detection from the winner's head (whose replacement
+    commit still carries the loser's keys) and lands as the next
+    version. Both updates are live, nothing is duplicated or lost."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(
+        spark,
+        t,
+        spark.createDataFrame([(i, 3) for i in range(10)], ["id", "court_level"]),
+    )
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def merge(key, level):
+        try:
+            upd = spark.createDataFrame([(key, level)], ["id", "court_level"])
+            barrier.wait(60)
+            M.commit_merge(spark, t, upd, key_cols=("id",))
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=merge, args=(2, 7)),
+        threading.Thread(target=merge, args=(8, 9)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(180)
+    assert not errors, errors
+    assert M.head_version(spark, t) == 3  # both merges published versions
+    got = {r.id: r.court_level for r in M.snapshot(spark, t)[1].collect()}
+    want = {i: 3 for i in range(10)}
+    want.update({2: 7, 8: 9})
+    assert got == want
+
+
+def test_concurrent_overlapping_merges_serialize(spark, tmp_path):
+    """Overlapping merges both land as serialized versions: the final
+    value of the contended key is exactly the CAS order's last writer
+    (one of the two payloads), and row count is unchanged."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(
+        spark,
+        t,
+        spark.createDataFrame([(i, 3) for i in range(10)], ["id", "court_level"]),
+    )
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def merge(level):
+        try:
+            upd = spark.createDataFrame([(5, level)], ["id", "court_level"])
+            barrier.wait(60)
+            M.commit_merge(spark, t, upd, key_cols=("id",))
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=merge, args=(7,)), threading.Thread(target=merge, args=(9,))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(180)
+    assert not errors, errors
+    assert M.head_version(spark, t) == 3
+    got = {r.id: r.court_level for r in M.snapshot(spark, t)[1].collect()}
+    assert len(got) == 10
+    assert got[5] in (7, 9)
+    assert all(got[i] == 3 for i in range(10) if i != 5)
+
+
+def test_merge_zone_map_pruning_and_stats_republish(spark, tmp_path):
+    """Hit-detection pruning: commits provably disjoint from the updates'
+    key range never reach the scan list (`_overlapping_commits` unit
+    contract), stats-less and null-bound commits are conservatively kept,
+    and a merge called with stats_cols re-publishes stats for its
+    replacement commit so later merges/deletes keep pruning."""
+    man = {
+        "commits": ["data/a", "data/b", "data/c", "data/d"],
+        "stats": {
+            "data/a": {"id": [0, 99]},
+            "data/b": {"id": [100, 199]},
+            "data/c": {"id": [None, None]},  # all-null column: unknown
+            # data/d: no stats recorded: unknown
+        },
+    }
+    assert M._overlapping_commits(man, "id", 150, 160) == [
+        "data/b", "data/c", "data/d"
+    ]
+    assert M._overlapping_commits(man, "id", None, None) == man["commits"]
+    # end-to-end: merged commit re-publishes prunable stats
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 100), stats_cols=("id",))
+    M.commit_append(spark, t, _df(spark, 100, 200), stats_cols=("id",))
+    upd = spark.createDataFrame([(150, 9)], ["id", "court_level"])
+    M.commit_merge(spark, t, upd, key_cols=("id",), stats_cols=("id",))
+    man2 = M._read_manifest(spark, t, M.head_version(spark, t))
+    # every live commit has id stats, including the merge's replacement
+    assert all(c in man2["stats"] for c in man2["commits"])
+    # and a later disjoint delete prunes down to a no-op
+    v, rewritten = M.commit_delete(spark, t, "id", 500, 600)
+    assert rewritten == 0

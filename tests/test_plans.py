@@ -660,3 +660,46 @@ def test_fs_linkage_no_cartesian_and_broadcast_stats(spark):
     assert "CartesianProduct" not in body, body
     assert "BroadcastNestedLoopJoin" in body, body
     assert "hashpartitioning(nat" in body, body
+
+
+def test_nn_descent_embedding_attach_not_forced_broadcast(spark):
+    """X51 scale contract: the NN-Descent scoring join attaches the
+    (vec_id, vector, norm) payload with a PLAIN equi-join — no broadcast
+    hint — because at 100 TB that relation is the whole vector corpus.
+    With auto-broadcast disabled the attach must compile to a shuffle
+    join; a hard-coded F.broadcast would still show BroadcastHashJoin
+    here (round-7 verdict finding, plans/knn_graph.py). Inspects the
+    round-internal scoring unit directly — localCheckpoint inside the
+    round loop would hide it from the final plan string."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.functions.vector import vector_norm
+    from pdf_parse_vector_db_spark.plans.knn_graph import _attach_and_score
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.catalog.clearCache()
+        e = (
+            spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+                vector_norm(F.col("embedding")).alias("nrm"),
+            )
+        )
+        ex = e.select(F.col("vec_id").alias("lo"), F.col("v").alias("lv"), F.col("nrm").alias("ln"))
+        ey = e.select(F.col("vec_id").alias("hi"), F.col("v").alias("hv"), F.col("nrm").alias("hn"))
+        pairs = spark.range(0, 1000).select(
+            F.col("id").alias("lo"), (F.col("id") + 1).alias("hi")
+        )
+        plan = (
+            _attach_and_score(pairs, ex, ey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
