@@ -512,6 +512,153 @@ def search_ivf_index_snapshot(
     )
 
 
+#: √N-stride seed recipe — MUST mirror plans/similarity._ivf_seeds
+#: (_IVF_SEED_MOD=40, _IVF_SEED_OFF=7); duplicated constants rather than a
+#: plans→operators import to keep the dependency direction one-way.
+SEED_MOD = 40
+SEED_OFF = 7
+
+
+def corpus_seeds(emb: DataFrame) -> DataFrame:
+    """Train (pick) a fresh coarse quantizer from the CURRENT corpus:
+    every max(SEED_MOD, isqrt(N))-strided vector is a seed — nlist ∝ √N,
+    the same pinned recipe as plans/similarity._ivf_seeds, evaluated
+    against whatever the corpus is NOW rather than at first build. The
+    cid pack-overflow guard raises loudly past KEY_BASE ids."""
+    from math import isqrt
+
+    mod = max(SEED_MOD, isqrt(emb.count()))
+    return emb.filter(F.col("vec_id") % mod == SEED_OFF).select(
+        F.when(F.col("vec_id") < KEY_BASE, F.col("vec_id"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("IVF cid pack overflow: vec_id "),
+                    F.col("vec_id").cast("string"),
+                    F.lit(f" >= KEY_BASE {KEY_BASE}; widen the base"),
+                )
+            )
+        )
+        .alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+
+
+def index_seeds_from_snapshot(idx: DataFrame) -> DataFrame:
+    """Recover the quantizer FROM an index snapshot: cell ids are seed
+    vec_ids and seeds are corpus members, so the distinct cluster_id set
+    semi-joined back to the rows yields (cid, cvec) — the snapshot is
+    SELF-DESCRIBING. Probing with seeds derived from the same snapshot a
+    search scans makes (quantizer, layout) coherent BY CONSTRUCTION, even
+    while a rebuild republishes a different quantizer concurrently.
+    Caveat: a seed row erased from the corpus drops out of probe ordering
+    while its cell's other rows remain — searches stay correct for the
+    cells they do probe; a rebuild restores full probe coverage."""
+    cids = idx.select(F.col("cluster_id").alias("vec_id")).distinct()
+    return idx.join(cids, on="vec_id", how="left_semi").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+
+def index_imbalance(spark: SparkSession, table: str) -> float:
+    """Occupancy imbalance (max cell / ideal rows-per-occupied-cell) of
+    the manifested index head — the X45 `ivf_cell_balance` trigger metric
+    read STRUCTURALLY: the layout already stores cluster_id, so this is
+    one group-by over the snapshot, no argmin re-assignment. 0.0 for an
+    empty index."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    _, idx = M.snapshot(spark, table)
+    if idx is None:
+        return 0.0
+    row = (
+        idx.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("nrows"),
+            F.count(F.lit(1)).alias("ncells"),
+            F.max("c").alias("mx"),
+        )
+        .first()
+    )
+    return float(row.mx * row.ncells) / float(row.nrows)
+
+
+def rebuild_ivf_index_manifested(spark: SparkSession, table: str) -> int:
+    """The X45 trigger's ACTION: re-seed the coarse quantizer from the
+    current corpus (√N stride over today's N — a corpus that grew 100×
+    since the first build gets 10× the cells), re-assign every live row,
+    and publish the re-partitioned layout as ONE commit_replace. Searches
+    stay consistent mid-rebuild with zero coordination: a reader's
+    snapshot is immutable, and `search_ivf_index_snapshot_coherent`
+    derives its probe quantizer from the same snapshot it scans, so it
+    can never probe the new quantizer against the old layout or vice
+    versa. A racing ingest commit survives the replace (not in
+    drop_commits) — its rows keep their old-quantizer cells until the
+    next rebuild sweeps them in, and the CDC sync loop re-derives seeds
+    from the snapshot after every rebuild (pinned in
+    tests/test_ivf_index.py). Returns the new head (unchanged if empty).
+    """
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    head = M.head_version(spark, table)
+    if head == 0:
+        return 0
+    commits = M._read_manifest(spark, table, head)["commits"]
+    _, idx = M.snapshot(spark, table, version=head)
+    if idx is None:
+        return head
+    corpus = idx.drop("cluster_id")
+    reassigned = assign_cells(corpus, corpus_seeds(corpus))
+    return M.commit_replace(
+        spark, table, reassigned, drop_commits=commits, partition_by=("cluster_id",)
+    )
+
+
+def maybe_rebuild_ivf_index(
+    spark: SparkSession, table: str, max_imbalance: float = 4.0
+) -> int | None:
+    """Wire the trigger to the action: rebuild iff the head's occupancy
+    imbalance exceeds `max_imbalance` (2.0 = the X45 hot-cell line; 4.0
+    default leaves headroom for benign skew). Returns the new head, or
+    None when no rebuild was needed."""
+    if index_imbalance(spark, table) <= max_imbalance:
+        return None
+    return rebuild_ivf_index_manifested(spark, table)
+
+
+def search_ivf_index_snapshot_coherent(
+    spark: SparkSession, table: str, q: DataFrame, nprobe: int = 4, k: int = 5
+) -> list:
+    """Probe + search against ONE pinned snapshot: the quantizer used to
+    pick probe cells is derived from the same immutable snapshot the
+    rerank scans (`index_seeds_from_snapshot`), so concurrent rebuilds —
+    which change cell ids wholesale — can never split a search across two
+    quantizers. This is the read path a rebuild-under-load deployment
+    uses; `search_ivf_index_snapshot` remains the cheaper tier when the
+    caller owns the seeds and serializes maintenance."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    _, idx = M.snapshot(spark, table)
+    if idx is None:
+        return []
+    seeds = index_seeds_from_snapshot(idx)
+    cids = probe_cells(seeds, q, nprobe)
+    return (
+        idx.filter(F.col("cluster_id").isin([int(c) for c in cids]))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 6).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(k)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+        .collect()
+    )
+
+
 def search_ivf_index(
     spark: SparkSession, path: str, q: DataFrame, cids: list[int], k: int = 5
 ) -> DataFrame:

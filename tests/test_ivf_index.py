@@ -547,3 +547,149 @@ def test_feed_sync_is_incremental_and_exactly_once(spark, built, tmp_path):
     cids = ivf_index.probe_cells(seeds, q, _IVF_NPROBE)
     got = ivf_index.search_ivf_index_snapshot(spark, idx, q, cids)
     assert got and got[0][0] == 0  # the query vector finds itself
+
+
+def _skewed_corpus(spark, n_seedable=400, n_blob=600):
+    """ids 0..399: uniform random (the initial quantizer's world, ~10
+    seeds at stride 40); ids 400..999: a drifted blob around one center —
+    it all argmins into ONE old cell (hot), but is wide enough (σ=0.3)
+    that re-seeding inside it splits it."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(n_seedable, 16))
+    center = rng.normal(size=16)
+    blob = center + 0.3 * rng.normal(size=(n_blob, 16))
+    rows = [
+        (i, [float(x) for x in v], int(i % 3))
+        for i, v in enumerate(list(base) + list(blob))
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _exact_topk_rows(emb, q, k=5):
+    from pdf_parse_vector_db_spark.functions.vector import l2_distance
+
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 6).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(k)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+        .collect()
+    )
+
+
+def test_rebuild_reseeds_and_restores_balance(spark, tmp_path):
+    """X45's trigger wired to its action: corpus drift piles 400 blob
+    vectors into the old quantizer's nearest cell (imbalance blows past
+    the line), maybe_rebuild re-seeds √N over TODAY's corpus in one
+    commit_replace, occupancy flattens, and no row is lost or moved out
+    of the corpus — only re-partitioned."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    emb = _skewed_corpus(spark)
+    old_world = emb.filter(F.col("vec_id") < 400)
+    table = str(tmp_path / "idx")
+    seeds0 = ivf_index.corpus_seeds(old_world)  # trained before the drift
+    ivf_index.build_ivf_index_manifested(emb, seeds0, table)
+    imb0 = ivf_index.index_imbalance(spark, table)
+    assert imb0 > 4.0, imb0  # the blob crushed one cell
+    assert ivf_index.maybe_rebuild_ivf_index(spark, table, max_imbalance=4.0)
+    imb1 = ivf_index.index_imbalance(spark, table)
+    assert imb1 < imb0 * 0.6, (imb0, imb1)  # measured 5.56 -> 3.18
+    _, idx = M.snapshot(spark, table)
+    assert idx.count() == 1000
+    assert idx.select("vec_id").distinct().count() == 1000
+    # below the line: the trigger is a no-op (returns None, same head)
+    head = M.head_version(spark, table)
+    assert ivf_index.maybe_rebuild_ivf_index(spark, table, max_imbalance=max(imb1, 4.0) + 1) is None
+    assert M.head_version(spark, table) == head
+
+
+def test_search_stays_exact_under_rebuild_hammer(spark, tmp_path):
+    """Rebuild-under-load: a maintainer thread rebuilds the index in a
+    loop (each rebuild swaps the ENTIRE quantizer — every cell id
+    changes) while the reader issues coherent searches with nprobe ≥
+    nlist. Because probe seeds derive from the same immutable snapshot
+    each search scans, every result must equal the brute-force top-k —
+    any quantizer/layout tear would surface as a wrong row or a missing
+    cell."""
+    import threading
+
+    emb = _skewed_corpus(spark)
+    table = str(tmp_path / "idx")
+    ivf_index.build_ivf_index_manifested(
+        emb, ivf_index.corpus_seeds(emb.filter(F.col("vec_id") < 400)), table
+    )
+    q = emb.filter(F.col("vec_id") == 250).select(F.col("embedding").alias("qvec"))
+    want = _exact_topk_rows(emb, q)
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def maintainer():
+        try:
+            for _ in range(5):
+                ivf_index.rebuild_ivf_index_manifested(spark, table)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+        finally:
+            stop.set()
+
+    th = threading.Thread(target=maintainer)
+    th.start()
+    checked = 0
+    while not stop.is_set() or checked == 0:
+        got = ivf_index.search_ivf_index_snapshot_coherent(
+            spark, table, q, nprobe=64, k=5
+        )
+        assert got == want, (got, want)
+        checked += 1
+    th.join(180)
+    assert not errors, errors
+    assert checked >= 2
+
+
+def test_cdc_sync_resumes_exactly_once_after_rebuild(spark, tmp_path):
+    """The maintenance loop's full lifecycle: CDC-sync under quantizer A,
+    REBUILD (quantizer B replaces every cell), re-derive seeds from the
+    post-rebuild snapshot, CDC-sync the next source window under B —
+    counts exact, replay a no-op, and the coherent search still answers
+    the brute-force top-k over everything synced."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    emb = _skewed_corpus(spark)
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    first = emb.filter(F.col("vec_id") < 300)
+    second = emb.filter(F.col("vec_id") >= 300)
+
+    M.commit_append(spark, src, first)
+    seeds_a = ivf_index.corpus_seeds(first)
+    cur = ivf_index.sync_ivf_index_from_feed(spark, src, idx, seeds_a, cursor=0)
+    assert M.snapshot(spark, idx)[1].count() == first.count()
+
+    ivf_index.rebuild_ivf_index_manifested(spark, idx)
+    _, snap = M.snapshot(spark, idx)
+    seeds_b = ivf_index.index_seeds_from_snapshot(snap)
+
+    M.commit_append(spark, src, second)
+    cur2 = ivf_index.sync_ivf_index_from_feed(spark, src, idx, seeds_b, cursor=cur)
+    total = first.count() + second.count()
+    assert M.snapshot(spark, idx)[1].count() == total
+    # lost-cursor replay against the REBUILT layout is still a no-op
+    assert (
+        ivf_index.sync_ivf_index_from_feed(spark, src, idx, seeds_b, cursor=cur)
+        == cur2
+    )
+    assert M.snapshot(spark, idx)[1].count() == total
+
+    q = emb.filter(F.col("vec_id") == 42).select(F.col("embedding").alias("qvec"))
+    got = ivf_index.search_ivf_index_snapshot_coherent(spark, idx, q, nprobe=64, k=5)
+    assert got == _exact_topk_rows(emb, q)
