@@ -215,6 +215,38 @@ _KCORE_K = 90
 _KCORE_ROUNDS = 3
 
 
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical co-order part graph (x < y): parts are adjacent when
+    some order contains both. Built by per-order ARRAY pair expansion —
+    groupBy order, sorted distinct part array, map-side (i < j) slice
+    explosion — instead of the li ⋈ li self-join: one exchange of the
+    600k-row (o, p) relation rather than two plus the join, with the
+    identical 1.2M-edge output (asserted equal in tests/test_new_ops.py).
+    The pair count is Σ deg(order)² either way; the array form just
+    stops paying the join machinery for it."""
+    li = (
+        load_table(spark, sf_dir, "lineitem", spread=True)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return (
+        li.groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .select(F.posexplode("ps").alias("i", "x"), F.col("ps"))
+        .select(
+            "x",
+            F.explode(
+                F.slice(
+                    "ps",
+                    F.col("i") + F.lit(2),
+                    F.greatest(F.lit(0), F.size("ps") - F.col("i") - 1),
+                )
+            ).alias("y"),
+        )
+        .distinct()
+    )
+
+
 def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 unrolled rounds of k-core peeling (k=90) on the part co-order
     graph (parts are adjacent when some order contains both).
@@ -233,16 +265,8 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     automatically. The co-order edge build is the only corpus-sized
     shuffle (distinct on a fixed-width pair key).
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem", spread=True)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
-        .distinct()
+        _co_order_edges(spark, sf_dir)
         # loop-invariant input of an unrolled iteration: every round's
         # degree agg, semi-joins, AND the per-round count aggregates
         # re-derive this subplan from scratch otherwise (the edge build
@@ -251,7 +275,9 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # .cache(), whose InMemoryRelation pins the pre-AQE plan of every
         # downstream join (measured 8.4 s -> 73 s!). Standard Pregel/
         # GraphX practice: persist the edge relation, iterate on top.
-        .localCheckpoint()
+        # eager=False (round 8): the materialization rides the first
+        # consumer's job instead of paying its own job floor.
+        .localCheckpoint(eager=False)
     )
     rounds = []
     for r in range(1, _KCORE_ROUNDS + 1):
@@ -268,7 +294,7 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(alive.withColumnRenamed("n", "x"), "x", "left_semi")
             .join(alive.withColumnRenamed("n", "y"), "y", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         rounds.append(
             alive.agg(F.count(F.lit(1)).cast("bigint").alias("nodes")).crossJoin(
@@ -338,20 +364,13 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode(). The oracle keeps the equivalent window formulation — DuckDB's
     mode() tie-break is unspecified, Spark's deterministic one is pinned.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem", spread=True)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
-        .distinct()
-    )
+    # checkpoint the canonical edges BEFORE symmetrizing: the union reads
+    # und twice, and without the cut the whole array-expansion build would
+    # run twice inside the edges materialization
+    und = _co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
     edges = und.unionAll(
         und.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    ).localCheckpoint()  # loop-invariant — see kcore_peel
+    ).localCheckpoint(eager=False)  # loop-invariant — see kcore_peel
     labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

@@ -325,9 +325,15 @@ def _dbscan_from_pairs(
                 "n_total"
             ),
         )
+        # one materialization feeds BOTH the noise accounting and the
+        # final union — replaces the former core.count()+border.count()
+        # actions, each of which re-derived the whole degree/border tail
+        .localCheckpoint()
     )
     total = emb.count()
-    classified = core.count() + border.count()
+    classified = clusters.agg(
+        F.coalesce(F.sum("n_total"), F.lit(0)).alias("s")
+    ).first()["s"]
     noise = spark.createDataFrame(
         [(-1, 0, 0, total - classified)],
         "cluster_id long, n_core long, n_border long, n_total long",

@@ -1406,3 +1406,31 @@ def test_phash_locality_and_banding_completeness(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_co_order_array_expansion_equals_self_join(spark):
+    """The round-8 array-expansion co-order edge build (one exchange +
+    map-side (i<j) slice explosion) produces EXACTLY the li x li
+    self-join's canonical edge set — the rewrite is a plan optimization,
+    not a semantic change."""
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.plans.graph import _co_order_edges
+    from pdf_parse_vector_db_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = _co_order_edges(spark, sf)
+    li = (
+        load_table(spark, sf, "lineitem", spread=True)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    want = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == want.count() > 0
