@@ -163,7 +163,12 @@ def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds, so results are bit-identical); each round's graph is
     localCheckpoint'd (reused by both local-join legs and the flag
     join). All codegen, zero UDF."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    return _nn_descent_over(spark, load_table(spark, sf_dir, "embeddings"))
+
+
+def _nn_descent_over(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """nn_descent_graph's body over an arbitrary embedding relation —
+    shared by the full build and the incremental tier's 90% bootstrap."""
     n_total = emb.count()
     e = emb.select(
         "vec_id",
@@ -232,6 +237,182 @@ def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "rnk")
     )
+
+
+def nn_descent_update(
+    spark: SparkSession,
+    emb_all: DataFrame,
+    graph: DataFrame,
+    new_ids: DataFrame,
+    rounds: int = 2,
+) -> DataFrame:
+    """X57: INCREMENTAL k-NN-graph maintenance (the online variant of
+    Dong et al.'s NN-Descent — "only new entries participate in the local
+    join"): given the existing graph over the old corpus and a batch of
+    newly-ingested vectors, produce the k-NN graph over the UNION corpus
+    without re-scoring the whole graph.
+
+    Mechanics: new nodes seed with the same deterministic prime-stride
+    init as the full build (over the union id space), flagged fresh; each
+    round's local join only generates pairs where at least ONE side of
+    the shared-middle wedge is flagged (the paper's new×(new∪old) rule),
+    so untouched neighborhoods produce zero candidates; only nodes that
+    appear in a freshly-scored pair re-rank — everyone else's top-K rows
+    pass through unchanged. Edges that survive re-ranking keep their
+    already-computed distance (scored once, ever).
+
+    Scale: per round the candidate volume is O(|new| · d̄²) plus the
+    ripple of nodes whose lists actually changed — at 100 TB an ingest
+    batch updates its neighborhood, not the corpus; the full-rebuild twin
+    (`nn_descent_graph`) stays the bulk-build tier. Payload attach is the
+    same AQE-decided plain id join as the full build.
+
+    Output schema matches `nn_descent_graph` (vec_id, rnk, nbr_id, dist,
+    is_new), with is_new=1 meaning the edge was not in the INPUT graph.
+    Agreement with a from-scratch rebuild on the union corpus is pinned
+    in tests/test_knn_graph.py (planted fixture: ≥90% edge agreement,
+    exact top-K recall for the new nodes' neighborhoods)."""
+    n_total = emb_all.count()
+    e = emb_all.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        vector_norm(F.col("embedding")).alias("nrm"),
+    )
+    nodes = e.select(F.col("vec_id").alias("dst"))
+    ex = e.select(F.col("vec_id").alias("lo"), F.col("v").alias("lv"), F.col("nrm").alias("ln"))
+    ey = e.select(F.col("vec_id").alias("hi"), F.col("v").alias("hv"), F.col("nrm").alias("hn"))
+
+    strides = spark.createDataFrame([(p,) for p in _STRIDES], "p long")
+    stride_seeds = (
+        new_ids.select(F.col("vec_id").alias("src"))
+        .crossJoin(F.broadcast(strides))
+        .select("src", F.pmod(F.col("src") + F.col("p"), F.lit(n_total)).alias("dst"))
+        .join(nodes, on="dst", how="left_semi")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    # IVF-cell seeding — the "insert via ANN search" every online graph
+    # build performs: each new node also candidates against its coarse
+    # cell's members (≈√N rows), which connects a batch that forms a NEW
+    # neighborhood (its members share a cell) in round zero; the stride
+    # seeds keep the exploration the paper's random init provides
+    assign = _ivf_assign(emb_all)
+    new_cells = assign.join(new_ids, on="vec_id", how="left_semi").select(
+        F.col("vec_id").alias("src"), "cluster_id"
+    )
+    cell_seeds = (
+        new_cells.join(
+            assign.select(F.col("vec_id").alias("dst"), "cluster_id"),
+            on="cluster_id",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    seed_edges = stride_seeds.union(cell_seeds).distinct()
+    seed_scored = _attach_and_score(
+        seed_edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        ).distinct(),
+        ex,
+        ey,
+    )
+    # directed edge state: (src, dst, d, fresh) — old graph edges carry
+    # their existing distances, seeds arrive fresh in both orientations
+    old_edges = graph.select(
+        F.col("vec_id").alias("src"),
+        F.col("nbr_id").alias("dst"),
+        F.col("dist").alias("d"),
+        F.lit(0).alias("fresh"),
+    )
+    # both orientations enter: the new node's own candidates AND the
+    # reverse edges that let existing neighborhoods discover the newcomer
+    seeded_directed = (
+        seed_scored.select(F.col("lo").alias("src"), F.col("hi").alias("dst"), "d")
+        .union(seed_scored.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), "d"))
+        .withColumn("fresh", F.lit(1))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst").asc())
+    # new nodes enter with their K best seeds; old nodes keep their lists
+    state = (
+        old_edges.unionByName(seeded_directed)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _K)
+        .select("src", "dst", "d", "fresh")
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        und = state.select("src", "dst", "fresh").union(
+            state.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "fresh"
+            )
+        ).groupBy("src", "dst").agg(F.max("fresh").alias("fresh"))
+        ua = und.select(F.col("src").alias("mid"), F.col("dst").alias("x"), F.col("fresh").alias("fx"))
+        ub = und.select(F.col("src").alias("mid"), F.col("dst").alias("y"), F.col("fresh").alias("fy"))
+        pairs = (
+            ua.join(ub, on="mid")
+            .filter((F.col("x") < F.col("y")) & ((F.col("fx") == 1) | (F.col("fy") == 1)))
+            .select(F.col("x").alias("lo"), F.col("y").alias("hi"))
+            .distinct()
+        )
+        scored = _attach_and_score(pairs, ex, ey)
+        fresh_directed = scored.select(
+            F.col("lo").alias("src"), F.col("hi").alias("dst"), "d"
+        ).union(scored.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), "d"))
+        # only nodes with a freshly-scored candidate re-rank
+        touched = fresh_directed.select("src").distinct()
+        merged = (
+            state.join(touched, on="src", how="left_semi")
+            .select("src", "dst", "d")
+            .unionByName(fresh_directed)
+            .groupBy("src", "dst")
+            .agg(F.min("d").alias("d"))
+        )
+        reranked = (
+            merged.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _K)
+            .select("src", "dst", "d")
+        )
+        prev_edges = state.select("src", "dst", F.lit(1).alias("had"))
+        changed = reranked.join(prev_edges, on=["src", "dst"], how="left").select(
+            "src",
+            "dst",
+            "d",
+            F.when(F.col("had").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("fresh"),
+        )
+        untouched = state.join(touched, on="src", how="left_anti").select(
+            "src", "dst", "d", F.lit(0).alias("fresh")
+        )
+        state = changed.unionByName(untouched).localCheckpoint()
+    orig = graph.select(
+        F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"), F.lit(1).alias("orig")
+    )
+    return (
+        state.join(orig, on=["src", "dst"], how="left")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            F.col("src").alias("vec_id"),
+            "rnk",
+            F.col("dst").alias("nbr_id"),
+            F.col("d").alias("dist"),
+            F.when(F.col("orig").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_new"),
+        )
+        .orderBy("vec_id", "rnk")
+    )
+
+
+def _nn_descent_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 registry entry: split the fixture 90/10 by vec_id, build the
+    graph over the old 90%, insert the newest 10% incrementally, and
+    return the updated union graph — the ingest-batch maintenance path a
+    production pipeline runs off the CDC feed instead of rebuilding."""
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    cut_row = emb_all.agg(
+        F.percentile_approx("vec_id", 0.9, 10_000).alias("c")
+    ).first()
+    old = emb_all.filter(F.col("vec_id") <= cut_row.c)
+    new_ids = emb_all.filter(F.col("vec_id") > cut_row.c).select("vec_id")
+    graph = _nn_descent_over(spark, old)
+    return nn_descent_update(spark, emb_all, graph, new_ids)
 
 
 def _nnd_round_sql(prev: str, out: str) -> str:
@@ -529,5 +710,15 @@ QUERIES = [
         dbscan_clusters_halo,
         DBSCAN_HALO_SQL,
         "X54 DBSCAN with cross-cell multi-probe halo candidates (MR-DBSCAN merge)",
+    ),
+    QuerySpec(
+        "nn_descent_incremental",
+        _nn_descent_incremental_query,
+        None,  # two-phase build+update with touched-node pass-through is
+        # not SQL-expressible; the rebuild-agreement + exact-new-recall
+        # contracts live in tests/test_knn_graph.py (same pattern as the
+        # engine-RNG LSH tiers)
+        "X57 incremental NN-Descent: insert the last 10% of vectors into the"
+        " 90%-corpus graph",
     ),
 ]

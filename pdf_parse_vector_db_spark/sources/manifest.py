@@ -792,6 +792,25 @@ def optimize_clustered(
         legs.append(df if cond is None else df.filter(cond))
         prev_b = b
     stats_cols = (col,) if stats_cols is None else tuple(stats_cols)
+    return _publish_optimize_legs(
+        spark, table, df, commits, legs, stats_cols, max_retries,
+        op="optimize_clustered",
+    )
+
+
+def _publish_optimize_legs(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    commits: list[str],
+    legs: list[DataFrame],
+    stats_cols: tuple[str, ...],
+    max_retries: int,
+    op: str,
+) -> int:
+    """Shared OPTIMIZE publish: stage every leg, drop empties, record
+    per-leg stats, ASSERT row preservation before the CAS, then replace
+    the original commit list with the staged legs in one version."""
     staged: list[str] = []
     jvm, fs = _jvm_fs(spark, table)
     my_stats: dict[str, dict] = {}
@@ -816,7 +835,7 @@ def optimize_clustered(
         for c in staged:
             fs.delete(_jpath(jvm, f"{table}/{c}"), True)
         raise IOError(
-            f"optimize_clustered would lose rows on {table}: staged "
+            f"{op} would lose rows on {table}: staged "
             f"{staged_rows} != live {expected_rows}; aborted before publish"
         )
     for _ in range(max_retries):
@@ -825,8 +844,7 @@ def optimize_clustered(
         missing = [c for c in commits if c not in prev["commits"]]
         if missing:
             raise IOError(
-                f"optimize_clustered conflict: {missing} already replaced "
-                "by a racing commit"
+                f"{op} conflict: {missing} already replaced by a racing commit"
             )
         live = [c for c in prev["commits"] if c not in commits] + staged
         stats = {c: s for c, s in (prev.get("stats") or {}).items() if c in live}
@@ -840,7 +858,94 @@ def optimize_clustered(
         }
         if _try_commit(spark, table, head + 1, manifest):
             return head + 1
-    raise IOError(f"optimize_clustered lost the CAS race {max_retries} times on {table}")
+    raise IOError(f"{op} lost the CAS race {max_retries} times on {table}")
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    table: str,
+    cols: tuple[str, str],
+    n_buckets: int = 8,
+    bits: int = 4,
+    stats_cols: tuple[str, ...] | None = None,
+    max_retries: int = 20,
+) -> int:
+    """OPTIMIZE with 2-D Z-ORDER clustering (Delta `OPTIMIZE ... ZORDER BY
+    (a, b)`): bucket each dimension into a 2^bits grid over its live
+    [min, max], interleave the bucket bits into a Morton value (same
+    floor-div/mod arithmetic as plans/curation.zorder_layout — no bit
+    ops), and rewrite the live commits as `n_buckets` Morton-range legs
+    in ONE replace version. Because Morton ranges are unions of grid
+    RECTANGLES, every leg is narrow in BOTH dimensions — so per-commit
+    zone maps prune range reads on EITHER column, which 1-D clustering
+    can only give its own key (the pinned payoff in tests/test_manifest).
+
+    NULL handling: a NULL in either dimension maps to grid cell 0 for
+    that axis (rows keep their place, stats stay conservative), and the
+    shared publish core asserts row preservation before the CAS."""
+    c1, c2 = cols
+    head = head_version(spark, table)
+    if head == 0:
+        return 0
+    commits = _read_manifest(spark, table, head)["commits"]
+    _, df = snapshot(spark, table, version=head)
+    if df is None:
+        return head
+    rng = df.agg(
+        F.min(c1).alias("mn1"), F.max(c1).alias("mx1"),
+        F.min(c2).alias("mn2"), F.max(c2).alias("mx2"),
+    ).first()
+    if rng.mn1 is None or rng.mn2 is None:
+        # a dimension that is entirely NULL gives Z-order nothing to
+        # interleave; fall back to 1-D clustering on the other column
+        live_col = c1 if rng.mn1 is not None else c2
+        if rng.mn1 is None and rng.mn2 is None:
+            return head
+        return optimize_clustered(
+            spark, table, live_col, n_buckets=n_buckets,
+            stats_cols=stats_cols, max_retries=max_retries,
+        )
+    grid = 1 << bits
+
+    def bucket(col: str, mn, mx):
+        span = float(mx) - float(mn)
+        if span <= 0:
+            return F.lit(0)
+        return F.coalesce(
+            F.least(
+                F.lit(grid - 1),
+                F.floor((F.col(col).cast("double") - F.lit(float(mn)))
+                        * grid / F.lit(span + 1e-12)).cast("int"),
+            ),
+            F.lit(0),  # NULL dimension value → cell 0
+        )
+
+    cb, db = bucket(c1, rng.mn1, rng.mx1), bucket(c2, rng.mn2, rng.mx2)
+    zval = None
+    for i in range(bits):
+        t1 = ((cb / (1 << i)).cast("int") % 2) * (4 ** i)
+        t2 = ((db / (1 << i)).cast("int") % 2) * (2 * 4 ** i)
+        zval = t1 + t2 if zval is None else zval + t1 + t2
+    zdf = df.withColumn("_zval", zval)
+    qs = zdf.approxQuantile("_zval", [i / n_buckets for i in range(1, n_buckets)], 0.01)
+    bounds = sorted(set(qs))
+    legs = []
+    prev_b = None
+    for b in bounds + [None]:
+        cond = None
+        if prev_b is not None:
+            cond = F.col("_zval") > F.lit(prev_b)
+        if b is not None:
+            upper = F.col("_zval") <= F.lit(b)
+            cond = upper if cond is None else (cond & upper)
+        leg = zdf if cond is None else zdf.filter(cond)
+        legs.append(leg.drop("_zval"))
+        prev_b = b
+    stats_cols = tuple(cols) if stats_cols is None else tuple(stats_cols)
+    return _publish_optimize_legs(
+        spark, table, df, commits, legs, stats_cols, max_retries,
+        op="optimize_zorder",
+    )
 
 
 def restore_table(

@@ -225,3 +225,71 @@ def test_dbscan_halo_matches_exact_dbscan_on_planted(spark, planted):
     assert set(rows) == {
         i * _PER_CLUSTER for i in range(_N_CLUSTERS) if i not in (14, 19)
     }
+
+
+def _graph_edges(rows):
+    return {(r.vec_id, r.nbr_id) for r in rows}
+
+
+def test_nn_descent_update_matches_full_rebuild(spark, planted):
+    """X57 contract: build the graph over the first 18 planted blocks,
+    then incrementally insert the last 2 blocks' 20 points. The updated
+    graph must (a) keep the exact output shape over the UNION corpus,
+    (b) agree with a from-scratch rebuild on ≥90% of edges, and (c) give
+    the NEW nodes their true in-cluster top-K (exact recall on the
+    inserted neighborhoods — the part a production ingest cares about)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d, vecs = planted
+    n = len(vecs)
+    cut = 18 * _PER_CLUSTER
+    old_dir = str(d) + "_old"
+    os.makedirs(old_dir, exist_ok=True)
+    full_tbl = pq.read_table(os.path.join(d, "embeddings.parquet"))
+    pq.write_table(full_tbl.slice(0, cut), os.path.join(old_dir, "embeddings.parquet"))
+
+    old_graph = kg.nn_descent_graph(spark, old_dir)
+    emb_all = spark.read.parquet(f"{d}/embeddings.parquet")
+    new_ids = emb_all.filter(F.col("vec_id") >= cut).select("vec_id")
+    updated = kg.nn_descent_update(spark, emb_all, old_graph, new_ids).collect()
+
+    # (a) shape: K ranked rows for every union node, no self-edges
+    assert len(updated) == n * kg._K
+    per = {}
+    for r in updated:
+        assert r.vec_id != r.nbr_id
+        per.setdefault(r.vec_id, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, kg._K + 1)) for v in per.values())
+
+    # (b) global agreement with the full rebuild
+    rebuilt = _graph_edges(kg.nn_descent_graph(spark, d).collect())
+    got = _graph_edges(updated)
+    agree = len(got & rebuilt) / len(rebuilt)
+    assert agree >= 0.90, agree
+
+    # (c) the inserted nodes' neighborhoods are EXACT
+    exact = _exact_topk(vecs, kg._K)
+    new_got = {(a, b) for a, b in got if a >= cut}
+    new_exact = {(a, b) for a, b in exact if a >= cut}
+    recall_new = len(new_got & new_exact) / len(new_exact)
+    assert recall_new >= 0.95, recall_new
+
+    # is_new marks exactly the edges absent from the input graph
+    old_edges = _graph_edges(old_graph.collect())
+    for r in updated:
+        assert r.is_new == (0 if (r.vec_id, r.nbr_id) in old_edges else 1)
+
+
+def test_nn_descent_update_untouched_nodes_pass_through(spark):
+    """Locality: updating with an EMPTY batch is an identity — no node
+    re-ranks, every row (distances included) passes through unchanged."""
+    graph = kg.nn_descent_graph(spark, SF)
+    emb_all = spark.read.parquet(f"{SF}/embeddings.parquet")
+    empty = emb_all.filter(F.lit(False)).select("vec_id")
+    updated = kg.nn_descent_update(spark, emb_all, graph, empty)
+    base = {(r.vec_id, r.rnk, r.nbr_id, r.dist) for r in graph.collect()}
+    got = {(r.vec_id, r.rnk, r.nbr_id, r.dist) for r in updated.collect()}
+    assert got == base

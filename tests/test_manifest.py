@@ -811,3 +811,57 @@ def test_merge_zone_map_pruning_and_stats_republish(spark, tmp_path):
     # and a later disjoint delete prunes down to a no-op
     v, rewritten = M.commit_delete(spark, t, "id", 500, 600)
     assert rewritten == 0
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """The Z-ORDER payoff over 1-D clustering: after interleaved appends
+    (zone maps prune nothing on either column), one optimize_zorder
+    rewrite makes range reads prune on BOTH columns — a 1-D clustered
+    layout can only serve its own key. Row-preserving, NULLs included."""
+    t = str(tmp_path / "tbl")
+    # 2-D grid: a in [0,100), b in [0,100), correlated nothing; 4
+    # interleaved appends each spanning the full 2-D range + some NULLs
+    full = spark.range(0, 4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 400 == 0, F.lit(None)).otherwise(
+            (F.col("id") * 7) % 100
+        ).alias("a"),
+        ((F.col("id") * 13) % 100).alias("b"),
+    )
+    for i in range(4):
+        M.commit_append(
+            spark, t, full.filter(F.col("id") % 4 == i), stats_cols=("a", "b")
+        )
+    _, _, skip_a0 = M.snapshot_pruned(spark, t, "a", 10, 20)
+    _, _, skip_b0 = M.snapshot_pruned(spark, t, "b", 10, 20)
+    assert skip_a0 == 0 and skip_b0 == 0
+    v = M.optimize_zorder(spark, t, ("a", "b"), n_buckets=8, bits=4)
+    _, pa, skip_a1 = M.snapshot_pruned(spark, t, "a", 10, 20)
+    _, pb, skip_b1 = M.snapshot_pruned(spark, t, "b", 10, 20)
+    assert skip_a1 >= 2, skip_a1  # both dimensions now prune
+    assert skip_b1 >= 2, skip_b1
+    # answers unchanged and row-preserving (incl. the 10 NULL-a rows)
+    _, snap = M.snapshot(spark, t)
+    assert snap.count() == 4000
+    assert snap.filter(F.col("a").isNull()).count() == 10
+    assert sorted(r.id for r in pa.collect()) == sorted(
+        r.id for r in full.filter((F.col("a") >= 10) & (F.col("a") <= 20)).collect()
+    )
+    # the feed sees one replace version
+    to, df = M.table_changes(spark, t, 4, ignore_replaces=True)
+    assert to == v and df is None
+
+
+def test_optimize_zorder_all_null_dimension_falls_back(spark, tmp_path):
+    """An entirely-NULL dimension gives the interleave nothing: Z-order
+    degrades to 1-D clustering on the live column, still row-preserving."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 200).select(
+        "id", F.lit(None).cast("long").alias("dead")
+    )
+    M.commit_append(spark, t, df, stats_cols=("id",))
+    M.optimize_zorder(spark, t, ("dead", "id"), n_buckets=4)
+    _, snap = M.snapshot(spark, t)
+    assert snap.count() == 200
+    _, _, skipped = M.snapshot_pruned(spark, t, "id", 0, 40)
+    assert skipped >= 1
