@@ -915,6 +915,7 @@ def optimize_zorder(
             F.least(
                 F.lit(grid - 1),
                 F.floor((F.col(col).cast("double") - F.lit(float(mn)))
+                        # ansi: span > 0 by the enclosing branch, +1e-12 literal
                         * grid / F.lit(span + 1e-12)).cast("int"),
             ),
             F.lit(0),  # NULL dimension value → cell 0
@@ -923,10 +924,12 @@ def optimize_zorder(
     cb, db = bucket(c1, rng.mn1, rng.mx1), bucket(c2, rng.mn2, rng.mx2)
     zval = None
     for i in range(bits):
+        # ansi: divisor is a nonzero Python literal (1 << i)
         t1 = ((cb / (1 << i)).cast("int") % 2) * (4 ** i)
-        t2 = ((db / (1 << i)).cast("int") % 2) * (2 * 4 ** i)
+        t2 = ((db / (1 << i)).cast("int") % 2) * (2 * 4 ** i)  # ansi: literal divisor
         zval = t1 + t2 if zval is None else zval + t1 + t2
     zdf = df.withColumn("_zval", zval)
+    # ansi: driver-side Python floats, n_buckets >= 1 by signature
     qs = zdf.approxQuantile("_zval", [i / n_buckets for i in range(1, n_buckets)], 0.01)
     bounds = sorted(set(qs))
     legs = []
