@@ -275,9 +275,12 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # .cache(), whose InMemoryRelation pins the pre-AQE plan of every
         # downstream join (measured 8.4 s -> 73 s!). Standard Pregel/
         # GraphX practice: persist the edge relation, iterate on top.
-        # eager=False (round 8): the materialization rides the first
-        # consumer's job instead of paying its own job floor.
-        .localCheckpoint(eager=False)
+        # EAGER (round-8 lesson): a lazy cut here folds the whole build +
+        # every peel round into ONE job, whose peak memory at sf1 OOM'd an
+        # 8 GB heap — the eager materialization frees the build's shuffle
+        # state before the rounds run. The job floor it pays is real but
+        # bounded; the memory cliff is not.
+        .localCheckpoint()
     )
     rounds = []
     for r in range(1, _KCORE_ROUNDS + 1):
@@ -294,7 +297,7 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(alive.withColumnRenamed("n", "x"), "x", "left_semi")
             .join(alive.withColumnRenamed("n", "y"), "y", "left_semi")
-            .localCheckpoint(eager=False)
+            .localCheckpoint()  # eager — see the build checkpoint note
         )
         rounds.append(
             alive.agg(F.count(F.lit(1)).cast("bigint").alias("nodes")).crossJoin(
@@ -366,11 +369,12 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # checkpoint the canonical edges BEFORE symmetrizing: the union reads
     # und twice, and without the cut the whole array-expansion build would
-    # run twice inside the edges materialization
+    # run twice inside the edges materialization (lazy: it rides the
+    # eager edges materialization below, so no extra job)
     und = _co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
     edges = und.unionAll(
         und.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    ).localCheckpoint(eager=False)  # loop-invariant — see kcore_peel
+    ).localCheckpoint()  # EAGER — the sf1 memory-cliff lesson, see kcore_peel
     labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

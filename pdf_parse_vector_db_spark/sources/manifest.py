@@ -351,6 +351,8 @@ def commit_replace(
     partition_by: tuple[str, ...] = (),
     max_retries: int = 20,
     stats_cols: tuple[str, ...] = (),
+    cdf_dir: str | None = None,
+    row_preserving: bool = False,
 ) -> int:
     """Publish `df` as the replacement for `drop_commits` (compaction /
     deletion rewrite). The dropped commits' FILES stay on disk for
@@ -402,9 +404,104 @@ def commit_replace(
             "keys": prev.get("keys") or {},
             "stats": stats,
         }
+        # change-data-feed metadata (Delta CDF parity): a rewrite either
+        # carries its row-level change files (`cdf`) or declares itself
+        # row-preserving (compaction / clustering); table_changes_cdf
+        # raises on a rewrite that claims neither, because its row-level
+        # delta is unknowable after the fact
+        if cdf_dir is not None:
+            manifest["cdf"] = cdf_dir
+        if row_preserving:
+            manifest["row_preserving"] = True
         if _try_commit(spark, table, head + 1, manifest):
             return head + 1
     raise IOError(f"commit_replace lost the CAS race {max_retries} times on {table}")
+
+
+_CDF = "cdf"
+
+
+def _stage_cdf(spark: SparkSession, table: str, cdf: DataFrame) -> str:
+    """Stage a change-data file set under `cdf/<uuid>` and return the
+    table-relative dir. Staged before the manifest CAS (same order as
+    data commits); an orphan from a failed publish is swept by vacuum's
+    unreferenced-dir rule."""
+    d = f"{_CDF}/{uuid.uuid4().hex}"
+    cdf.write.mode("errorifexists").parquet(f"{table}/{d}")
+    return d
+
+
+def table_changes_cdf(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> tuple[int, DataFrame | None]:
+    """ROW-LEVEL change feed (Delta `table_changes` with CDF enabled):
+    every row change strictly after `from_version` up to `to_version`
+    (head by default), as the table schema plus `_change_type`
+    ('insert' | 'update_preimage' | 'update_postimage' | 'delete') and
+    `_commit_version`. Appends stream as inserts from their commit dirs
+    (no extra storage); MERGE/DELETE rewrites stream from the change
+    files they staged when called with `change_feed=True`; compactions
+    and clustering rewrites declare `row_preserving` and contribute
+    nothing. A rewrite that neither carries change files nor declares
+    row preservation (a plain replace, a RESTORE, a merge/delete run
+    without change_feed) raises — its row-level delta is unknowable
+    after the fact, the same failure Delta gives a CDF read over a
+    version written while the table property was off."""
+    head = head_version(spark, table)
+    to = head if to_version is None else to_version
+    if to > head:
+        raise IOError(f"to_version {to} beyond head {head} on {table}")
+    if from_version >= to:
+        return to, None
+    try:
+        prev = (
+            _read_manifest(spark, table, from_version)["commits"]
+            if from_version
+            else []
+        )
+    except Exception as exc:  # noqa: BLE001 — vacuumed manifest
+        raise IOError(
+            f"CDF cursor v{from_version} is beyond the retention horizon "
+            f"on {table} (vacuumed); re-bootstrap from a snapshot"
+        ) from exc
+    parts: list[DataFrame] = []
+    for v in range(from_version + 1, to + 1):
+        man = _read_manifest(spark, table, v)
+        cur = man["commits"]
+        dropped = [c for c in prev if c not in cur]
+        rewrite = dropped or man.get("restored_from") is not None
+        if rewrite:
+            if man.get(_CDF) is not None:
+                parts.append(
+                    spark.read.parquet(f"{table}/{man[_CDF]}").withColumn(
+                        "_commit_version", F.lit(v).cast("bigint")
+                    )
+                )
+            elif not man.get("row_preserving"):
+                raise IOError(
+                    f"v{v} on {table} is a rewrite with no change files and no "
+                    "row_preserving declaration; run the merge/delete with "
+                    "change_feed=True to make it CDF-readable"
+                )
+        else:
+            for c in cur:
+                if c not in prev:
+                    parts.append(
+                        spark.read.option("basePath", f"{table}/{c}")
+                        .parquet(f"{table}/{c}")
+                        .withColumn("_change_type", F.lit("insert"))
+                        .withColumn("_commit_version", F.lit(v).cast("bigint"))
+                    )
+        prev = cur
+    if not parts:
+        return to, None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return to, out
 
 
 def _overlapping_commits(man: dict, col: str, lo, hi) -> list[str]:
@@ -435,6 +532,7 @@ def commit_merge(
     partition_by: tuple[str, ...] = (),
     stats_cols: tuple[str, ...] = (),
     max_restarts: int = 10,
+    change_feed: bool = False,
 ) -> int:
     """Delta-style MERGE (keyed upsert) with FILE PRUNING: rewrite ONLY
     the commit dirs that contain a matching key — untouched commits
@@ -527,10 +625,35 @@ def commit_merge(
         merged = survivors.join(
             F.broadcast(keys), list(key_cols), "left_anti"
         ).unionByName(updates, allowMissingColumns=True)
+        cdf_dir = None
+        if change_feed:
+            # Delta CDF rows for a whole-row MERGE: matched keys emit the
+            # old row (update_preimage) and the update row
+            # (update_postimage); brand-new keys emit insert. Staged per
+            # attempt — a restart re-derives against the new head, and an
+            # orphaned stage from a lost CAS is vacuum-swept.
+            matched_old = survivors.join(
+                F.broadcast(keys), list(key_cols), "left_semi"
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            survivor_keys = survivors.select(*key_cols).distinct()
+            matched_new = updates.join(
+                F.broadcast(survivor_keys), list(key_cols), "left_semi"
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            inserts = updates.join(
+                F.broadcast(survivor_keys), list(key_cols), "left_anti"
+            ).withColumn("_change_type", F.lit("insert"))
+            cdf_dir = _stage_cdf(
+                spark,
+                table,
+                matched_old.unionByName(
+                    matched_new, allowMissingColumns=True
+                ).unionByName(inserts, allowMissingColumns=True),
+            )
         try:
             return commit_replace(
                 spark, table, merged, drop_commits=hits,
                 partition_by=partition_by, stats_cols=stats_cols,
+                cdf_dir=cdf_dir,
             )
         except IOError as exc:
             if "conflict" not in str(exc):
@@ -693,6 +816,7 @@ def commit_delete(
     hi,
     stats_cols: tuple[str, ...] = (),
     partition_by: tuple[str, ...] = (),
+    change_feed: bool = False,
 ) -> tuple[int, int]:
     """Row-level DELETE with FILE PRUNING (Delta `DELETE WHERE col
     BETWEEN lo AND hi` parity): commits whose [min, max] zone map for
@@ -728,6 +852,13 @@ def commit_delete(
     kept = survivors.filter(
         (F.col(col) < lo) | (F.col(col) > hi) | F.col(col).isNull()
     )
+    cdf_dir = None
+    if change_feed:
+        # the deleted rows, exactly: predicate TRUE (NULL col never matches)
+        deleted = survivors.filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        ).withColumn("_change_type", F.lit("delete"))
+        cdf_dir = _stage_cdf(spark, table, deleted)
     return (
         commit_replace(
             spark,
@@ -736,6 +867,7 @@ def commit_delete(
             drop_commits=hits,
             partition_by=partition_by,
             stats_cols=stats_cols,
+            cdf_dir=cdf_dir,
         ),
         len(hits),
     )
@@ -855,6 +987,8 @@ def _publish_optimize_legs(
             "commits": live,
             "keys": prev.get("keys") or {},
             "stats": stats,
+            # OPTIMIZE re-layouts change no rows: CDF-transparent
+            "row_preserving": True,
         }
         if _try_commit(spark, table, head + 1, manifest):
             return head + 1
@@ -1045,6 +1179,7 @@ def maybe_compact(
         drop_commits=commits,
         partition_by=partition_by,
         stats_cols=stats_cols,
+        row_preserving=True,  # compaction changes no rows: CDF-transparent
     )
 
 
@@ -1079,15 +1214,27 @@ def vacuum(
     if head == 0:
         return 0
     keep = set()
+    keep_cdf = set()
     floor_v = max(1, head - keep_versions + 1)
     for v in range(floor_v, head + 1):
-        keep.update(_read_manifest(spark, table, v)["commits"])
+        man = _read_manifest(spark, table, v)
+        keep.update(man["commits"])
+        if man.get(_CDF) is not None:
+            keep_cdf.add(man[_CDF])
     jvm, fs = _jvm_fs(spark, table)
     removed = 0
     now_ms = _fs_now_ms(jvm, fs, f"{table}/{_MANIFESTS}")
     for st in fs.globStatus(_jpath(jvm, f"{table}/{_DATA}/*")) or []:
         rel = f"{_DATA}/{st.getPath().getName()}"
         if rel not in keep and now_ms - st.getModificationTime() >= min_age_s * 1000.0:
+            if not dry_run:
+                fs.delete(st.getPath(), True)
+            removed += 1
+    # change files age out with their manifests (same grace window —
+    # an in-flight merge stages its cdf dir before the CAS)
+    for st in fs.globStatus(_jpath(jvm, f"{table}/{_CDF}/*")) or []:
+        rel = f"{_CDF}/{st.getPath().getName()}"
+        if rel not in keep_cdf and now_ms - st.getModificationTime() >= min_age_s * 1000.0:
             if not dry_run:
                 fs.delete(st.getPath(), True)
             removed += 1
