@@ -865,3 +865,114 @@ def test_optimize_zorder_all_null_dimension_falls_back(spark, tmp_path):
     assert snap.count() == 200
     _, _, skipped = M.snapshot_pruned(spark, t, "id", 0, 40)
     assert skipped >= 1
+
+
+def test_merge_change_feed_emits_row_level_changes(spark, tmp_path):
+    """Delta CDF parity for MERGE: the rewrite version carries exactly
+    {update_preimage old-row, update_postimage new-row} for matched keys
+    and {insert} for new keys, stamped with its commit version; plain
+    appends stream as inserts from their commit dirs; replaying the same
+    window returns the identical multiset (exactly-once by version)."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(
+        spark,
+        t,
+        spark.createDataFrame([(i, 3) for i in range(10)], ["id", "court_level"]),
+    )  # v1
+    upd = spark.createDataFrame([(5, 9), (100, 9)], ["id", "court_level"])
+    v2 = M.commit_merge(spark, t, upd, key_cols=("id",), change_feed=True)
+    assert v2 == 2
+    to, cdf = M.table_changes_cdf(spark, t, from_version=1)
+    assert to == 2
+    got = {(r.id, r.court_level, r._change_type, r._commit_version) for r in cdf.collect()}
+    assert got == {
+        (5, 3, "update_preimage", 2),
+        (5, 9, "update_postimage", 2),
+        (100, 9, "insert", 2),
+    }
+    # full window: v1's append streams as 10 inserts + the merge's 3 rows
+    _, full = M.table_changes_cdf(spark, t, from_version=0)
+    rows = full.collect()
+    assert sum(1 for r in rows if r._commit_version == 1) == 10
+    assert all(r._change_type == "insert" for r in rows if r._commit_version == 1)
+    # replay: same window, same multiset
+    _, replay = M.table_changes_cdf(spark, t, from_version=0)
+    assert sorted(map(tuple, replay.collect())) == sorted(map(tuple, rows))
+
+
+def test_delete_change_feed_emits_deleted_rows_only(spark, tmp_path):
+    """DELETE CDF: exactly the rows the predicate removed (NULL-col rows
+    survive the delete and do NOT appear as deletes)."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 20).select(
+        F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise(F.col("id")).alias("id"),
+        F.lit(3).alias("court_level"),
+    )
+    M.commit_append(spark, t, df, stats_cols=("id",))  # v1
+    v2, _ = M.commit_delete(spark, t, "id", 5, 8, change_feed=True)
+    _, cdf = M.table_changes_cdf(spark, t, from_version=1)
+    got = sorted(r.id for r in cdf.collect())
+    assert got == [5, 6, 7, 8]
+    assert {r._change_type for r in cdf.collect()} == {"delete"}
+
+
+def test_cdf_transparent_compaction_and_loud_unknown_rewrite(spark, tmp_path):
+    """Row-preserving rewrites (compaction, OPTIMIZE) contribute nothing
+    to the CDF and don't fail the read; a rewrite that neither carries
+    change files nor declares row preservation raises — its row-level
+    delta is unknowable after the fact."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10))   # v1
+    M.commit_append(spark, t, _df(spark, 10, 20))  # v2
+    M.maybe_compact(spark, t, max_live_commits=1)  # v3: row-preserving
+    M.optimize_clustered(spark, t, "id", n_buckets=4)  # v4: row-preserving
+    to, cdf = M.table_changes_cdf(spark, t, from_version=0)
+    assert to == 4
+    assert cdf.count() == 20  # only the two appends' inserts
+    # an undeclared rewrite poisons the window...
+    commits = M._read_manifest(spark, t, 4)["commits"]
+    M.commit_replace(spark, t, M.snapshot(spark, t)[1], drop_commits=commits)  # v5
+    import pytest as _pytest
+
+    with _pytest.raises(IOError, match="no change files"):
+        M.table_changes_cdf(spark, t, from_version=0)
+    # ...but a cursor past it reads clean
+    M.commit_append(spark, t, _df(spark, 20, 25))  # v6
+    _, tail = M.table_changes_cdf(spark, t, from_version=5)
+    assert tail.count() == 5
+
+
+def test_vacuum_reclaims_unreferenced_cdf_dirs(spark, tmp_path):
+    """Change files age out with their manifests: a CDF dir referenced
+    only by vacuumed versions is reclaimed; the retained head's is not."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    M.commit_append(
+        spark,
+        t,
+        spark.createDataFrame([(i, 3) for i in range(10)], ["id", "court_level"]),
+    )
+    M.commit_merge(
+        spark, t,
+        spark.createDataFrame([(1, 8)], ["id", "court_level"]),
+        key_cols=("id",), change_feed=True,
+    )  # v2 + cdf A
+    M.commit_merge(
+        spark, t,
+        spark.createDataFrame([(2, 8)], ["id", "court_level"]),
+        key_cols=("id",), change_feed=True,
+    )  # v3 + cdf B
+    M.commit_append(spark, t, _df(spark, 100, 105))  # v4
+    M.commit_append(spark, t, _df(spark, 105, 110))  # v5
+    assert len(os.listdir(f"{t}/cdf")) == 2
+    M.vacuum(spark, t, keep_versions=3, min_age_s=0)  # retains v3..v5
+    assert len(os.listdir(f"{t}/cdf")) == 1  # A (v2-only) swept, B (v3) retained
+    # a cursor within the retention horizon still reads the appends
+    _, cdf = M.table_changes_cdf(spark, t, from_version=3)
+    rows = cdf.collect()
+    assert len(rows) == 10 and all(r._change_type == "insert" for r in rows)
+    # a cursor past the horizon fails loudly
+    import pytest as _pytest
+    with _pytest.raises(IOError, match="retention horizon"):
+        M.table_changes_cdf(spark, t, from_version=1)
