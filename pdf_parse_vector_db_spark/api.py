@@ -314,6 +314,24 @@ class SparkVectorService:
                 )
         return self._version
 
+    def changes_since(self, version: int) -> DataFrame | None:
+        """Row-level audit feed (Delta CDF parity, X58): every chunk
+        change strictly after `version`, as the chunk schema plus
+        `_change_type` and `_commit_version`. Ingests stream as inserts
+        straight from their commit dirs. DELIBERATE exception:
+        `forget_file` erasures do NOT write change files — a change feed
+        that retained the deleted rows would defeat GDPR erasure — so a
+        window crossing an erasure version raises; resume the feed from
+        the erasure version forward (the same tension Delta documents
+        for CDF + VACUUM of change data)."""
+        if not self.manifested:
+            raise ValueError("changes_since requires manifested=True")
+        from pdf_parse_vector_db_spark.sources import manifest as M
+
+        with scoped_pool(self.spark, "maintenance"):
+            _, df = M.table_changes_cdf(self.spark, self.path, version)
+        return df
+
     # -- liveness ----------------------------------------------------------
 
     def health(self) -> dict:

@@ -164,3 +164,38 @@ def test_forget_file_erases_and_restore_undoes(spark, tmp_path):
         raw.forget_file("x.pdf")
     with _pytest.raises(ValueError):
         raw.restore(1)
+
+
+def test_changes_since_audit_feed_and_erasure_semantics(spark, tmp_path):
+    """changes_since streams ingests as row-level inserts with commit
+    versions; an erasure version inside the window raises BY DESIGN (a
+    change feed retaining deleted rows would defeat GDPR erasure), and
+    the feed resumes cleanly from the erasure forward."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    path = str(tmp_path / "wh")
+    svc = SparkVectorService(spark, path, manifested=True, auto_compact_commits=0)
+    svc.ingest_legal_document("case_a.pdf", DOC, court_level=3)
+    v1 = M.head_version(spark, path)
+    svc.ingest_legal_document("case_b.pdf", DOC + " variant b", court_level=3)
+    v2 = M.head_version(spark, path)
+
+    rows = svc.changes_since(0).collect()
+    assert {r._change_type for r in rows} == {"insert"}
+    assert {r._commit_version for r in rows} == {v1, v2}
+    only_b = svc.changes_since(v1).collect()
+    assert {r.file_name for r in only_b} == {"case_b.pdf"}
+
+    svc.forget_file("case_a.pdf")
+    v3 = M.head_version(spark, path)
+    import pytest as _pytest
+
+    with _pytest.raises(IOError, match="no change files"):
+        svc.changes_since(0)  # erasure is not replayable — by design
+    svc.ingest_legal_document("case_c.pdf", DOC + " variant c", court_level=3)
+    after = svc.changes_since(v3).collect()
+    assert {r.file_name for r in after} == {"case_c.pdf"}
+
+    raw = SparkVectorService(spark, str(tmp_path / "raw"), manifested=False)
+    with _pytest.raises(ValueError):
+        raw.changes_since(0)

@@ -145,7 +145,12 @@ def test_plan_hygiene_no_cartesian(spark):
     """Both pipelines: stride init is a broadcast, candidate joins are
     hash joins on integer ids, eps-pairs ride the bucketed kernel — a
     CartesianProduct anywhere means a join key was lost."""
-    for fn in (kg.nn_descent_graph, kg.dbscan_clusters):
+    for fn in (
+        kg.nn_descent_graph,
+        kg.dbscan_clusters,
+        kg.dbscan_clusters_halo,
+        kg._nn_descent_incremental_query,
+    ):
         df = fn(spark, SF)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -120,6 +120,8 @@ AUDIT = {
     "phash_near_dups": "pure-codegen 64-block hash (no UDF); band-bucket equi-join exchanges 16-byte keys; popcount verify after DISTINCT candidate cut; no CartesianProduct",
     "nn_descent_graph": "stride init is a 3-row BroadcastNestedLoopJoin + semi-join; per-round local join = hash self-joins on integer ids, canonical-pair DISTINCT before ONE dot-product fold per pair (norms precomputed, broadcast); windowed top-K; no CartesianProduct",
     "dbscan_clusters": "eps-pairs ride the bucketed applyInPandas BLAS kernel keyed by IVF cell; degree/core/border are integer-key hash aggs and semi/anti joins; components via the localCheckpoint'd Pregel fixpoint; no CartesianProduct",
+    "dbscan_clusters_halo": "multi-probe assignment = broadcast-seeds window (row_number over the packed key); same bucketed BLAS kernel with nprobe-duplicated rows + DISTINCT pair cut; identical integer tail; no CartesianProduct",
+    "nn_descent_incremental": "seed stage = stride broadcast + IVF same-cell equi-join; fresh-flagged wedge join on integer ids only; payload attach is a PLAIN id join (AQE-decided, no broadcast hint); touched-node semi/anti split before re-rank windows; no CartesianProduct",
 }
 
 
