@@ -66,14 +66,29 @@ class _CommitSlice(InputPartition):
     """One scan task: a subset of a commit dir's parquet files (hive
     partition values recovered against the commit root). Splitting at
     file granularity, not commit granularity, is what keeps a COMPACTED
-    commit (one dir holding the whole table) parallel across executors."""
+    commit (one dir holding the whole table) parallel across executors.
 
-    def __init__(self, commit_root: str, files: list[str]):
+    CDF mode carries two extra literals: `version` fills the
+    `_commit_version` column, and `change_type` fills `_change_type`
+    when the files themselves don't carry one (append commits — staged
+    change files already store their own per-row types)."""
+
+    def __init__(
+        self,
+        commit_root: str,
+        files: list[str],
+        version: int | None = None,
+        change_type: str | None = None,
+    ):
         self.commit_root = commit_root
         self.files = files
+        self.version = version
+        self.change_type = change_type
 
 
-def _commit_slices(commit_root: str) -> list[_CommitSlice]:
+def _commit_slices(
+    commit_root: str, version: int | None = None, change_type: str | None = None
+) -> list[_CommitSlice]:
     """One slice per parquet file of a commit dir (driver-side listing)."""
     files = sorted(
         os.path.join(dirpath, f)
@@ -81,7 +96,7 @@ def _commit_slices(commit_root: str) -> list[_CommitSlice]:
         for f in names
         if f.endswith(".parquet")
     )
-    return [_CommitSlice(commit_root, [f]) for f in files]
+    return [_CommitSlice(commit_root, [f], version, change_type) for f in files]
 
 
 def _scan_commit(partition: _CommitSlice, spark_schema):
@@ -108,13 +123,19 @@ def _scan_commit(partition: _CommitSlice, spark_schema):
     scanner = dataset.scanner(
         columns=[f.name for f in spark_schema.fields if f.name in avail]
     )
+    version = getattr(partition, "version", None)
+    change_type = getattr(partition, "change_type", None)
     for batch in scanner.to_batches():
-        arrays = [
-            batch.column(f.name).cast(f.type)
-            if f.name in avail
-            else pa.nulls(batch.num_rows, f.type)
-            for f in target
-        ]
+        arrays = []
+        for f in target:
+            if f.name == "_commit_version" and version is not None:
+                arrays.append(pa.array([version] * batch.num_rows, f.type))
+            elif f.name == "_change_type" and f.name not in avail and change_type:
+                arrays.append(pa.array([change_type] * batch.num_rows, f.type))
+            elif f.name in avail:
+                arrays.append(batch.column(f.name).cast(f.type))
+            else:
+                arrays.append(pa.nulls(batch.num_rows, f.type))
         yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
@@ -124,6 +145,13 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         self.start_version = int(options.get("startingversion", 0))
         self.ignore_replaces = (
             str(options.get("ignorereplaces", "true")).lower() == "true"
+        )
+        #: Delta readChangeFeed parity: emit _change_type/_commit_version,
+        #: stream rewrites from their staged change files, skip declared
+        #: row-preserving rewrites, and FAIL on undeclared ones (their
+        #: row-level delta is unknowable) — ignoreReplaces does not apply
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
         )
         #: admission control (Delta's maxFilesPerTrigger analog, in commit
         #: dirs): a backlogged stream — bootstrap of a 100 TB table, or a
@@ -178,7 +206,8 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             if start["version"]
             else []
         )
-        added: list[str] = []
+        slices: list[_CommitSlice] = []
+        root = _local(self.table)
         for v in range(start["version"] + 1, end["version"] + 1):
             man = _read_manifest(self.table, v)
             cur = man["commits"]
@@ -187,20 +216,39 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             # re-adds dirs (restore forward) — streaming them would
             # double-count rows consumed before the restore
             rewrite = bool(dropped) or man.get("restored_from") is not None
-            if rewrite and not self.ignore_replaces:
-                raise IOError(
-                    f"v{v} is a replace-commit (drops {dropped}, "
-                    f"restored_from {man.get('restored_from')}); set "
-                    "ignoreReplaces=true to stream past rewrites"
-                )
-            if not rewrite:
-                added.extend(c for c in cur if c not in prev)
+            if rewrite:
+                if self.read_change_feed:
+                    if man.get("cdf") is not None:
+                        slices.extend(
+                            _commit_slices(
+                                os.path.join(root, man["cdf"]), version=v
+                            )
+                        )
+                    elif not man.get("row_preserving"):
+                        raise IOError(
+                            f"v{v} is a rewrite with no change files and no "
+                            "row_preserving declaration; CDF streams need "
+                            "merges/deletes run with change_feed=True"
+                        )
+                elif not self.ignore_replaces:
+                    raise IOError(
+                        f"v{v} is a replace-commit (drops {dropped}, "
+                        f"restored_from {man.get('restored_from')}); set "
+                        "ignoreReplaces=true to stream past rewrites"
+                    )
+            else:
+                for c in cur:
+                    if c not in prev:
+                        slices.extend(
+                            _commit_slices(
+                                os.path.join(root, c),
+                                version=v if self.read_change_feed else None,
+                                change_type="insert"
+                                if self.read_change_feed
+                                else None,
+                            )
+                        )
             prev = cur
-        slices = [
-            sl
-            for c in added
-            for sl in _commit_slices(os.path.join(_local(self.table), c))
-        ]
         # Spark requires >=1 partition per batch
         return slices or [_CommitSlice("", [])]
 
@@ -473,9 +521,15 @@ class ManifestFeedDataSource(DataSource):
 
         ds = pads.dataset(os.path.join(_local(table), commits[-1]), partitioning="hive")
         inferred = from_arrow_schema(ds.schema)
-        return StructType(
-            [StructField(f.name, f.dataType, True) for f in inferred.fields]
-        )
+        fields = [StructField(f.name, f.dataType, True) for f in inferred.fields]
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            from pyspark.sql.types import LongType, StringType
+
+            fields += [
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True),
+            ]
+        return StructType(fields)
 
     def reader(self, schema):
         return ManifestSnapshotReader(schema, self.options)

@@ -136,5 +136,10 @@ def test_graph_operators_hash_match_at_reference_width(spark, dim_dir):
 
     con = duckdb_connection(dim_dir)
     for spec in kg.QUERIES:
+        if spec.oracle is None:
+            # rows-only by design (nn_descent_incremental): the driver
+            # records the weaker check; here just pin it runs at width
+            assert spec.fn(spark, dim_dir).count() > 0, spec.name
+            continue
         problems = compare_query(spark, con, spec, dim_dir)
         assert not problems, (spec.name, problems)

@@ -528,3 +528,84 @@ def test_sustained_ingest_feed_sync_stays_bounded(spark, tmp_path):
     assert max_ledger <= M._KEY_WINDOW
     assert max_live <= 10 + 20  # compaction cap + one inter-compaction window
     assert max_manifests <= 15 + 20 + 1  # vacuum horizon + one window
+
+
+def test_read_change_feed_streams_row_level_changes(spark, tmp_path):
+    """Delta readChangeFeed parity on the streaming source: appends
+    arrive as inserts, a MERGE rewrite streams its staged pre/postimage
+    and insert rows, compaction (row-preserving) contributes nothing,
+    and every row carries its commit version — exactly once across the
+    whole history."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(
+        spark, t,
+        spark.createDataFrame([(i, 3) for i in range(10)], ["id", "court_level"]),
+    )  # v1
+    M.commit_merge(
+        spark, t,
+        spark.createDataFrame([(5, 9), (100, 9)], ["id", "court_level"]),
+        key_cols=("id",), change_feed=True,
+    )  # v2
+    M.commit_append(spark, t, _df(spark, 200, 203))  # v3
+    M.maybe_compact(spark, t, max_live_commits=1)  # v4: row-preserving (2 live)
+    M.commit_append(spark, t, _df(spark, 300, 303))  # v5
+
+    got: list[tuple] = []
+    q = (
+        spark.readStream.format("manifest_feed")
+        .option("table", t)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: got.extend(
+                (r.id, r.court_level, r._change_type, r._commit_version)
+                for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    by_version = {}
+    for row in got:
+        by_version.setdefault(row[3], set()).add(row[:3])
+    assert set(by_version) == {1, 2, 3, 5}  # v4 (compaction) contributed nothing
+    assert by_version[1] == {(i, 3, "insert") for i in range(10)}
+    assert by_version[2] == {
+        (5, 3, "update_preimage"),
+        (5, 9, "update_postimage"),
+        (100, 9, "insert"),
+    }
+    assert by_version[3] == {(i, 3, "insert") for i in range(200, 203)}
+    assert by_version[5] == {(i, 3, "insert") for i in range(300, 303)}
+    assert len(got) == 19  # exactly once: 10 + 3 + 3 + 3
+
+
+def test_read_change_feed_fails_on_undeclared_rewrite(spark, tmp_path):
+    """A rewrite with neither change files nor a row_preserving
+    declaration poisons a CDF stream loudly (ignoreReplaces does not
+    apply — silently skipping a data-changing rewrite would corrupt the
+    row-level feed)."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(spark, t, _df(spark, 0, 10))  # v1
+    commits = M._read_manifest(spark, t, 1)["commits"]
+    M.commit_replace(spark, t, M.snapshot(spark, t)[1].filter(F.col("id") < 5),
+                     drop_commits=commits)  # v2: undeclared data change
+    q = (
+        spark.readStream.format("manifest_feed")
+        .option("table", t)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no change files|StreamingQuery"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+    q.stop()
