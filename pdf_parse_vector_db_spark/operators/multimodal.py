@@ -63,7 +63,7 @@ def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame
     (that is where Pillow/torchaudio plugs in)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pdf_parse_vector_db_spark.operators import png_codec
+        from pdf_parse_vector_db_spark.operators import png_codec, wav_codec
 
         for pdf in batches:
             if real_decoder:
@@ -73,20 +73,28 @@ def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame
                 )}
                 for rec in pdf.itertuples(index=False):
                     content = bytes(rec.content) if rec.content is not None else b""
-                    if not png_codec.is_png(content):
-                        raise NotImplementedError(
-                            "real decoding of non-PNG media requires Pillow/ffmpeg "
-                            "(not in container); PNG decodes natively"
-                        )
-                    px = png_codec.decode_png(content)
                     out["doc_id"].append(rec.doc_id)
                     out["kind"].append(rec.kind)
                     out["n_bytes"].append(len(content))
                     out["sha256"].append(hashlib.sha256(content).hexdigest())
-                    out["width"].append(px.shape[1])
-                    out["height"].append(px.shape[0])
-                    out["n_frames"].append(1)
-                    out["sample_rate"].append(0)
+                    if png_codec.is_png(content):
+                        px = png_codec.decode_png(content)
+                        out["width"].append(px.shape[1])
+                        out["height"].append(px.shape[0])
+                        out["n_frames"].append(1)
+                        out["sample_rate"].append(0)
+                    elif wav_codec.is_wav(content):
+                        rate, _n_ch, samples = wav_codec.decode_wav(content)
+                        out["width"].append(0)
+                        out["height"].append(0)
+                        out["n_frames"].append(int(samples.shape[0]))
+                        out["sample_rate"].append(int(rate))
+                    else:
+                        raise NotImplementedError(
+                            "real decoding of non-PNG/non-WAV media requires "
+                            "Pillow/ffmpeg (not in container); PNG and 16-bit "
+                            "PCM WAV decode natively"
+                        )
                 yield pd.DataFrame(out)
                 continue
             out = {k: [] for k in (
@@ -283,6 +291,49 @@ def perceptual_hash_png(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "content").mapInPandas(
         hash_batch, "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_frames bigint, "
+    "duration_s double, rms double, zcr double, peak double, bands array<double>"
+)
+
+
+def audio_features_wav(media: DataFrame) -> DataFrame:
+    """REAL audio features for WAV payloads (round 8): stdlib decode +
+    deterministic DSP (operators/wav_codec.py) — true sample rate /
+    duration, RMS / zero-crossing / peak, and an 8-band spectral energy
+    profile, all rounded to 6 dp. The silence/clipping/bandwidth filters
+    an audio-corpus curation pass runs. Arrow-batched mapInPandas; the
+    output is 8 scalars + an 8-float array per row, so downstream
+    aggregations exchange fixed-width rows only."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parse_vector_db_spark.operators import wav_codec
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None else b""
+                f = wav_codec.audio_features(content)
+                rows.append(
+                    {
+                        "doc_id": rec.doc_id,
+                        "sample_rate": f["sample_rate"],
+                        "n_channels": f["n_channels"],
+                        "n_frames": f["n_frames"],
+                        "duration_s": f["duration_s"],
+                        "rms": f["rms"],
+                        "zcr": f["zcr"],
+                        "peak": f["peak"],
+                        "bands": f["bands"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "content").mapInPandas(
+        feats, AUDIO_FEATURES_SCHEMA
     )
 
 

@@ -163,3 +163,55 @@ def test_resize_png_real_tier_roundtrips(spark):
         )
     )
     assert px.shape == (r1.dst_h, r1.dst_w, 3)
+
+
+# ---- WAV tier (same round-8 pattern: stdlib codec, real features) ---------
+
+
+def test_wav_roundtrip_and_out_of_scope():
+    from pdf_parse_vector_db_spark.operators import wav_codec
+
+    rng = np.random.default_rng(4)
+    for n_ch in (1, 2):
+        samples = rng.integers(-30000, 30000, size=(480, n_ch)).astype(np.int16)
+        rate, ch, back = wav_codec.decode_wav(wav_codec.encode_wav(samples, 16000))
+        assert (rate, ch) == (16000, n_ch)
+        assert np.array_equal(back, samples)
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_codec.decode_wav(b"not audio")
+
+
+def test_audio_features_separate_tone_from_noise(spark):
+    """Real DSP on real WAV bytes: a pure 440 Hz tone concentrates its
+    spectral energy in the lowest band and has a low zero-crossing rate;
+    white noise spreads energy across bands with a high ZCR; a silent
+    clip has rms == 0. decode_media_meta's real tier returns the true
+    sample rate and frame count for all three."""
+    from pdf_parse_vector_db_spark.operators import wav_codec
+
+    rate, dur = 16000, 1.0
+    t = np.arange(int(rate * dur)) / rate
+    tone = (20000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)[:, None]
+    rng = np.random.default_rng(6)
+    noise = rng.integers(-20000, 20000, size=(int(rate * dur), 1)).astype(np.int16)
+    silence = np.zeros((1600, 1), dtype=np.int16)
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(wav_codec.encode_wav(tone, rate))),
+            (1, "audio", bytearray(wav_codec.encode_wav(noise, rate))),
+            (2, "audio", bytearray(wav_codec.encode_wav(silence, rate))),
+        ],
+        "doc_id long, kind string, content binary",
+    )
+    feats = {r.doc_id: r for r in multimodal.audio_features_wav(media).collect()}
+    assert feats[0].bands[0] > 0.99  # 440 Hz lives in band 0 of 0..8 kHz
+    assert feats[0].zcr < 0.1
+    assert max(feats[1].bands) < 0.5  # noise spreads
+    assert feats[1].zcr > 0.3
+    assert feats[2].rms == 0.0 and feats[2].peak == 0.0
+    assert abs(feats[0].duration_s - 1.0) < 1e-6
+
+    meta = {r.doc_id: r for r in multimodal.decode_media_meta(media, real_decoder=True).collect()}
+    assert meta[0].sample_rate == rate and meta[0].n_frames == rate
+    assert meta[2].n_frames == 1600
+    assert meta[0].width == 0 and meta[0].height == 0
