@@ -695,7 +695,7 @@ def embedding_near_dup_pairs(
     bucket_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs: exact all-pairs cosine ≥ threshold, computed
     as a blocked matrix product.
@@ -707,7 +707,17 @@ def embedding_near_dup_pairs(
     instead of 4M+ per-row Catalyst `aggregate` folds — the standard
     block-nested-loop shape for all-pairs similarity on a cluster (pick
     B ≈ √parallelism; with an LSH/IVF `bucket_col` the same kernel runs
-    per bucket and cost drops to Σ bucket²)."""
+    per bucket and cost drops to Σ bucket²).
+
+    Block-count default (round-8 measurement): UNBUCKETED all-pairs
+    wants B=8 (36 block-pair groups ≈ the parallelism); BUCKETED runs
+    already have ~√N groups from the buckets themselves, where B=8
+    multiplied the Arrow group count 36× for pure overhead — B=2 keeps
+    3-way intra-bucket parallelism for hot (skewed) cells and measured
+    2.3× faster at sf0.1 with hash-identical output. Pass `num_blocks`
+    explicitly to override either default."""
+    if num_blocks is None:
+        num_blocks = 2 if bucket_col else 8
     cols = [F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")]
     if bucket_col:
         cols.append(F.col(bucket_col).alias("bkt"))
