@@ -2059,7 +2059,138 @@ ORDER BY vec_id
 """
 
 
+#: binary-quantization candidate pool before exact rerank
+_BQ_CAND = 50
+#: Matryoshka prefix width for the coarse stage
+_MRL_DIM = 16
+
+
+def bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61: BINARY-QUANTIZATION ANN (the Milvus/FAISS BQ tier): each
+    vector compresses to one SIGN BIT per dimension (32× smaller than
+    float32); the coarse stage ranks by Hamming distance to the query's
+    sign pattern, the top-_BQ_CAND candidates rerank exactly. At 100 TB
+    the coarse scan reads d/8 bytes per vector instead of 4d — the
+    memory-bandwidth win that makes BQ the first filter in modern vector
+    stores — and both stages are TakeOrderedAndProject cuts (no global
+    sort). Pure codegen: the Hamming fold is one zip_with + aggregate
+    over the arrays; at ingest the bits would be packed into BIGINT
+    words once (the simhash tier's representation) rather than
+    recomputed per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("qvec"),
+            lambda a, b: ((a > 0) != (b > 0)).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "embedding", "qvec", ham.alias("ham"))
+        .orderBy("ham", "vec_id")
+        .limit(_BQ_CAND)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 6).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+    )
+
+
+BQ_KNN_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
+),
+cand AS (
+  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, q.qvec,
+         list_sum(list_transform(
+           list_zip(CAST(e.embedding AS DOUBLE[]), q.qvec),
+           x -> CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END)) AS ham
+  FROM embeddings e CROSS JOIN q
+  ORDER BY ham, e.vec_id
+  LIMIT {_BQ_CAND}
+)
+SELECT vec_id, label,
+       round(round(list_distance(v, qvec), 6), 4) AS score
+FROM cand
+ORDER BY round(list_distance(v, qvec), 6), vec_id
+LIMIT 5
+"""
+
+
+def mrl_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61: MATRYOSHKA two-stage ANN: rank by L2 over the FIRST
+    `_MRL_DIM` dimensions (MRL-trained embeddings front-load semantic
+    mass, so a prefix is itself a valid low-d embedding), rerank the
+    top-_BQ_CAND candidates at full width. The coarse stage reads a
+    d/{64 // _MRL_DIM}-wide slice per vector — with columnar storage of
+    the prefix as its own column, a pure I/O saving at 100 TB — and
+    degrades gracefully on non-MRL vectors to an unbiased-projection
+    candidate generator (recall pinned in tests/test_retrieval-adjacent
+    suites via the shared rerank contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    coarse = F.round(
+        l2_distance(
+            F.slice(F.col("embedding").cast("array<double>"), 1, _MRL_DIM),
+            F.slice(F.col("qvec"), 1, _MRL_DIM),
+        ),
+        6,
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "embedding", "qvec", coarse.alias("cd"))
+        .orderBy("cd", "vec_id")
+        .limit(_BQ_CAND)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 6).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+    )
+
+
+MRL_KNN_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
+),
+cand AS (
+  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, q.qvec,
+         round(list_distance(CAST(e.embedding AS DOUBLE[])[1:{_MRL_DIM}],
+                             q.qvec[1:{_MRL_DIM}]), 6) AS cd
+  FROM embeddings e CROSS JOIN q
+  ORDER BY cd, e.vec_id
+  LIMIT {_BQ_CAND}
+)
+SELECT vec_id, label,
+       round(round(list_distance(v, qvec), 6), 4) AS score
+FROM cand
+ORDER BY round(list_distance(v, qvec), 6), vec_id
+LIMIT 5
+"""
+
+
 QUERIES = [
+    QuerySpec("bq_knn", bq_knn, BQ_KNN_SQL, "X61 binary-quantization ANN: sign-bit Hamming coarse stage + exact rerank (round 8)"),
+    QuerySpec("mrl_knn", mrl_knn, MRL_KNN_SQL, "X61 Matryoshka two-stage ANN: prefix-dim coarse stage + full-width rerank (round 8)"),
     QuerySpec("semdedup", semdedup, SEMDEDUP_SQL, "X2 SemDeDup semantic dedup (cluster-bounded pairwise + centroid-rank keep/drop)"),
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
     QuerySpec("embedding_energy_retention", embedding_energy_retention, EMBEDDING_ENERGY_SQL, "X2/X3 prefix-energy truncation audit"),

@@ -169,3 +169,34 @@ def test_portable_e2lsh_candidates_and_rerank(spark):
         assert abs(r.score - round(exact[r.vec_id], 4)) < 1e-9
     # self-hit: the query vector shares every bucket with itself
     assert hits[0].vec_id == 0 and hits[0].score == 0.0
+
+
+def test_bq_and_mrl_two_stage_tiers(spark):
+    """X61 sanity beyond the oracle hash: both coarse stages are
+    loss-bounded candidate generators — the query vector itself (exact
+    distance 0, Hamming 0, prefix distance 0) survives both cuts and
+    ranks first; and the two-stage result's top-5 L2 distances are
+    bounded below by the exact top-5 (a candidate cut can only lose
+    neighbors, never invent closer ones)."""
+    from pdf_parse_vector_db_spark.plans.similarity import bq_knn, mrl_knn
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.functions.vector import l2_distance
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = [
+        r.d
+        for r in emb.crossJoin(F.broadcast(q))
+        .select(F.round(l2_distance(F.col("embedding"), F.col("qvec")), 4).alias("d"))
+        .orderBy("d")
+        .limit(5)
+        .collect()
+    ]
+    for fn in (bq_knn, mrl_knn):
+        rows = fn(spark, sf).collect()
+        assert len(rows) == 5
+        assert rows[0].vec_id == 0 and rows[0].score == 0.0, fn.__name__
+        got = [r.score for r in rows]
+        assert all(g >= e for g, e in zip(got, exact)), (fn.__name__, got, exact)

@@ -976,3 +976,49 @@ def test_vacuum_reclaims_unreferenced_cdf_dirs(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(IOError, match="retention horizon"):
         M.table_changes_cdf(spark, t, from_version=1)
+
+
+def test_concurrent_change_feed_merges_compose(spark, tmp_path):
+    """Two racing disjoint-key merges BOTH run with change_feed: both
+    land (conflict restart), each rewrite version carries ITS OWN change
+    files, and the CDF over the window replays the complete row-level
+    history — the loser's restarted attempt re-stages its cdf against
+    the winner's head, so no change row is lost or duplicated."""
+    t = str(tmp_path / "tbl")
+    M.commit_append(
+        spark,
+        t,
+        spark.createDataFrame([(i, 3) for i in range(10)], ["id", "court_level"]),
+    )
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def merge(key, level):
+        try:
+            upd = spark.createDataFrame([(key, level)], ["id", "court_level"])
+            barrier.wait(60)
+            M.commit_merge(spark, t, upd, key_cols=("id",), change_feed=True)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=merge, args=(2, 7)),
+        threading.Thread(target=merge, args=(8, 9)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(180)
+    assert not errors, errors
+    assert M.head_version(spark, t) == 3
+    _, cdf = M.table_changes_cdf(spark, t, from_version=1)
+    got = {(r.id, r.court_level, r._change_type) for r in cdf.collect()}
+    assert got == {
+        (2, 3, "update_preimage"),
+        (2, 7, "update_postimage"),
+        (8, 3, "update_preimage"),
+        (8, 9, "update_postimage"),
+    }
+    # each version carries exactly one merge's changes
+    versions = {r._commit_version for r in cdf.collect()}
+    assert versions == {2, 3}
