@@ -88,11 +88,13 @@ def audio_features(content: bytes) -> dict:
         float(p[edges[i] - 1 : edges[i + 1] - 1].sum()) for i in range(N_BANDS)
     ]
     tot = sum(raw_bands)
+    # ansi: driver/worker-side Python floats; tot > 0 guarded inline
     bands = [round(b / tot, 6) if tot > 0 else 0.0 for b in raw_bands]
     return {
         "sample_rate": rate,
         "n_channels": n_ch,
         "n_frames": n,
+        # ansi: Python ints; rate >= 1 by the wave header contract
         "duration_s": round(n / rate, 6),
         "rms": round(rms, 6),
         "zcr": round(zcr, 6),
