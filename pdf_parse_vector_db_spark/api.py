@@ -314,23 +314,36 @@ class SparkVectorService:
                 )
         return self._version
 
-    def changes_since(self, version: int) -> DataFrame | None:
+    def changes_since(
+        self, version: int, to_version: int | None = None
+    ) -> tuple[int, DataFrame | None]:
         """Row-level audit feed (Delta CDF parity, X58): every chunk
-        change strictly after `version`, as the chunk schema plus
-        `_change_type` and `_commit_version`. Ingests stream as inserts
-        straight from their commit dirs. DELIBERATE exception:
-        `forget_file` erasures do NOT write change files — a change feed
-        that retained the deleted rows would defeat GDPR erasure — so a
-        window crossing an erasure version raises; resume the feed from
-        the erasure version forward (the same tension Delta documents
-        for CDF + VACUUM of change data)."""
+        change strictly after `version` up to `to_version` (head when
+        None), as the chunk schema plus `_change_type` and
+        `_commit_version`. Ingests stream as inserts straight from their
+        commit dirs.
+
+        Returns ``(to_version, df)`` — the resume-cursor contract: the
+        returned `to_version` is the version the returned rows are
+        complete THROUGH, resolved atomically with the read, so an
+        exactly-once consumer passes it back as the next call's
+        `version`. (Reading `head_version` separately before the call
+        can double-deliver and after the call can skip versions; `df`
+        may be None on an empty window, so max(_commit_version) over the
+        rows is NOT a safe cursor.)
+
+        DELIBERATE exception: `forget_file` erasures do NOT write change
+        files — a change feed that retained the deleted rows would
+        defeat GDPR erasure — so a window crossing an erasure version
+        raises; resume the feed from the erasure version forward (the
+        same tension Delta documents for CDF + VACUUM of change data)."""
         if not self.manifested:
             raise ValueError("changes_since requires manifested=True")
         from pdf_parse_vector_db_spark.sources import manifest as M
 
         with scoped_pool(self.spark, "maintenance"):
-            _, df = M.table_changes_cdf(self.spark, self.path, version)
-        return df
+            to, df = M.table_changes_cdf(self.spark, self.path, version, to_version)
+        return to, df
 
     # -- liveness ----------------------------------------------------------
 

@@ -71,6 +71,14 @@ def decode_png(content: bytes) -> np.ndarray:
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
+    # Unfilter vectorized: None/Up are whole-row numpy ops, Sub is a
+    # per-channel cumulative sum (its recurrence is exactly a running
+    # mod-256 sum), and Average/Paeth — whose recurrence on the computed
+    # LEFT pixel is inherently sequential — loop over pixel COLUMNS with
+    # all channels as one vector op, never over individual bytes. Real
+    # encoders filter heavily (Sub/Paeth dominate), so the interpreter
+    # cost per image is O(width) pixels, not O(width·height·channels)
+    # bytes.
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
@@ -78,36 +86,41 @@ def decode_png(content: bytes) -> np.ndarray:
         ftype = raw[row_start]
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=row_start + 1
-        ).copy()
+        )
         if ftype == 0:  # None
-            cur = line
-        elif ftype == 1:  # Sub
-            cur = line
-            for x in range(ch, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+            cur = line.copy()
+        elif ftype == 1:  # Sub: running per-channel sum mod 256
+            cur = (
+                line.reshape(width, ch).astype(np.int64).cumsum(axis=0) & 0xFF
+            ).astype(np.uint8).reshape(stride)
         elif ftype == 2:  # Up
-            cur = (line.astype(np.int64) + prev) & 0xFF
-            cur = cur.astype(np.uint8)
-        elif ftype == 3:  # Average
-            cur = line
-            for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+            cur = (line.astype(np.int64) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average — left-recursive; per-pixel, all channels at once
+            lp = line.reshape(width, ch).astype(np.int64)
+            pv = prev.reshape(width, ch).astype(np.int64)
+            acc = np.zeros((width, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            for x in range(width):
+                left = (lp[x] + ((left + pv[x]) >> 1)) & 0xFF
+                acc[x] = left
+            cur = acc.astype(np.uint8).reshape(stride)
+        elif ftype == 4:  # Paeth — left-recursive; per-pixel, all channels at once
+            lp = line.reshape(width, ch).astype(np.int64)
+            pv = prev.reshape(width, ch).astype(np.int64)
+            acc = np.zeros((width, ch), dtype=np.int64)
+            a = np.zeros(ch, dtype=np.int64)  # left
+            c = np.zeros(ch, dtype=np.int64)  # upper-left
+            for x in range(width):
+                b = pv[x]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pr = a
-                elif pb <= pc:
-                    pr = b
-                else:
-                    pr = c
-                cur[x] = (int(cur[x]) + pr) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pr = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                a = (lp[x] + pr) & 0xFF
+                acc[x] = a
+                c = b
+            cur = acc.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"PNG filter type {ftype} invalid")
         out[y] = cur

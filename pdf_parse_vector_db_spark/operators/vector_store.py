@@ -1,0 +1,112 @@
+"""Compressed vector storage layout (X61 MATERIALIZED): packed sign
+bits + Matryoshka prefix as STORED columns, written once at ingest.
+
+Round 8 introduced the two modern coarse-stage ANN tiers — binary
+quantization (Hamming over sign bits) and Matryoshka prefix distance —
+but computed both compressions per query from the full float arrays, so
+the coarse scans read 100% of the vector bytes and the tiers' claimed
+I/O win was aspirational. This module makes the claim true in code, the
+same move operators/ivf_index.py made for the IVF assignment (and the
+same index-at-ingest posture as the reference's Milvus collection,
+extract_and_embed.py:53-58: the index is built when vectors land, not
+when queries arrive):
+
+  * ``pack_sign_bits_expr``    — array<double> → array<bigint> of
+    ceil(dim/64) words, bit j of word w set iff vec[64w+j] > 0. Pure
+    codegen (no UDF); bit 63 reaches the sign bit via shiftleft on two
+    32-bit halves, the exact overflow-safe fold simhash_packed_expr
+    pinned (operators/dedup.py) — arithmetic 2^63 would overflow under
+    ANSI mode.
+  * ``mrl_prefix_expr``        — the first `width` dimensions as their
+    own column (MRL-trained embeddings front-load semantic mass).
+  * ``build_compressed_layout``— one pass over the corpus writes
+    (vec_id, label, packed, prefix, embedding) parquet. Parquet is
+    columnar, so a coarse scan that selects only (vec_id, label,
+    packed) reads d/8 bytes per vector instead of 8d — the 64× memory-
+    bandwidth cut that makes BQ the first filter in production vector
+    stores — and the MRL coarse stage reads only the prefix column
+    (width/dim of the float bytes). Column pruning is pinned in
+    tests/test_ann.py via ReadSchema.
+  * ``hamming_packed``         — Σ bit_count(a XOR b) over the word
+    arrays; scalar bit arithmetic in codegen, ~1 long op per 64 dims.
+
+Scale: the layout is embarrassingly parallel to build (per-row map, no
+shuffle) and append-only to maintain — a new batch packs its own rows;
+no global state, unlike IVF's trained quantizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sign_bits_expr(vec_sql: str, dim: int) -> Column:
+    """Sign bits of the array<double> SQL expression `vec_sql` packed
+    into ceil(dim/64) BIGINT words (little-endian within each word:
+    dimension 64w+j → bit j of word w). Tail bits past `dim` are zero in
+    every row, so they never contribute to a XOR popcount."""
+    n_words = (dim + 63) // 64
+    # 0/1 bit vector for word __w, padded past dim
+    bits = (
+        f"transform(sequence(0, 63), j -> CASE WHEN __w * 64 + j < {dim} "
+        f"AND element_at({vec_sql}, CAST(__w * 64 + j + 1 AS INT)) > CAST(0 AS DOUBLE) "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+    def half(off: int) -> str:
+        return (
+            f"aggregate(zip_with(slice(__bits, {off}, 32), sequence(0, 31), "
+            "(v, b) -> CASE WHEN v = 1 THEN shiftleft(1L, b) ELSE 0L END), "
+            "0L, (acc, x) -> acc + x)"
+        )
+
+    # bind the bit vector once via the single-element-array trick so the
+    # transform isn't re-evaluated per half (same idiom as
+    # dedup.simhash_packed_expr)
+    word = (
+        f"element_at(transform(array({bits}), "
+        f"__bits -> shiftleft({half(33)}, 32) | {half(1)}), 1)"
+    )
+    return F.expr(f"transform(sequence(0, {n_words - 1}), __w -> {word})")
+
+
+def mrl_prefix_expr(vec_col: Column, width: int) -> Column:
+    """The Matryoshka prefix — the first `width` dimensions — as its own
+    stored column."""
+    return F.slice(vec_col, 1, width)
+
+
+def hamming_packed(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed sign-bit word arrays:
+    Σ bit_count(a[i] XOR b[i])."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def build_compressed_layout(
+    emb: DataFrame, path: str, dim: int, prefix_width: int = 16
+) -> None:
+    """One corpus pass → (vec_id, label, packed, prefix, embedding)
+    parquet at `path`. Overwrite semantics: rebuilding is idempotent.
+    The full embedding rides along as its own column so the exact rerank
+    reads it ONLY for the candidate rows (broadcast semi-join), while
+    the coarse stages' column pruning never touches it."""
+    (
+        emb.select(
+            "vec_id",
+            "label",
+            pack_sign_bits_expr("CAST(embedding AS ARRAY<DOUBLE>)", dim).alias(
+                "packed"
+            ),
+            mrl_prefix_expr(
+                F.col("embedding").cast("array<double>"), prefix_width
+            ).alias("prefix"),
+            "embedding",
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -41,6 +41,12 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
             )
         n_ch = w.getnchannels()
         rate = w.getframerate()
+        # stdlib wave does NOT validate framerate on read — a corrupt or
+        # crafted fmt chunk with rate=0 would otherwise surface as a
+        # ZeroDivisionError deep inside an executor batch instead of the
+        # module's designed ValueError tier.
+        if rate <= 0:
+            raise ValueError("not a WAV: zero frame rate")
         raw = w.readframes(w.getnframes())
     samples = np.frombuffer(raw, dtype="<i2").reshape(-1, n_ch)
     return rate, n_ch, samples
@@ -94,7 +100,7 @@ def audio_features(content: bytes) -> dict:
         "sample_rate": rate,
         "n_channels": n_ch,
         "n_frames": n,
-        # ansi: Python ints; rate >= 1 by the wave header contract
+        # ansi: Python ints; rate > 0 validated in decode_wav
         "duration_s": round(n / rate, 6),
         "rms": round(rms, 6),
         "zcr": round(zcr, 6),

@@ -19,6 +19,9 @@ from pdf_parse_vector_db_spark.functions.text import (
 )
 from pdf_parse_vector_db_spark.functions.vector import cosine_similarity, l2_distance
 from pdf_parse_vector_db_spark.operators import dedup
+from pdf_parse_vector_db_spark.operators.vector_store import (
+    hamming_packed as vector_store_hamming,
+)
 from pdf_parse_vector_db_spark.plans.registry import QuerySpec
 from pdf_parse_vector_db_spark.sources.registry import load_table
 
@@ -2065,42 +2068,71 @@ _BQ_CAND = 50
 _MRL_DIM = 16
 
 
+def _compressed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (idempotent overwrite, same posture as ivf_partitioned_knn)
+    and read the X61 compressed vector layout: packed sign bits + MRL
+    prefix as STORED parquet columns beside the full embedding
+    (operators/vector_store.build_compressed_layout)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pdf_parse_vector_db_spark.operators import vector_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size(F.col("embedding")).alias("d")).first()["d"]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "pdf_parse_vector_db_spark_vstore",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    vector_store.build_compressed_layout(emb, path, int(dim), _MRL_DIM)
+    return spark.read.parquet(path)
+
+
 def bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X61: BINARY-QUANTIZATION ANN (the Milvus/FAISS BQ tier): each
-    vector compresses to one SIGN BIT per dimension (32× smaller than
-    float32); the coarse stage ranks by Hamming distance to the query's
-    sign pattern, the top-_BQ_CAND candidates rerank exactly. At 100 TB
-    the coarse scan reads d/8 bytes per vector instead of 4d — the
-    memory-bandwidth win that makes BQ the first filter in modern vector
-    stores — and both stages are TakeOrderedAndProject cuts (no global
-    sort). Pure codegen: the Hamming fold is one zip_with + aggregate
-    over the arrays; at ingest the bits would be packed into BIGINT
-    words once (the simhash tier's representation) rather than
-    recomputed per query."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").cast("array<double>").alias("qvec")
-    )
-    ham = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.col("qvec"),
-            lambda a, b: ((a > 0) != (b > 0)).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    vector compresses to one SIGN BIT per dimension, PACKED INTO STORED
+    BIGINT WORDS AT INGEST (operators/vector_store — the round-9 fix
+    that made the round-8 docstring's claim true); the coarse stage
+    ranks by Hamming distance to the query's sign pattern, the
+    top-_BQ_CAND candidates rerank exactly. The coarse scan projects
+    ONLY (vec_id, label, packed) — parquet column pruning reads d/8
+    bytes per vector instead of the 8d float bytes, the 64× memory-
+    bandwidth win that makes BQ the first filter in modern vector
+    stores — and the exact rerank reads full embeddings for just the
+    candidate rows via a broadcast semi-join. Both stages are
+    TakeOrderedAndProject cuts (no global sort); the Hamming fold is
+    Σ bit_count(a XOR b) over the word arrays, scalar bit arithmetic in
+    whole-stage codegen (~1 long op per 64 dims)."""
+    store = _compressed_store(spark, sf_dir)
+    qp = store.filter(F.col("vec_id") == 0).select(F.col("packed").alias("qpacked"))
+    coarse = store.select("vec_id", "label", "packed")
     cand = (
-        emb.crossJoin(F.broadcast(q))
-        .select("vec_id", "label", "embedding", "qvec", ham.alias("ham"))
-        .orderBy("ham", "vec_id")
-        .limit(_BQ_CAND)
-    )
-    return (
-        cand.select(
+        coarse.crossJoin(F.broadcast(qp))
+        .select(
             "vec_id",
             "label",
-            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 6).alias("d"),
+            vector_store_hamming(F.col("packed"), F.col("qpacked")).alias("ham"),
+        )
+        .orderBy("ham", "vec_id")
+        .limit(_BQ_CAND)
+        .select("vec_id")
+    )
+    q = store.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    return (
+        store.select("vec_id", "label", "embedding")
+        .join(F.broadcast(cand), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                l2_distance(F.col("embedding").cast("array<double>"), F.col("qvec")),
+                6,
+            ).alias("d"),
         )
         .orderBy("d", "vec_id")
         .limit(5)
@@ -2133,34 +2165,42 @@ def mrl_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X61: MATRYOSHKA two-stage ANN: rank by L2 over the FIRST
     `_MRL_DIM` dimensions (MRL-trained embeddings front-load semantic
     mass, so a prefix is itself a valid low-d embedding), rerank the
-    top-_BQ_CAND candidates at full width. The coarse stage reads a
-    d/{64 // _MRL_DIM}-wide slice per vector — with columnar storage of
-    the prefix as its own column, a pure I/O saving at 100 TB — and
-    degrades gracefully on non-MRL vectors to an unbiased-projection
-    candidate generator (recall pinned in tests/test_retrieval-adjacent
-    suites via the shared rerank contract)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").cast("array<double>").alias("qvec")
-    )
-    coarse = F.round(
-        l2_distance(
-            F.slice(F.col("embedding").cast("array<double>"), 1, _MRL_DIM),
-            F.slice(F.col("qvec"), 1, _MRL_DIM),
-        ),
-        6,
-    )
+    top-_BQ_CAND candidates at full width. The prefix is a STORED
+    parquet column written at ingest (operators/vector_store — the
+    round-9 fix), so the coarse scan projects ONLY (vec_id, label,
+    prefix): column pruning reads _MRL_DIM/d of the float bytes, a pure
+    I/O saving at 100 TB; the rerank reads full embeddings for just the
+    candidate rows via a broadcast semi-join. Degrades gracefully on
+    non-MRL vectors to an unbiased-projection candidate generator
+    (recall pinned via the shared rerank contract in tests/test_ann.py)."""
+    store = _compressed_store(spark, sf_dir)
+    qp = store.filter(F.col("vec_id") == 0).select(F.col("prefix").alias("qprefix"))
     cand = (
-        emb.crossJoin(F.broadcast(q))
-        .select("vec_id", "label", "embedding", "qvec", coarse.alias("cd"))
-        .orderBy("cd", "vec_id")
-        .limit(_BQ_CAND)
-    )
-    return (
-        cand.select(
+        store.select("vec_id", "label", "prefix")
+        .crossJoin(F.broadcast(qp))
+        .select(
             "vec_id",
             "label",
-            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 6).alias("d"),
+            F.round(l2_distance(F.col("prefix"), F.col("qprefix")), 6).alias("cd"),
+        )
+        .orderBy("cd", "vec_id")
+        .limit(_BQ_CAND)
+        .select("vec_id")
+    )
+    q = store.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    return (
+        store.select("vec_id", "label", "embedding")
+        .join(F.broadcast(cand), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                l2_distance(F.col("embedding").cast("array<double>"), F.col("qvec")),
+                6,
+            ).alias("d"),
         )
         .orderBy("d", "vec_id")
         .limit(5)

@@ -1045,14 +1045,18 @@ def optimize_zorder(
         span = float(mx) - float(mn)
         if span <= 0:
             return F.lit(0)
-        return F.coalesce(
-            F.least(
-                F.lit(grid - 1),
+        # NULL dimension value → cell 0. The coalesce must wrap the
+        # floor() term INSIDE least(): Spark's least() skips NULL
+        # arguments, so least(grid-1, NULL) would be grid-1 and NULLs
+        # would silently land in the LAST cell instead.
+        return F.least(
+            F.lit(grid - 1),
+            F.coalesce(
                 F.floor((F.col(col).cast("double") - F.lit(float(mn)))
                         # ansi: span > 0 by the enclosing branch, +1e-12 literal
                         * grid / F.lit(span + 1e-12)).cast("int"),
+                F.lit(0),
             ),
-            F.lit(0),  # NULL dimension value → cell 0
         )
 
     cb, db = bucket(c1, rng.mn1, rng.mx1), bucket(c2, rng.mn2, rng.mx2)

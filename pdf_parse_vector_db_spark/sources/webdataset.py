@@ -24,7 +24,14 @@ source):
     members are written in sorted (key, ext) order with fixed mtime=0,
     so shard bytes are DETERMINISTIC given the row set — re-running a
     write produces byte-identical shards (the property that makes shard
-    publishing idempotent under retries).
+    publishing idempotent under retries). Shard payloads are ASSEMBLED
+    on executors but PERSISTED by the driver through the Hadoop
+    FileSystem API (the same path ``manifest.py`` commits through), so
+    shards land on the shared filesystem / object store — never
+    scattered across executor-local disks on a multi-node cluster.
+    Driver memory is bounded to ONE shard at a time
+    (``toLocalIterator``); publish throughput is PUT-bound, which is
+    WebDataset's own single-writer-per-shard posture.
 
 Size note: one shard is materialized in executor memory both ways
 (binaryFile row / tar buffer) — exactly WebDataset's own contract, which
@@ -105,20 +112,26 @@ def write_tar_shards(
     n_bytes). Assignment is hash-of-key so a sample's members land in
     ONE shard whatever partition they arrive from; members are written
     sorted with zeroed mtimes, so shard bytes are a pure function of the
-    row set (idempotent republish)."""
-    import os
+    row set (idempotent republish).
 
-    os.makedirs(out_dir, exist_ok=True)
+    Shard tar payloads are assembled in the executors' ``applyInPandas``
+    tasks and streamed back one shard at a time (``toLocalIterator``);
+    the driver persists each through the Hadoop FileSystem API so the
+    write works on ANY Spark deployment (local, HDFS, object store) —
+    an executor-side ``open()`` would scatter shards across worker-local
+    disks on a real cluster while the manifest reported success."""
+    from .manifest import _jpath, _jvm_fs
+
+    spark = df.sparkSession
     assigned = df.withColumn(
         "_shard_id", F.pmod(F.xxhash64(F.col("key")), F.lit(n_shards)).cast("int")
     )
 
-    def write_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import io
         import tarfile
 
         sid = int(key[0])
-        path = os.path.join(out_dir, f"shard-{sid:05d}.tar")
         rows = sorted(
             (str(r.key), str(r.ext), bytes(r.content))
             for r in pdf.itertuples(index=False)
@@ -131,16 +144,29 @@ def write_tar_shards(
                 info.mtime = 0
                 tf.addfile(info, io.BytesIO(data))
         payload = buf.getvalue()
-        with open(path, "wb") as f:
-            f.write(payload)
         return pd.DataFrame(
             {
-                "shard": [os.path.basename(path)],
+                "shard": [f"shard-{sid:05d}.tar"],
                 "n_members": [len(rows)],
                 "n_bytes": [len(payload)],
+                "payload": [bytearray(payload)],
             }
         )
 
-    return assigned.groupBy("_shard_id").applyInPandas(
-        write_shard, "shard string, n_members long, n_bytes long"
+    built = assigned.groupBy("_shard_id").applyInPandas(
+        build_shard, "shard string, n_members long, n_bytes long, payload binary"
+    )
+
+    jvm, fs = _jvm_fs(spark, out_dir)
+    fs.mkdirs(_jpath(jvm, out_dir))
+    manifest_rows = []
+    for row in built.toLocalIterator():  # ONE shard in driver memory at a time
+        out = fs.create(_jpath(jvm, f"{out_dir}/{row.shard}"), True)
+        try:
+            out.write(bytes(row.payload))
+        finally:
+            out.close()
+        manifest_rows.append((row.shard, row.n_members, row.n_bytes))
+    return spark.createDataFrame(
+        manifest_rows, "shard string, n_members long, n_bytes long"
     )

@@ -200,3 +200,77 @@ def test_bq_and_mrl_two_stage_tiers(spark):
         assert rows[0].vec_id == 0 and rows[0].score == 0.0, fn.__name__
         got = [r.score for r in rows]
         assert all(g >= e for g, e in zip(got, exact)), (fn.__name__, got, exact)
+
+
+def test_pack_sign_bits_matches_numpy(spark):
+    """X61 storage: the codegen sign-bit packer agrees bit-for-bit with
+    a numpy reference, including a dim NOT divisible by 64 (tail word
+    padding) and the sign-bit word position (bit 63 via the two-half
+    shiftleft fold)."""
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.operators import vector_store
+
+    rng = np.random.default_rng(5)
+    dim = 70  # 2 words, 6 live bits in the tail word
+    vecs = rng.normal(size=(20, dim))
+    vecs[3, 63] = 7.5  # force a sign bit into word 0's bit 63
+    vecs[4, 63] = -7.5
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = df.select(
+        "vec_id", vector_store.pack_sign_bits_expr("embedding", dim).alias("p")
+    ).collect()
+    assert all(len(r.p) == 2 for r in rows)
+    for r in rows:
+        v = vecs[r.vec_id]
+        for j in range(dim):
+            w, off = divmod(j, 64)
+            got = ((r.p[w] & 0xFFFFFFFFFFFFFFFF) >> off) & 1
+            assert got == int(v[j] > 0), (r.vec_id, j)
+        # tail padding beyond dim is zero
+        assert (r.p[1] & 0xFFFFFFFFFFFFFFFF) >> (dim - 64) == 0
+
+
+def test_hamming_packed_equals_per_dim_sign_mismatch(spark):
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.operators import vector_store
+
+    rng = np.random.default_rng(11)
+    dim = 70
+    vecs = rng.normal(size=(10, dim))
+    q = vecs[0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], [float(x) for x in q]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, qvec array<double>",
+    )
+    got = {
+        r.vec_id: r.h
+        for r in df.select(
+            "vec_id",
+            vector_store.hamming_packed(
+                vector_store.pack_sign_bits_expr("embedding", dim),
+                vector_store.pack_sign_bits_expr("qvec", dim),
+            ).alias("h"),
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == int(((v > 0) != (q > 0)).sum()), i
+
+
+def test_bq_mrl_coarse_scans_prune_to_compressed_columns(spark):
+    """The round-9 storage fix's whole point: the coarse stage's parquet
+    scan projects ONLY (vec_id, label, packed|prefix) — column pruning
+    means the full float embedding bytes are read exclusively by the
+    candidate-row rerank scan, never by the corpus-wide coarse scan."""
+    from pdf_parse_vector_db_spark.plans.similarity import bq_knn, mrl_knn
+
+    for fn, col in ((bq_knn, "packed"), (mrl_knn, "prefix")):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+        coarse = [l for l in scans if col in l]
+        assert coarse, (fn.__name__, scans)
+        assert all("embedding" not in l for l in coarse), (fn.__name__, coarse)

@@ -180,11 +180,17 @@ def test_changes_since_audit_feed_and_erasure_semantics(spark, tmp_path):
     svc.ingest_legal_document("case_b.pdf", DOC + " variant b", court_level=3)
     v2 = M.head_version(spark, path)
 
-    rows = svc.changes_since(0).collect()
+    cursor, df = svc.changes_since(0)
+    rows = df.collect()
+    assert cursor == v2  # resume cursor resolved atomically with the read
     assert {r._change_type for r in rows} == {"insert"}
     assert {r._commit_version for r in rows} == {v1, v2}
-    only_b = svc.changes_since(v1).collect()
+    _, df_b = svc.changes_since(v1)
+    only_b = df_b.collect()
     assert {r.file_name for r in only_b} == {"case_b.pdf"}
+    # empty window: cursor still advances to head, df is None
+    at_head, empty = svc.changes_since(cursor)
+    assert at_head == v2 and empty is None
 
     svc.forget_file("case_a.pdf")
     v3 = M.head_version(spark, path)
@@ -193,7 +199,9 @@ def test_changes_since_audit_feed_and_erasure_semantics(spark, tmp_path):
     with _pytest.raises(IOError, match="no change files"):
         svc.changes_since(0)  # erasure is not replayable — by design
     svc.ingest_legal_document("case_c.pdf", DOC + " variant c", court_level=3)
-    after = svc.changes_since(v3).collect()
+    after_cursor, df_c = svc.changes_since(v3)
+    after = df_c.collect()
+    assert after_cursor == M.head_version(spark, path)
     assert {r.file_name for r in after} == {"case_c.pdf"}
 
     raw = SparkVectorService(spark, str(tmp_path / "raw"), manifested=False)
