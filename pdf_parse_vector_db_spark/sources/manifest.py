@@ -353,12 +353,23 @@ def commit_replace(
     stats_cols: tuple[str, ...] = (),
     cdf_dir: str | None = None,
     row_preserving: bool = False,
+    idempotency_key: str | None = None,
 ) -> int:
     """Publish `df` as the replacement for `drop_commits` (compaction /
     deletion rewrite). The dropped commits' FILES stay on disk for
     in-flight readers until vacuum; only the manifest changes. Fails the
     CAS (and retries against the new head) if another writer commits
-    first — and aborts if a racing commit already dropped one of ours."""
+    first — and aborts if a racing commit already dropped one of ours.
+    `idempotency_key` gives a replace the same exactly-once-under-replay
+    contract as commit_append: a key already in the manifest's window
+    turns the call into a no-op returning the current head (the staged
+    duplicate files are deleted)."""
+    if idempotency_key is not None:
+        head = head_version(spark, table)
+        if head and idempotency_key in (
+            _read_manifest(spark, table, head).get("keys") or {}
+        ):
+            return head
     commit_dir = f"{_DATA}/{uuid.uuid4().hex}"
     writer = df.write.mode("errorifexists")
     if partition_by:
@@ -394,14 +405,24 @@ def commit_replace(
         }
         if my_stats is not None:
             stats[commit_dir] = my_stats
+        # idempotency keys survive replaces: a compaction racing the
+        # stream's last uncheckpointed batch must not reopen the
+        # replay-duplicate window
+        keys = dict(prev.get("keys") or {})
+        if idempotency_key is not None:
+            if idempotency_key in keys:
+                # a racing replay won between our pre-check and this attempt
+                if has_rows:
+                    fs.delete(_jpath(jvm, f"{table}/{commit_dir}"), True)
+                return head
+            keys[idempotency_key] = commit_dir
+            while len(keys) > _KEY_WINDOW:
+                keys.pop(next(iter(keys)))
         manifest = {
             "version": head + 1,
             "parent": head,
             "commits": live,
-            # idempotency keys survive replaces: a compaction racing the
-            # stream's last uncheckpointed batch must not reopen the
-            # replay-duplicate window
-            "keys": prev.get("keys") or {},
+            "keys": keys,
             "stats": stats,
         }
         # change-data-feed metadata (Delta CDF parity): a rewrite either
@@ -533,6 +554,7 @@ def commit_merge(
     stats_cols: tuple[str, ...] = (),
     max_restarts: int = 10,
     change_feed: bool = False,
+    idempotency_key: str | None = None,
 ) -> int:
     """Delta-style MERGE (keyed upsert) with FILE PRUNING: rewrite ONLY
     the commit dirs that contain a matching key — untouched commits
@@ -584,10 +606,17 @@ def commit_merge(
     last_exc: IOError | None = None
     for _ in range(max_restarts):
         head = head_version(spark, table)
+        if (
+            idempotency_key is not None
+            and head
+            and idempotency_key
+            in (_read_manifest(spark, table, head).get("keys") or {})
+        ):
+            return head  # replayed merge window: exactly-once no-op
         if head == 0:
             return commit_append(
                 spark, table, updates, partition_by=partition_by,
-                stats_cols=stats_cols,
+                stats_cols=stats_cols, idempotency_key=idempotency_key,
             )
         man = _read_manifest(spark, table, head)
         candidates = _overlapping_commits(man, kc, kb.lo, kb.hi)
@@ -614,7 +643,7 @@ def commit_merge(
         if not hits:
             return commit_append(
                 spark, table, updates, partition_by=partition_by,
-                stats_cols=stats_cols,
+                stats_cols=stats_cols, idempotency_key=idempotency_key,
             )
         survivors = None
         for c in hits:
@@ -653,7 +682,7 @@ def commit_merge(
             return commit_replace(
                 spark, table, merged, drop_commits=hits,
                 partition_by=partition_by, stats_cols=stats_cols,
-                cdf_dir=cdf_dir,
+                cdf_dir=cdf_dir, idempotency_key=idempotency_key,
             )
         except IOError as exc:
             if "conflict" not in str(exc):

@@ -274,3 +274,41 @@ def test_bq_mrl_coarse_scans_prune_to_compressed_columns(spark):
         coarse = [l for l in scans if col in l]
         assert coarse, (fn.__name__, scans)
         assert all("embedding" not in l for l in coarse), (fn.__name__, coarse)
+
+
+def test_graph_knn_recall_vs_exact(spark):
+    """X62 graph-ANN contract: the beam search's top-5 over the
+    NN-Descent graph recalls ≥ 4 of the exact cosine top-5 (the query
+    node itself, distance 0, must always be found — it is reachable from
+    any entry seed in ≤ graph-diameter hops), and its distances are
+    bounded below by the exact ones (a bounded beam can lose neighbors,
+    never invent closer ones)."""
+    from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
+    from pdf_parse_vector_db_spark.plans.knn_graph import graph_knn
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                (F.lit(1.0) - cosine_similarity(
+                    F.col("embedding").cast("array<double>"), F.col("qvec")
+                )) , 6,
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .collect()
+    )
+    got = graph_knn(spark, sf).collect()
+    assert len(got) == 5
+    assert got[0].vec_id == 0 and got[0].score == 0.0
+    overlap = {r.vec_id for r in got} & {r.vec_id for r in exact}
+    assert len(overlap) >= 4, (sorted(r.vec_id for r in got), exact)
+    for g, e in zip([r.score for r in got], [round(r.d, 4) for r in exact]):
+        assert g >= e, (got, exact)

@@ -298,3 +298,63 @@ def test_nn_descent_update_untouched_nodes_pass_through(spark):
     base = {(r.vec_id, r.rnk, r.nbr_id, r.dist) for r in graph.collect()}
     got = {(r.vec_id, r.rnk, r.nbr_id, r.dist) for r in updated.collect()}
     assert got == base
+
+
+def test_sync_knn_graph_from_feed_exactly_once_and_agreement(spark, planted, tmp_path):
+    """X63 contract (the CDC → k-NN-graph composition): syncing the
+    manifested graph table off the source change feed is (a) exactly
+    once under window replay — a crash after the graph commit but before
+    the cursor persists replays as a version-preserving no-op, keyed by
+    the SOURCE VERSION WINDOW; (b) convergent — after N ingest batches
+    the stored graph agrees with a from-scratch rebuild on ≥90% of
+    edges and keeps the exact per-node shape; (c) quiescent — an empty
+    feed window commits nothing."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    d, vecs = planted
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    cut = 18 * _PER_CLUSTER
+    src = str(tmp_path / "src")
+    gt = str(tmp_path / "graph")
+
+    M.commit_append(spark, src, emb.filter(F.col("vec_id") < cut))
+    cursor = kg.sync_knn_graph_from_feed(spark, src, gt, 0)  # bootstrap build
+    v_boot = M.head_version(spark, gt)
+    assert v_boot == 1
+
+    M.commit_append(
+        spark,
+        src,
+        emb.filter(
+            (F.col("vec_id") >= cut) & (F.col("vec_id") < 19 * _PER_CLUSTER)
+        ),
+    )
+    c1 = kg.sync_knn_graph_from_feed(spark, src, gt, cursor)
+    v1 = M.head_version(spark, gt)
+    assert c1 > cursor and v1 > v_boot
+
+    # (a) replay the SAME window: same cursor back, graph version frozen
+    assert kg.sync_knn_graph_from_feed(spark, src, gt, cursor) == c1
+    assert M.head_version(spark, gt) == v1
+
+    M.commit_append(spark, src, emb.filter(F.col("vec_id") >= 19 * _PER_CLUSTER))
+    c2 = kg.sync_knn_graph_from_feed(spark, src, gt, c1)
+
+    # (b) stored graph shape + agreement with the full rebuild
+    _, g = M.snapshot(spark, gt)
+    rows = g.collect()
+    n = len(vecs)
+    assert len(rows) == n * kg._K
+    per: dict[int, set] = {}
+    for r in rows:
+        assert r.vec_id != r.nbr_id
+        per.setdefault(r.vec_id, set()).add(r.rnk)
+    assert all(v == set(range(1, kg._K + 1)) for v in per.values())
+    rebuilt = _graph_edges(kg.nn_descent_graph(spark, str(d)).collect())
+    agree = len(_graph_edges(rows) & rebuilt) / len(rebuilt)
+    assert agree >= 0.90, agree
+
+    # (c) empty window: cursor echoes, nothing commits
+    v2 = M.head_version(spark, gt)
+    assert kg.sync_knn_graph_from_feed(spark, src, gt, c2) == c2
+    assert M.head_version(spark, gt) == v2

@@ -1022,3 +1022,47 @@ def test_concurrent_change_feed_merges_compose(spark, tmp_path):
     # each version carries exactly one merge's changes
     versions = {r._commit_version for r in cdf.collect()}
     assert versions == {2, 3}
+
+
+def test_merge_idempotency_key_exactly_once(spark, tmp_path):
+    """commit_merge with an idempotency key (round 9, for CDC-driven
+    graph sync): a replayed window is a version-preserving no-op on all
+    THREE merge routes — the replace path (hits), the append path
+    (all-new keys), and the empty-table bootstrap — and a different key
+    lands normally."""
+    t = str(tmp_path / "tbl")
+
+    # empty-table bootstrap routes through commit_append with the key
+    v0 = M.commit_merge(
+        spark, t, _df(spark, 0, 10), key_cols=("id",), idempotency_key="w0"
+    )
+    assert v0 == 1
+    assert (
+        M.commit_merge(
+            spark, t, _df(spark, 0, 10, level=9), ("id",), idempotency_key="w0"
+        )
+        == 1
+    )
+
+    upd = spark.createDataFrame([(3, 99)], ["id", "court_level"])
+    v1 = M.commit_merge(spark, t, upd, key_cols=("id",), idempotency_key="w1")
+    assert v1 == 2
+    # replay with the SAME key: no-op even though the payload differs
+    upd2 = spark.createDataFrame([(3, 42), (4, 42)], ["id", "court_level"])
+    assert M.commit_merge(spark, t, upd2, ("id",), idempotency_key="w1") == v1
+    _, df = M.snapshot(spark, t)
+    rows = {r.id: r.court_level for r in df.collect()}
+    assert rows[3] == 99 and rows[4] == 3  # the replay changed nothing
+
+    # all-new-keys route (append) honors the key too
+    new = spark.createDataFrame([(500, 7)], ["id", "court_level"])
+    v2 = M.commit_merge(spark, t, new, ("id",), idempotency_key="w2")
+    assert v2 == v1 + 1
+    assert M.commit_merge(spark, t, new, ("id",), idempotency_key="w2") == v2
+
+    # a fresh key lands
+    v3 = M.commit_merge(spark, t, upd2, ("id",), idempotency_key="w3")
+    assert v3 == v2 + 1
+    _, df = M.snapshot(spark, t)
+    rows = {r.id: r.court_level for r in df.collect()}
+    assert rows[3] == 42 and rows[4] == 42

@@ -88,18 +88,35 @@ def test_topk_prefix_monotone(spark):
 
 
 def test_ndv_sketch_error_bound(spark):
-    """Sketch tier contract: HLL++ at rsd=0.02 stays within 5% of the exact
-    distinct count, and the GK median sketch at accuracy 10000 matches the
-    exact median to the surfaced rounding on the fixture data."""
+    """Sketch tier contract, two layers: the within-bound booleans the
+    oracle-checked query surfaces are all TRUE, and the RAW estimates
+    (no longer surfaced — they are engine-specific, which is what kept
+    the query rows-only through round 8) stay inside the tighter
+    measured envelope: HLL++ at rsd=0.02 within 5% of exact, the GK
+    median at accuracy 10000 matching exact to rounding."""
+    from pyspark.sql import functions as F
+
     from pdf_parse_vector_db_spark.plans.relational import ndv_sketch_accuracy
 
     rows = ndv_sketch_accuracy(spark, "/root/testdata/sf0.001").collect()
     assert rows, "no event_type groups"
     for r in rows:
-        assert r.ndv_rel_err <= 0.05, (r.event_type, r.ndv_rel_err)
-        assert abs(r.sketch_p50_value - r.exact_p50_value) <= max(
-            0.01, 0.01 * abs(r.exact_p50_value)
-        ), (r.event_type, r.sketch_p50_value, r.exact_p50_value)
+        assert r.ndv_within_bound and r.p50_within_bound, r
+
+    raw = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_ndv"),
+            F.approx_count_distinct("user_id", 0.02).alias("hll_ndv"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("sp50"),
+        )
+        .collect()
+    )
+    for r in raw:
+        assert abs(r.hll_ndv - r.exact_ndv) <= 0.05 * r.exact_ndv, r
+        assert abs(r.sp50 - r.p50) <= max(0.01, 0.01 * abs(r.p50)), r
 
 
 @given(
