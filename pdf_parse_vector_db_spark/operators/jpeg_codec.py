@@ -309,9 +309,6 @@ def encode_jpeg(
     plane_qblocks = []
     plane_dims = []
     for p, (sh, sv), qi in zip(planes, samp, qsel):
-        target_h = -(-h * sv // vmax)
-        target_w = -(-w * sh // hmax)
-        pp = _pad_to(p[:target_h, :target_w], 8 * sv // sv, 8)  # height mult fixed below
         # MCU alignment: plane must cover ceil(mcus) * 8*s rows/cols
         mcu_rows = -(-h // (8 * vmax))
         mcu_cols = -(-w // (8 * hmax))
@@ -449,6 +446,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     return (h, w, 1)). Raises ValueError on malformed bytes and
     NotImplementedError on the documented out-of-scope processes
     (progressive/arithmetic/12-bit need Pillow or libjpeg-turbo)."""
+    try:
+        return _decode_jpeg(content)
+    except (IndexError, struct.error) as exc:
+        # truncated/corrupt segments surface as the module's designed
+        # ValueError tier, never a raw slicing error inside an executor
+        raise ValueError(f"not a JPEG: truncated or corrupt ({exc})") from exc
+
+
+def _decode_jpeg(content: bytes) -> np.ndarray:
     if not is_jpeg(content):
         raise ValueError("not a JPEG: bad SOI")
     pos = 2

@@ -56,14 +56,19 @@ def _fake_dims(digest: bytes, kind: str) -> tuple[int, int, int, int]:
 def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame:
     """mapInPandas decode: binary content → typed metadata row.
 
-    real_decoder=True decodes REAL bytes for PNG payloads via the
-    pure-stdlib codec (operators/png_codec.py — round-8 upgrade: true
-    width/height from IHDR + unfiltered pixels, no Pillow needed); any
-    non-PNG payload under the real tier still raises NotImplementedError
-    (that is where Pillow/torchaudio plugs in)."""
+    real_decoder=True decodes REAL bytes for PNG (operators/png_codec),
+    baseline JPEG (operators/jpeg_codec — round-9 upgrade: true dims
+    through the full huffman+IDCT pipeline, covering the format that
+    dominates web image corpora), and 16-bit PCM WAV (operators/
+    wav_codec) payloads; anything else under the real tier still raises
+    NotImplementedError (that is where Pillow/ffmpeg plugs in)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pdf_parse_vector_db_spark.operators import png_codec, wav_codec
+        from pdf_parse_vector_db_spark.operators import (
+            jpeg_codec,
+            png_codec,
+            wav_codec,
+        )
 
         for pdf in batches:
             if real_decoder:
@@ -83,6 +88,12 @@ def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame
                         out["height"].append(px.shape[0])
                         out["n_frames"].append(1)
                         out["sample_rate"].append(0)
+                    elif jpeg_codec.is_jpeg(content):
+                        px = jpeg_codec.decode_jpeg(content)
+                        out["width"].append(px.shape[1])
+                        out["height"].append(px.shape[0])
+                        out["n_frames"].append(1)
+                        out["sample_rate"].append(0)
                     elif wav_codec.is_wav(content):
                         rate, _n_ch, samples = wav_codec.decode_wav(content)
                         out["width"].append(0)
@@ -91,9 +102,9 @@ def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame
                         out["sample_rate"].append(int(rate))
                     else:
                         raise NotImplementedError(
-                            "real decoding of non-PNG/non-WAV media requires "
-                            "Pillow/ffmpeg (not in container); PNG and 16-bit "
-                            "PCM WAV decode natively"
+                            "real decoding of non-PNG/JPEG/WAV media requires "
+                            "Pillow/ffmpeg (not in container); PNG, baseline "
+                            "JPEG, and 16-bit PCM WAV decode natively"
                         )
                 yield pd.DataFrame(out)
                 continue
@@ -268,22 +279,31 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
 
 
 def perceptual_hash_png(media: DataFrame) -> DataFrame:
-    """REAL-pixel aHash for PNG payloads (round 8): decode with the
-    pure-stdlib codec, grayscale, 8×8 block means, one bit per block —
-    the textbook average-hash — emitted in the SAME (doc_id, b0..b3)
-    4-band shape as the codegen fake tier, so `phash_near_dup_pairs`
-    consumes either tier unchanged. Arrow-batched mapInPandas (decode is
-    necessarily Python); output is 4 ints/row, so the banding join's
-    exchange volume is identical to the fake tier's."""
+    """REAL-pixel aHash for PNG (round 8) and baseline-JPEG (round 9)
+    payloads: decode with the pure-stdlib/numpy codecs, grayscale, 8×8
+    block means, one bit per block — the textbook average-hash — emitted
+    in the SAME (doc_id, b0..b3) 4-band shape as the codegen fake tier,
+    so `phash_near_dup_pairs` consumes either tier unchanged. aHash is
+    built on block MEANS, so it is stable across JPEG's quantization
+    noise — the property that makes PNG↔JPEG re-encode near-dups land
+    within the banding radius (pinned in tests/test_png_codec.py).
+    Arrow-batched mapInPandas (decode is necessarily Python); output is
+    4 ints/row, so the banding join's exchange volume is identical to
+    the fake tier's."""
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pdf_parse_vector_db_spark.operators import png_codec
+        from pdf_parse_vector_db_spark.operators import jpeg_codec, png_codec
 
         for pdf in batches:
             out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
             for rec in pdf.itertuples(index=False):
                 content = bytes(rec.content) if rec.content is not None else b""
-                bands = png_codec.ahash_64(png_codec.decode_png(content))
+                px = (
+                    jpeg_codec.decode_jpeg(content)
+                    if jpeg_codec.is_jpeg(content)
+                    else png_codec.decode_png(content)
+                )
+                bands = png_codec.ahash_64(px)
                 out["doc_id"].append(rec.doc_id)
                 for i, v in enumerate(bands):
                     out[f"b{i}"].append(v)
@@ -408,7 +428,7 @@ def resize_media(
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pdf_parse_vector_db_spark.operators import png_codec
+        from pdf_parse_vector_db_spark.operators import jpeg_codec, png_codec
 
         for pdf in batches:
             if real_decoder:
@@ -418,17 +438,30 @@ def resize_media(
                 )}
                 for rec in pdf.itertuples(index=False):
                     content = bytes(rec.content) if rec.content is not None else b""
-                    if not png_codec.is_png(content):
+                    is_jpg = jpeg_codec.is_jpeg(content)
+                    if not (png_codec.is_png(content) or is_jpg):
                         raise NotImplementedError(
-                            "real resampling of non-PNG media requires Pillow "
-                            "(not in container); PNG resizes natively"
+                            "real resampling of non-PNG/JPEG media requires "
+                            "Pillow (not in container); PNG and baseline JPEG "
+                            "resize natively"
                         )
-                    px = png_codec.decode_png(content)
+                    px = (
+                        jpeg_codec.decode_jpeg(content)
+                        if is_jpg
+                        else png_codec.decode_png(content)
+                    )
                     h, w = px.shape[0], px.shape[1]
                     scale = min(1.0, max_side / max(w, h))  # ansi: Python
                     dw, dh = max(1, int(w * scale)), max(1, int(h * scale))
-                    resized = png_codec.encode_png(
-                        png_codec.resize_nearest(px, dw, dh)
+                    small = png_codec.resize_nearest(px, dw, dh)
+                    # re-encode in the source format (a thumbnail pipeline
+                    # keeps the container unless told otherwise)
+                    resized = (
+                        jpeg_codec.encode_jpeg(
+                            small if small.shape[2] != 1 else small[:, :, 0]
+                        )
+                        if is_jpg
+                        else png_codec.encode_png(small)
                     )
                     out["doc_id"].append(rec.doc_id)
                     out["kind"].append(rec.kind)
