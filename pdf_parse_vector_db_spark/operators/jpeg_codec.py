@@ -318,6 +318,7 @@ def encode_jpeg(
         )
         blks = _blocks(pp) - 128.0
         coef = np.einsum("ij,njk,lk->nil", _C, blks, _C)
+        # ansi: worker-side numpy; quant entries clamped to >= 1 in _quality_tables
         q = np.rint(coef / qtabs[qi]).astype(np.int32)
         plane_qblocks.append(q.reshape(-1, 64)[:, _ZIGZAG])
         plane_dims.append((full_h // 8, full_w // 8))

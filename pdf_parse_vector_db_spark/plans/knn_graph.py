@@ -827,12 +827,29 @@ def graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
         .localCheckpoint()
     )
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qvec")
     )
+    entry = _ivf_seeds(emb).select(F.col("cid").alias("vec_id"))
+    return _beam_search(emb, graph, q, entry, k=5)
+
+
+def _beam_search(
+    emb: DataFrame,
+    graph: DataFrame,
+    q: DataFrame,
+    entry: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """The beam-search core shared by graph_knn (freshly-built graph)
+    and search_knn_graph (the STORED graph table X63 maintains): from
+    the `entry` ids, _HOPS expand-and-rerank rounds over `graph(src,
+    dst)`, keeping the best `_BEAM` by the packed (cos-distance-micros ·
+    BASE + id) key; returns the final beam's top-k as (vec_id, label,
+    score)."""
     from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
 
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     key = (
         F.round((F.lit(1.0) - cosine_similarity(F.col("v"), F.col("qvec"))) * 1e6)
         .cast("bigint")
@@ -850,7 +867,7 @@ def graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
 
-    beam = rank(_ivf_seeds(emb).select(F.col("cid").alias("vec_id")))
+    beam = rank(entry)
     for _ in range(_HOPS):
         frontier = (
             beam.select("vec_id")
@@ -863,7 +880,7 @@ def graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = emb.select("vec_id", "label")
     return (
         beam.orderBy("k")
-        .limit(5)
+        .limit(k)
         .join(lab, "vec_id")
         .select(
             "vec_id",
@@ -874,6 +891,36 @@ def graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("score", "vec_id")
     )
+
+
+def search_knn_graph(
+    spark: SparkSession,
+    source_table: str,
+    graph_table: str,
+    qvec: list[float],
+    k: int = 5,
+) -> DataFrame:
+    """X62 over the X63 artifact: beam-search the MANIFESTED graph table
+    `sync_knn_graph_from_feed` maintains — the full production loop
+    (ingest → CDC sync → graph search) with no rebuild anywhere. Reads
+    consistent snapshots of both tables (the manifest layer's lock-free
+    reader contract); entry points are the same pinned IVF seeds the
+    sync's incremental inserts candidate against. Self-retrieval,
+    determinism, and exact-distance scoring over the synced graph are
+    pinned in tests/test_knn_graph.py (the stored graph is the
+    incremental build, so its edges agree ≥0.90 — not bit-for-bit —
+    with a fresh rebuild; the search contract is therefore recall-style,
+    like every graph-ANN system's)."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    _, emb = M.snapshot(spark, source_table)
+    _, graph = M.snapshot(spark, graph_table)
+    if emb is None or graph is None:
+        raise ValueError("search_knn_graph needs non-empty source and graph tables")
+    q = spark.createDataFrame([(qvec,)], "qvec array<double>")
+    entry = _ivf_seeds(emb).select(F.col("cid").alias("vec_id"))
+    g = graph.select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+    return _beam_search(emb, g, q, entry, k=k)
 
 
 def _graph_knn_hop_sql(i: int) -> str:

@@ -2229,8 +2229,8 @@ LIMIT 5
 
 
 QUERIES = [
-    QuerySpec("bq_knn", bq_knn, BQ_KNN_SQL, "X61 binary-quantization ANN: sign-bit Hamming coarse stage + exact rerank (round 8)"),
-    QuerySpec("mrl_knn", mrl_knn, MRL_KNN_SQL, "X61 Matryoshka two-stage ANN: prefix-dim coarse stage + full-width rerank (round 8)"),
+    QuerySpec("bq_knn", bq_knn, BQ_KNN_SQL, "X61 binary-quantization ANN over the STORED packed-sign-bit column (coarse scan reads d/8 bytes/vector) + exact rerank (round 9 storage)"),
+    QuerySpec("mrl_knn", mrl_knn, MRL_KNN_SQL, "X61 Matryoshka two-stage ANN over the STORED 16-dim prefix column + full-width rerank (round 9 storage)"),
     QuerySpec("semdedup", semdedup, SEMDEDUP_SQL, "X2 SemDeDup semantic dedup (cluster-bounded pairwise + centroid-rank keep/drop)"),
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),
     QuerySpec("embedding_energy_retention", embedding_energy_retention, EMBEDDING_ENERGY_SQL, "X2/X3 prefix-energy truncation audit"),

@@ -358,3 +358,18 @@ def test_sync_knn_graph_from_feed_exactly_once_and_agreement(spark, planted, tmp
     v2 = M.head_version(spark, gt)
     assert kg.sync_knn_graph_from_feed(spark, src, gt, c2) == c2
     assert M.head_version(spark, gt) == v2
+
+    # (d) search the STORED graph (X62 over the X63 artifact): the
+    # production loop end to end — a corpus vector retrieves itself at
+    # distance 0, its in-cluster neighbors fill the rest of the top-k
+    # (the planted blocks are tight, so all true neighbors share its
+    # block), and the search is deterministic
+    probe_id = 19 * _PER_CLUSTER + 3  # a node inserted by the LAST sync
+    qvec = [float(x) for x in vecs[probe_id]]
+    got = kg.search_knn_graph(spark, src, gt, qvec, k=5).collect()
+    assert len(got) == 5
+    assert got[0].vec_id == probe_id and got[0].score == 0.0
+    block = range(19 * _PER_CLUSTER, 20 * _PER_CLUSTER)
+    assert all(r.vec_id in block for r in got), got
+    again = kg.search_knn_graph(spark, src, gt, qvec, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
