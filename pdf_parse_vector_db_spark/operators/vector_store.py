@@ -87,6 +87,55 @@ def hamming_packed(a: Column, b: Column) -> Column:
     )
 
 
+def compressed_columns(
+    emb: DataFrame, dim: int, prefix_width: int = 16
+) -> DataFrame:
+    """(vec_id, label, packed, prefix, embedding) — the stored layout's
+    row shape, shared by the bulk build and the CDC feed sync so batch
+    and stream cannot disagree on the packing."""
+    return emb.select(
+        "vec_id",
+        "label",
+        pack_sign_bits_expr("CAST(embedding AS ARRAY<DOUBLE>)", dim).alias("packed"),
+        mrl_prefix_expr(
+            F.col("embedding").cast("array<double>"), prefix_width
+        ).alias("prefix"),
+        "embedding",
+    )
+
+
+def sync_compressed_layout_from_feed(
+    spark,
+    source_table: str,
+    layout_table: str,
+    cursor: int,
+    dim: int,
+    prefix_width: int = 16,
+) -> int:
+    """CDC-driven maintenance of the compressed layout — the X61 analog
+    of sync_ivf_index_from_feed: rows appended to the manifested
+    `source_table` since `cursor` are packed/prefixed and committed to
+    the manifested `layout_table`, exactly once (idempotency key =
+    source version window). Packing is per-row with no global state (no
+    trained quantizer), so the sync is a pure map + append — the
+    cheapest index maintenance in the family. Returns the new cursor."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    to, feed = M.table_changes(
+        spark, source_table, from_version=cursor, ignore_replaces=True
+    )
+    if feed is None:
+        return to
+    M.commit_append(
+        spark,
+        layout_table,
+        compressed_columns(feed, dim, prefix_width),
+        idempotency_key=f"vstore-sync-v{cursor}-v{to}",
+        stats_cols=("vec_id",),
+    )
+    return to
+
+
 def build_compressed_layout(
     emb: DataFrame, path: str, dim: int, prefix_width: int = 16
 ) -> None:
@@ -95,18 +144,4 @@ def build_compressed_layout(
     The full embedding rides along as its own column so the exact rerank
     reads it ONLY for the candidate rows (broadcast semi-join), while
     the coarse stages' column pruning never touches it."""
-    (
-        emb.select(
-            "vec_id",
-            "label",
-            pack_sign_bits_expr("CAST(embedding AS ARRAY<DOUBLE>)", dim).alias(
-                "packed"
-            ),
-            mrl_prefix_expr(
-                F.col("embedding").cast("array<double>"), prefix_width
-            ).alias("prefix"),
-            "embedding",
-        )
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    compressed_columns(emb, dim, prefix_width).write.mode("overwrite").parquet(path)

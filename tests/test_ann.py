@@ -312,3 +312,39 @@ def test_graph_knn_recall_vs_exact(spark):
     assert len(overlap) >= 4, (sorted(r.vec_id for r in got), exact)
     for g, e in zip([r.score for r in got], [round(r.d, 4) for r in exact]):
         assert g >= e, (got, exact)
+
+
+def test_sync_compressed_layout_from_feed(spark, tmp_path):
+    """X61 CDC maintenance: the packed/prefix layout follows the source
+    table exactly-once off the change feed — content equals a bulk
+    re-pack of the full corpus after every batch, replayed windows are
+    version-frozen no-ops, and packing needs no global state (append
+    batches commute with the bulk build bit-for-bit)."""
+    from pdf_parse_vector_db_spark.operators import vector_store as vs
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).first()[0]
+    src, lt = str(tmp_path / "src"), str(tmp_path / "layout")
+
+    M.commit_append(spark, src, emb.filter(F.col("vec_id") < 300))
+    c1 = vs.sync_compressed_layout_from_feed(spark, src, lt, 0, dim)
+    v1 = M.head_version(spark, lt)
+    # replay: no-op
+    assert vs.sync_compressed_layout_from_feed(spark, src, lt, 0, dim) == c1
+    assert M.head_version(spark, lt) == v1
+
+    M.commit_append(spark, src, emb.filter(F.col("vec_id") >= 300))
+    c2 = vs.sync_compressed_layout_from_feed(spark, src, lt, c1, dim)
+    _, layout = M.snapshot(spark, lt)
+    got = {
+        r.vec_id: (tuple(r.packed), tuple(r.prefix)) for r in layout.collect()
+    }
+    want = {
+        r.vec_id: (tuple(r.packed), tuple(r.prefix))
+        for r in vs.compressed_columns(emb, dim).collect()
+    }
+    assert got == want  # streamed layout == bulk re-pack, bit for bit
+    # quiescent empty window
+    assert vs.sync_compressed_layout_from_feed(spark, src, lt, c2, dim) == c2
+    assert M.head_version(spark, lt) == M.head_version(spark, lt)
