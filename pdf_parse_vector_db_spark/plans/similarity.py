@@ -550,7 +550,11 @@ def ivf_partitioned_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(),
         "pdf_parse_vector_db_spark_ivf",
-        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+        # per-app suffix: same concurrent-writer rationale as
+        # _compressed_store below
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        + "-"
+        + spark.sparkContext.applicationId,
     )
     ivf_index.build_ivf_index(emb, seeds, path)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
@@ -2081,10 +2085,16 @@ def _compressed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = emb.select(F.size(F.col("embedding")).alias("d")).first()["d"]
+    # keyed by (fixture, Spark application): overwrite-mode parquet writes
+    # are not safe against a CONCURRENT writer on the same path, and two
+    # gate processes (pytest + oracle sweep) legitimately run this query
+    # at once — per-app dirs make every process its own writer
     path = os.path.join(
         tempfile.gettempdir(),
         "pdf_parse_vector_db_spark_vstore",
-        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        + "-"
+        + spark.sparkContext.applicationId,
     )
     vector_store.build_compressed_layout(emb, path, int(dim), _MRL_DIM)
     return spark.read.parquet(path)
