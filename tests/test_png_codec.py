@@ -179,6 +179,14 @@ def test_wav_roundtrip_and_out_of_scope():
         assert np.array_equal(back, samples)
     with pytest.raises(ValueError, match="RIFF"):
         wav_codec.decode_wav(b"not audio")
+    # a crafted fmt chunk with rate=0 must hit the designed ValueError
+    # tier, not a ZeroDivisionError deep in an executor batch (stdlib
+    # wave does not validate framerate on read)
+    good = bytearray(wav_codec.encode_wav(np.zeros((8, 1), dtype=np.int16), 8000))
+    i = good.index(b"fmt ")
+    good[i + 12 : i + 16] = (0).to_bytes(4, "little")  # dwSamplesPerSec
+    with pytest.raises(ValueError, match="zero frame rate"):
+        wav_codec.decode_wav(bytes(good))
 
 
 def test_audio_features_separate_tone_from_noise(spark):

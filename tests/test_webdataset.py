@@ -14,10 +14,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from pdf_parse_vector_db_spark.operators import png_codec, wav_codec
+from pdf_parse_vector_db_spark.operators import jpeg_codec, png_codec, wav_codec
 from pdf_parse_vector_db_spark.sources import webdataset as wd
 
 N_SAMPLES = 40
+FIELDS = {"txt", "png", "wav", "jpg"}
 
 
 @pytest.fixture(scope="module")
@@ -32,6 +33,7 @@ def corpus(spark):
             (key, "txt", bytearray(f"caption {i}".encode())),
             (key, "png", bytearray(png_codec.encode_png(img))),
             (key, "wav", bytearray(wav_codec.encode_wav(audio, 8000))),
+            (key, "jpg", bytearray(jpeg_codec.encode_jpeg(img, quality=90))),
         ]
     return spark.createDataFrame(rows, "key string, ext string, content binary")
 
@@ -39,11 +41,11 @@ def corpus(spark):
 def test_write_read_round_trip(spark, corpus, tmp_path):
     out = str(tmp_path / "shards")
     manifest = wd.write_tar_shards(corpus, out, n_shards=4).collect()
-    assert sum(r.n_members for r in manifest) == 3 * N_SAMPLES
+    assert sum(r.n_members for r in manifest) == len(FIELDS) * N_SAMPLES
     assert len(manifest) <= 4
 
     members = wd.read_tar_shards(spark, f"{out}/*.tar")
-    assert members.count() == 3 * N_SAMPLES
+    assert members.count() == len(FIELDS) * N_SAMPLES
     # byte-exact round trip per (key, ext)
     back = {
         (r.key, r.ext): bytes(r.content) for r in members.collect()
@@ -58,8 +60,8 @@ def test_group_samples_and_decode_through_real_codecs(spark, corpus, tmp_path):
     samples = wd.group_samples(wd.read_tar_shards(spark, f"{out}/*.tar"))
     rows = samples.collect()
     assert len(rows) == N_SAMPLES
-    assert all(r.n_fields == 3 for r in rows)
-    assert all(set(r.fields) == {"txt", "png", "wav"} for r in rows)
+    assert all(r.n_fields == len(FIELDS) for r in rows)
+    assert all(set(r.fields) == FIELDS for r in rows)
     # a sample never straddles shards
     assert samples.select("key").distinct().count() == N_SAMPLES
     one = next(r for r in rows if r.key == "000007")
@@ -67,6 +69,8 @@ def test_group_samples_and_decode_through_real_codecs(spark, corpus, tmp_path):
     assert px.shape == (8 + 7 % 4, 10, 3)
     rate, n_ch, _ = wav_codec.decode_wav(bytes(one.fields["wav"]))
     assert (rate, n_ch) == (8000, 1)
+    jpx = jpeg_codec.decode_jpeg(bytes(one.fields["jpg"]))
+    assert jpx.shape == (8 + 7 % 4, 10, 3)
     assert bytes(one.fields["txt"]) == b"caption 7"
 
 
