@@ -136,6 +136,61 @@ def sync_compressed_layout_from_feed(
     return to
 
 
+def search_compressed_layout(
+    spark,
+    layout_table: str,
+    qvec: list[float],
+    k: int = 5,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """BQ two-stage search over the MANIFESTED layout table that
+    sync_compressed_layout_from_feed maintains — X61's production loop
+    (ingest → CDC pack sync → compressed search) with no per-query
+    packing anywhere: the query's sign bits are computed once on its own
+    1-row frame, the coarse stage scans only the stored packed column,
+    and the exact rerank reads full embeddings for the candidate rows."""
+    from pyspark.sql import functions as F  # noqa: F811 — local for clarity
+
+    from pdf_parse_vector_db_spark.functions.vector import l2_distance
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    _, layout = M.snapshot(spark, layout_table)
+    if layout is None:
+        raise ValueError("search_compressed_layout needs a non-empty layout table")
+    dim = len(qvec)
+    q = spark.createDataFrame([(qvec,)], "qvec array<double>").select(
+        pack_sign_bits_expr("qvec", dim).alias("qpacked"),
+        F.col("qvec"),
+    )
+    cand = (
+        layout.select("vec_id", "packed")
+        .crossJoin(F.broadcast(q.select("qpacked")))
+        .select(
+            "vec_id",
+            hamming_packed(F.col("packed"), F.col("qpacked")).alias("ham"),
+        )
+        .orderBy("ham", "vec_id")
+        .limit(n_candidates)
+        .select("vec_id")
+    )
+    return (
+        layout.select("vec_id", "label", "embedding")
+        .join(F.broadcast(cand), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q.select("qvec")))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                l2_distance(F.col("embedding").cast("array<double>"), F.col("qvec")),
+                6,
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(k)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+    )
+
+
 def build_compressed_layout(
     emb: DataFrame, path: str, dim: int, prefix_width: int = 16
 ) -> None:

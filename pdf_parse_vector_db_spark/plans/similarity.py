@@ -649,6 +649,93 @@ FROM stats, hot
 """
 
 
+#: wider probe for the filtered tier — the standard vector-store rule:
+#: a scalar predicate thins every probed cell, so the probe set widens
+#: to keep the candidate pool at rerank size (Milvus' guidance for
+#: filtered search on IVF indexes)
+_IVF_FILTER_NPROBE = 8
+
+
+def ivf_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — the composition the reference actually ships:
+    Milvus search with `filter="court_level == N"` evaluated INSIDE the
+    store against the IVF index (extract_and_search.py:104-110,
+    extract_and_search_v2.py:134-140). The engine analog: the scalar
+    predicate prunes BEFORE the coarse assignment (only qualifying
+    vectors are argmin-assigned or scored — Catalyst pushes the label
+    filter into the parquet scan), the quantizer stays the corpus-wide
+    pinned one (a filter must not retrain the index), and the probe set
+    widens to `_IVF_FILTER_NPROBE` because a predicate thins every cell
+    (the standard filtered-search rule). Exact rerank of the probed,
+    filtered survivors; whole plan under the DuckDB value hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = _ivf_seeds(emb)
+    fe = emb.filter(F.col("label") == 1)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    key = lambda vec, other, cid: (  # noqa: E731 — (dist-micros, cid) pack
+        F.round(l2_distance(vec, other) * 1e6).cast("bigint") * _IVF_KEY_BASE + cid
+    )
+    probe = (
+        seeds.crossJoin(F.broadcast(q))
+        .select("cid", key(F.col("cvec"), F.col("qvec"), F.col("cid")).alias("k"))
+        .orderBy("k")
+        .limit(_IVF_FILTER_NPROBE)
+        .select("cid")
+    )
+    assign = (
+        fe.crossJoin(F.broadcast(seeds))
+        .groupBy("vec_id")
+        .agg(F.min(key(F.col("embedding"), F.col("cvec"), F.col("cid"))).alias("k"))
+        .select("vec_id", (F.col("k") % _IVF_KEY_BASE).alias("cluster_id"))
+    )
+    return (
+        fe.join(assign, on="vec_id")
+        .join(F.broadcast(probe), assign["cluster_id"] == probe["cid"], "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 6).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+    )
+
+
+IVF_FILTERED_KNN_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
+), seeds AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id % {_IVF_SEED_MOD_SQL} = {_IVF_SEED_OFF}
+), fe AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label = 1
+), probe AS (
+  SELECT cid FROM seeds CROSS JOIN q
+  ORDER BY CAST(round(list_distance(cvec, qvec) * 1e6) AS BIGINT)
+             * {_IVF_KEY_BASE} + cid
+  LIMIT {_IVF_FILTER_NPROBE}
+), assign AS (
+  SELECT fe.vec_id,
+         min(CAST(round(list_distance(fe.v, s.cvec) * 1e6)
+                  AS BIGINT) * {_IVF_KEY_BASE} + s.cid) % {_IVF_KEY_BASE} AS cluster_id
+  FROM fe CROSS JOIN seeds s
+  GROUP BY fe.vec_id
+), hits AS (
+  SELECT fe.vec_id, fe.label, round(list_distance(fe.v, q.qvec), 6) AS d
+  FROM fe
+  JOIN assign a ON fe.vec_id = a.vec_id
+  CROSS JOIN q
+  WHERE a.cluster_id IN (SELECT cid FROM probe)
+)
+SELECT vec_id, label, round(d, 4) AS score
+FROM hits ORDER BY d, vec_id LIMIT 5
+"""
+
+
 IVF_KNN_SQL = f"""
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
@@ -2256,6 +2343,7 @@ QUERIES = [
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, NGRAM_JACCARD_DUPS_SQL, "X2 exact Jaccard near-dup"),
     QuerySpec("ivf_knn", ivf_knn, IVF_KNN_SQL, "IVF ANN top-5, pinned coarse quantizer (oracle-backed since r3)"),
     QuerySpec("ivf_partitioned_knn", ivf_partitioned_knn, IVF_KNN_SQL, "IVF ANN top-5 over the cell-PARTITIONED parquet index: build partitionBy(cluster_id), probe via static partition pruning (round 6)"),
+    QuerySpec("ivf_filtered_knn", ivf_filtered_knn, IVF_FILTERED_KNN_SQL, "Milvus-parity FILTERED ANN: scalar predicate pruned before the coarse assignment, widened probe, exact rerank (round 9; reference extract_and_search.py:104-110)"),
     QuerySpec("ivf_cell_balance", ivf_cell_balance, IVF_CELL_BALANCE_SQL, "X45 IVF index-health audit: cell-occupancy distribution + imbalance factor, the quantizer-rebuild trigger (round 6)"),
     QuerySpec("pq_knn", pq_knn, PQ_KNN_SQL, "PQ ADC + exact-rerank ANN top-5, pinned codebooks (oracle-backed since r3)"),
     QuerySpec("lsh_portable_knn", lsh_portable_knn, LSH_PORTABLE_KNN_SQL, "portable E2LSH candidates + exact rerank (pinned projections, oracle-backed)"),

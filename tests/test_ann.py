@@ -348,3 +348,41 @@ def test_sync_compressed_layout_from_feed(spark, tmp_path):
     # quiescent empty window
     assert vs.sync_compressed_layout_from_feed(spark, src, lt, c2, dim) == c2
     assert M.head_version(spark, lt) == M.head_version(spark, lt)
+
+    # search the SYNCED layout (the full production loop): a corpus
+    # vector retrieves itself at distance 0, the two-stage result is
+    # bounded below by exact, and matches bq_knn's answer for the same
+    # query vector (bq_knn rebuilds from the fixture; both rank with
+    # identical arithmetic)
+    from pdf_parse_vector_db_spark.plans.similarity import bq_knn
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    got = vs.search_compressed_layout(spark, lt, qvec, k=5).collect()
+    want = bq_knn(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivf_filtered_knn_respects_filter_and_bounds(spark):
+    """Milvus-parity filtered ANN: every hit satisfies the predicate,
+    and the probed result's distances are bounded below by the exact
+    FILTERED top-5 (a probe cut can only lose qualifying neighbors,
+    never admit non-qualifying or invent closer ones)."""
+    from pdf_parse_vector_db_spark.functions.vector import l2_distance
+    from pdf_parse_vector_db_spark.plans.similarity import ivf_filtered_knn
+
+    rows = ivf_filtered_knn(spark, SF).collect()
+    assert len(rows) == 5
+    assert all(r.label == 1 for r in rows)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = [
+        r.d
+        for r in emb.filter(F.col("label") == 1)
+        .crossJoin(F.broadcast(q))
+        .select(F.round(l2_distance(F.col("embedding"), F.col("qvec")), 4).alias("d"))
+        .orderBy("d")
+        .limit(5)
+        .collect()
+    ]
+    got = [r.score for r in rows]
+    assert all(g >= e for g, e in zip(got, exact)), (got, exact)

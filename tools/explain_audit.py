@@ -123,6 +123,7 @@ AUDIT = {
     "dbscan_clusters_halo": "multi-probe assignment = broadcast-seeds window (row_number over the packed key); same bucketed BLAS kernel with nprobe-duplicated rows + DISTINCT pair cut; identical integer tail; no CartesianProduct",
     "nn_descent_incremental": "seed stage = stride broadcast + IVF same-cell equi-join; fresh-flagged wedge join on integer ids only; payload attach is a PLAIN id join (AQE-decided, no broadcast hint); touched-node semi/anti split before re-rank windows; no CartesianProduct",
     "graph_knn": "beam search over the NN-Descent graph: per-hop frontier = integer-id hash join beam x graph, rerank = TakeOrderedAndProject on the packed (dist-micros, id) key; beam-sized localCheckpoints only; no CartesianProduct",
+    "ivf_filtered_knn": "label predicate PUSHED into the parquet scan (PushedFilters) BEFORE the coarse argmin — only qualifying vectors are assigned or scored; widened probe broadcast; TakeOrderedAndProject final cut",
     "bq_knn": "coarse FileScan projects ONLY (vec_id, label, packed) — ReadSchema excludes the embedding column (d/8 bytes/vector); Hamming = bit_count(xor) fold in codegen; rerank reads embeddings under a broadcast semi-join on 50 candidate ids; both cuts TakeOrderedAndProject",
     "mrl_knn": "coarse FileScan projects ONLY (vec_id, label, prefix) — ReadSchema excludes the embedding column (16/d of the float bytes); rerank reads embeddings under a broadcast semi-join; both cuts TakeOrderedAndProject",
 }
