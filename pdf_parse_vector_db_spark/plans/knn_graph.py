@@ -905,12 +905,22 @@ def search_knn_graph(
     (ingest → CDC sync → graph search) with no rebuild anywhere. Reads
     consistent snapshots of both tables (the manifest layer's lock-free
     reader contract); entry points are the same pinned IVF seeds the
-    sync's incremental inserts candidate against. Self-retrieval,
-    determinism, and exact-distance scoring over the synced graph are
-    pinned in tests/test_knn_graph.py (the stored graph is the
-    incremental build, so its edges agree ≥0.90 — not bit-for-bit —
-    with a fresh rebuild; the search contract is therefore recall-style,
-    like every graph-ANN system's)."""
+    sync's incremental inserts candidate against, UNION the nodes whose
+    lists the last syncs freshly rewrote (`is_new` edges in the stored
+    artifact). The union matters: an ingest batch that forms a brand-new
+    neighborhood (a new cluster) gets correct INTERNAL edges from the
+    incremental build, but no old node adopts a far-away newcomer into
+    its top-K — so the new region is unreachable by expansion from
+    old-node entries alone (the graph-ANN insertion-connectivity
+    problem; hierarchies/bridge edges solve it in HNSW/Vamana). Fresh
+    nodes therefore serve as their own entry candidates until a rebuild
+    or organic ripple connects them — the beam's distance cut keeps the
+    entry set at `_BEAM` regardless. Self-retrieval of a freshly synced
+    cluster, determinism, and exact-distance scoring are pinned in
+    tests/test_knn_graph.py (the stored graph is the incremental build,
+    so its edges agree ≥0.90 — not bit-for-bit — with a fresh rebuild;
+    the search contract is recall-style, like every graph-ANN
+    system's)."""
     from pdf_parse_vector_db_spark.sources import manifest as M
 
     _, emb = M.snapshot(spark, source_table)
@@ -918,7 +928,12 @@ def search_knn_graph(
     if emb is None or graph is None:
         raise ValueError("search_knn_graph needs non-empty source and graph tables")
     q = spark.createDataFrame([(qvec,)], "qvec array<double>")
-    entry = _ivf_seeds(emb).select(F.col("cid").alias("vec_id"))
+    entry = (
+        _ivf_seeds(emb)
+        .select(F.col("cid").alias("vec_id"))
+        .union(graph.filter(F.col("is_new") == 1).select("vec_id"))
+        .distinct()
+    )
     g = graph.select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
     return _beam_search(emb, g, q, entry, k=k)
 
