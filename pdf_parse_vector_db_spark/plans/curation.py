@@ -1151,7 +1151,7 @@ def bitext_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tgt_assign = (
         emb.filter(F.col("label") == _MINE_TGT_LABEL)
-        .crossJoin(F.broadcast(seeds))
+        .crossJoin(seeds)
         .groupBy("vec_id")
         .agg(F.min(key(F.col("embedding"), F.col("cvec"), F.col("cid"))).alias("ak"))
         .select("vec_id", (F.col("ak") % _IVF_KEY_BASE).alias("cluster_id"))
@@ -1160,7 +1160,7 @@ def bitext_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_probe = (
         emb.filter(F.col("label") == _MINE_SRC_LABEL)
         .select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("vx"))
-        .crossJoin(F.broadcast(seeds))
+        .crossJoin(seeds)
         .select(
             "src_id", "vx", "cid", key(F.col("vx"), F.col("cvec"), F.col("cid")).alias("pk")
         )

@@ -77,7 +77,7 @@ def _ivf_assign(emb: DataFrame) -> DataFrame:
         + F.col("cid")
     )
     return (
-        emb.crossJoin(F.broadcast(seeds))
+        emb.crossJoin(seeds)
         .groupBy("vec_id")
         .agg(F.min(key).alias("ak"))
         .select("vec_id", (F.col("ak") % _IVF_KEY_BASE).alias("cluster_id"))
@@ -648,7 +648,7 @@ def _ivf_probe_assign(emb: DataFrame, nprobe: int) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy("pk")
     return (
-        emb.crossJoin(F.broadcast(seeds))
+        emb.crossJoin(seeds)
         .select("vec_id", F.col("cid").alias("cluster_id"), key.alias("pk"))
         .withColumn("pr", F.row_number().over(w))
         .filter(F.col("pr") <= nprobe)

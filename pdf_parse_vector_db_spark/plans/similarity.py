@@ -73,8 +73,26 @@ def _ivf_seeds(emb: DataFrame) -> DataFrame:
     corrupting argmin results past 1e7 embeddings, a raise_error guard on
     the seed ids surfaces the contract violation loudly (seeds are
     corpus/stride rows, so the check is off the hot path; it never fires
-    below the base, preserving oracle hash parity)."""
-    return emb.filter(F.col("vec_id") % _ivf_seed_mod(emb) == _IVF_SEED_OFF).select(
+    below the base, preserving oracle hash parity).
+
+    The returned relation carries the SIZE-GATED broadcast hint
+    (operators/ivf_index.seed_broadcast_hint, round-8 verdict ask): under
+    the configured bound every downstream seed crossJoin plans the
+    broadcast nested-loop argmin; past it (nlist × dim × 8 B outgrowing
+    an executor broadcast at ~10¹⁰-row corpora) the seeds join unhinted
+    and the assignment becomes a shuffled cartesian — identical values,
+    bounded memory. Consumers therefore do NOT re-wrap in F.broadcast.
+    Costs one limit-1 job for the vector width on top of the existing
+    stride count."""
+    from math import isqrt
+
+    from pdf_parse_vector_db_spark.operators.ivf_index import seed_broadcast_hint
+
+    n = emb.count()
+    mod = max(_IVF_SEED_MOD, isqrt(n))
+    dim_row = emb.select(F.size(F.col("embedding")).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 0
+    seeds = emb.filter(F.col("vec_id") % mod == _IVF_SEED_OFF).select(
         F.when(F.col("vec_id") < _IVF_KEY_BASE, F.col("vec_id"))
         .otherwise(
             F.raise_error(
@@ -88,6 +106,7 @@ def _ivf_seeds(emb: DataFrame) -> DataFrame:
         .alias("cid"),
         F.col("embedding").alias("cvec"),
     )
+    return seed_broadcast_hint(seeds, n // mod + 1, dim)
 
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,7 +234,7 @@ def embedding_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_distance(vec, other) * 1e6).cast("bigint") * _IVF_KEY_BASE + cid
     )
     assign = (
-        emb.crossJoin(F.broadcast(seeds))
+        emb.crossJoin(seeds)
         .groupBy("vec_id")
         .agg(F.min(key(F.col("embedding"), F.col("cvec"), F.col("cid"))).alias("ak"))
         .select("vec_id", (F.col("ak") % _IVF_KEY_BASE).alias("cluster_id"))
@@ -507,7 +526,7 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid")
     )
     assign = (
-        emb.crossJoin(F.broadcast(seeds))
+        emb.crossJoin(seeds)
         .groupBy("vec_id")
         .agg(F.min(key(F.col("embedding"), F.col("cvec"), F.col("cid"))).alias("k"))
         .select("vec_id", (F.col("k") % _IVF_KEY_BASE).alias("cluster_id"))
@@ -684,7 +703,7 @@ def ivf_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid")
     )
     assign = (
-        fe.crossJoin(F.broadcast(seeds))
+        fe.crossJoin(seeds)
         .groupBy("vec_id")
         .agg(F.min(key(F.col("embedding"), F.col("cvec"), F.col("cid"))).alias("k"))
         .select("vec_id", (F.col("k") % _IVF_KEY_BASE).alias("cluster_id"))
@@ -1162,14 +1181,14 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pw = Window.partitionBy("q_id").orderBy("pk")
     probes = (
-        qpanel.crossJoin(F.broadcast(seeds))
+        qpanel.crossJoin(seeds)
         .select("q_id", "cid", key(F.col("cvec"), F.col("q_vec"), F.col("cid")).alias("pk"))
         .withColumn("pr", F.row_number().over(pw))
         .filter(F.col("pr") <= _IVF_NPROBE)
         .select("q_id", F.col("cid").alias("cluster_id"))
     )
     assign = (
-        emb.crossJoin(F.broadcast(seeds))
+        emb.crossJoin(seeds)
         .groupBy("vec_id")
         .agg(F.min(key(F.col("embedding"), F.col("cvec"), F.col("cid"))).alias("ak"))
         .select("vec_id", (F.col("ak") % _IVF_KEY_BASE).alias("cluster_id"))

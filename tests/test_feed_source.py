@@ -508,7 +508,12 @@ def test_sustained_ingest_feed_sync_stays_bounded(spark, tmp_path):
         M.commit_append(spark, src, mk_batch(i), idempotency_key=f"soak-b{i}")
         if i % 5 == 4:
             if seeds is None:
-                seeds = ivf_index.corpus_seeds(M.snapshot(spark, src)[1]).localCheckpoint()
+                # localCheckpoint materializes into a fresh plan and DROPS
+                # the producer's size-gated broadcast hint — re-attach it
+                # (these seeds are ~√N rows, far under the gate's bound)
+                seeds = F.broadcast(
+                    ivf_index.corpus_seeds(M.snapshot(spark, src)[1]).localCheckpoint()
+                )
             cursor = ivf_index.sync_ivf_index_from_feed(spark, src, idx, seeds, cursor)
         if i % 20 == 19:
             M.maybe_compact(spark, src, max_live_commits=10)

@@ -79,7 +79,9 @@ def main() -> None:
         if i % 5 == 4:
             if seeds is None:
                 seeds = ivf_index.corpus_seeds(M.snapshot(spark, src)[1])
-                seeds = seeds.localCheckpoint()
+                # localCheckpoint drops the producer's size-gated broadcast
+                # hint — re-attach (these seeds are ~√N rows, under the gate)
+                seeds = F.broadcast(seeds.localCheckpoint())
             cursor = ivf_index.sync_ivf_index_from_feed(
                 spark, src, idx, seeds, cursor
             )
