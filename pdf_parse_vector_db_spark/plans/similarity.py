@@ -2277,6 +2277,78 @@ LIMIT 5
 """
 
 
+def bq_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED BQ ANN (round-9 verdict missing #3): the scalar predicate
+    pushed INTO the packed coarse scan — the composition Milvus applies
+    to any index type (`filter=` on extract_and_search.py:104-110), here
+    on the X61 compressed layout. The label filter reaches the parquet
+    scan of (vec_id, label, packed) as PushedFilters (pinned in
+    tests/test_ann.py), so the coarse stage reads d/8 bytes per vector
+    AND skips non-qualifying row groups via the column's min/max stats —
+    the two prunings compose. Candidate pool stays `_BQ_CAND` over the
+    FILTERED corpus (the predicate thins the corpus before ranking, not
+    after, so the pool never starves); exact rerank over the filtered
+    candidates. Unlike IVF, BQ has no probe set to widen — filtering
+    costs no recall mechanism here, which is exactly why production
+    stores route highly-selective filtered searches to the flat/BQ tier
+    instead of widening IVF probes."""
+    store = _compressed_store(spark, sf_dir)
+    fe = store.filter(F.col("label") == 1)
+    qp = store.filter(F.col("vec_id") == 0).select(F.col("packed").alias("qpacked"))
+    cand = (
+        fe.select("vec_id", "packed")
+        .crossJoin(F.broadcast(qp))
+        .select(
+            "vec_id",
+            vector_store_hamming(F.col("packed"), F.col("qpacked")).alias("ham"),
+        )
+        .orderBy("ham", "vec_id")
+        .limit(_BQ_CAND)
+        .select("vec_id")
+    )
+    q = store.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    return (
+        fe.select("vec_id", "label", "embedding")
+        .join(F.broadcast(cand), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                l2_distance(F.col("embedding").cast("array<double>"), F.col("qvec")),
+                6,
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+    )
+
+
+BQ_FILTERED_KNN_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
+),
+cand AS (
+  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, q.qvec,
+         list_sum(list_transform(
+           list_zip(CAST(e.embedding AS DOUBLE[]), q.qvec),
+           x -> CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END)) AS ham
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = 1
+  ORDER BY ham, e.vec_id
+  LIMIT {_BQ_CAND}
+)
+SELECT vec_id, label,
+       round(round(list_distance(v, qvec), 6), 4) AS score
+FROM cand
+ORDER BY round(list_distance(v, qvec), 6), vec_id
+LIMIT 5
+"""
+
+
 def mrl_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X61: MATRYOSHKA two-stage ANN: rank by L2 over the FIRST
     `_MRL_DIM` dimensions (MRL-trained embeddings front-load semantic
@@ -2346,6 +2418,7 @@ LIMIT 5
 
 QUERIES = [
     QuerySpec("bq_knn", bq_knn, BQ_KNN_SQL, "X61 binary-quantization ANN over the STORED packed-sign-bit column (coarse scan reads d/8 bytes/vector) + exact rerank (round 9 storage)"),
+    QuerySpec("bq_filtered_knn", bq_filtered_knn, BQ_FILTERED_KNN_SQL, "X66 FILTERED BQ ANN: predicate pushed into the packed coarse scan (PushedFilters pinned), exact rerank of filtered candidates (round 10)"),
     QuerySpec("mrl_knn", mrl_knn, MRL_KNN_SQL, "X61 Matryoshka two-stage ANN over the STORED 16-dim prefix column + full-width rerank (round 9 storage)"),
     QuerySpec("semdedup", semdedup, SEMDEDUP_SQL, "X2 SemDeDup semantic dedup (cluster-bounded pairwise + centroid-rank keep/drop)"),
     QuerySpec("embedding_quantization", embedding_quantization, EMBEDDING_QUANTIZATION_SQL, "X2/X3 int8 quantization error accounting"),

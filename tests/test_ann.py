@@ -386,3 +386,94 @@ def test_ivf_filtered_knn_respects_filter_and_bounds(spark):
     ]
     got = [r.score for r in rows]
     assert all(g >= e for g, e in zip(got, exact)), (got, exact)
+
+
+def test_bq_filtered_knn_predicate_bounds_and_pushdown(spark):
+    """X66 filtered BQ: every hit satisfies the predicate, distances are
+    bounded below by the exact FILTERED top-5 (measured 5/5 recall at
+    sf0.001, pinned ≥4), and the predicate is PUSHED into the packed
+    coarse scan — the (vec_id, label, packed) parquet scan carries the
+    label filter in PushedFilters and never reads the embedding bytes."""
+    from pdf_parse_vector_db_spark.functions.vector import l2_distance
+    from pdf_parse_vector_db_spark.plans.similarity import bq_filtered_knn
+
+    df = bq_filtered_knn(spark, SF)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.label == 1 for r in rows)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = [
+        (r.vec_id, r.d)
+        for r in emb.filter(F.col("label") == 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 4).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .collect()
+    ]
+    got = [r.score for r in rows]
+    assert all(g >= e for g, e in zip(got, [d for _, d in exact])), (got, exact)
+    assert len({r.vec_id for r in rows} & {v for v, _ in exact}) >= 4
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    coarse = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "packed" in ln and "FileScan" in ln
+    ]
+    assert coarse, plan
+    # no packed scan (corpus coarse stage or the 1-row query lookup)
+    # ever reads the float embedding bytes
+    for ln in coarse:
+        assert "embedding" not in ln, ln
+    # and the CORPUS coarse scan carries the predicate as PushedFilters
+    # (the query's own vec_id=0 lookup legitimately filters on vec_id)
+    pushed = [
+        ln
+        for ln in coarse
+        if "EqualTo(label,1)" in ln.split("PushedFilters: ", 1)[-1].split("]", 1)[0]
+    ]
+    assert pushed, coarse
+
+
+def test_graph_filtered_knn_predicate_and_recall(spark):
+    """X66 filtered graph-ANN (ACORN shape): every hit satisfies the
+    predicate, cosine distances are bounded below by the exact FILTERED
+    top-5, and recall ≥ 4/5 (measured 5/5 at sf0.001 — the 2-hop
+    expansion through non-matching stepping stones keeps the filtered
+    frontier connected on the uniform fixture)."""
+    from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
+    from pdf_parse_vector_db_spark.plans.knn_graph import graph_filtered_knn
+
+    rows = graph_filtered_knn(spark, SF).collect()
+    assert len(rows) == 5
+    assert all(r.label == 1 for r in rows)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    exact = [
+        (r.vec_id, round(r.d, 4))
+        for r in emb.filter(F.col("label") == 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.lit(1.0)
+                - cosine_similarity(
+                    F.col("embedding").cast("array<double>"), F.col("qvec")
+                ),
+                6,
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .collect()
+    ]
+    got = [r.score for r in rows]
+    assert all(g >= e for g, e in zip(got, [d for _, d in exact])), (got, exact)
+    assert len({r.vec_id for r in rows} & {v for v, _ in exact}) >= 4

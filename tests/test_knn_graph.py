@@ -373,3 +373,128 @@ def test_sync_knn_graph_from_feed_exactly_once_and_agreement(spark, planted, tmp
     assert all(r.vec_id in block for r in got), got
     again = kg.search_knn_graph(spark, src, gt, qvec, k=5).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_entry_ledger_bounded_under_connectable_churn(spark, planted, tmp_path):
+    """Round-10 contract (closes the round-9 weak #1): across N≥10 ingest
+    syncs of CONNECTABLE data (duplicates of existing corpus points — the
+    IVF cell seeds hand them to their originals' neighborhoods, which
+    adopt them in the same sync), the entry-points ledger stays EMPTY and
+    the search entry set stays at exactly the IVF seed count, while the
+    stored graph's cumulative `is_new` node set — round 9's entry set —
+    grows with every batch. Entry scoring is O(ledger + nlist), not
+    O(cumulative churn)."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    d, vecs = planted
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = len(vecs)
+    src = str(tmp_path / "src")
+    gt = str(tmp_path / "graph")
+
+    M.commit_append(spark, src, emb)
+    cursor = kg.sync_knn_graph_from_feed(spark, src, gt, 0)  # bootstrap
+
+    seeds_n = kg._ivf_seeds(emb).count()
+    is_new_nodes_prev = 0
+    for i in range(10):
+        batch = spark.createDataFrame(
+            [
+                (
+                    n + i * 5 + j,
+                    [float(x) for x in vecs[(i * 37 + j * 11) % n]],
+                    0,
+                )
+                for j in range(5)
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        M.commit_append(spark, src, batch)
+        cursor = kg.sync_knn_graph_from_feed(spark, src, gt, cursor)
+
+        _, pend = M.snapshot(spark, kg.graph_entry_table(gt))
+        ledger_n = 0 if pend is None else pend.count()
+        assert ledger_n == 0, (i, ledger_n)
+
+        _, g = M.snapshot(spark, gt)
+        cand_n = kg.graph_entry_candidates(spark, M.snapshot(spark, src)[1], gt).count()
+        # the search entry set never grows past seeds + ledger
+        assert cand_n <= kg._ivf_seeds(M.snapshot(spark, src)[1]).count(), (i, cand_n)
+        is_new_nodes = (
+            g.filter(F.col("is_new") == 1).select("vec_id").distinct().count()
+        )
+        # round 9's entry set (every is_new node, never cleared) keeps
+        # growing — the unbounded behavior the ledger replaces
+        assert is_new_nodes >= is_new_nodes_prev
+        is_new_nodes_prev = is_new_nodes
+    assert is_new_nodes_prev >= 50  # ≥ the 50 inserted duplicates
+
+    # a duplicate of a corpus point still retrieves itself through the
+    # seeds-only entry set (adopted → reachable by expansion)
+    probe = n + 9 * 5 + 3  # last batch, j=3
+    qvec = [float(x) for x in vecs[(9 * 37 + 3 * 11) % n]]
+    got = kg.search_knn_graph(spark, src, gt, qvec, k=5).collect()
+    assert got[0].score == 0.0
+    assert {r.vec_id for r in got} & {probe, (9 * 37 + 3 * 11) % n}
+
+
+def test_entry_ledger_isolated_cohorts_and_adoption_clear(spark, planted, tmp_path):
+    """The ledger holds EXACTLY the still-isolated cohorts: after the
+    18-block bootstrap + block-18 + block-19 syncs, its rows are the 20
+    inserted node ids (no old node adopts a far-away block) — and a
+    pending row IS cleared through the public sync path once an outside
+    node's refreshed top-K adopts it (here: a pre-seeded pending row for
+    a block-0 member, adopted when a duplicate batch makes its
+    neighborhood re-rank)."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    d, vecs = planted
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    cut = 18 * _PER_CLUSTER
+    src = str(tmp_path / "src")
+    gt = str(tmp_path / "graph")
+
+    M.commit_append(spark, src, emb.filter(F.col("vec_id") < cut))
+    cursor = kg.sync_knn_graph_from_feed(spark, src, gt, 0)
+    M.commit_append(
+        spark,
+        src,
+        emb.filter((F.col("vec_id") >= cut) & (F.col("vec_id") < 19 * _PER_CLUSTER)),
+    )
+    cursor = kg.sync_knn_graph_from_feed(spark, src, gt, cursor)
+    M.commit_append(spark, src, emb.filter(F.col("vec_id") >= 19 * _PER_CLUSTER))
+    cursor = kg.sync_knn_graph_from_feed(spark, src, gt, cursor)
+
+    _, pend = M.snapshot(spark, kg.graph_entry_table(gt))
+    got = {r.vec_id for r in pend.collect()}
+    assert got == set(range(cut, 20 * _PER_CLUSTER)), got
+
+    # adoption-clear through the public path: pre-seed a pending row for
+    # block-0 member 3 (as if it had been inserted isolated long ago and
+    # the corpus since grew around it), then ingest duplicates of its
+    # block — outside neighbors re-rank, their lists contain node 3,
+    # the ledger row clears; the isolated blocks 18/19 stay pending.
+    et = kg.graph_entry_table(gt)
+    ehead = M.head_version(spark, et)
+    drop = M._read_manifest(spark, et, ehead)["commits"]
+    _, cur = M.snapshot(spark, et)
+    M.commit_replace(
+        spark,
+        et,
+        cur.unionByName(
+            spark.createDataFrame([(3, 0)], "vec_id long, since_v long")
+        ),
+        drop_commits=drop,
+    )
+    n = len(vecs)
+    dup = spark.createDataFrame(
+        [(n + j, [float(x) for x in vecs[j]], 0) for j in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    M.commit_append(spark, src, dup)
+    cursor = kg.sync_knn_graph_from_feed(spark, src, gt, cursor)
+    _, pend2 = M.snapshot(spark, kg.graph_entry_table(gt))
+    got2 = {r.vec_id for r in pend2.collect()}
+    assert 3 not in got2, got2
+    assert set(range(cut, 20 * _PER_CLUSTER)) <= got2, got2
+    assert got2 <= set(range(cut, 20 * _PER_CLUSTER)) | {n + j for j in range(8)}
