@@ -216,10 +216,21 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
+        """1-pad to a byte boundary (T.81 F.1.2.3 — before RSTn/EOI).
+        A pad that forms 0xFF goes through write() and is byte-stuffed;
+        the decoder's _align_to_restart drops it as padding."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+            self.write((1 << pad) - 1, pad)
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes (caller must be byte-aligned)."""
+        assert self.nbits == 0
+        self.buf += b
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.buf)
 
 
@@ -270,12 +281,26 @@ def _encode_plane(
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF bytes.
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → JFIF bytes.
     4:4:4 by default; `subsample=True` emits 4:2:0 (the wild's dominant
     layout) to exercise the decoder's upsampling path. Deterministic:
-    fixed tables, floor/rint arithmetic, no RNG."""
+    fixed tables, floor/rint arithmetic, no RNG.
+
+    `restart_interval` > 0 emits DRI + RST0..7 every that-many MCUs
+    (baseline only) — the round-trip fixture for the round-9 ADVICE #1
+    restart-alignment fix. `progressive=True` emits the SOF2
+    spectral-selection script (interleaved DC scan, then per-component
+    AC bands 1-5 and 6-63, Al=0) over the SAME quantized coefficients,
+    so decode(progressive) == decode(baseline) EXACTLY; EOB runs use
+    plain per-block EOB symbols because the Annex-K AC tables carry no
+    EOBn>1 codes (the successive-approximation decode paths are pinned
+    by the hand-assembled fixture in tests/test_jpeg_codec.py)."""
     arr = np.asarray(pixels, dtype=np.float64)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -323,27 +348,111 @@ def encode_jpeg(
         plane_qblocks.append(q.reshape(-1, 64)[:, _ZIGZAG])
         plane_dims.append((full_h // 8, full_w // 8))
 
-    # interleave blocks in MCU order and entropy-encode
+    # entropy-encode: one interleaved scan (baseline) or the progressive
+    # spectral-selection script; each entry is (SOS payload, scan bytes)
     dc_l, _ = _canonical_codes(*_DC_LUMA)
     ac_l, _ = _canonical_codes(*_AC_LUMA)
     dc_c, _ = _canonical_codes(*_DC_CHROMA)
     ac_c, _ = _canonical_codes(*_AC_CHROMA)
-    bw = _BitWriter()
-    preds = [0] * len(planes)
+    ncomp = 1 if gray else 3
     mcu_rows = -(-h // (8 * vmax))
     mcu_cols = -(-w // (8 * hmax))
-    for mr in range(mcu_rows):
-        for mc in range(mcu_cols):
-            for ci, (sh, sv) in enumerate(samp):
-                rows_b, cols_b = plane_dims[ci]
-                for by in range(sv):
-                    for bx in range(sh):
-                        bi = (mr * sv + by) * cols_b + (mc * sh + bx)
-                        blk = plane_qblocks[ci][bi : bi + 1]
-                        dc_e = dc_l if ci == 0 else dc_c
-                        ac_e = ac_l if ci == 0 else ac_c
-                        preds[ci] = _encode_plane(blk, dc_e, ac_e, bw, preds[ci])
-    scan = bw.flush()
+    scans: list[tuple[bytes, bytes]] = []
+    if not progressive:
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        mcu_index = 0
+        rst = 0
+        for mr in range(mcu_rows):
+            for mc in range(mcu_cols):
+                if (
+                    restart_interval
+                    and mcu_index
+                    and mcu_index % restart_interval == 0
+                ):
+                    bw.pad_to_byte()
+                    bw.raw(bytes([0xFF, 0xD0 + rst]))
+                    rst = (rst + 1) % 8
+                    preds = [0] * len(planes)
+                for ci, (sh, sv) in enumerate(samp):
+                    rows_b, cols_b = plane_dims[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bi = (mr * sv + by) * cols_b + (mc * sh + bx)
+                            blk = plane_qblocks[ci][bi : bi + 1]
+                            dc_e = dc_l if ci == 0 else dc_c
+                            ac_e = ac_l if ci == 0 else ac_c
+                            preds[ci] = _encode_plane(blk, dc_e, ac_e, bw, preds[ci])
+                mcu_index += 1
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            td = 0x00 if ci == 0 else 0x11
+            sos += bytes([ci + 1, td])
+        sos += bytes([0, 63, 0])
+        scans.append((sos, bw.flush()))
+    else:
+        # scan 1: interleaved DC first (Ss=Se=0, Ah=Al=0)
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        for mr in range(mcu_rows):
+            for mc in range(mcu_cols):
+                for ci, (sh, sv) in enumerate(samp):
+                    cols_b = plane_dims[ci][1]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bi = (mr * sv + by) * cols_b + (mc * sh + bx)
+                            dc = int(plane_qblocks[ci][bi, 0])
+                            diff = dc - preds[ci]
+                            preds[ci] = dc
+                            t, bits = _magnitude(diff)
+                            code, ln = (dc_l if ci == 0 else dc_c)[t]
+                            bw.write(code, ln)
+                            if t:
+                                bw.write(bits, t)
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, (0x00 if ci == 0 else 0x01) << 4])
+        sos += bytes([0, 0, 0])
+        scans.append((sos, bw.flush()))
+        # per-component AC bands, non-interleaved over the comp's OWN grid
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            cols_b = plane_dims[ci][1]
+            bw_i = -(-(-(-w * sh // hmax)) // 8)
+            bh_i = -(-(-(-h * sv // vmax)) // 8)
+            ac_e = ac_l if ci == 0 else ac_c
+            for lo, hi in ((1, 5), (6, 63)):
+                bw2 = _BitWriter()
+                for by in range(bh_i):
+                    for bx in range(bw_i):
+                        blk = plane_qblocks[ci][by * cols_b + bx]
+                        nz = [k for k in range(lo, hi + 1) if blk[k] != 0]
+                        if not nz:
+                            code, ln = ac_e[0x00]  # plain EOB (see docstring)
+                            bw2.write(code, ln)
+                            continue
+                        run = 0
+                        for k in range(lo, nz[-1] + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_e[0xF0]
+                                bw2.write(code, ln)
+                                run -= 16
+                            t, bits = _magnitude(v)
+                            code, ln = ac_e[(run << 4) | t]
+                            bw2.write(code, ln)
+                            bw2.write(bits, t)
+                            run = 0
+                        if nz[-1] < hi:
+                            code, ln = ac_e[0x00]
+                            bw2.write(code, ln)
+                sos = bytes(
+                    [1, ci + 1, 0x00 if ci == 0 else 0x01, lo, hi, 0]
+                )
+                scans.append((sos, bw2.flush()))
 
     # -- segments --
     out = bytearray(b"\xff\xd8")  # SOI
@@ -351,25 +460,23 @@ def encode_jpeg(
     for tid, tbl in ((0, ql), (1, qc))[: 1 if gray else 2]:
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
         out += bytes(int(x) for x in tbl[_ZIGZAG])
-    ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sh, sv = samp[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     hts = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
     if not gray:
         hts += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
     for tc, (bits, values) in hts:
         payload = bytes([tc]) + bytes(bits) + bytes(values)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        td = 0x00 if ci == 0 else 0x11
-        sos += bytes([ci + 1, td])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += scan
+    if restart_interval and not progressive:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for sos, data in scans:
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += data
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -443,16 +550,255 @@ def _extend(bits: int, t: int) -> int:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 pixels (h, w, 3) RGB (grayscale JPEGs
-    return (h, w, 1)). Raises ValueError on malformed bytes and
-    NotImplementedError on the documented out-of-scope processes
-    (progressive/arithmetic/12-bit need Pillow or libjpeg-turbo)."""
+    """Baseline (SOF0) or progressive (SOF2) JFIF bytes → uint8 pixels
+    (h, w, 3) RGB (grayscale JPEGs return (h, w, 1)). Raises ValueError
+    on malformed bytes and NotImplementedError on the documented
+    out-of-scope processes (arithmetic coding, 12-bit, lossless,
+    hierarchical, 4-component CMYK/YCCK, non-interleaved baseline — all
+    name the Pillow/libjpeg-turbo plug point)."""
     try:
         return _decode_jpeg(content)
-    except (IndexError, struct.error) as exc:
+    except (IndexError, struct.error, KeyError) as exc:
         # truncated/corrupt segments surface as the module's designed
-        # ValueError tier, never a raw slicing error inside an executor
+        # ValueError tier, never a raw slicing/lookup error inside an
+        # executor (KeyError: e.g. a scan referencing a never-defined
+        # table id — round-9 ADVICE #3)
         raise ValueError(f"not a JPEG: truncated or corrupt ({exc})") from exc
+
+
+def _align_to_restart(br: _BitReader) -> None:
+    """T.81 F.2.1.3.1: each entropy-coded interval pads with 1-bits to a
+    byte boundary BEFORE its RSTn marker. Discard the 0-7 pad bits (and
+    any stuffed 0xFF byte a 1-pad can legally form) so `at_marker` sees
+    the marker — round-9 ADVICE #1: without this, every spec-valid DRI
+    stream from libjpeg/cameras failed with 'missing restart marker'."""
+    br.nbits -= br.nbits % 8
+    br.acc &= (1 << br.nbits) - 1
+    while br.nbits >= 8 and (br.acc >> (br.nbits - 8)) & 0xFF == 0xFF:
+        br.nbits -= 8
+        br.acc &= (1 << br.nbits) - 1
+
+
+def _expect_restart(br: _BitReader, n_scan: int, preds: list[int]) -> None:
+    _align_to_restart(br)
+    m = br.at_marker()
+    if m is None or not (0xD0 <= m <= 0xD7):
+        raise ValueError("not a JPEG: missing restart marker")
+    br.skip_marker()
+    preds[:] = [0] * n_scan
+
+
+def _scan_end(content: bytes, start: int) -> int:
+    """Offset of the first non-RST, non-stuffing marker after `start` —
+    the end of one scan's entropy-coded data (progressive streams carry
+    several scans per image)."""
+    p = start
+    n = len(content)
+    while p + 1 < n:
+        if content[p] != 0xFF:
+            p += 1
+            continue
+        nxt = content[p + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7 or nxt == 0xFF:
+            p += 2 if nxt != 0xFF else 1
+            continue
+        return p
+    return n
+
+
+def _decode_baseline_scan(
+    br: _BitReader,
+    scan: list[dict],
+    coefs: list[np.ndarray],
+    geom: dict,
+    huff: dict,
+    restart_interval: int,
+) -> None:
+    """SOF0 interleaved MCU stream → zig-zag coefficient arrays."""
+    preds = [0] * len(scan)
+    mcu_index = 0
+    for mr in range(geom["mcu_rows"]):
+        for mc in range(geom["mcu_cols"]):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                _expect_restart(br, len(scan), preds)
+            for ci, c in enumerate(scan):
+                dc_dec = huff.get((0, c["dc"]))
+                ac_dec = huff.get((1, c["ac"]))
+                if dc_dec is None or ac_dec is None:
+                    raise ValueError("not a JPEG: missing Huffman table")
+                cols_b = geom["mcu_cols"] * c["h"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = coefs[c["ci"]]
+                        bi = (mr * c["v"] + by) * cols_b + (mc * c["h"] + bx)
+                        t = _decode_huff(br, dc_dec)
+                        preds[ci] += _extend(br.read_bits(t), t)
+                        zz[bi, 0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, ac_dec)
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("not a JPEG: AC index overflow")
+                            zz[bi, k] = _extend(br.read_bits(s), s)
+                            k += 1
+            mcu_index += 1
+
+
+def _decode_prog_scan(
+    br: _BitReader,
+    scan: list[dict],
+    coefs: list[np.ndarray],
+    geom: dict,
+    huff: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    """One SOF2 scan (T.81 G.2): DC first/refine over interleaved MCUs,
+    AC first/refine over a single component's own block raster. The
+    successive-approximation refinement follows the reference algorithm
+    (libjpeg jdphuff.c shapes re-derived from the spec): correction bits
+    for already-nonzero coefficients, sign bit + `1 << Al` magnitude for
+    newly significant ones, EOBRUN covering whole zero-band blocks."""
+    # a scan with one component is ALWAYS non-interleaved (T.81 A.2.2):
+    # its MCU is a single data unit over the component's own block grid
+    interleaved = len(scan) > 1
+    preds = [0] * len(scan)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_first(zz, ci, dc_dec):
+        t = _decode_huff(br, dc_dec)
+        preds[ci] += _extend(br.read_bits(t), t)
+        zz[0] = preds[ci] << al
+
+    def dc_refine(zz):
+        if br.read_bit():
+            zz[0] |= p1
+
+    def ac_first(zz, ac_dec):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huff(br, ac_dec)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("not a JPEG: AC index overflow")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(zz, ac_dec):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(br, ac_dec)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        # NOT the first-scan's (1<<r)-1: the refine path's
+                        # trailing `eobrun -= 1` below counts the CURRENT
+                        # block's correction sweep as one run member
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    s_val = 0
+                else:
+                    if s != 1:
+                        raise ValueError("not a JPEG: bad refine magnitude")
+                    s_val = p1 if br.read_bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.read_bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s_val and k <= se:
+                    zz[k] = s_val
+                k += 1
+        if eobrun > 0:
+            # EOB run covers this block: still absorb one correction bit
+            # per already-nonzero coefficient in the band
+            while k <= se:
+                if zz[k] != 0 and br.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def reset_state():
+        nonlocal eobrun
+        _expect_restart(br, len(scan), preds)
+        eobrun = 0
+
+    if interleaved:
+        unit = 0
+        for mr in range(geom["mcu_rows"]):
+            for mc in range(geom["mcu_cols"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reset_state()
+                for ci, c in enumerate(scan):
+                    dc_dec = huff.get((0, c["dc"]))
+                    if ah == 0 and dc_dec is None:
+                        raise ValueError("not a JPEG: missing Huffman table")
+                    cols_b = geom["mcu_cols"] * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bi = (mr * c["v"] + by) * cols_b + (mc * c["h"] + bx)
+                            zz = coefs[c["ci"]][bi]
+                            if ah == 0:
+                                dc_first(zz, ci, dc_dec)
+                            else:
+                                dc_refine(zz)
+                unit += 1
+    else:
+        c = scan[0]
+        dc_dec = huff.get((0, c["dc"]))
+        ac_dec = huff.get((1, c["ac"]))
+        if (ss == 0 and ah == 0 and dc_dec is None) or (ss > 0 and ac_dec is None):
+            raise ValueError("not a JPEG: missing Huffman table")
+        cols_b = geom["mcu_cols"] * c["h"]
+        # non-interleaved scans cover the component's OWN block grid
+        # (T.81 A.2.2), not the MCU-padded one
+        comp_w = -(-geom["w"] * c["h"] // geom["hmax"])
+        comp_h = -(-geom["h"] * c["v"] // geom["vmax"])
+        unit = 0
+        for by in range(-(-comp_h // 8)):
+            for bx in range(-(-comp_w // 8)):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reset_state()
+                zz = coefs[c["ci"]][by * cols_b + bx]
+                if ss == 0:
+                    dc_first(zz, 0, dc_dec) if ah == 0 else dc_refine(zz)
+                elif ah == 0:
+                    ac_first(zz, ac_dec)
+                else:
+                    ac_refine(zz, ac_dec)
+                unit += 1
 
 
 def _decode_jpeg(content: bytes) -> np.ndarray:
@@ -464,8 +810,10 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
     comps = None
     h = w = None
     restart_interval = 0
-    scan_comps = None
-    scan_start = None
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    geom: dict | None = None
+    any_scan = False
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("not a JPEG: expected marker")
@@ -474,12 +822,12 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
             break
         (seglen,) = struct.unpack(">H", content[pos + 2 : pos + 4])
         body = content[pos + 4 : pos + 2 + seglen]
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (progressive/arithmetic/"
-                "lossless) needs Pillow or libjpeg-turbo; this tier decodes "
-                "baseline sequential (SOF0)"
+                f"JPEG process SOF{marker - 0xC0} (arithmetic/lossless/"
+                "hierarchical) needs Pillow or libjpeg-turbo; this tier "
+                "decodes baseline sequential (SOF0) and progressive (SOF2)"
             )
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             off = 0
@@ -490,14 +838,24 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
                 tbl = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8)
                 qt[tq] = tbl[_UNZIGZAG].astype(np.float64).reshape(8, 8)
                 off += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG needs Pillow")
+            if nc not in (1, 3):
+                # round-9 ADVICE #2: a 4-component Adobe CMYK/YCCK JPEG
+                # (common in PDF DCTDecode streams) must fail loudly, not
+                # silently drop the K plane and return garbage RGB
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/YCCK) needs Pillow"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                comps.append(
+                    {"ci": i, "id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
         elif marker == 0xC4:  # DHT (possibly several tables)
             off = 0
             while off < len(body):
@@ -511,85 +869,83 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("not a JPEG: SOS before SOF")
             ns = body[0]
             scan_comps = []
             for i in range(ns):
                 cs, td = body[1 + 2 * i : 3 + 2 * i]
                 scan_comps.append({"cs": cs, "dc": td >> 4, "ac": td & 0xF})
-            scan_start = pos + 2 + seglen
-            break
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if geom is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                supported = {(1, 1)} | {(hmax, vmax)}
+                for c in comps:
+                    if (c["h"], c["v"]) not in supported:
+                        raise NotImplementedError(
+                            f"sampling {c['h']}x{c['v']} with max "
+                            f"{hmax}x{vmax} needs Pillow"
+                        )
+                geom = {
+                    "h": h, "w": w, "hmax": hmax, "vmax": vmax,
+                    "mcu_rows": -(-h // (8 * vmax)),
+                    "mcu_cols": -(-w // (8 * hmax)),
+                }
+                coefs = [
+                    np.zeros(
+                        (
+                            geom["mcu_rows"] * c["v"] * geom["mcu_cols"] * c["h"],
+                            64,
+                        ),
+                        dtype=np.int32,
+                    )
+                    for c in comps
+                ]
+            order = {c["id"]: c for c in comps}
+            scan = [
+                {**order[sc["cs"]], "dc": sc["dc"], "ac": sc["ac"]}
+                for sc in scan_comps
+            ]
+            end = _scan_end(content, pos + 2 + seglen)
+            br = _BitReader(content[pos + 2 + seglen : end])
+            if not progressive:
+                if ns != len(comps):
+                    # round-9 ADVICE #2: a baseline image split across
+                    # non-interleaved scans would otherwise return a
+                    # partial, mis-laid-out result with no signal
+                    raise NotImplementedError(
+                        "non-interleaved baseline scans need Pillow"
+                    )
+                _decode_baseline_scan(br, scan, coefs, geom, huff, restart_interval)
+            else:
+                ah, al = ahal >> 4, ahal & 0xF
+                _decode_prog_scan(
+                    br, scan, coefs, geom, huff, ss, se, ah, al, restart_interval
+                )
+            any_scan = True
+            pos = end
+            continue
         pos += 2 + seglen
-    if comps is None or scan_comps is None or scan_start is None:
-        raise ValueError("not a JPEG: missing SOF0/SOS")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    supported = {(1, 1)} | {(hmax, vmax)}
-    for c in comps:
-        if (c["h"], c["v"]) not in supported:
-            raise NotImplementedError(
-                f"sampling {c['h']}x{c['v']} with max {hmax}x{vmax} needs Pillow"
-            )
-    mcu_rows = -(-h // (8 * vmax))
-    mcu_cols = -(-w // (8 * hmax))
-    order = {c["id"]: c for c in comps}
-    scan = [
-        {**order[sc["cs"]], "dc": sc["dc"], "ac": sc["ac"]} for sc in scan_comps
-    ]
-    plane_coefs = [
-        np.zeros((mcu_rows * c["v"] * mcu_cols * c["h"], 8, 8), dtype=np.float64)
-        for c in scan
-    ]
-    br = _BitReader(content[scan_start:])
-    preds = [0] * len(scan)
-    mcu_index = 0
-    for mr in range(mcu_rows):
-        for mc in range(mcu_cols):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                m = br.at_marker()
-                if m is None or not (0xD0 <= m <= 0xD7):
-                    raise ValueError("not a JPEG: missing restart marker")
-                br.skip_marker()
-                preds = [0] * len(scan)
-            for ci, c in enumerate(scan):
-                dc_dec = huff.get((0, c["dc"]))
-                ac_dec = huff.get((1, c["ac"]))
-                if dc_dec is None or ac_dec is None:
-                    raise ValueError("not a JPEG: missing Huffman table")
-                cols_b = mcu_cols * c["h"]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        t = _decode_huff(br, dc_dec)
-                        preds[ci] += _extend(br.read_bits(t), t)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, ac_dec)
-                            r, s = rs >> 4, rs & 0xF
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("not a JPEG: AC index overflow")
-                            zz[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                        bi = (mr * c["v"] + by) * cols_b + (mc * c["h"] + bx)
-                        plane_coefs[ci][bi] = zz[_UNZIGZAG].reshape(8, 8)
-            mcu_index += 1
+    if comps is None or not any_scan or geom is None:
+        raise ValueError("not a JPEG: missing SOF/SOS")
 
     planes = []
-    for ci, c in enumerate(scan):
-        coef = plane_coefs[ci] * qt[c["tq"]]
+    for c in comps:
+        if c["tq"] not in qt:
+            # round-9 ADVICE #3: SOF referencing a never-defined DQT id
+            raise ValueError(f"not a JPEG: quant table {c['tq']} never defined")
+        zz = coefs[c["ci"]].astype(np.float64)[:, _UNZIGZAG].reshape(-1, 8, 8)
+        coef = zz * qt[c["tq"]]
         blks = np.einsum("ji,njk,kl->nil", _C, coef, _C) + 128.0
-        ph, pw = mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8
+        ph = geom["mcu_rows"] * c["v"] * 8
+        pw = geom["mcu_cols"] * c["h"] * 8
         plane = _unblocks(blks, ph, pw)
-        if c["h"] < hmax or c["v"] < vmax:
+        if c["h"] < geom["hmax"] or c["v"] < geom["vmax"]:
             plane = np.repeat(
-                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+                np.repeat(plane, geom["vmax"] // c["v"], axis=0),
+                geom["hmax"] // c["h"],
+                axis=1,
             )
         planes.append(plane[:h, :w])
     if len(planes) == 1:
