@@ -2416,8 +2416,73 @@ LIMIT 5
 """
 
 
+def mrl_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED Matryoshka ANN — completes the filtered family (IVF in
+    round 9, graph + BQ this round): the label predicate pushed into the
+    stored-prefix coarse scan, which then reads only (vec_id, label,
+    prefix) for qualifying row groups; `_BQ_CAND` candidates over the
+    FILTERED corpus, exact full-width rerank. Same no-recall-mechanism
+    property as filtered BQ: the prefix rank has no probe set a
+    predicate could starve."""
+    store = _compressed_store(spark, sf_dir)
+    fe = store.filter(F.col("label") == 1)
+    qp = store.filter(F.col("vec_id") == 0).select(F.col("prefix").alias("qprefix"))
+    cand = (
+        fe.select("vec_id", "prefix")
+        .crossJoin(F.broadcast(qp))
+        .select(
+            "vec_id",
+            F.round(l2_distance(F.col("prefix"), F.col("qprefix")), 6).alias("cd"),
+        )
+        .orderBy("cd", "vec_id")
+        .limit(_BQ_CAND)
+        .select("vec_id")
+    )
+    q = store.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    return (
+        fe.select("vec_id", "label", "embedding")
+        .join(F.broadcast(cand), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                l2_distance(F.col("embedding").cast("array<double>"), F.col("qvec")),
+                6,
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+    )
+
+
+MRL_FILTERED_KNN_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
+),
+cand AS (
+  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, q.qvec,
+         round(list_distance(CAST(e.embedding AS DOUBLE[])[1:{_MRL_DIM}],
+                             q.qvec[1:{_MRL_DIM}]), 6) AS cd
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = 1
+  ORDER BY cd, e.vec_id
+  LIMIT {_BQ_CAND}
+)
+SELECT vec_id, label,
+       round(round(list_distance(v, qvec), 6), 4) AS score
+FROM cand
+ORDER BY round(list_distance(v, qvec), 6), vec_id
+LIMIT 5
+"""
+
+
 QUERIES = [
     QuerySpec("bq_knn", bq_knn, BQ_KNN_SQL, "X61 binary-quantization ANN over the STORED packed-sign-bit column (coarse scan reads d/8 bytes/vector) + exact rerank (round 9 storage)"),
+    QuerySpec("mrl_filtered_knn", mrl_filtered_knn, MRL_FILTERED_KNN_SQL, "X66 FILTERED Matryoshka ANN: predicate pushed into the stored-prefix coarse scan, full-width rerank of filtered candidates (round 10)"),
     QuerySpec("bq_filtered_knn", bq_filtered_knn, BQ_FILTERED_KNN_SQL, "X66 FILTERED BQ ANN: predicate pushed into the packed coarse scan (PushedFilters pinned), exact rerank of filtered candidates (round 10)"),
     QuerySpec("mrl_knn", mrl_knn, MRL_KNN_SQL, "X61 Matryoshka two-stage ANN over the STORED 16-dim prefix column + full-width rerank (round 9 storage)"),
     QuerySpec("semdedup", semdedup, SEMDEDUP_SQL, "X2 SemDeDup semantic dedup (cluster-bounded pairwise + centroid-rank keep/drop)"),

@@ -477,3 +477,41 @@ def test_graph_filtered_knn_predicate_and_recall(spark):
     got = [r.score for r in rows]
     assert all(g >= e for g, e in zip(got, [d for _, d in exact])), (got, exact)
     assert len({r.vec_id for r in rows} & {v for v, _ in exact}) >= 4
+
+
+def test_mrl_filtered_knn_predicate_bounds_and_pruning(spark):
+    """X66 filtered MRL: predicate respected, distances bounded below by
+    the exact FILTERED top-5, and the prefix coarse scan carries the
+    pushed label filter while never reading the embedding bytes."""
+    from pdf_parse_vector_db_spark.functions.vector import l2_distance
+    from pdf_parse_vector_db_spark.plans.similarity import mrl_filtered_knn
+
+    df = mrl_filtered_knn(spark, SF)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.label == 1 for r in rows)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = [
+        r.d
+        for r in emb.filter(F.col("label") == 1)
+        .crossJoin(F.broadcast(q))
+        .select(F.round(l2_distance(F.col("embedding"), F.col("qvec")), 4).alias("d"))
+        .orderBy("d")
+        .limit(5)
+        .collect()
+    ]
+    assert all(g >= e for g, e in zip([r.score for r in rows], exact))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    coarse = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "prefix" in ln and "FileScan" in ln
+    ]
+    assert coarse, plan
+    for ln in coarse:
+        assert "embedding" not in ln, ln
+    assert any(
+        "EqualTo(label,1)" in ln.split("PushedFilters: ", 1)[-1].split("]", 1)[0]
+        for ln in coarse
+    ), coarse

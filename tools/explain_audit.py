@@ -126,6 +126,9 @@ AUDIT = {
     "ivf_filtered_knn": "label predicate PUSHED into the parquet scan (PushedFilters) BEFORE the coarse argmin — only qualifying vectors are assigned or scored; widened probe broadcast; TakeOrderedAndProject final cut",
     "bq_knn": "coarse FileScan projects ONLY (vec_id, label, packed) — ReadSchema excludes the embedding column (d/8 bytes/vector); Hamming = bit_count(xor) fold in codegen; rerank reads embeddings under a broadcast semi-join on 50 candidate ids; both cuts TakeOrderedAndProject",
     "mrl_knn": "coarse FileScan projects ONLY (vec_id, label, prefix) — ReadSchema excludes the embedding column (16/d of the float bytes); rerank reads embeddings under a broadcast semi-join; both cuts TakeOrderedAndProject",
+    "graph_knn_stored": "SEARCH-ONLY plan over the persisted graph artifact (the build happened once per session): entry rank + 4 hops, each an integer-id hash join of the ≤16-row beam into the stored (src,dst) FileScan + a TakeOrderedAndProject cut on the packed key; no NN-Descent stages anywhere in this plan",
+    "graph_filtered_knn": "ACORN filtered beam: rank stage joins the label-FILTERED embedding scan (predicate pushed), expansion joins 1- and 2-hop through the UNFILTERED graph on integer ids; widened 32-row beam localCheckpoints; TakeOrderedAndProject cuts; no CartesianProduct",
+    "bq_filtered_knn": "label predicate PUSHED into the packed coarse FileScan (PushedFilters: EqualTo(label,1), ReadSchema = (vec_id,label,packed) — no embedding bytes); Hamming fold in codegen; exact rerank over filtered candidates via broadcast semi-join",
 }
 
 

@@ -21,6 +21,20 @@ Prints one JSON line:
     {"n": ..., "rows": ..., "exact": bool, "max_ledger": ..,
      "max_live_commits": .., "max_manifests": ..,
      "heap_samples": [[i, mb], ...], "slope_kb_per_batch": ...}
+
+GRAPH SERVING MODE (round-10 verdict ask #7 — the regression harness
+that would have caught the round-9 unbounded-entry-set defect by
+measurement):
+    python tools/feed_soak.py [n_batches] --graph
+alternates ingest batches with CDC graph syncs AND live
+`search_knn_graph` calls, recording the per-search wall time and the
+entry-ledger cardinality per sync. The contract is FLATNESS: with the
+adoption-cleared ledger, per-search cost is O(beam + nlist + ledger),
+independent of cumulative churn; round 9's is_new entry set would have
+shown a linearly growing series here. Prints one JSON line:
+    {"mode": "graph", "n": ..., "search_ms": [[i, ms], ...],
+     "entry_ledger": [[i, count], ...], "search_slope_ms_per_batch": ...,
+     "tail_over_head_ratio": ..., "flat": bool, "self_hit": bool}
 """
 
 from __future__ import annotations
@@ -144,5 +158,97 @@ def main() -> None:
     sys.exit(0 if exact else 1)
 
 
+def _fit_slope(samples: list[tuple[int, float]]) -> float:
+    tail = samples[len(samples) // 2 :]
+    xs = [s[0] for s in tail]
+    ys = [s[1] for s in tail]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    denom = sum((x - mx) ** 2 for x in xs) or 1.0
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def main_graph(n: int) -> None:
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pdf_parse_vector_db_spark.plans import knn_graph as kg
+    from pdf_parse_vector_db_spark.session import get_spark
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    spark = get_spark("graph_serve_soak", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="graph_soak_")
+    src = f"{root}/source"
+    gt = f"{root}/graph"
+    rows_per_batch = 10
+    dim = 8
+
+    def mk_batch(i: int):
+        lo = i * rows_per_batch
+        return spark.range(lo, lo + rows_per_batch).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[((F.col("id") * (j + 3) + j * j) % 97).cast("float") for j in range(dim)]
+            ).alias("embedding"),
+            (F.col("id") % 3).cast("int").alias("label"),
+        )
+
+    qvec = [float((7 * (j + 3) + j * j) % 97) for j in range(dim)]  # = vec 7
+    cursor = 0
+    search_ms: list[tuple[int, float]] = []
+    ledger: list[tuple[int, int]] = []
+    self_hit = True
+    for i in range(n):
+        M.commit_append(spark, src, mk_batch(i), idempotency_key=f"gsoak-b{i}")
+        cursor = kg.sync_knn_graph_from_feed(spark, src, gt, cursor)
+        if i % 10 == 9:
+            # the X56 lesson applies to the serving loop too: one commit
+            # leg per batch makes every snapshot scan grow linearly —
+            # bound the legs so the latency series measures the SEARCH,
+            # not commit-list accrual (compaction is CDC-transparent)
+            M.maybe_compact(spark, src, max_live_commits=10)
+            M.maybe_compact(spark, gt, max_live_commits=10)
+        _, pend = M.snapshot(spark, kg.graph_entry_table(gt))
+        ledger.append((i, 0 if pend is None else pend.count()))
+        t0 = time.perf_counter()
+        got = kg.search_knn_graph(spark, src, gt, qvec, k=5).collect()
+        search_ms.append((i, round((time.perf_counter() - t0) * 1000, 1)))
+        if i >= 1 and (not got or got[0].score != 0.0):
+            self_hit = False
+            print(f"graph soak: lost self-hit at batch {i}: {got}", file=sys.stderr)
+
+    slope = _fit_slope(search_ms)
+    # flatness: the last quarter's median search must stay within 1.5x of
+    # the second quarter's (first quarter = JVM/codegen warmup)
+    q = max(1, n // 4)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    head = med([ms for _, ms in search_ms[q : 2 * q]])
+    tail = med([ms for _, ms in search_ms[-q:]])
+    ratio = round(tail / head, 3) if head else 0.0
+    flat = ratio <= 1.5
+    print(
+        json.dumps(
+            {
+                "mode": "graph",
+                "n": n,
+                "rows": n * rows_per_batch,
+                "search_ms": search_ms,
+                "entry_ledger": ledger,
+                "max_ledger": max(c for _, c in ledger),
+                "search_slope_ms_per_batch": round(slope, 2),
+                "tail_over_head_ratio": ratio,
+                "flat": flat,
+                "self_hit": self_hit,
+            }
+        )
+    )
+    sys.exit(0 if (flat and self_hit) else 1)
+
+
 if __name__ == "__main__":
-    main()
+    if "--graph" in sys.argv[1:]:
+        args = [a for a in sys.argv[1:] if a != "--graph"]
+        main_graph(int(args[0]) if args else 120)
+    else:
+        main()
