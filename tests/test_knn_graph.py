@@ -498,3 +498,56 @@ def test_entry_ledger_isolated_cohorts_and_adoption_clear(spark, planted, tmp_pa
     assert 3 not in got2, got2
     assert set(range(cut, 20 * _PER_CLUSTER)) <= got2, got2
     assert got2 <= set(range(cut, 20 * _PER_CLUSTER)) | {n + j for j in range(8)}
+
+
+def test_entry_ledger_crash_between_commits_replays_exactly_once(
+    spark, planted, tmp_path, monkeypatch
+):
+    """The ledger commit rides BEFORE the graph merge so a crash between
+    the two is replayable: first attempt commits the entries table then
+    dies at the merge; the replay (same cursor) recomputes the identical
+    diff against the still-unmerged graph, no-ops the ledger replace on
+    its idempotency key, and completes the merge — ending in exactly the
+    state an uncrashed sync produces (entries AND graph), with no
+    double-application on a further replay."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    d, vecs = planted
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    cut = 18 * _PER_CLUSTER
+    src = str(tmp_path / "src")
+    gt = str(tmp_path / "graph")
+    M.commit_append(spark, src, emb.filter(F.col("vec_id") < cut))
+    cursor = kg.sync_knn_graph_from_feed(spark, src, gt, 0)
+    M.commit_append(spark, src, emb.filter(F.col("vec_id") >= cut))
+
+    real_merge = M.commit_merge
+    calls = {"n": 0}
+
+    def dying_merge(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash after entries commit, before merge")
+
+    monkeypatch.setattr(M, "commit_merge", dying_merge)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        kg.sync_knn_graph_from_feed(spark, src, gt, cursor)
+    assert calls["n"] == 1
+    e_v = M.head_version(spark, kg.graph_entry_table(gt))
+    assert e_v >= 1  # entries committed before the crash
+    g_v = M.head_version(spark, gt)
+
+    monkeypatch.setattr(M, "commit_merge", real_merge)
+    c2 = kg.sync_knn_graph_from_feed(spark, src, gt, cursor)
+    assert M.head_version(spark, gt) > g_v  # merge completed on replay
+    # ledger replace no-oped on its key: version unchanged by the replay
+    assert M.head_version(spark, kg.graph_entry_table(gt)) == e_v
+    # a further full replay of the same window is a no-op on BOTH tables
+    g_v2 = M.head_version(spark, gt)
+    assert kg.sync_knn_graph_from_feed(spark, src, gt, cursor) == c2
+    assert M.head_version(spark, gt) == g_v2
+    assert M.head_version(spark, kg.graph_entry_table(gt)) == e_v
+    # and the pending set is the inserted blocks, as in the uncrashed path
+    _, pend = M.snapshot(spark, kg.graph_entry_table(gt))
+    assert {r.vec_id for r in pend.collect()} == set(
+        range(cut, 20 * _PER_CLUSTER)
+    )
