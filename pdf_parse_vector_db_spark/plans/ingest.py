@@ -251,10 +251,95 @@ GROUP BY court_level
 ORDER BY court_level
 """
 
+#: Lines per rendered PDF page for pdf_roundtrip_ingest (pagination at
+#: line boundaries so the reference's "\n".join(pages) reconstruction
+#: (extract_and_embed.py:91) is the exact inverse of the split).
+_PDF_LINES_PER_PAGE = 40
+
+
+def pdf_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 real-tier proof (round 10): every document is RENDERED into an
+    actual %PDF byte stream (operators/pdf_codec.write_pdf — Helvetica
+    content streams, FlateDecode, classic xref) and parsed straight back
+    by the pure-stdlib reader (xref walk → page tree → BT/ET text
+    machine), all inside one Arrow batch. The surfaced sha256 is computed
+    over the EXTRACTED text, so the oracle's sha256 over the original
+    column hash-matches only if the writer→parser loop reproduces every
+    byte of every document — the PDF layer must cancel exactly.
+
+    Scale: pure map over documents (no shuffle, no driver involvement);
+    each row renders+parses independently, so the stage parallelises to
+    arbitrary partition counts and ~100 TB corpora; output is 4 narrow
+    columns."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdf_parse_vector_db_spark.operators import pdf_codec
+
+    def _roundtrip(texts):
+        pages_out, chars_out, sha_out = [], [], []
+        for text in texts:
+            text = text or ""
+            lines = text.split("\n")
+            pages = [
+                "\n".join(lines[i : i + _PDF_LINES_PER_PAGE])
+                for i in range(0, len(lines), _PDF_LINES_PER_PAGE)
+            ] or [""]
+            pdf_bytes = pdf_codec.write_pdf(pages)
+            extracted = pdf_codec.extract_pages(pdf_bytes)
+            text2 = "\n".join(extracted)  # extract_and_embed.py:91
+            pages_out.append(len(extracted))
+            chars_out.append(len(text2))
+            sha_out.append(hashlib.sha256(text2.encode()).hexdigest())
+        return pd.DataFrame(
+            {"n_pages": pages_out, "n_chars": chars_out, "text_sha": sha_out}
+        )
+
+    # no type hints on purpose: the hinted Series→DataFrame form is
+    # rejected by Spark 4's signature checker; the explicit returnType
+    # carries the struct schema instead
+    roundtrip = F.pandas_udf(
+        _roundtrip, "struct<n_pages:int,n_chars:int,text_sha:string>"
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rt = roundtrip(F.col("text")).alias("rt")
+    return (
+        docs.select("doc_id", rt)
+        .select(
+            "doc_id",
+            F.col("rt.n_pages").alias("n_pages"),
+            F.col("rt.n_chars").alias("n_chars"),
+            F.col("rt.text_sha").alias("text_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PDF_ROUNDTRIP_SQL = f"""
+SELECT doc_id,
+       greatest(1, CAST(ceil((length(text) - length(replace(text, chr(10), '')) + 1)
+                             / {_PDF_LINES_PER_PAGE}.0) AS INT)) AS n_pages,
+       CAST(length(text) AS INT) AS n_chars,
+       sha256(text) AS text_sha
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("classify_decision", classify_decision, CLASSIFY_DECISION_SQL, "F4 cascade, all branches"),
     QuerySpec("classify_doctype", classify_doctype, CLASSIFY_DOCTYPE_SQL, "F5 cascade, all branches"),
     QuerySpec("classify_context", classify_context, CLASSIFY_CONTEXT_SQL, "F6 cascade, all branches"),
     QuerySpec("ingest_chunks", ingest_chunks, INGEST_CHUNKS_SQL, "T1+F8+F4 ingest pipeline"),
     QuerySpec("ingest_stats", ingest_stats, INGEST_STATS_SQL, "A6 ingest accounting"),
+    QuerySpec(
+        "pdf_roundtrip_ingest",
+        pdf_roundtrip_ingest,
+        PDF_ROUNDTRIP_SQL,
+        "S1 real tier: render documents to actual PDFs and parse back with "
+        "the pure-stdlib codec; sha256 over extracted text must equal the "
+        "oracle's sha256 over the source column (byte-exact loop)",
+    ),
 ]

@@ -10,13 +10,18 @@ page 1 at extract_and_embed_v2.py:398). The engine restatement:
   → Arrow-batched extraction UDF (one PDF per row, pages joined in order)
   → documents-shaped DataFrame (file_name, file_id = sha2(name), text)
 
-PyMuPDF is not installed in this container, so extraction follows the
-multimodal decode pattern (operators/multimodal.py): `real=True` routes to
-fitz behind an import-try (NotImplementedError when absent, marking exactly
-where the real decoder plugs in); the offline tier treats the payload as
-UTF-8 with form-feed page breaks — the page-iteration and "\\n"-join
-semantics are identical, so the distributed plumbing (binary scan, batch
-shape, identity derivation, downstream chunk/embed) is fully exercised.
+Three extraction tiers (round 10 made the real one dependency-free):
+
+  * tier="pdf" (the default for real=True): the pure-stdlib PDF parser in
+    operators/pdf_codec.py — actual %PDF bytes in (xref tables/streams,
+    FlateDecode, content-stream text machine), per-page text out. Same
+    posture as the JPEG/PNG/WAV codecs: the format is implemented, not
+    faked, so `real=True` works in this container.
+  * tier="fitz": PyMuPDF behind an import-try (NotImplementedError when
+    absent) — the optional parity upgrade for exotic wild PDFs.
+  * tier="offline" (default): payload treated as UTF-8 with form-feed
+    page breaks — the fast deterministic tier for plumbing tests; the
+    page-iteration and "\\n"-join semantics are identical across tiers.
 
 Scale: binaryFile scans split per file and prune on path glob; extraction
 is a pure map (no shuffle); the 16 MB request cap (extract_and_embed.py:20)
@@ -57,6 +62,37 @@ def _extract_pages_fitz(content: bytes) -> list[str]:
     return [page.get_text() for page in doc]
 
 
+def _extract_pages_pdf(content: bytes) -> list[str]:
+    """Real tier: parse the actual PDF byte stream (operators/pdf_codec —
+    xref, filters, page tree, BT/ET text machine) and return per-page text
+    in raw reading order, the `[page.get_text() for page in doc]` analog
+    (extract_and_embed.py:90-91)."""
+    from pdf_parse_vector_db_spark.operators import pdf_codec  # noqa: PLC0415
+
+    return pdf_codec.parse_pdf(bytes(content)).extract_pages()
+
+
+def _first_page_pdf(content: bytes) -> str:
+    """Real tier, metadata path: page-1 text in top-to-bottom /
+    left-to-right DEVICE order — the doc[0].get_text(sort=True) analog
+    (extract_and_embed_v2.py:398)."""
+    from pdf_parse_vector_db_spark.operators import pdf_codec  # noqa: PLC0415
+
+    return pdf_codec.first_page_sorted(bytes(content))
+
+
+def _resolve_tier(real: bool, tier: str | None) -> str:
+    if tier is None:
+        tier = "pdf" if real else "offline"
+    if tier not in ("offline", "pdf", "fitz"):
+        raise ValueError(f"unknown PDF extraction tier {tier!r}")
+    return tier
+
+
+_PAGES_BY_TIER = {}  # populated below once all tiers are defined
+_FIRST_BY_TIER = {}
+
+
 def _first_page_offline(content: bytes) -> str:
     pages = _extract_pages_offline(content)
     return pages[0] if pages else ""
@@ -79,13 +115,21 @@ def _first_page_fitz(content: bytes) -> str:
     return doc[0].get_text(sort=True) if doc.page_count else ""
 
 
-def first_page_text_udf(real: bool = False):
+_PAGES_BY_TIER.update(
+    offline=_extract_pages_offline, pdf=_extract_pages_pdf, fitz=_extract_pages_fitz
+)
+_FIRST_BY_TIER.update(
+    offline=_first_page_offline, pdf=_first_page_pdf, fitz=_first_page_fitz
+)
+
+
+def first_page_text_udf(real: bool = False, tier: str | None = None):
     """binary content → page-1 text for the metadata extractors (case
-    number / parties / dates, plans/metadata.py). Real tier: sorted
+    number / parties / dates, plans/metadata.py). Real tiers: sorted
     reading-order text per the reference; offline tier: the first
     form-feed segment (identical on the fixtures, where pages are
     single-column by construction)."""
-    extract = _first_page_fitz if real else _first_page_offline
+    extract = _FIRST_BY_TIER[_resolve_tier(real, tier)]
 
     @F.pandas_udf("string")
     def first_page(contents: pd.Series) -> pd.Series:
@@ -94,11 +138,11 @@ def first_page_text_udf(real: bool = False):
     return first_page
 
 
-def extract_text_udf(real: bool = False):
+def extract_text_udf(real: bool = False, tier: str | None = None):
     """binary content → full text: per-page extraction + ordered "\\n" join
     (the A7 concatenating aggregate happens inside the batch — pages of one
     file never cross rows, so no shuffle is involved)."""
-    extract = _extract_pages_fitz if real else _extract_pages_offline
+    extract = _PAGES_BY_TIER[_resolve_tier(real, tier)]
 
     @F.pandas_udf("string")
     def extract_text(contents: pd.Series) -> pd.Series:
@@ -125,6 +169,7 @@ def pdf_documents(
     path: str,
     real: bool = False,
     enforce_upload_cap: bool = True,
+    tier: str | None = None,
 ) -> DataFrame:
     """Full S1 source: directory → documents-shaped DataFrame
     (file_name, file_id, n_bytes, text), ready for the ingest plan
@@ -135,8 +180,8 @@ def pdf_documents(
     return files.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
-        extract_text_udf(real)(F.col("content")).alias("text"),
+        extract_text_udf(real, tier)(F.col("content")).alias("text"),
         # metadata extractors read page 1 in reading order (sort=True in
         # the real tier) — a separate extraction call, like the reference
-        first_page_text_udf(real)(F.col("content")).alias("page1"),
+        first_page_text_udf(real, tier)(F.col("content")).alias("page1"),
     ).withColumn("file_id", F.sha2(F.col("file_name"), 256))

@@ -129,6 +129,7 @@ AUDIT = {
     "graph_knn_stored": "SEARCH-ONLY plan over the persisted graph artifact (the build happened once per session): entry rank + 4 hops, each an integer-id hash join of the ≤16-row beam into the stored (src,dst) FileScan + a TakeOrderedAndProject cut on the packed key; no NN-Descent stages anywhere in this plan",
     "graph_filtered_knn": "ACORN filtered beam: rank stage joins the label-FILTERED embedding scan (predicate pushed), expansion joins 1- and 2-hop through the UNFILTERED graph on integer ids; widened 32-row beam localCheckpoints; TakeOrderedAndProject cuts; no CartesianProduct",
     "bq_filtered_knn": "label predicate PUSHED into the packed coarse FileScan (PushedFilters: EqualTo(label,1), ReadSchema = (vec_id,label,packed) — no embedding bytes); Hamming fold in codegen; exact rerank over filtered candidates via broadcast semi-join",
+    "pdf_roundtrip_ingest": "single ArrowEvalPython stage over the documents scan (ReadSchema = doc_id,text only) — render-to-PDF + parse-back is a pure per-row map, no shuffle except the final presentation sort; no CartesianProduct",
 }
 
 
