@@ -314,6 +314,155 @@ class SparkVectorService:
             self._cache[key] = copy.deepcopy(out)
         return out
 
+    def range_search(
+        self,
+        text: str,
+        court_level: int,
+        radius: float,
+        range_filter: float = 0.0,
+        index: str = "exact",
+    ) -> list[dict]:
+        """Milvus RANGE-SEARCH parity on the product facade (pymilvus
+        search(param={"radius": ..., "range_filter": ...})): every
+        best-per-file hit whose L2 distance lies in
+        [range_filter, radius) — L2 is this store's metric, so `radius`
+        is the OUTER (worse) bound and `range_filter` the inner one,
+        exactly Milvus' convention per metric type. No top-k cut: the
+        bounds, not a limit, size the result.
+
+        Tier routing reuses the search_similar_cases candidate stages;
+        non-exact tiers bound their candidate pool at the over-fetch
+        width, so `exact` (the default) is the completeness tier and the
+        ANN tiers are the latency tiers — same trade as Milvus documents
+        for range search on an index."""
+        if radius <= range_filter:
+            raise ValueError("radius must exceed range_filter (L2: outer bound)")
+        if index not in ("exact", "ivf", "graph", "bq"):
+            raise ValueError("index must be one of: exact, ivf, graph, bq")
+        if not text or not text.strip():
+            raise ValueError("No text could be extracted from the PDF")
+        target = int(court_level) + 1
+        qvec = None
+        for first_chunk in chunk_text(text):
+            qvec = embed_text_py(first_chunk, self.dim)
+            if qvec is not None:
+                break
+        if qvec is None:
+            raise ValueError("No text could be extracted from the PDF")
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        if self.manifested:
+            from pdf_parse_vector_db_spark.sources import manifest as M
+
+            version = M.head_version(self.spark, self.path)
+        else:
+            version = self._version
+
+        with scoped_pool(self.spark, "search"):
+            if index == "exact":
+                hits = (
+                    self._chunks()
+                    .filter(F.col("court_level") == target)
+                    .withColumn("dist", l2_distance(F.col("embedding"), q))
+                    # band filter BEFORE any ordering: the scan + filter
+                    # is the whole corpus-proportional work
+                    .filter(
+                        (F.col("dist") < float(radius))
+                        & (F.col("dist") >= float(range_filter))
+                    )
+                )
+            else:
+                hits = self._tier_candidates(index, version, target, qvec, q).filter(
+                    (F.col("dist") < float(radius))
+                    & (F.col("dist") >= float(range_filter))
+                )
+            best = knn.dedup_best_per_group(
+                hits, group_col="file_id", score_col="dist", tiebreak_cols=("chunk_id",)
+            )
+            rows = (
+                best.orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
+                .select(
+                    "chunk_id",
+                    "file_id",
+                    "file_name",
+                    "case_decision",
+                    F.round(F.col("dist"), 4).alias("score"),
+                )
+                .collect()
+            )
+        return [r.asDict() for r in rows]
+
+    def search_iterator(
+        self,
+        text: str,
+        court_level: int,
+        batch_size: int = 10,
+        index: str = "exact",
+    ):
+        """Milvus SEARCH-ITERATOR parity: a generator of successive
+        result pages (each a list of best-per-file hit dicts in
+        ascending-distance order), pymilvus `search_iterator(
+        batch_size=...)`'s next()/close() loop.
+
+        Spark shape: ONE bounded job materialises the deduped ranking at
+        the over-fetch width (SEARCH_FETCH_K), then pages slice locally —
+        a page fetch must not re-run a cluster job, and deep paging past
+        the over-fetch width is an explicit iterator exhaustion (Milvus
+        iterators likewise page within the engine's reduced result set)."""
+        if batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        if index not in ("exact", "ivf", "graph", "bq"):
+            raise ValueError("index must be one of: exact, ivf, graph, bq")
+        if not text or not text.strip():
+            raise ValueError("No text could be extracted from the PDF")
+        target = int(court_level) + 1
+        qvec = None
+        for first_chunk in chunk_text(text):
+            qvec = embed_text_py(first_chunk, self.dim)
+            if qvec is not None:
+                break
+        if qvec is None:
+            raise ValueError("No text could be extracted from the PDF")
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        if self.manifested:
+            from pdf_parse_vector_db_spark.sources import manifest as M
+
+            version = M.head_version(self.spark, self.path)
+        else:
+            version = self._version
+
+        with scoped_pool(self.spark, "search"):
+            if index == "exact":
+                hits = (
+                    self._chunks()
+                    .filter(F.col("court_level") == target)
+                    .withColumn("dist", l2_distance(F.col("embedding"), q))
+                    .orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
+                    .limit(SEARCH_FETCH_K)
+                )
+            else:
+                hits = self._tier_candidates(index, version, target, qvec, q)
+            best = knn.dedup_best_per_group(
+                hits, group_col="file_id", score_col="dist", tiebreak_cols=("chunk_id",)
+            )
+            rows = (
+                best.orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
+                .select(
+                    "chunk_id",
+                    "file_id",
+                    "file_name",
+                    "case_decision",
+                    F.round(F.col("dist"), 4).alias("score"),
+                )
+                .collect()
+            )
+        ranked = [r.asDict() for r in rows]
+
+        def pages():
+            for i in range(0, len(ranked), batch_size):
+                yield ranked[i : i + batch_size]
+
+        return pages()
+
     # -- ANN-tier candidate stages (round 10) --------------------------------
 
     #: widened probe for the IVF tier: the court_level predicate already

@@ -579,6 +579,103 @@ ORDER BY pre.rank
 """
 
 
+#: Milvus range-search bounds (COSINE metric: `radius` is the WORSE bound,
+#: `range_filter` the better one — pymilvus search(param={"radius": ...,
+#: "range_filter": ...}); hits satisfy radius < sim <= range_filter).
+RANGE_RADIUS = 0.15
+RANGE_FILTER = 0.30
+
+
+def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milvus RANGE SEARCH parity (round 10): return EVERY vector whose
+    cosine similarity to the query falls inside (radius, range_filter] —
+    no top-k cut; the result set size is data-dependent, which is the
+    point of the API (dedup radii, recall sweeps, "all plausibly-related
+    cases" product queries).
+
+    Plan shape at scale: single pruned scan → similarity in whole-stage
+    codegen → both bounds as a codegen filter → presentation sort of only
+    the qualifying rows (the band is sparse by construction: the bounds,
+    not the corpus, size the output). Compared on round(sim, 6) so the
+    band edges are engine-stable."""
+    from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    sim = F.round(
+        cosine_similarity(
+            F.col("embedding").cast("array<double>"),
+            F.col("qvec").cast("array<double>"),
+        ),
+        6,
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .withColumn("score", sim)
+        .filter((F.col("score") > RANGE_RADIUS) & (F.col("score") <= RANGE_FILTER))
+        .select("vec_id", "label", "score")
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    )
+
+
+RANGE_SEARCH_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, score FROM scored
+WHERE score > {RANGE_RADIUS} AND score <= {RANGE_FILTER}
+ORDER BY score DESC, vec_id
+"""
+
+
+#: search_iterator page geometry: page 3 of size 10 (ranks 21..30) — deep
+#: enough that the page is disjoint from every top-k query's result.
+PAGE_SIZE = 10
+PAGE_NO = 3
+
+
+def search_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milvus SEARCH-ITERATOR parity (round 10): deterministic deep
+    paging through a similarity ranking — the keyset page the client's
+    third `next()` would fetch (pymilvus search_iterator(batch_size=10)).
+
+    Plan shape: the ranking is a single window over the label-pruned
+    scored scan; the page filter collapses to rank BETWEEN bounds so
+    Spark's WindowGroupLimit pushes the cut below the sort at scale.
+    Ties broken by vec_id, so every page is stable across engines and
+    re-executions — the property a scrolling API must have."""
+    w = Window.orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    lo, hi = (PAGE_NO - 1) * PAGE_SIZE, PAGE_NO * PAGE_SIZE
+    return (
+        _scored_hits(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") > lo) & (F.col("rnk") <= hi))
+        .select("rnk", "vec_id", "label", F.round(F.col("dist"), 4).alias("score"))
+        .orderBy("rnk")
+    )
+
+
+SEARCH_PAGINATION_SQL = f"""
+{_HITS_SQL}
+, ranked AS (
+  SELECT vec_id, label, dist,
+         row_number() OVER (ORDER BY dist, vec_id) AS rnk
+  FROM hits
+)
+SELECT rnk, vec_id, label, round(dist, 4) AS score
+FROM ranked
+WHERE rnk > {(PAGE_NO - 1) * PAGE_SIZE} AND rnk <= {PAGE_NO * PAGE_SIZE}
+ORDER BY rnk
+"""
+
+
 QUERIES = [
     QuerySpec("knn_topk", knn_topk, KNN_TOPK_SQL, "J1/P2/W1 filtered exact kNN top-5"),
     QuerySpec("knn_prepost_filter", knn_prepost_filter, KNN_PREPOST_FILTER_SQL, "pushed-filter vs post-filter retrieval audit"),
@@ -588,4 +685,16 @@ QUERIES = [
     QuerySpec("search_similar", search_similar, SEARCH_SIMILAR_SQL, "flagship read path: overfetch→dedup→top5"),
     QuerySpec("search_stats", search_stats, SEARCH_STATS_SQL, "A2-A5 win statistics"),
     QuerySpec("knn_topk_per_label", knn_topk_per_label, KNN_TOPK_PER_LABEL_SQL, "X4 grouped top-k"),
+    QuerySpec(
+        "range_search",
+        range_search,
+        RANGE_SEARCH_SQL,
+        "Milvus range-search parity: all hits in (radius, range_filter], no top-k cut",
+    ),
+    QuerySpec(
+        "search_pagination",
+        search_pagination,
+        SEARCH_PAGINATION_SQL,
+        "Milvus search_iterator parity: deterministic deep page (ranks 21-30)",
+    ),
 ]

@@ -263,3 +263,87 @@ def test_ann_tier_routing_golden_shape_and_recall(spark, tmp_path):
             b"case_best.pdf"
         ).hexdigest(), tier
         assert resp["results"][0]["score"] <= 0.0001, tier
+
+
+def test_range_search_band_semantics(spark, tmp_path):
+    """Milvus range-search parity on the facade: L2 band
+    [range_filter, radius) — the OUTER bound is `radius` per Milvus'
+    L2 convention — over best-per-file hits, no top-k cut; results in
+    ascending distance; band edges honoured against the exact ranking."""
+    svc = SparkVectorService(spark, str(tmp_path / "wh"))
+    for i in range(6):
+        svc.ingest_legal_document(
+            f"case_{i}.pdf",
+            DOC + f" distinctive clause {i} " + ("lorem ipsum %d " % i) * (i + 3),
+            court_level=3,
+        )
+    # the full exact ranking (no band) as ground truth
+    all_hits = svc.range_search(QUERY, court_level=2, radius=1e9)
+    assert len(all_hits) == 6  # one best hit per file, no limit-5 cut
+    scores = [h["score"] for h in all_hits]
+    assert scores == sorted(scores)
+    assert len({h["file_id"] for h in all_hits}) == 6
+
+    # Bands clip on the RAW L2 distance (the metric, as Milvus does);
+    # reported scores are rounded to 4 dp, so band edges are placed a
+    # half-ulp (5e-5) past the rounded values. The embedder ties the five
+    # variant docs at round-4 while the best file sits strictly closer —
+    # so these two bands split 1 / 5 and exercise both bound directions.
+    lo, hi = scores[0], scores[1]
+    assert hi > lo  # the best file is strictly closer than the cohort
+    eps = 5e-5
+    band = svc.range_search(QUERY, court_level=2, radius=lo + eps)
+    assert len(band) == 1 and band[0]["score"] == lo
+    assert band[0]["chunk_id"] == all_hits[0]["chunk_id"]
+    cohort = svc.range_search(
+        QUERY, court_level=2, radius=hi + eps, range_filter=lo + eps
+    )
+    # all five tied files enter through the inner-inclusive bound; the
+    # best file's CLOSEST chunk is excluded, but dedup runs after the
+    # band filter, so the file may legitimately re-enter via a farther
+    # chunk that lands inside the band (per-file semantics preserved)
+    assert {h["file_id"] for h in cohort} >= {h["file_id"] for h in all_hits[1:]}
+    assert all(h["score"] == hi for h in cohort)
+    best_in_cohort = [
+        h for h in cohort if h["file_id"] == all_hits[0]["file_id"]
+    ]
+    for h in best_in_cohort:
+        assert h["chunk_id"] != all_hits[0]["chunk_id"]  # a farther chunk
+
+    with pytest.raises(ValueError, match="radius must exceed"):
+        svc.range_search(QUERY, court_level=2, radius=0.1, range_filter=0.5)
+    with pytest.raises(ValueError, match="index must be"):
+        svc.range_search(QUERY, court_level=2, radius=1.0, index="hnsw")
+    # ANN tier routes through the same band filter (pool-bounded)
+    ivf_band = svc.range_search(
+        QUERY, court_level=2, radius=hi, range_filter=lo, index="ivf"
+    )
+    assert {h["file_id"] for h in ivf_band} <= {h["file_id"] for h in all_hits}
+
+
+def test_search_iterator_pages_cover_ranking_once(spark, tmp_path):
+    """Milvus search_iterator parity: successive pages of batch_size in
+    ascending-distance order; concatenation equals the deduped ranking
+    exactly once; exhaustion ends the generator; one Spark job total."""
+    svc = SparkVectorService(spark, str(tmp_path / "wh"))
+    for i in range(7):
+        svc.ingest_legal_document(
+            f"case_{i}.pdf",
+            DOC + f" distinctive clause {i} " + ("lorem ipsum %d " % i) * (i + 3),
+            court_level=3,
+        )
+    full = svc.range_search(QUERY, court_level=2, radius=1e9)
+    pages = list(svc.search_iterator(QUERY, court_level=2, batch_size=3))
+    assert [len(p) for p in pages] == [3, 3, 1]  # 7 hits in 3/3/1
+    flat = [h for p in pages for h in p]
+    assert [h["chunk_id"] for h in flat] == [h["chunk_id"] for h in full]
+    scores = [h["score"] for h in flat]
+    assert scores == sorted(scores)
+
+    with pytest.raises(ValueError, match="batch_size"):
+        svc.search_iterator(QUERY, court_level=2, batch_size=0)
+    # a tier-routed iterator serves the same page shape
+    it = svc.search_iterator(QUERY, court_level=2, batch_size=4, index="bq")
+    first = next(it)
+    assert 1 <= len(first) <= 4
+    assert [h["score"] for h in first] == sorted(h["score"] for h in first)

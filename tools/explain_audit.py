@@ -130,6 +130,8 @@ AUDIT = {
     "graph_filtered_knn": "ACORN filtered beam: rank stage joins the label-FILTERED embedding scan (predicate pushed), expansion joins 1- and 2-hop through the UNFILTERED graph on integer ids; widened 32-row beam localCheckpoints; TakeOrderedAndProject cuts; no CartesianProduct",
     "bq_filtered_knn": "label predicate PUSHED into the packed coarse FileScan (PushedFilters: EqualTo(label,1), ReadSchema = (vec_id,label,packed) — no embedding bytes); Hamming fold in codegen; exact rerank over filtered candidates via broadcast semi-join",
     "pdf_roundtrip_ingest": "single ArrowEvalPython stage over the documents scan (ReadSchema = doc_id,text only) — render-to-PDF + parse-back is a pure per-row map, no shuffle except the final presentation sort; no CartesianProduct",
+    "range_search": "single scan + broadcast query attach; BOTH band bounds in whole-stage codegen BEFORE the presentation sort (the sort sees only qualifying rows); no top-k operator by design; no CartesianProduct",
+    "search_pagination": "ranking window rides the 100-row over-fetch (TakeOrderedAndProject), so the single-partition window is bounded at fetch_k regardless of corpus size; page filter on row_number; no CartesianProduct",
 }
 
 
