@@ -191,6 +191,121 @@ def search_compressed_layout(
     )
 
 
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (round 10, X71): the third classic compression
+# tier beside PQ (codebooks) and BQ (sign bits) — Milvus IVF_SQ8 / FAISS
+# ScalarQuantizer parity. Each dimension maps affinely onto one BYTE:
+#   code = clamp(round((v - min_d) / (max_d - min_d) * 255), 0, 255)
+# with per-dimension (min_d, max_d) TRAINED over the corpus (a global
+# statistic, like IVF's quantizer and unlike BQ's stateless sign packing —
+# so SQ8 lives in its own trained layout, not in `compressed_columns`).
+# Eight codes pack into one BIGINT word (OR-fold of shifted bytes — no
+# arithmetic add, so no ANSI overflow path for codes >= 128 in the top
+# byte), giving a stored coarse column of exactly 1 byte/dimension:
+# 8x fewer bytes than the float64 math width, 4x fewer than the float32
+# storage width. The coarse stage ranks by ASYMMETRIC distance (ADC):
+# full-precision query vs dequantized corpus rows, entirely in whole-stage
+# codegen via transform/aggregate — then the usual exact rerank reads full
+# embeddings for candidate rows only.
+
+
+def sq8_train_params(emb: DataFrame) -> DataFrame:
+    """Per-dimension (min, max) over the corpus as ONE row
+    (mins array<double>, maxs array<double>).
+
+    Shape at scale: posexplode -> groupBy(pos) has a map-side partial
+    combine, so the exchange carries (partitions x dim) rows, never
+    (N x dim); the final collect_list is dim-sized. min/max over doubles
+    are exact, so the trained params are bit-identical on any engine."""
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    per = ex.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    return per.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("maxs"),
+    )
+
+
+def _sq8_code_sql(vec_sql: str, idx: str, dim: int) -> str:
+    """SQL for the byte code of 0-based dimension `idx` (an expression),
+    reading per-dim params from columns `mins`/`maxs`. Indices past `dim`
+    (word-tail padding) and degenerate dims (max == min) code to 0."""
+    mn = f"element_at(mins, CAST({idx} AS INT) + 1)"
+    mx = f"element_at(maxs, CAST({idx} AS INT) + 1)"
+    v = f"element_at({vec_sql}, CAST({idx} AS INT) + 1)"
+    return (
+        f"CASE WHEN {idx} >= {dim} THEN 0L "
+        f"WHEN {mx} = {mn} THEN 0L "
+        f"ELSE CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        f"round(({v} - {mn}) / ({mx} - {mn}) * CAST(255 AS DOUBLE)))) AS BIGINT) END"
+    )
+
+
+def sq8_pack_expr(vec_sql: str, dim: int) -> Column:
+    """array<double> SQL expression -> ceil(dim/8) BIGINT words, 8 byte
+    codes per word (code for dim 8w+j occupies bits 8j..8j+7 of word w).
+    OR-fold, not addition: shiftleft(code, 56) of a code >= 128 sets bit
+    63, and bitwise OR of disjoint byte lanes has no overflow semantics
+    to trip ANSI mode. Requires `mins`/`maxs` param columns in scope
+    (crossJoin the broadcast 1-row sq8_train_params frame first)."""
+    n_words = (dim + 7) // 8
+    code = _sq8_code_sql(vec_sql, "(__w * 8 + __j)", dim)
+    word = (
+        "aggregate(transform(sequence(0, 7), __j -> "
+        f"shiftleft({code}, __j * 8)), 0L, (acc, x) -> acc | x)"
+    )
+    return F.expr(f"transform(sequence(0, {n_words - 1}), __w -> {word})")
+
+
+def sq8_dequant_expr(words_sql: str, dim: int) -> Column:
+    """Packed SQ8 words -> the dequantized array<double>:
+    deq_d = min_d + code_d * ((max_d - min_d) / 255). Byte extraction is
+    shiftright + mask (arithmetic shift's sign-extension is masked off by
+    `& 255`, so the top byte of a negative word decodes correctly).
+    Requires `mins`/`maxs` columns in scope. The coarse ADC distance is
+    l2_distance(this, query) — identical left-to-right double arithmetic
+    to the DuckDB twin's list(...) ORDER BY pos construction."""
+    mn = "element_at(mins, __i + 1)"
+    mx = "element_at(maxs, __i + 1)"
+    code = (
+        f"shiftright(element_at({words_sql}, CAST(__i div 8 AS INT) + 1), "
+        "(__i % 8) * 8) & 255L"
+    )
+    return F.expr(
+        f"transform(sequence(0, {dim - 1}), __i -> "
+        f"CASE WHEN {mx} = {mn} THEN {mn} "
+        f"ELSE {mn} + CAST(({code}) AS DOUBLE) * (({mx} - {mn}) / CAST(255 AS DOUBLE)) END)"
+    )
+
+
+def sq8_columns(emb: DataFrame, params: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, label, sq8, embedding) — the stored SQ8 layout row shape.
+    `params` is the 1-row sq8_train_params frame (broadcast: 2 x dim
+    doubles). The full embedding rides along for the exact rerank, which
+    column pruning keeps out of the coarse scan."""
+    return emb.crossJoin(F.broadcast(params)).select(
+        "vec_id",
+        "label",
+        sq8_pack_expr("CAST(embedding AS ARRAY<DOUBLE>)", dim).alias("sq8"),
+        "embedding",
+    )
+
+
+def build_sq8_layout(emb: DataFrame, path: str, dim: int) -> DataFrame:
+    """Train params, write the packed layout parquet at `path`, and
+    return the trained 1-row params frame (callers persist it beside the
+    layout — re-training on a grown corpus is a rebuild, the same
+    retrain-vs-drift posture as the IVF quantizer)."""
+    params = sq8_train_params(emb)
+    sq8_columns(emb, params, dim).write.mode("overwrite").parquet(path)
+    return params
+
+
 def build_compressed_layout(
     emb: DataFrame, path: str, dim: int, prefix_width: int = 16
 ) -> None:

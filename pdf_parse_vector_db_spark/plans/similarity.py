@@ -2492,8 +2492,180 @@ LIMIT 5
 """
 
 
+#: per-process SQ8 layout artifacts, keyed (fixture, applicationId) —
+#: same session-cache posture as _VSTORE_CACHE. Value: (layout_path,
+#: params_path); params are persisted BESIDE the layout because SQ8 is a
+#: TRAINED compression (per-dim min/max are corpus statistics, like the
+#: IVF quantizer) — a reader needs both artifacts or neither.
+_SQ8_CACHE: dict = {}
+
+
+def _sq8_store(spark: SparkSession, sf_dir: str):
+    """Build (once per session) and read the X71 SQ8 layout: packed
+    byte-code words + full embedding, plus the trained 1-row params
+    frame (operators/vector_store.build_sq8_layout)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pdf_parse_vector_db_spark.operators import vector_store
+
+    key = (os.path.abspath(sf_dir), spark.sparkContext.applicationId)
+    if key not in _SQ8_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = int(emb.select(F.size(F.col("embedding")).alias("d")).first()["d"])
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "pdf_parse_vector_db_spark_sq8",
+            hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+            + "-"
+            + spark.sparkContext.applicationId,
+        )
+        params = vector_store.build_sq8_layout(emb, os.path.join(base, "layout"), dim)
+        params.write.mode("overwrite").parquet(os.path.join(base, "params"))
+        _SQ8_CACHE[key] = base
+    base = _SQ8_CACHE[key]
+    import os as _os
+
+    return (
+        spark.read.parquet(_os.path.join(base, "layout")),
+        spark.read.parquet(_os.path.join(base, "params")),
+    )
+
+
+def _sq8_rerank(store: DataFrame, cand: DataFrame, q: DataFrame) -> DataFrame:
+    """Shared exact-rerank tail: full-precision L2 over just the
+    candidate rows (broadcast semi-join), ascending top-5."""
+    return (
+        store.select("vec_id", "label", "embedding")
+        .join(F.broadcast(cand), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                l2_distance(F.col("embedding").cast("array<double>"), F.col("qvec")),
+                6,
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .select("vec_id", "label", F.round(F.col("d"), 4).alias("score"))
+    )
+
+
+def sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71: SQ8 SCALAR-QUANTIZATION ANN — the third classic compression
+    tier beside PQ and BQ (Milvus IVF_SQ8 / FAISS ScalarQuantizer): each
+    dimension affinely mapped onto one byte against TRAINED per-dim
+    (min, max), eight codes packed per STORED BIGINT word
+    (operators/vector_store.sq8_pack_expr), so the coarse scan projects
+    ONLY (vec_id, label, sq8) — 1 byte/dim instead of the 4-byte float32
+    storage width (pruning pinned in tests/test_ann.py). The coarse
+    stage ranks by ASYMMETRIC distance (full-precision query vs
+    dequantized rows, transform+aggregate in whole-stage codegen — no
+    UDF); top-``_BQ_CAND`` candidates rerank exactly. Params (2 x dim
+    doubles) broadcast — SQ8's only global state, retrained on rebuild
+    like the IVF quantizer."""
+    from pdf_parse_vector_db_spark.operators.vector_store import sq8_dequant_expr
+
+    store, params = _sq8_store(spark, sf_dir)
+    dim = int(params.select(F.size("mins").alias("d")).first()["d"])
+    q = store.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    cand = (
+        store.select("vec_id", "sq8")
+        .crossJoin(F.broadcast(params))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                l2_distance(sq8_dequant_expr("sq8", dim), F.col("qvec")), 6
+            ).alias("cd"),
+        )
+        .orderBy("cd", "vec_id")
+        .limit(_BQ_CAND)
+        .select("vec_id")
+    )
+    return _sq8_rerank(store, cand, q)
+
+
+def _sq8_sql(filtered: bool) -> str:
+    """DuckDB twin: recompute the trained params (exact min/max), the
+    byte codes, and the dequantized vectors inline — identical double
+    arithmetic, ordered list construction so the L2 fold matches Spark's
+    left-to-right aggregate bitwise at 6 dp."""
+    where = "WHERE e.label = 1" if filtered else ""
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e),
+prm AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY pos),
+dq AS (SELECT ex.vec_id,
+              list(CASE WHEN mx = mn THEN mn
+                        ELSE mn + CAST(LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+                               round((val - mn) / (mx - mn) * CAST(255 AS DOUBLE)))) AS BIGINT)
+                             * ((mx - mn) / CAST(255 AS DOUBLE)) END
+                   ORDER BY ex.pos) AS dv
+       FROM ex JOIN prm ON ex.pos = prm.pos
+       GROUP BY ex.vec_id),
+q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.label, e.v, q.qvec,
+                round(list_distance(dq.dv, q.qvec), 6) AS cd
+         FROM e JOIN dq USING (vec_id) CROSS JOIN q
+         {where}
+         ORDER BY cd, e.vec_id
+         LIMIT {_BQ_CAND})
+SELECT vec_id, label,
+       round(round(list_distance(v, qvec), 6), 4) AS score
+FROM cand
+ORDER BY round(list_distance(v, qvec), 6), vec_id
+LIMIT 5
+"""
+
+
+SQ8_KNN_SQL = _sq8_sql(filtered=False)
+
+
+def sq8_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED SQ8 ANN — extends the X66 filtered family (IVF, graph,
+    BQ, MRL) to the SQ8 tier: the label predicate pushed into the packed
+    coarse scan (PushedFilters on the (vec_id, label, sq8) projection,
+    pinned), candidate pool over the FILTERED corpus, exact rerank. Like
+    BQ/MRL, the linear coarse rank has no probe set a predicate could
+    starve — filtering costs no recall mechanism."""
+    from pdf_parse_vector_db_spark.operators.vector_store import sq8_dequant_expr
+
+    store, params = _sq8_store(spark, sf_dir)
+    dim = int(params.select(F.size("mins").alias("d")).first()["d"])
+    q = store.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    fe = store.filter(F.col("label") == 1)
+    cand = (
+        fe.select("vec_id", "sq8")
+        .crossJoin(F.broadcast(params))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                l2_distance(sq8_dequant_expr("sq8", dim), F.col("qvec")), 6
+            ).alias("cd"),
+        )
+        .orderBy("cd", "vec_id")
+        .limit(_BQ_CAND)
+        .select("vec_id")
+    )
+    return _sq8_rerank(fe, cand, q)
+
+
+SQ8_FILTERED_KNN_SQL = _sq8_sql(filtered=True)
+
+
 QUERIES = [
     QuerySpec("bq_knn", bq_knn, BQ_KNN_SQL, "X61 binary-quantization ANN over the STORED packed-sign-bit column (coarse scan reads d/8 bytes/vector) + exact rerank (round 9 storage)"),
+    QuerySpec("sq8_knn", sq8_knn, SQ8_KNN_SQL, "X71 SQ8 scalar-quantization ANN: trained per-dim byte codes packed 8/word in STORED BIGINT words, asymmetric-distance coarse rank + exact rerank (round 10)"),
+    QuerySpec("sq8_filtered_knn", sq8_filtered_knn, SQ8_FILTERED_KNN_SQL, "X71 FILTERED SQ8 ANN: predicate pushed into the packed byte-code coarse scan, exact rerank of filtered candidates (round 10)"),
     QuerySpec("mrl_filtered_knn", mrl_filtered_knn, MRL_FILTERED_KNN_SQL, "X66 FILTERED Matryoshka ANN: predicate pushed into the stored-prefix coarse scan, full-width rerank of filtered candidates (round 10)"),
     QuerySpec("bq_filtered_knn", bq_filtered_knn, BQ_FILTERED_KNN_SQL, "X66 FILTERED BQ ANN: predicate pushed into the packed coarse scan (PushedFilters pinned), exact rerank of filtered candidates (round 10)"),
     QuerySpec("mrl_knn", mrl_knn, MRL_KNN_SQL, "X61 Matryoshka two-stage ANN over the STORED 16-dim prefix column + full-width rerank (round 9 storage)"),

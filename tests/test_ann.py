@@ -515,3 +515,169 @@ def test_mrl_filtered_knn_predicate_bounds_and_pruning(spark):
         "EqualTo(label,1)" in ln.split("PushedFilters: ", 1)[-1].split("]", 1)[0]
         for ln in coarse
     ), coarse
+
+
+def test_sq8_pack_matches_numpy(spark):
+    """X71 storage: the codegen SQ8 packer agrees byte-for-byte with a
+    numpy reference quantizer — per-dim affine byte codes (HALF_UP
+    rounding), 8 codes OR-folded per BIGINT word — including a dim NOT
+    divisible by 8 (tail padding), a degenerate constant dimension
+    (max == min -> code 0), and a code >= 128 landing in a word's top
+    byte (bit 63 via shiftleft, no ANSI overflow)."""
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.operators import vector_store
+
+    rng = np.random.default_rng(7)
+    dim = 13  # 2 words, 3 pad bytes in the tail word
+    vecs = rng.normal(size=(30, dim))
+    vecs[:, 4] = 2.25  # degenerate dim: max == min
+    vecs[5, 7] = vecs[:, 7].max() + 9.0  # force code 255 into word 0's top byte
+    df = spark.createDataFrame(
+        [(i, 0, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    params = vector_store.sq8_train_params(df)
+    rows = (
+        df.crossJoin(F.broadcast(params))
+        .select("vec_id", vector_store.sq8_pack_expr("embedding", dim).alias("w"))
+        .collect()
+    )
+    mn, mx = vecs.min(axis=0), vecs.max(axis=0)
+    span = mx - mn
+    codes = np.zeros_like(vecs, dtype=np.int64)
+    live = span > 0
+    # HALF_UP for non-negative x == floor(x + 0.5)
+    codes[:, live] = np.floor(
+        (vecs[:, live] - mn[live]) / span[live] * 255.0 + 0.5
+    ).astype(np.int64)
+    assert codes.min() >= 0 and codes.max() == 255
+    for r in rows:
+        v = codes[r.vec_id]
+        for j in range(dim):
+            w, off = divmod(j, 8)
+            got = ((r.w[w] & 0xFFFFFFFFFFFFFFFF) >> (off * 8)) & 0xFF
+            assert got == v[j], (r.vec_id, j, got, v[j])
+        # tail bytes past dim are zero
+        assert (r.w[1] & 0xFFFFFFFFFFFFFFFF) >> ((dim - 8) * 8) == 0
+
+
+def test_sq8_dequant_error_bound(spark):
+    """Quantization loss contract: every dequantized coordinate is
+    within half a quantization step (scale/2 = span/510) of the true
+    value — the bound that makes the SQ8 coarse rank a usable candidate
+    generator."""
+    import numpy as np
+
+    from pdf_parse_vector_db_spark.operators import vector_store
+
+    rng = np.random.default_rng(13)
+    dim = 16
+    vecs = rng.normal(size=(40, dim))
+    df = spark.createDataFrame(
+        [(i, 0, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    params = vector_store.sq8_train_params(df)
+    rows = (
+        df.crossJoin(F.broadcast(params))
+        .select(
+            "vec_id",
+            "mins",
+            "maxs",
+            vector_store.sq8_pack_expr("embedding", dim).alias("w"),
+        )
+        .select("vec_id", vector_store.sq8_dequant_expr("w", dim).alias("dq"))
+        .collect()
+    )
+    span = vecs.max(axis=0) - vecs.min(axis=0)
+    half_step = span / 510.0 + 1e-12
+    for r in rows:
+        err = np.abs(np.array(r.dq) - vecs[r.vec_id])
+        assert (err <= half_step).all(), (r.vec_id, err.max())
+
+
+def test_sq8_two_stage_lower_bound_and_pruning(spark):
+    """X71 sanity beyond the oracle hash: the query row survives the
+    ADC coarse cut and reranks first at distance 0; the two-stage top-5
+    distances are bounded below by the exact top-5; and the coarse
+    stage's parquet scan projects ONLY (vec_id, sq8) — the float
+    embedding bytes are read exclusively by the candidate rerank."""
+    from pdf_parse_vector_db_spark.functions.vector import l2_distance
+    from pdf_parse_vector_db_spark.plans.similarity import sq8_knn
+
+    df = sq8_knn(spark, SF)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert rows[0].vec_id == 0 and rows[0].score == 0.0
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = [
+        (r.vec_id, r.d)
+        for r in emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 4).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .collect()
+    ]
+    got = [r.score for r in rows]
+    assert all(g >= e for g, e in zip(got, [d for _, d in exact])), (got, exact)
+    assert len({r.vec_id for r in rows} & {v for v, _ in exact}) >= 4
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    coarse = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "sq8:" in ln.split("ReadSchema: ", 1)[-1]
+    ]
+    assert coarse, plan
+    for ln in coarse:
+        assert "embedding" not in ln.split("ReadSchema: ", 1)[-1], ln
+
+
+def test_sq8_filtered_knn_predicate_bounds_and_pushdown(spark):
+    """X71 filtered SQ8: every hit satisfies the predicate, distances
+    bounded below by the exact FILTERED top-5, and the predicate is
+    PUSHED into the packed byte-code coarse scan (PushedFilters on the
+    (vec_id, label, sq8) projection; embedding bytes untouched)."""
+    from pdf_parse_vector_db_spark.functions.vector import l2_distance
+    from pdf_parse_vector_db_spark.plans.similarity import sq8_filtered_knn
+
+    df = sq8_filtered_knn(spark, SF)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.label == 1 for r in rows)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = [
+        (r.vec_id, r.d)
+        for r in emb.filter(F.col("label") == 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 4).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .collect()
+    ]
+    got = [r.score for r in rows]
+    assert all(g >= e for g, e in zip(got, [d for _, d in exact])), (got, exact)
+    assert len({r.vec_id for r in rows} & {v for v, _ in exact}) >= 4
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    coarse = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "sq8:" in ln.split("ReadSchema: ", 1)[-1]
+    ]
+    assert coarse, plan
+    for ln in coarse:
+        assert "embedding" not in ln.split("ReadSchema: ", 1)[-1], ln
+    assert any(
+        "EqualTo(label,1)" in ln.split("PushedFilters: ", 1)[-1].split("]", 1)[0]
+        for ln in coarse
+    ), coarse
