@@ -525,7 +525,282 @@ ORDER BY ta.rank
 THRESHOLD_ALGORITHM_TOPK_SQL = _ta_sql()
 
 
+#: sparse-vector retrieval geometry: the query is DOCUMENT 7's stored
+#: sparse vector (the sparse analog of the dense legs' vec_id-0 query
+#: row); weights are ln(1+tf)·ln(N/df) — the classic TF-IDF instance of
+#: the learned-sparse (SPLADE) family, whose SERVING shape (stored
+#: term->weight maps, dot product via an inverted index) is what this
+#: query implements. Milvus 2.4+ SPARSE_INVERTED_INDEX parity.
+SPARSE_QUERY_DOC = 7
+
+
+def sparse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE-VECTOR top-k (round 10): dot product between STORED sparse
+    document vectors and a sparse query vector, executed as an
+    inverted-index posting join — the Milvus SPARSE_FLOAT_VECTOR /
+    SPARSE_INVERTED_INDEX read path (and the serving shape of SPLADE-
+    style learned-sparse retrieval).
+
+    Scale shape: the corpus token stream is semi-joined against the
+    query's term set (a broadcast ≤|query terms| list) BEFORE any wide
+    exchange — only posting rows for query terms shuffle, bytes
+    proportional to those postings and never to corpus text (the
+    inverted-index property). The dot product accumulates INTEGER
+    MICROS (each term contribution rounds to a BIGINT before the sum),
+    so the aggregation is order-independent — bit-identical across
+    engines and across any shuffle schedule, with no float-summation
+    drift. Output: top-10 docs by score with the overlap width."""
+    tok = _doc_tokens(spark, sf_dir)
+    qterms = F.broadcast(
+        tok.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select("term").distinct()
+    )
+    hits = tok.join(qterms, "term", "left_semi")
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tok.select("doc_id").distinct().count()
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(F.lit(1.0) + F.col("tf"))
+                # ansi: df >= 1 on every joined row
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    qw = F.broadcast(
+        w.filter(F.col("doc_id") == SPARSE_QUERY_DOC).select(
+            "term", F.col("w").alias("qw")
+        )
+    )
+    return (
+        w.filter(F.col("doc_id") != SPARSE_QUERY_DOC)
+        .join(qw, "term")
+        .withColumn(
+            "contrib_micro",
+            F.round(F.col("w") * F.col("qw") * F.lit(1e6)).cast("bigint"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("contrib_micro") / F.lit(1e6), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+SPARSE_KNN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+qt AS (SELECT DISTINCT term FROM tok WHERE doc_id = {SPARSE_QUERY_DOC}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + tf.tf) * ln(CAST(nd.n_docs AS DOUBLE) / df.df) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+),
+qw AS (SELECT term, w AS qw FROM w WHERE doc_id = {SPARSE_QUERY_DOC})
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(CAST(sum(CAST(round(w.w * qw.qw * 1e6) AS BIGINT)) AS BIGINT) / 1e6, 6) AS score
+FROM w JOIN qw USING (term)
+WHERE w.doc_id <> {SPARSE_QUERY_DOC}
+GROUP BY w.doc_id
+ORDER BY score DESC, w.doc_id
+LIMIT {TOP_K}
+"""
+
+
+#: WeightedRanker weights (pymilvus WeightedRanker(0.7, 0.3) in
+#: hybrid_search): dense leg dominates, lexical leg breaks paraphrase
+#: blind spots. Scores are min-max normalized WITHIN each leg's
+#: retrieved top-LEG_DEPTH before weighting (documented variant; Milvus
+#: applies a metric-specific normalizer to the same end: legs must be
+#: commensurable before a weighted sum is meaningful).
+W_DENSE = 0.7
+W_LEX = 0.3
+
+
+def hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED-RANKER hybrid fusion (round 10) — the other pymilvus
+    hybrid_search ranker beside RRF (`hybrid_rrf`): each leg's
+    top-``LEG_DEPTH`` scores are min-max normalized within the leg, then
+    fused as W_DENSE·dense + W_LEX·lex (missing leg -> 0 contribution).
+    Same plan skeleton as hybrid_rrf: both legs end in
+    TakeOrderedAndProject cuts, per-leg min/max are 1-row broadcast
+    aggregates over the ≤50-row cut, and the fusion joins two ≤50-row
+    sides — nothing after the scans carries corpus-sized data."""
+    # min-max over INTEGER MICROS of the (already rounded-6) leg scores:
+    # the normalization ratio is then a quotient of exact integers —
+    # bit-identical across engines, where a quotient of rounded doubles
+    # can straddle a 6-dp rounding boundary (measured: 1-ulp flips).
+    lex_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(LEG_DEPTH)
+        .withColumn("lmic", F.round(F.col("bm25") * F.lit(1e6)).cast("bigint"))
+    )
+    lex_mm = lex_top.agg(
+        F.min("lmic").alias("lmin"), F.max("lmic").alias("lmax")
+    )
+    # NO round() on the ratio or anything downstream of it: the quotient
+    # of exact integers is bit-identical on both engines, and round()'s
+    # tie behavior on a boundary value (0.7 x 0.865875 = 0.6061125,
+    # measured) is exactly where the engines disagree. Identical doubles
+    # need no rounding to hash-match.
+    lex = lex_top.crossJoin(F.broadcast(lex_mm)).select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.col("lmax") > F.col("lmin"),
+            # ansi: guarded by the when arm
+            (F.col("lmic") - F.col("lmin")).cast("double")
+            / (F.col("lmax") - F.col("lmin")).cast("double"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("lex_norm"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("q_vec")
+        )
+    )
+    vec_top = (
+        emb.crossJoin(qvec)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(LEG_DEPTH)
+    )
+    vec_top = vec_top.withColumn(
+        "vmic", F.round(F.col("cos") * F.lit(1e6)).cast("bigint")
+    )
+    vec_mm = vec_top.agg(F.min("vmic").alias("vmin"), F.max("vmic").alias("vmax"))
+    vec = vec_top.crossJoin(F.broadcast(vec_mm)).select(
+        F.col("vec_id").alias("id"),
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            # ansi: guarded by the when arm
+            (F.col("vmic") - F.col("vmin")).cast("double")
+            / (F.col("vmax") - F.col("vmin")).cast("double"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("vec_norm"),
+    )
+
+    fused = (
+        lex.join(vec, on="id", how="full_outer")
+        .withColumn(
+            "fused",
+            F.lit(W_DENSE) * F.coalesce(F.col("vec_norm"), F.lit(0.0))
+            + F.lit(W_LEX) * F.coalesce(F.col("lex_norm"), F.lit(0.0)),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("lex_norm"), F.lit(0.0)).alias("lex_norm"),
+            F.coalesce(F.col("vec_norm"), F.lit(0.0)).alias("vec_norm"),
+            "fused",
+        )
+    )
+    return fused.orderBy(F.desc("fused"), F.asc("doc_id")).limit(TOP_K)
+
+
+HYBRID_WEIGHTED_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM doclen),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('dup', 'vector', 'merge', 'spark')
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+bm25 AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * doclen.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN doclen USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lex_top AS (
+  SELECT doc_id, CAST(round(bm25 * 1e6) AS BIGINT) AS lmic
+  FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT {LEG_DEPTH}
+),
+lex_mm AS (SELECT min(lmic) AS lmin, max(lmic) AS lmax FROM lex_top),
+lex AS (
+  SELECT doc_id AS id,
+         CASE WHEN lmax > lmin
+              THEN CAST(lmic - lmin AS DOUBLE) / CAST(lmax - lmin AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) END AS lex_norm
+  FROM lex_top CROSS JOIN lex_mm
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS q_vec FROM e WHERE vec_id = {QUERY_VEC_ID}),
+vec_top AS (
+  SELECT vec_id, CAST(round(cos * 1e6) AS BIGINT) AS vmic
+  FROM (
+    SELECT e.vec_id, round(list_cosine_similarity(e.v, q.q_vec), 6) AS cos
+    FROM e CROSS JOIN q WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos DESC, e.vec_id LIMIT {LEG_DEPTH}
+  )
+),
+vec_mm AS (SELECT min(vmic) AS vmin, max(vmic) AS vmax FROM vec_top),
+vec AS (
+  SELECT vec_id AS id,
+         CASE WHEN vmax > vmin
+              THEN CAST(vmic - vmin AS DOUBLE) / CAST(vmax - vmin AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) END AS vec_norm
+  FROM vec_top CROSS JOIN vec_mm
+)
+SELECT coalesce(lex.id, vec.id) AS doc_id,
+       coalesce(lex.lex_norm, CAST(0.0 AS DOUBLE)) AS lex_norm,
+       coalesce(vec.vec_norm, CAST(0.0 AS DOUBLE)) AS vec_norm,
+       CAST({W_DENSE} AS DOUBLE) * coalesce(vec.vec_norm, CAST(0.0 AS DOUBLE))
+         + CAST({W_LEX} AS DOUBLE) * coalesce(lex.lex_norm, CAST(0.0 AS DOUBLE)) AS fused
+FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+ORDER BY fused DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "sparse_knn",
+        sparse_knn,
+        SPARSE_KNN_SQL,
+        "sparse-vector top-k: stored TF-IDF term weights, dot product via inverted-index posting join (Milvus SPARSE_INVERTED_INDEX / SPLADE serving shape)",
+    ),
+    QuerySpec(
+        "hybrid_weighted",
+        hybrid_weighted,
+        HYBRID_WEIGHTED_SQL,
+        "hybrid retrieval: WeightedRanker fusion (0.7 dense + 0.3 lexical, per-leg min-max normalization)",
+    ),
     QuerySpec(
         "bm25_topk",
         bm25_topk,
