@@ -788,7 +788,83 @@ LIMIT {TOP_K}
 """
 
 
+#: late-interaction geometry: "documents" are the label groups (each
+#: label's ~N/10 vectors play the role of a passage's per-token
+#: embeddings), the "query token set" is the first 3 corpus vectors.
+MAXSIM_QUERY_IDS = (0, 1, 2)
+MAXSIM_TOP_K = 5
+
+
+def maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION (ColBERT-style) MaxSim top-k (round 10): score a
+    MULTI-VECTOR entity against a multi-vector query as
+    Σ_q max_v cos(q, v) — the scoring rule of Khattab & Zaharia's
+    ColBERT (SIGIR 2020) and of multi-vector collections in modern
+    vector stores. Entities are the label groups of the embeddings
+    fixture; the query is the 3-vector set MAXSIM_QUERY_IDS.
+
+    Scale shape: the query set broadcasts (|Q| rows); the corpus scan
+    emits (entity, q_id, cos) and the per-(entity, q) MAX is a
+    partially-aggregated groupBy — map-side combine reduces each
+    partition to (entities x |Q|) rows before the only exchange, and the
+    final Σ over |Q| maxes accumulates INTEGER MICROS of the rounded
+    cosines, so the sum is exact and order-independent. Nothing
+    materializes the Q x N cross product beyond the scan projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*MAXSIM_QUERY_IDS)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+    )
+    return (
+        emb.filter(~F.col("vec_id").isin(*MAXSIM_QUERY_IDS))
+        .crossJoin(qs)
+        .select(
+            "label",
+            "q_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("cos"),
+        )
+        .groupBy("label", "q_id")
+        .agg(F.max(F.round(F.col("cos") * F.lit(1e6)).cast("bigint")).alias("mmic"))
+        .groupBy("label")
+        .agg(
+            F.round(F.sum("mmic") / F.lit(1e6), 6).alias("maxsim"),
+            F.count(F.lit(1)).alias("n_q"),
+        )
+        .orderBy(F.desc("maxsim"), F.asc("label"))
+        .limit(MAXSIM_TOP_K)
+    )
+
+
+MAXSIM_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qs AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id IN {MAXSIM_QUERY_IDS}),
+scored AS (
+  SELECT e.label, qs.q_id,
+         CAST(round(round(list_cosine_similarity(e.v, qs.q_vec), 6) * 1e6) AS BIGINT) AS cmic
+  FROM e CROSS JOIN qs
+  WHERE e.vec_id NOT IN {MAXSIM_QUERY_IDS}
+),
+per AS (SELECT label, q_id, max(cmic) AS mmic FROM scored GROUP BY 1, 2)
+SELECT label,
+       round(CAST(sum(mmic) AS BIGINT) / 1e6, 6) AS maxsim,
+       CAST(count(*) AS BIGINT) AS n_q
+FROM per
+GROUP BY label
+ORDER BY maxsim DESC, label
+LIMIT {MAXSIM_TOP_K}
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "maxsim_topk",
+        maxsim_topk,
+        MAXSIM_TOPK_SQL,
+        "late-interaction MaxSim top-k: multi-vector entities scored sum-of-max cosine vs a 3-vector query set (ColBERT scoring rule)",
+    ),
     QuerySpec(
         "sparse_knn",
         sparse_knn,
