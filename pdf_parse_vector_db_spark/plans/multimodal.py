@@ -369,8 +369,87 @@ ORDER BY doc_a, doc_b
 """
 
 
+def video_ingest_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75 end-to-end video-container loop, oracle-pinned: every document
+    is rendered into a REAL MJPEG-AVI (1 + n_chars % 4 frames of
+    deterministic 16×24 gradient pixels, fps 10, frames seeded by the
+    document's text bytes), then parsed BACK by the container reader and
+    frame-sampled at stride 2 — all inside one Arrow batch. The surfaced
+    columns (frame count, dims, fps, sampled-frame count) are integers
+    the oracle recomputes arithmetically, so any disagreement anywhere
+    in the encode→parse→sample loop (header fields, chunk walk, idx1,
+    word alignment, sampling stride) breaks the value hash. The pixel
+    payloads themselves are pinned bit-exactly in tests/test_avi_codec.
+
+    Scale shape: pure 1-row→1-row mapInPandas over the documents scan —
+    no shuffle; the presentation orderBy rides the tiny result."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+
+    def loop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parse_vector_db_spark.operators import avi_codec
+
+        base = np.linspace(0, 255, 24, dtype=np.float64)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "width": [], "height": [],
+                "fps": [], "n_sampled": [],
+            }
+            for rec in pdf.itertuples(index=False):
+                txt = rec.text or ""
+                k = 1 + len(txt) % 4
+                tb = txt.encode("utf-8")
+                frames = []
+                for i in range(k):
+                    shift = float(tb[i % len(tb)]) if tb else 0.0
+                    f = np.clip(
+                        np.add.outer(np.arange(16) * 3.0 + shift + i * 11.0, base),
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                    frames.append(f)
+                avi = avi_codec.encode_avi(frames, fps=10, quality=80)
+                v = avi_codec.parse_avi(avi)
+                sampled = [i for i in range(0, v["n_frames"], 2)]
+                out["doc_id"].append(rec.doc_id)
+                out["n_frames"].append(v["n_frames"])
+                out["width"].append(v["width"])
+                out["height"].append(v["height"])
+                out["fps"].append(v["fps"])
+                out["n_sampled"].append(len(sampled))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.mapInPandas(
+            loop,
+            "doc_id bigint, n_frames int, width int, height int, fps int, "
+            "n_sampled int",
+        )
+        .orderBy("doc_id")
+    )
+
+
+VIDEO_INGEST_META_SQL = """
+SELECT doc_id,
+       CAST(1 + length(text) % 4 AS INTEGER) AS n_frames,
+       CAST(24 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(10 AS INTEGER) AS fps,
+       CAST((1 + length(text) % 4 + 1) // 2 AS INTEGER) AS n_sampled
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, "X6 binary metadata"),
+    QuerySpec("video_ingest_meta", video_ingest_meta, VIDEO_INGEST_META_SQL, "X75 MJPEG-AVI encode->parse->sample loop with arithmetic oracle over the surfaced container fields"),
     QuerySpec("phash_near_dups", phash_near_dups, PHASH_NEAR_DUPS_SQL, "X47 perceptual-hash image near-dup pairs (banded hamming, integer-exact oracle)"),
     QuerySpec("clip_pair_filter", clip_pair_filter, CLIP_PAIR_FILTER_SQL, "X6 cross-modal cosine pair gate"),
     QuerySpec("multimodal_decode", multimodal_decode, MULTIMODAL_DECODE_SQL, "X6 decode plumbing (digest-math oracle)"),
