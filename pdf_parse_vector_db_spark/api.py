@@ -228,14 +228,18 @@ class SparkVectorService:
           * ``graph`` — NN-Descent graph over the level's chunks, beam
             search with beam = the over-fetch width;
           * ``bq``    — stored packed-sign-bit layout, Hamming coarse
-            cut then exact rerank (the X61 shape).
+            cut then exact rerank (the X61 shape);
+          * ``sq8``   — trained scalar-quantized byte-code layout with
+            params persisted beside it, asymmetric-distance coarse cut
+            then exact rerank (the X71 shape; Milvus IVF_SQ8's
+            compression tier).
 
         All tiers feed the SAME over-fetch → dedup → top-k → response
         tail, so the golden shape is tier-independent; recall vs exact
         is pinned in tests/test_api.py. Responses cache per (query,
         version, tier)."""
-        if index not in ("exact", "ivf", "graph", "bq"):
-            raise ValueError("index must be one of: exact, ivf, graph, bq")
+        if index not in ("exact", "ivf", "graph", "bq", "sq8"):
+            raise ValueError("index must be one of: exact, ivf, graph, bq, sq8")
         if not text or not text.strip():
             raise ValueError("No text could be extracted from the PDF")
         target = int(court_level) + 1
@@ -337,8 +341,8 @@ class SparkVectorService:
         for range search on an index."""
         if radius <= range_filter:
             raise ValueError("radius must exceed range_filter (L2: outer bound)")
-        if index not in ("exact", "ivf", "graph", "bq"):
-            raise ValueError("index must be one of: exact, ivf, graph, bq")
+        if index not in ("exact", "ivf", "graph", "bq", "sq8"):
+            raise ValueError("index must be one of: exact, ivf, graph, bq, sq8")
         if not text or not text.strip():
             raise ValueError("No text could be extracted from the PDF")
         target = int(court_level) + 1
@@ -410,8 +414,8 @@ class SparkVectorService:
         iterators likewise page within the engine's reduced result set)."""
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
-        if index not in ("exact", "ivf", "graph", "bq"):
-            raise ValueError("index must be one of: exact, ivf, graph, bq")
+        if index not in ("exact", "ivf", "graph", "bq", "sq8"):
+            raise ValueError("index must be one of: exact, ivf, graph, bq, sq8")
         if not text or not text.strip():
             raise ValueError("No text could be extracted from the PDF")
         target = int(court_level) + 1
@@ -555,6 +559,28 @@ class SparkVectorService:
                             "CAST(embedding AS ARRAY<DOUBLE>)", self.dim
                         ),
                     ).write.mode("overwrite").parquet(path)
+                elif tier == "sq8":
+                    from pdf_parse_vector_db_spark.operators.vector_store import (
+                        sq8_pack_expr,
+                        sq8_train_params,
+                    )
+
+                    # trained per-level params persist BESIDE the layout —
+                    # SQ8's global state, retrained when the version key
+                    # invalidates the artifact (same posture as the X71
+                    # standalone layout)
+                    params = sq8_train_params(
+                        nodes.select(F.col("embedding"))
+                    )
+                    params.write.mode("overwrite").parquet(f"{path}/params")
+                    nodes.crossJoin(
+                        F.broadcast(self.spark.read.parquet(f"{path}/params"))
+                    ).withColumn(
+                        "sq8",
+                        sq8_pack_expr("CAST(embedding AS ARRAY<DOUBLE>)", self.dim),
+                    ).drop("mins", "maxs").write.mode("overwrite").parquet(
+                        f"{path}/layout"
+                    )
                 else:  # graph
                     from pdf_parse_vector_db_spark.plans.knn_graph import (
                         _nn_descent_over,
@@ -643,6 +669,37 @@ class SparkVectorService:
             )
             cand = lay.join(F.broadcast(coarse), "chunk_id", "left_semi").drop(
                 "packed", "node_id"
+            )
+        elif tier == "sq8":
+            from pdf_parse_vector_db_spark.operators.vector_store import (
+                sq8_dequant_expr,
+            )
+
+            lay = spark.read.parquet(f"{path}/layout")
+            params = spark.read.parquet(f"{path}/params")
+            # ADC coarse rank: full-precision query vs dequantized codes,
+            # reading only (chunk_id, sq8) + the broadcast params
+            coarse = (
+                lay.select("chunk_id", "sq8")
+                .crossJoin(F.broadcast(params))
+                .crossJoin(F.broadcast(qdf))
+                .select(
+                    "chunk_id",
+                    (
+                        F.round(
+                            l2_distance(
+                                sq8_dequant_expr("sq8", self.dim), F.col("qvec")
+                            )
+                            * 1e6
+                        ).cast("bigint")
+                    ).alias("cd"),
+                )
+                .orderBy("cd", "chunk_id")
+                .limit(2 * SEARCH_FETCH_K)
+                .select("chunk_id")
+            )
+            cand = lay.join(F.broadcast(coarse), "chunk_id", "left_semi").drop(
+                "sq8", "node_id"
             )
         else:  # graph
             nodes = spark.read.parquet(f"{path}/nodes")

@@ -233,7 +233,7 @@ def test_ann_tier_routing_golden_shape_and_recall(spark, tmp_path):
     with pytest.raises(ValueError, match="index must be"):
         svc.search_similar_cases("query.pdf", QUERY, court_level=2, index="hnsw")
 
-    for tier in ("ivf", "graph", "bq"):
+    for tier in ("ivf", "graph", "bq", "sq8"):
         resp = svc.search_similar_cases(
             "query.pdf", QUERY, court_level=2, index=tier
         )
@@ -255,7 +255,7 @@ def test_ann_tier_routing_golden_shape_and_recall(spark, tmp_path):
     # version invalidation: a new best-match document shows up through a
     # tier search immediately after ingest (no stale index, no stale cache)
     svc.ingest_legal_document("case_best.pdf", QUERY, court_level=3)
-    for tier in ("ivf", "graph", "bq"):
+    for tier in ("ivf", "graph", "bq", "sq8"):
         resp = svc.search_similar_cases(
             "query.pdf", QUERY, court_level=2, index=tier
         )
