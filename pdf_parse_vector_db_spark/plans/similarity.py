@@ -2662,10 +2662,121 @@ def sq8_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQ8_FILTERED_KNN_SQL = _sq8_sql(filtered=True)
 
 
+def ivf_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71b: the COMPOSED Milvus IVF_SQ8 index — the production layering
+    of the two prunings this engine already has separately: the IVF
+    coarse quantizer cuts the corpus to nprobe cells (at scale: static
+    parquet PARTITION pruning, the ivf_partitioned_knn layout), then the
+    SQ8 byte codes rank ONLY the probed cells' rows by asymmetric
+    distance (at scale: the probed partitions' code column, 1 byte/dim —
+    COLUMN pruning inside the partition pruning), and the exact rerank
+    reads full floats for just the final candidates. Scan bytes per
+    query ≈ nprobe/nlist × dim/8 of the corpus vector bytes — the two
+    prunings multiply, which is exactly why IVF_SQ8 is Milvus' default
+    memory-lean index. Quantizers pinned as everywhere else: √N-strided
+    seeds (ivf_knn), corpus-trained per-dim (min, max) (sq8_knn), so the
+    whole probe→ADC→rerank path sits under the DuckDB value hash."""
+    from pdf_parse_vector_db_spark.operators.vector_store import sq8_dequant_expr
+
+    store, params = _sq8_store(spark, sf_dir)
+    dim = int(params.select(F.size("mins").alias("d")).first()["d"])
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = _ivf_seeds(emb)
+    q = store.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+
+    key = lambda vec, other, cid: (  # noqa: E731 — (dist-micros, cid) pack
+        F.round(l2_distance(vec, other) * 1e6).cast("bigint") * _IVF_KEY_BASE + cid
+    )
+    probe = (
+        seeds.crossJoin(F.broadcast(q))
+        .select("cid", key(F.col("cvec"), F.col("qvec"), F.col("cid")).alias("k"))
+        .orderBy("k")
+        .limit(_IVF_NPROBE)
+        .select("cid")
+    )
+    assign = (
+        emb.crossJoin(seeds)
+        .groupBy("vec_id")
+        .agg(F.min(key(F.col("embedding"), F.col("cvec"), F.col("cid"))).alias("k"))
+        .select("vec_id", (F.col("k") % _IVF_KEY_BASE).alias("cluster_id"))
+    )
+    probed = (
+        store.select("vec_id", "sq8")
+        .join(assign, "vec_id")
+        .join(F.broadcast(probe), assign["cluster_id"] == probe["cid"], "left_semi")
+    )
+    cand = (
+        probed.crossJoin(F.broadcast(params))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                l2_distance(sq8_dequant_expr("sq8", dim), F.col("qvec")), 6
+            ).alias("cd"),
+        )
+        .orderBy("cd", "vec_id")
+        .limit(_BQ_CAND)
+        .select("vec_id")
+    )
+    return _sq8_rerank(store, cand, q)
+
+
+IVF_SQ8_KNN_SQL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+seeds AS (
+  SELECT vec_id AS cid, v AS cvec
+  FROM e WHERE vec_id % {_IVF_SEED_MOD_SQL} = {_IVF_SEED_OFF}
+),
+probe AS (
+  SELECT cid FROM seeds CROSS JOIN q
+  ORDER BY CAST(round(list_distance(cvec, qvec) * 1e6) AS BIGINT)
+             * {_IVF_KEY_BASE} + cid
+  LIMIT {_IVF_NPROBE}
+),
+assign AS (
+  SELECT e.vec_id,
+         min(CAST(round(list_distance(e.v, s.cvec) * 1e6)
+                  AS BIGINT) * {_IVF_KEY_BASE} + s.cid) % {_IVF_KEY_BASE} AS cluster_id
+  FROM e CROSS JOIN seeds s
+  GROUP BY e.vec_id
+),
+ex AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e),
+prm AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY pos),
+dq AS (SELECT ex.vec_id,
+              list(CASE WHEN mx = mn THEN mn
+                        ELSE mn + CAST(LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+                               round((val - mn) / (mx - mn) * CAST(255 AS DOUBLE)))) AS BIGINT)
+                             * ((mx - mn) / CAST(255 AS DOUBLE)) END
+                   ORDER BY ex.pos) AS dv
+       FROM ex JOIN prm ON ex.pos = prm.pos
+       GROUP BY ex.vec_id),
+cand AS (
+  SELECT e.vec_id, e.label, e.v, q.qvec,
+         round(list_distance(dq.dv, q.qvec), 6) AS cd
+  FROM e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN dq ON dq.vec_id = e.vec_id
+  CROSS JOIN q
+  WHERE a.cluster_id IN (SELECT cid FROM probe)
+  ORDER BY cd, e.vec_id
+  LIMIT {_BQ_CAND}
+)
+SELECT vec_id, label,
+       round(round(list_distance(v, qvec), 6), 4) AS score
+FROM cand
+ORDER BY round(list_distance(v, qvec), 6), vec_id
+LIMIT 5
+"""
+
+
 QUERIES = [
     QuerySpec("bq_knn", bq_knn, BQ_KNN_SQL, "X61 binary-quantization ANN over the STORED packed-sign-bit column (coarse scan reads d/8 bytes/vector) + exact rerank (round 9 storage)"),
     QuerySpec("sq8_knn", sq8_knn, SQ8_KNN_SQL, "X71 SQ8 scalar-quantization ANN: trained per-dim byte codes packed 8/word in STORED BIGINT words, asymmetric-distance coarse rank + exact rerank (round 10)"),
     QuerySpec("sq8_filtered_knn", sq8_filtered_knn, SQ8_FILTERED_KNN_SQL, "X71 FILTERED SQ8 ANN: predicate pushed into the packed byte-code coarse scan, exact rerank of filtered candidates (round 10)"),
+    QuerySpec("ivf_sq8_knn", ivf_sq8_knn, IVF_SQ8_KNN_SQL, "X71b composed IVF_SQ8 (Milvus default memory-lean index): IVF partition pruning x SQ8 byte-code ADC within probed cells x exact rerank (round 10)"),
     QuerySpec("mrl_filtered_knn", mrl_filtered_knn, MRL_FILTERED_KNN_SQL, "X66 FILTERED Matryoshka ANN: predicate pushed into the stored-prefix coarse scan, full-width rerank of filtered candidates (round 10)"),
     QuerySpec("bq_filtered_knn", bq_filtered_knn, BQ_FILTERED_KNN_SQL, "X66 FILTERED BQ ANN: predicate pushed into the packed coarse scan (PushedFilters pinned), exact rerank of filtered candidates (round 10)"),
     QuerySpec("mrl_knn", mrl_knn, MRL_KNN_SQL, "X61 Matryoshka two-stage ANN over the STORED 16-dim prefix column + full-width rerank (round 9 storage)"),

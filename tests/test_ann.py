@@ -681,3 +681,36 @@ def test_sq8_filtered_knn_predicate_bounds_and_pushdown(spark):
         "EqualTo(label,1)" in ln.split("PushedFilters: ", 1)[-1].split("]", 1)[0]
         for ln in coarse
     ), coarse
+
+
+def test_ivf_sq8_composed_lower_bound(spark):
+    """X71b: the composed IVF_SQ8 result is still a loss-bounded
+    candidate cut — the query row (its own cell is always probed,
+    ADC distance minimal) reranks first at 0, and the top-5 distances
+    are bounded below by the exact top-5 (two stacked prunings can lose
+    neighbors, never invent closer ones); overlap with exact inherits
+    the IVF stage's partial-probe recall floor on this adversarial
+    uniform fixture (test_ivf_partial_probe_recall pins >= 0.6, i.e.
+    3/5 — measured exactly 3/5 here, the SQ8 stage costing nothing)."""
+    from pdf_parse_vector_db_spark.functions.vector import l2_distance
+    from pdf_parse_vector_db_spark.plans.similarity import ivf_sq8_knn
+
+    rows = ivf_sq8_knn(spark, SF).collect()
+    assert len(rows) == 5
+    assert rows[0].vec_id == 0 and rows[0].score == 0.0
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = [
+        (r.vec_id, r.d)
+        for r in emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(l2_distance(F.col("embedding"), F.col("qvec")), 4).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .collect()
+    ]
+    got = [r.score for r in rows]
+    assert all(g >= e for g, e in zip(got, [d for _, d in exact])), (got, exact)
+    assert len({r.vec_id for r in rows} & {v for v, _ in exact}) >= 3
