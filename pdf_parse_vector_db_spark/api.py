@@ -467,6 +467,248 @@ class SparkVectorService:
 
         return pages()
 
+    #: hybrid_search geometry: per-leg retrieval depth and the BM25
+    #: constants the lexical leg shares with plans/retrieval.py.
+    _HYBRID_DEPTH = 50
+    _HYBRID_MAX_TERMS = 16
+    _BM25_K1 = 1.2
+    _BM25_B = 0.75
+    _RRF_K = 60
+
+    def hybrid_search(
+        self,
+        file_name: str,
+        text: str,
+        court_level: int,
+        top_k: int = SEARCH_TOP_K,
+        ranker: str = "rrf",
+        weights: tuple[float, float] = (0.7, 0.3),
+        index: str = "exact",
+    ) -> dict:
+        """pymilvus HYBRID_SEARCH parity on the product facade: a DENSE
+        leg (the first-chunk embedding through the chosen ANN tier, the
+        existing read path) and a LEXICAL leg (Okapi BM25 of the query's
+        terms over the level's chunk text — Milvus 2.5 full-text
+        search's scoring), each cut to its per-file best at depth
+        ``_HYBRID_DEPTH``, fused by ``RRFRanker`` (k=60) or
+        ``WeightedRanker`` (per-leg min-max normalization, dense weight
+        first) — the two pymilvus rankers. Each leg covers the other's
+        blind spot: exact identifiers / rare terms vs paraphrase.
+
+        Plan shape: both legs end in TakeOrdered cuts before any window;
+        the fusion joins two ≤depth per-file sides. Responses cache per
+        (query, version, tier, ranker, weights) like every search."""
+        if index not in ("exact", "ivf", "graph", "bq", "sq8"):
+            raise ValueError("index must be one of: exact, ivf, graph, bq, sq8")
+        if ranker not in ("rrf", "weighted"):
+            raise ValueError("ranker must be one of: rrf, weighted")
+        if not text or not text.strip():
+            raise ValueError("No text could be extracted from the PDF")
+        target = int(court_level) + 1
+
+        import hashlib
+
+        if self.manifested:
+            from pdf_parse_vector_db_spark.sources import manifest as M
+
+            version = M.head_version(self.spark, self.path)
+        else:
+            version = self._version
+        key = (
+            "hybrid",
+            hashlib.sha256(text.encode()).hexdigest(),
+            file_name,
+            target,
+            int(top_k),
+            version,
+            index,
+            ranker,
+            tuple(float(w) for w in weights),
+        )
+        with self._cache_lock:
+            if key in self._cache:
+                self.cache_hits += 1
+                return copy.deepcopy(self._cache[key])
+
+        qvec = None
+        for first_chunk in chunk_text(text):
+            qvec = embed_text_py(first_chunk, self.dim)
+            if qvec is not None:
+                break
+        if qvec is None:
+            raise ValueError("No text could be extracted from the PDF")
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        # deterministic query-term set: first N distinct tokens in
+        # appearance order (an analyzer's token cap, Milvus-style)
+        seen: dict[str, None] = {}
+        for t in text.lower().split():
+            if t and t not in seen:
+                seen[t] = None
+            if len(seen) >= self._HYBRID_MAX_TERMS:
+                break
+        terms = list(seen)
+
+        with scoped_pool(self.spark, "search"):
+            # dense leg: per-file best distance, depth-cut, rank ascending
+            if index == "exact":
+                hits = (
+                    self._chunks()
+                    .filter(F.col("court_level") == target)
+                    .withColumn("dist", l2_distance(F.col("embedding"), q))
+                    .orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
+                    .limit(SEARCH_FETCH_K)
+                )
+            else:
+                hits = self._tier_candidates(index, version, target, qvec, q)
+            dense_rows = (
+                knn.dedup_best_per_group(
+                    hits,
+                    group_col="file_id",
+                    score_col="dist",
+                    tiebreak_cols=("chunk_id",),
+                )
+                .orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
+                .limit(self._HYBRID_DEPTH)
+                .select("file_id", "file_name", F.round(F.col("dist"), 4).alias("dist"))
+                .collect()
+            )
+
+            # lexical leg: per-chunk BM25 over the level, best per file
+            lvl = self._chunks().filter(F.col("court_level") == target)
+            tok = lvl.select(
+                "file_id",
+                "file_name",
+                "chunk_id",
+                F.size(
+                    F.filter(
+                        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                        lambda x: x != "",
+                    )
+                ).alias("dl"),
+                F.explode(
+                    F.filter(
+                        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                        lambda x: x != "",
+                    )
+                ).alias("term"),
+            )
+            stats = tok.groupBy("chunk_id").agg(F.first("dl").alias("dl")).agg(
+                F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+            )
+            tf = (
+                tok.filter(F.col("term").isin(terms))
+                .groupBy("file_id", "chunk_id", "term")
+                .agg(
+                    F.count(F.lit(1)).alias("tf"),
+                    F.first("dl").alias("dl"),
+                    F.first("file_name").alias("file_name"),
+                )
+            )
+            df_ = tf.groupBy("term").agg(
+                F.countDistinct("chunk_id").alias("df")
+            )
+            k1, b = self._BM25_K1, self._BM25_B
+            scored = (
+                tf.join(F.broadcast(df_), "term")
+                .crossJoin(F.broadcast(stats))
+                .withColumn(
+                    "contrib",
+                    F.log(
+                        F.lit(1.0)
+                        # ansi: df >= 1 on joined rows
+                        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    )
+                    * (F.col("tf") * (k1 + 1))
+                    # ansi: tf >= 1 keeps the denominator positive
+                    / (
+                        F.col("tf")
+                        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                    ),
+                )
+                .groupBy("file_id", "chunk_id")
+                .agg(
+                    F.sum("contrib").alias("bm25"),
+                    F.first("file_name").alias("file_name"),
+                )
+            )
+            lex_rows = (
+                knn.dedup_best_per_group(
+                    scored.withColumn("neg", -F.col("bm25")),
+                    group_col="file_id",
+                    score_col="neg",
+                    tiebreak_cols=("chunk_id",),
+                )
+                .orderBy(F.col("neg").asc(), F.col("chunk_id").asc())
+                .limit(self._HYBRID_DEPTH)
+                .select(
+                    "file_id",
+                    "file_name",
+                    F.round(F.col("bm25"), 6).alias("bm25"),
+                )
+                .collect()
+            )
+
+        # fusion over two <= depth per-file lists (driver-side, the same
+        # place the response assembly already lives)
+        dense_rank = {r.file_id: i + 1 for i, r in enumerate(dense_rows)}
+        lex_rank = {r.file_id: i + 1 for i, r in enumerate(lex_rows)}
+        names = {r.file_id: r.file_name for r in lex_rows}
+        names.update({r.file_id: r.file_name for r in dense_rows})
+        fused: dict[str, float] = {}
+        if ranker == "rrf":
+            for fid, r in dense_rank.items():
+                fused[fid] = fused.get(fid, 0.0) + 1.0 / (self._RRF_K + r)
+            for fid, r in lex_rank.items():
+                fused[fid] = fused.get(fid, 0.0) + 1.0 / (self._RRF_K + r)
+        else:
+            wd, wl = (float(weights[0]), float(weights[1]))
+
+            def _norms(rows, col, higher_better):
+                vals = [getattr(r, col) for r in rows]
+                if not vals:
+                    return {}
+                lo, hi = min(vals), max(vals)
+                out = {}
+                for r in rows:
+                    v = getattr(r, col)
+                    n = 1.0 if hi == lo else (v - lo) / (hi - lo)
+                    out[r.file_id] = n if higher_better else 1.0 - n
+                return out
+
+            for fid, nv in _norms(dense_rows, "dist", higher_better=False).items():
+                fused[fid] = fused.get(fid, 0.0) + wd * nv
+            for fid, nv in _norms(lex_rows, "bm25", higher_better=True).items():
+                fused[fid] = fused.get(fid, 0.0) + wl * nv
+        order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[: int(top_k)]
+        out = {
+            "status": "success",
+            "query": {
+                "file_name": file_name,
+                "court_level": int(court_level),
+                "target_court_level": target,
+                "ranker": ranker,
+                "index": index,
+                "query_terms": terms,
+            },
+            "result_count": len(order),
+            "results": [
+                {
+                    "file_id": fid,
+                    "file_name": names.get(fid),
+                    "fused_score": round(score, 6),
+                    "dense_rank": dense_rank.get(fid),
+                    "lex_rank": lex_rank.get(fid),
+                }
+                for fid, score in order
+            ],
+        }
+        with self._cache_lock:
+            self.cache_misses += 1
+            if len(self._cache) >= self.search_cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = copy.deepcopy(out)
+        return out
+
     # -- ANN-tier candidate stages (round 10) --------------------------------
 
     #: widened probe for the IVF tier: the court_level predicate already

