@@ -771,8 +771,74 @@ ORDER BY t.grp_rank, p.hit_rank
 """
 
 
+#: batched-search geometry: 3 queries answered by ONE corpus scan.
+MULTI_QUERY_IDS = (0, 1, 2)
+MULTI_QUERY_K = 3
+
+
+def multi_query_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED kNN (round 10): Q queries answered from ONE corpus scan —
+    the pymilvus search(data=[v1, v2, ...]) batch form, and the shape a
+    serving layer uses to amortize scan cost across a request batch
+    (Q separate scans read the corpus Q times; this reads it once).
+
+    Plan shape: the Q-row query set broadcasts onto the single scan; the
+    per-query top-k is a rank window PARTITIONED BY q_id, which Spark
+    plans as WindowGroupLimit — each task keeps only k rows per query
+    BEFORE the exchange, so the shuffle carries ≤ partitions × Q × k
+    rows, never the Q × N cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*MULTI_QUERY_IDS)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    return (
+        emb.filter(~F.col("vec_id").isin(*MULTI_QUERY_IDS))
+        .crossJoin(qs)
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(l2_distance(F.col("embedding"), F.col("q_vec")), 6).alias("d"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= MULTI_QUERY_K)
+        .select(
+            "q_id", "rnk", "vec_id", "label", F.round(F.col("d"), 4).alias("score")
+        )
+        .orderBy("q_id", "rnk")
+    )
+
+
+MULTI_QUERY_KNN_SQL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qs AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id IN {MULTI_QUERY_IDS}),
+scored AS (
+  SELECT qs.q_id, e.vec_id, e.label,
+         round(list_distance(e.v, qs.q_vec), 6) AS d
+  FROM e CROSS JOIN qs
+  WHERE e.vec_id NOT IN {MULTI_QUERY_IDS}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk
+  FROM scored
+)
+SELECT q_id, rnk, vec_id, label, round(d, 4) AS score
+FROM ranked WHERE rnk <= {MULTI_QUERY_K}
+ORDER BY q_id, rnk
+"""
+
+
 QUERIES = [
     QuerySpec("knn_topk", knn_topk, KNN_TOPK_SQL, "J1/P2/W1 filtered exact kNN top-5"),
+    QuerySpec(
+        "multi_query_knn",
+        multi_query_knn,
+        MULTI_QUERY_KNN_SQL,
+        "batched kNN: 3 queries off ONE corpus scan, WindowGroupLimit per-query top-3",
+    ),
     QuerySpec(
         "grouping_search",
         grouping_search,

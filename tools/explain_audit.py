@@ -132,6 +132,15 @@ AUDIT = {
     "pdf_roundtrip_ingest": "single ArrowEvalPython stage over the documents scan (ReadSchema = doc_id,text only) — render-to-PDF + parse-back is a pure per-row map, no shuffle except the final presentation sort; no CartesianProduct",
     "range_search": "single scan + broadcast query attach; BOTH band bounds in whole-stage codegen BEFORE the presentation sort (the sort sees only qualifying rows); no top-k operator by design; no CartesianProduct",
     "search_pagination": "ranking window rides the 100-row over-fetch (TakeOrderedAndProject), so the single-partition window is bounded at fetch_k regardless of corpus size; page filter on row_number; no CartesianProduct",
+    "sq8_knn": "coarse FileScan projects ONLY (vec_id, sq8) — ReadSchema excludes the embedding column (1 byte/dim of packed codes); ADC dequant+distance is a transform/aggregate fold in codegen with the 1-row params broadcast; rerank reads embeddings under a broadcast semi-join; both cuts TakeOrderedAndProject",
+    "sq8_filtered_knn": "label predicate PUSHED into the packed byte-code coarse FileScan (PushedFilters: EqualTo(label,1), ReadSchema = (vec_id,label,sq8) — no embedding bytes); same codegen ADC fold; exact rerank over filtered candidates",
+    "ivf_sq8_knn": "the composed Milvus IVF_SQ8 layering: broadcast-seeds argmin assignment + nprobe semi-join FIRST (partition pruning at scale), THEN the SQ8 ADC fold ranks only probed rows, THEN exact rerank of 50 candidates — the two prunings multiply; no CartesianProduct",
+    "grouping_search": "ONE shuffle keyed by the group field; WindowGroupLimit cuts to group_size below the per-group sort; group ranking is TakeOrderedAndProject over one-row-per-group bests; 3-row group list broadcast back onto winners",
+    "sparse_knn": "corpus token stream LEFT-SEMI joined against the broadcast query-term set BEFORE the (doc_id, term) exchange — posting rows only; tf/df hash aggs with map-side partials; dot product accumulates integer micros (order-independent); TakeOrderedAndProject(10)",
+    "hybrid_weighted": "both legs end in TakeOrderedAndProject cuts before any window; per-leg min/max are 1-row aggregates over the 50-row cut re-entering as broadcast; fusion is a full-outer join of two ≤50-row sides",
+    "maxsim_topk": "3-row query set broadcast; per-(entity, q) MAX is a partially-aggregated groupBy (map-side combine → entities×3 rows at the exchange); Σ of maxes over integer micros; TakeOrderedAndProject(5)",
+    "video_ingest_meta": "single ArrowEvalPython stage over the documents scan (ReadSchema = doc_id,text only) — AVI encode→parse→sample is a pure per-row map, no shuffle before the presentation sort",
+    "multi_query_knn": "Q queries off ONE corpus scan: broadcast query set; per-query top-k planned as WindowGroupLimit — each task keeps ≤ k rows per query BEFORE the exchange (shuffle ≤ partitions × Q × k rows, never Q × N)",
 }
 
 
