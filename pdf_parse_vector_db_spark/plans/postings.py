@@ -329,6 +329,112 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# CDC-maintained inverted index (round 10): the lexical analog of the
+# IVF / k-NN-graph / compressed-layout maintenance loops — the index a
+# full-text search serves from is WRITTEN AT INGEST and maintained
+# incrementally, never rebuilt per query (Milvus 2.5 builds its BM25
+# sparse index the same way: per segment at insert time).
+
+
+def postings_columns(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl) under the standard analyzer (lowercase,
+    non-alphanumeric split, stopword removal — plans/retrieval's
+    analyzer) — the stored posting row shape shared by the bulk build
+    and the CDC sync so batch and stream cannot disagree on
+    tokenization. Pure per-row explode + one (doc_id, term) combine —
+    no global state, so incremental maintenance is append-only (the
+    cheapest loop in the family, like the X61 layout sync)."""
+    from pdf_parse_vector_db_spark.plans.retrieval import ANALYZER_STOPWORDS
+
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+            lambda t: (t != "") & ~t.isin(ANALYZER_STOPWORDS),
+        ).alias("toks"),
+    )
+    return (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"), F.first("dl").alias("dl"))
+    )
+
+
+def sync_postings_from_feed(
+    spark: SparkSession, source_table: str, postings_table: str, cursor: int
+) -> int:
+    """CDC-driven inverted-index maintenance: documents appended to the
+    manifested `source_table` since `cursor` are analyzed and their
+    postings committed to `postings_table`, exactly once (idempotency
+    key = source version window — replaying a crashed loop is a no-op).
+    Returns the new cursor. Document erasures ride the table layer's
+    delete path (an anti-join rewrite of the postings table keyed
+    doc_id — the same GDPR shape as forget_file); this loop is the
+    append half."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    to, feed = M.table_changes(
+        spark, source_table, from_version=cursor, ignore_replaces=True
+    )
+    if feed is None:
+        return to
+    M.commit_append(
+        spark,
+        postings_table,
+        postings_columns(feed),
+        idempotency_key=f"postings-sync-v{cursor}-v{to}",
+        stats_cols=("doc_id",),
+    )
+    return to
+
+
+def search_stored_postings(
+    spark: SparkSession,
+    postings_table: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k served from the MAINTAINED postings table — no
+    tokenization anywhere at query time: tf/dl are stored, df and the
+    corpus constants are aggregates over the stored relation (at scale:
+    a term-bucketed layout makes the term filter partition pruning, and
+    df/avgdl ride precomputed stats). The scoring core is the exact
+    expression plans/retrieval.bm25_topk pins against DuckDB."""
+    from pdf_parse_vector_db_spark.sources import manifest as M
+
+    _, post = M.snapshot(spark, postings_table)
+    if post is None:
+        raise ValueError("search_stored_postings needs a non-empty postings table")
+    doclen = post.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    stats = doclen.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
+    tf = post.filter(F.col("term").isin(list(terms)))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                # ansi: df >= 1 on every joined row
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1))
+            # ansi: tf >= 1 keeps the denominator positive
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 QUERIES = [
     QuerySpec(
         "phrase_search",

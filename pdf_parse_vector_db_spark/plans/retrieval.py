@@ -858,7 +858,117 @@ LIMIT {MAXSIM_TOP_K}
 """
 
 
+#: Milvus standard-analyzer parity: lowercase → split on non-alphanumeric
+#: → drop stopwords (the analyzer stack Milvus 2.5 applies before BM25;
+#: `bm25_topk` keeps the raw whitespace tokenization for the unanalyzed
+#: tier). The stopword list is FIXED and embedded in both engines' plans.
+ANALYZER_STOPWORDS = (
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with"
+).split()
+
+
+def _analyzed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, term) under the standard analyzer. dl counts the
+    SURVIVING tokens (BM25's length normalization must see the same
+    token stream the scorer sees)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+            lambda t: (t != "") & ~t.isin(ANALYZER_STOPWORDS),
+        ).alias("toks"),
+    )
+    return toks.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+
+
+def bm25_analyzed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 under the STANDARD ANALYZER (round 10): the Milvus 2.5
+    full-text-search scoring stack — lowercase, non-alphanumeric split,
+    stopword removal — in front of the same Okapi BM25 core as
+    `bm25_topk`. The analyzer changes real rankings: punctuation-glued
+    occurrences ("decision.") now match, and stopword mass leaves both
+    tf and the document-length normalization. Same posting-join scale
+    shape as the unanalyzed tier (query-term filter before any wide
+    exchange; corpus constants broadcast)."""
+    tok = _analyzed_tokens(spark, sf_dir)
+    doclen = tok.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    stats = doclen.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    hits = tok.filter(F.col("term").isin(QUERY_TERMS))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), on="term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                # ansi: df >= 1 on every joined row
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (K1 + 1))
+            # ansi: tf >= 1 keeps the denominator positive
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in ANALYZER_STOPWORDS)
+
+BM25_ANALYZED_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> '' AND t.term NOT IN ({_STOPWORDS_SQL})
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM doclen),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('dup', 'vector', 'merge', 'spark')
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * doclen.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM tf
+  JOIN doclen USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "bm25_analyzed_topk",
+        bm25_analyzed_topk,
+        BM25_ANALYZED_TOPK_SQL,
+        "BM25 under the Milvus standard analyzer: lowercase + non-alphanumeric split + stopword removal in front of the Okapi core",
+    ),
     QuerySpec(
         "maxsim_topk",
         maxsim_topk,
