@@ -703,3 +703,41 @@ def test_nn_descent_embedding_attach_not_forced_broadcast(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_multi_query_knn_window_group_limit(spark):
+    """X76: the batched per-query top-k must plan as WindowGroupLimit —
+    each task keeps <= k rows per query BEFORE the exchange, so the
+    shuffle never carries the Q x N cross product."""
+    body = _plan(spark, "multi_query_knn")
+    assert "WindowGroupLimit" in body, body
+    assert "CartesianProduct" not in body, body
+
+
+def test_sparse_knn_posting_filter_before_exchange(spark):
+    """X73: the inverted-index property — only query-term posting rows
+    may reach a wide exchange. The corpus token stream is semi-joined
+    against the broadcast query-term set, so the plan must carry a
+    broadcast join and no CartesianProduct; the (doc_id, term) hash
+    aggregation downstream then sees posting rows only."""
+    body = _plan(spark, "sparse_knn")
+    assert "BroadcastExchange" in body, body
+    assert "CartesianProduct" not in body, body
+
+
+def test_grouping_search_group_limit_below_sort(spark):
+    """X72: the per-group hit cut must plan as WindowGroupLimit (the cut
+    happens below the per-group sort), and group attach must be a
+    broadcast of the 3-row group list."""
+    body = _plan(spark, "grouping_search")
+    assert "WindowGroupLimit" in body, body
+    assert "BroadcastExchange" in body, body
+
+
+def test_maxsim_partial_aggregation(spark):
+    """X74: the per-(entity, q) MAX must partially aggregate map-side —
+    two HashAggregate levels around the exchange — so the shuffle
+    carries entities x |Q| rows, not the scored cross product."""
+    body = _plan(spark, "maxsim_topk")
+    assert body.count("HashAggregate") >= 2, body
+    assert "partial_max" in body or "partial" in body.lower(), body
