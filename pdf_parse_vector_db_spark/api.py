@@ -467,6 +467,98 @@ class SparkVectorService:
 
         return pages()
 
+    def grouping_search(
+        self,
+        text: str,
+        court_level: int,
+        limit: int = 3,
+        group_size: int = 2,
+        index: str = "exact",
+    ) -> list[dict]:
+        """Milvus GROUPING-SEARCH parity on the product facade (pymilvus
+        search(group_by_field=..., group_size=..., limit=...)): the top
+        ``limit`` FILES ranked by their best chunk, each carrying its
+        ``group_size`` best chunks — the generalization of the default
+        read path's best-per-file dedup (group_size=1) to k hits per
+        group, so one file's many chunks can't monopolize the list while
+        the caller still sees intra-file evidence.
+
+        Spark shape: the tier's over-fetch candidates (bounded at
+        SEARCH_FETCH_K) get a per-file rank window — WindowGroupLimit
+        cuts to group_size under the sort — and the group ranking runs
+        over one-row-per-file bests; everything after the candidate
+        stage is ≤ fetch_k rows."""
+        from pyspark.sql import Window
+
+        if limit < 1 or group_size < 1:
+            raise ValueError("limit and group_size must be >= 1")
+        if index not in ("exact", "ivf", "graph", "bq", "sq8"):
+            raise ValueError("index must be one of: exact, ivf, graph, bq, sq8")
+        if not text or not text.strip():
+            raise ValueError("No text could be extracted from the PDF")
+        target = int(court_level) + 1
+        qvec = None
+        for first_chunk in chunk_text(text):
+            qvec = embed_text_py(first_chunk, self.dim)
+            if qvec is not None:
+                break
+        if qvec is None:
+            raise ValueError("No text could be extracted from the PDF")
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        if self.manifested:
+            from pdf_parse_vector_db_spark.sources import manifest as M
+
+            version = M.head_version(self.spark, self.path)
+        else:
+            version = self._version
+
+        with scoped_pool(self.spark, "search"):
+            if index == "exact":
+                hits = (
+                    self._chunks()
+                    .filter(F.col("court_level") == target)
+                    .withColumn("dist", l2_distance(F.col("embedding"), q))
+                    .orderBy(F.col("dist").asc(), F.col("chunk_id").asc())
+                    .limit(SEARCH_FETCH_K)
+                )
+            else:
+                hits = self._tier_candidates(index, version, target, qvec, q)
+            w = Window.partitionBy("file_id").orderBy(
+                F.col("dist").asc(), F.col("chunk_id").asc()
+            )
+            per = hits.withColumn("hit_rank", F.row_number().over(w)).filter(
+                F.col("hit_rank") <= int(group_size)
+            )
+            rows = (
+                per.select(
+                    "file_id",
+                    "file_name",
+                    "chunk_id",
+                    "hit_rank",
+                    F.round(F.col("dist"), 4).alias("score"),
+                )
+                .orderBy(F.col("score").asc(), F.col("chunk_id").asc())
+                .collect()
+            )
+        # group assembly over <= fetch_k local rows
+        groups: dict[str, dict] = {}
+        for r in rows:
+            g = groups.setdefault(
+                r.file_id,
+                {"file_id": r.file_id, "file_name": r.file_name, "hits": []},
+            )
+            g["hits"].append(
+                {"chunk_id": r.chunk_id, "hit_rank": r.hit_rank, "score": r.score}
+            )
+        ranked = sorted(
+            groups.values(),
+            key=lambda g: (g["hits"][0]["score"], g["hits"][0]["chunk_id"]),
+        )[: int(limit)]
+        for i, g in enumerate(ranked):
+            g["grp_rank"] = i + 1
+            g["hits"].sort(key=lambda h: h["hit_rank"])
+        return ranked
+
     #: hybrid_search geometry: per-leg retrieval depth and the BM25
     #: constants the lexical leg shares with plans/retrieval.py.
     _HYBRID_DEPTH = 50

@@ -411,3 +411,44 @@ def test_hybrid_search_rankers(spark, tmp_path):
             "q.pdf", QUERY, court_level=2, top_k=6, ranker=ranker
         )
         assert svc.cache_misses == misses and again == resp
+
+
+def test_grouping_search_facade(spark, tmp_path):
+    """Milvus grouping-search parity: top-limit FILES by best chunk with
+    group_size best chunks each — multi-chunk docs contribute up to
+    group_size hits, groups rank by their best hit, hit_ranks are
+    per-group contiguous, and the verbatim match is group 1."""
+    from pdf_parse_vector_db_spark.api import SparkVectorService
+
+    svc = SparkVectorService(spark, str(tmp_path / "wh"))
+    # paragraph-separated docs -> several chunks per file (the chunker
+    # folds paragraphs greedily, so single-paragraph text is one chunk)
+    svc.ingest_legal_document("case_exact.pdf", (QUERY + "\n\n") * 3, court_level=3)
+    for i in range(4):
+        svc.ingest_legal_document(
+            f"case_{i}.pdf",
+            (DOC + f" clause {i}\n\n") * 3,
+            court_level=3,
+        )
+
+    with pytest.raises(ValueError, match="limit and group_size"):
+        svc.grouping_search(QUERY, court_level=2, group_size=0)
+
+    groups = svc.grouping_search(QUERY, court_level=2, limit=3, group_size=2)
+    assert len(groups) == 3
+    assert [g["grp_rank"] for g in groups] == [1, 2, 3]
+    import hashlib
+
+    assert groups[0]["file_id"] == hashlib.sha256(b"case_exact.pdf").hexdigest()
+    best = [g["hits"][0]["score"] for g in groups]
+    assert best == sorted(best)  # groups ranked by their best hit
+    for g in groups:
+        assert 1 <= len(g["hits"]) <= 2
+        assert [h["hit_rank"] for h in g["hits"]] == list(
+            range(1, len(g["hits"]) + 1)
+        )
+        scores = [h["score"] for h in g["hits"]]
+        assert scores == sorted(scores)
+    # the repeated-text doc has >= 2 chunks tied at the top: group_size
+    # must surface both, not collapse to the best-per-file single hit
+    assert len(groups[0]["hits"]) == 2
