@@ -714,7 +714,8 @@ class SparkVectorService:
                     # ansi: tf >= 1 keeps the denominator positive
                     / (
                         F.col("tf")
-                        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                        # ansi: avgdl = mean of positive doc lengths > 0
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
                     ),
                 )
                 .groupBy("file_id", "chunk_id")
@@ -749,8 +750,10 @@ class SparkVectorService:
         fused: dict[str, float] = {}
         if ranker == "rrf":
             for fid, r in dense_rank.items():
+                # ansi: driver-side python; RRF_K + r >= 61 > 0
                 fused[fid] = fused.get(fid, 0.0) + 1.0 / (self._RRF_K + r)
             for fid, r in lex_rank.items():
+                # ansi: driver-side python; RRF_K + r >= 61 > 0
                 fused[fid] = fused.get(fid, 0.0) + 1.0 / (self._RRF_K + r)
         else:
             wd, wl = (float(weights[0]), float(weights[1]))
@@ -763,6 +766,7 @@ class SparkVectorService:
                 out = {}
                 for r in rows:
                     v = getattr(r, col)
+                    # ansi: driver-side python; hi == lo arm guards the division
                     n = 1.0 if hi == lo else (v - lo) / (hi - lo)
                     out[r.file_id] = n if higher_better else 1.0 - n
                 return out

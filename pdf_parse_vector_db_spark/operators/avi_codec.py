@@ -237,6 +237,7 @@ def parse_avi(content: bytes) -> dict:
         )
 
     us_per_frame, _, _, _, total_frames, _, _, _, width, height = avih[:10]
+    # ansi: stdlib python; the ternary guards us_per_frame == 0
     fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
 
     frames: list[bytes] = []

@@ -666,6 +666,7 @@ def hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lmax") > F.col("lmin"),
             # ansi: guarded by the when arm
             (F.col("lmic") - F.col("lmin")).cast("double")
+            # ansi: lmax > lmin in this when arm
             / (F.col("lmax") - F.col("lmin")).cast("double"),
         )
         .otherwise(F.lit(1.0))
@@ -700,6 +701,7 @@ def hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vmax") > F.col("vmin"),
             # ansi: guarded by the when arm
             (F.col("vmic") - F.col("vmin")).cast("double")
+            # ansi: vmax > vmin in this when arm
             / (F.col("vmax") - F.col("vmin")).cast("double"),
         )
         .otherwise(F.lit(1.0))
