@@ -198,3 +198,19 @@ def test_synced_graph_search_recall_at_reference_width(spark, dim_dir, tmp_path)
     assert len(overlap) >= 4, (sorted(r.vec_id for r in got), exact)
     for g, e in zip([r.score for r in got], [round(r.d, 4) for r in exact]):
         assert g >= e, (got, exact)
+
+
+def test_sq8_family_hash_match_at_reference_width(spark, dim_dir):
+    """Round-10 X71 at dim 1536: the SQ8 pack/dequant exprs iterate
+    (transform over sequence), so codegen size is dim-independent — no
+    literal-array cliff to fall off — and the trained params stay a
+    2 x dim broadcast. Pin with full value-hash compares against the
+    DuckDB twins on the wide fixture, including the IVF_SQ8 composition."""
+    from pdf_parse_vector_db_spark.plans import similarity as sim
+    from tools.compare_oracle import compare_query, duckdb_connection
+
+    con = duckdb_connection(dim_dir)
+    by_name = {s.name: s for s in sim.QUERIES}
+    for name in ("sq8_knn", "sq8_filtered_knn", "ivf_sq8_knn"):
+        problems = compare_query(spark, con, by_name[name], dim_dir)
+        assert not problems, (name, problems)
