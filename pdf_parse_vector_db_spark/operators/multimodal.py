@@ -66,6 +66,7 @@ def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_parse_vector_db_spark.operators import (
             avi_codec,
+            gif_codec,
             jpeg_codec,
             png_codec,
             wav_codec,
@@ -109,12 +110,20 @@ def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame
                         # fps rides the sample_rate slot (the schema's one
                         # temporal-rate field; images use 0 there too)
                         out["sample_rate"].append(v["fps"])
+                    elif gif_codec.is_gif(content):
+                        v = gif_codec.decode_gif(content)
+                        out["width"].append(v["width"])
+                        out["height"].append(v["height"])
+                        out["n_frames"].append(v["n_frames"])
+                        d0 = v["delays_cs"][0] if v["delays_cs"] else 0
+                        # ansi: stdlib python; the ternary guards d0 == 0
+                        out["sample_rate"].append(round(100 / d0) if d0 else 0)
                     else:
                         raise NotImplementedError(
                             "real decoding of this media requires Pillow/"
                             "ffmpeg (not in container); PNG, baseline+"
-                            "progressive JPEG, 16-bit PCM WAV, and "
-                            "MJPEG-AVI decode natively"
+                            "progressive JPEG, 16-bit PCM WAV, MJPEG-AVI, "
+                            "and GIF87a/89a decode natively"
                         )
                 yield pd.DataFrame(out)
                 continue
@@ -384,6 +393,59 @@ def video_frame_phash(media: DataFrame, every_n: int = 1) -> DataFrame:
             yield pd.DataFrame(out)
 
     return video_frames(media, every_n).mapInPandas(
+        hash_batch, "doc_id bigint, frame_idx int, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+def animation_frame_phash(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Container-universal per-frame real-pixel aHash (round 10): one
+    Arrow stage that dispatches on the payload's own signature — MJPEG-AVI
+    (frames decode through the JPEG codec), animated GIF (lossless
+    composed frames), and still PNG/JPEG as 1-frame media — and emits the
+    shared (doc_id, frame_idx, b0..b3) 4-band shape, so
+    ``phash_near_dup_pairs`` finds duplicates ACROSS containers: the same
+    pixels land on the same hash whether they arrived as a video frame,
+    a GIF frame, or a still image. This is the cross-container collapse a
+    multimodal training corpus needs (the same meme circulates as all
+    three)."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parse_vector_db_spark.operators import (
+            avi_codec,
+            gif_codec,
+            jpeg_codec,
+            png_codec,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None else b""
+                if avi_codec.is_avi(content):
+                    v = avi_codec.parse_avi(content)
+                    frames = [
+                        (i, jpeg_codec.decode_jpeg(v["frames"][i]))
+                        for i in range(0, v["n_frames"], every_n)
+                    ]
+                elif gif_codec.is_gif(content):
+                    v = gif_codec.decode_gif(content)
+                    frames = [
+                        (i, v["frames"][i])
+                        for i in range(0, v["n_frames"], every_n)
+                    ]
+                elif jpeg_codec.is_jpeg(content):
+                    frames = [(0, jpeg_codec.decode_jpeg(content))]
+                else:
+                    frames = [(0, png_codec.decode_png(content))]
+                for i, px in frames:
+                    bands = png_codec.ahash_64(px)
+                    out["doc_id"].append(rec.doc_id)
+                    out["frame_idx"].append(i)
+                    for j, v_ in enumerate(bands):
+                        out[f"b{j}"].append(v_)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "content").mapInPandas(
         hash_batch, "doc_id bigint, frame_idx int, b0 int, b1 int, b2 int, b3 int"
     )
 
