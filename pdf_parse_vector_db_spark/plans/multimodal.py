@@ -447,8 +447,69 @@ ORDER BY doc_id
 """
 
 
+def gif_roundtrip_pixelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78 end-to-end GIF loop under a PIXEL-EXACT oracle: every document
+    renders 1 + doc_id % 3 frames of formula pixels
+    (v(f, y, x) = (doc_id + 3y + 5x + 7f) mod 200, gray 8x12), encodes a
+    real animated GIF, decodes it back, and surfaces the SUM OF DECODED
+    PIXEL VALUES. GIF is palette-lossless, so the decoded sum must equal
+    the closed-form arithmetic the DuckDB twin computes — any defect in
+    the LZW coder, palette construction, sub-block segmentation, or frame
+    composition changes the sum and breaks the value hash. (The lossy
+    AVI loop pins container FIELDS the same way; losslessness is what
+    lets this one pin the pixels themselves.)
+
+    Scale shape: pure 1-row→1-row mapInPandas over the documents scan."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id")
+
+    def loop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parse_vector_db_spark.operators import gif_codec
+
+        yy = np.arange(8).reshape(-1, 1)
+        xx = np.arange(12).reshape(1, -1)
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "pixel_sum": []}
+            for rec in pdf.itertuples(index=False):
+                k = 1 + rec.doc_id % 3
+                frames = []
+                for f in range(k):
+                    v = ((rec.doc_id + 3 * yy + 5 * xx + 7 * f) % 200).astype(
+                        np.uint8
+                    )
+                    frames.append(np.stack([v, v, v], axis=-1))
+                g = gif_codec.encode_gif(frames, delay_cs=4)
+                d = gif_codec.decode_gif(g)
+                s = int(sum(int(fr.sum()) for fr in d["frames"]))
+                out["doc_id"].append(rec.doc_id)
+                out["n_frames"].append(d["n_frames"])
+                out["pixel_sum"].append(s)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        loop, "doc_id bigint, n_frames int, pixel_sum bigint"
+    ).orderBy("doc_id")
+
+
+GIF_ROUNDTRIP_PIXELSUM_SQL = """
+SELECT d.doc_id,
+       CAST(1 + d.doc_id % 3 AS INTEGER) AS n_frames,
+       CAST(3 * sum((d.doc_id + 3 * y.y + 5 * x.x + 7 * f.f) % 200) AS BIGINT)
+         AS pixel_sum
+FROM documents d, range(3) f(f), range(8) y(y), range(12) x(x)
+WHERE f.f < 1 + d.doc_id % 3
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, "X6 binary metadata"),
+    QuerySpec("gif_roundtrip_pixelsum", gif_roundtrip_pixelsum, GIF_ROUNDTRIP_PIXELSUM_SQL, "X78 lossless GIF encode->decode loop pinned by a closed-form pixel checksum (any LZW/palette/composition defect breaks the hash)"),
     QuerySpec("video_ingest_meta", video_ingest_meta, VIDEO_INGEST_META_SQL, "X75 MJPEG-AVI encode->parse->sample loop with arithmetic oracle over the surfaced container fields"),
     QuerySpec("phash_near_dups", phash_near_dups, PHASH_NEAR_DUPS_SQL, "X47 perceptual-hash image near-dup pairs (banded hamming, integer-exact oracle)"),
     QuerySpec("clip_pair_filter", clip_pair_filter, CLIP_PAIR_FILTER_SQL, "X6 cross-modal cosine pair gate"),
