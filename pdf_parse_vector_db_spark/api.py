@@ -665,81 +665,69 @@ class SparkVectorService:
                 .collect()
             )
 
-            # lexical leg: per-chunk BM25 over the level, best per file
-            lvl = self._chunks().filter(F.col("court_level") == target)
-            tok = lvl.select(
-                "file_id",
-                "file_name",
-                "chunk_id",
-                F.size(
-                    F.filter(
-                        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                        lambda x: x != "",
+            # lexical leg: BM25 served from the per-(version, level)
+            # POSTINGS artifact (tier "lex" in _ensure_index — tokenized
+            # once per warehouse version, the X77 stored-index posture;
+            # re-tokenizing the level's text per query would scan corpus
+            # text instead of posting lists at scale)
+            lex_path = self._ensure_index("lex", version, target)
+            if lex_path is None:
+                lex_rows = []
+            else:
+                post = self.spark.read.parquet(lex_path)
+                stats = (
+                    post.groupBy("chunk_id")
+                    .agg(F.first("dl").alias("dl"))
+                    .agg(
+                        F.avg("dl").alias("avgdl"),
+                        F.count(F.lit(1)).alias("n_docs"),
                     )
-                ).alias("dl"),
-                F.explode(
-                    F.filter(
-                        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                        lambda x: x != "",
+                )
+                tf = post.filter(F.col("term").isin(terms))
+                df_ = tf.groupBy("term").agg(
+                    F.countDistinct("chunk_id").alias("df")
+                )
+                k1, b = self._BM25_K1, self._BM25_B
+                scored = (
+                    tf.join(F.broadcast(df_), "term")
+                    .crossJoin(F.broadcast(stats))
+                    .withColumn(
+                        "contrib",
+                        F.log(
+                            F.lit(1.0)
+                            # ansi: df >= 1 on joined rows
+                            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                        )
+                        * (F.col("tf") * (k1 + 1))
+                        # ansi: tf >= 1 keeps the denominator positive
+                        / (
+                            F.col("tf")
+                            # ansi: avgdl = mean of positive doc lengths > 0
+                        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                        ),
                     )
-                ).alias("term"),
-            )
-            stats = tok.groupBy("chunk_id").agg(F.first("dl").alias("dl")).agg(
-                F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
-            )
-            tf = (
-                tok.filter(F.col("term").isin(terms))
-                .groupBy("file_id", "chunk_id", "term")
-                .agg(
-                    F.count(F.lit(1)).alias("tf"),
-                    F.first("dl").alias("dl"),
-                    F.first("file_name").alias("file_name"),
-                )
-            )
-            df_ = tf.groupBy("term").agg(
-                F.countDistinct("chunk_id").alias("df")
-            )
-            k1, b = self._BM25_K1, self._BM25_B
-            scored = (
-                tf.join(F.broadcast(df_), "term")
-                .crossJoin(F.broadcast(stats))
-                .withColumn(
-                    "contrib",
-                    F.log(
-                        F.lit(1.0)
-                        # ansi: df >= 1 on joined rows
-                        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    .groupBy("file_id", "chunk_id")
+                    .agg(
+                        F.sum("contrib").alias("bm25"),
+                        F.first("file_name").alias("file_name"),
                     )
-                    * (F.col("tf") * (k1 + 1))
-                    # ansi: tf >= 1 keeps the denominator positive
-                    / (
-                        F.col("tf")
-                        # ansi: avgdl = mean of positive doc lengths > 0
-                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-                    ),
                 )
-                .groupBy("file_id", "chunk_id")
-                .agg(
-                    F.sum("contrib").alias("bm25"),
-                    F.first("file_name").alias("file_name"),
+                lex_rows = (
+                    knn.dedup_best_per_group(
+                        scored.withColumn("neg", -F.col("bm25")),
+                        group_col="file_id",
+                        score_col="neg",
+                        tiebreak_cols=("chunk_id",),
+                    )
+                    .orderBy(F.col("neg").asc(), F.col("chunk_id").asc())
+                    .limit(self._HYBRID_DEPTH)
+                    .select(
+                        "file_id",
+                        "file_name",
+                        F.round(F.col("bm25"), 6).alias("bm25"),
+                    )
+                    .collect()
                 )
-            )
-            lex_rows = (
-                knn.dedup_best_per_group(
-                    scored.withColumn("neg", -F.col("bm25")),
-                    group_col="file_id",
-                    score_col="neg",
-                    tiebreak_cols=("chunk_id",),
-                )
-                .orderBy(F.col("neg").asc(), F.col("chunk_id").asc())
-                .limit(self._HYBRID_DEPTH)
-                .select(
-                    "file_id",
-                    "file_name",
-                    F.round(F.col("bm25"), 6).alias("bm25"),
-                )
-                .collect()
-            )
 
         # fusion over two <= depth per-file lists (driver-side, the same
         # place the response assembly already lives)
@@ -918,6 +906,39 @@ class SparkVectorService:
                         sq8_pack_expr("CAST(embedding AS ARRAY<DOUBLE>)", self.dim),
                     ).drop("mins", "maxs").write.mode("overwrite").parquet(
                         f"{path}/layout"
+                    )
+                elif tier == "lex":
+                    # lexical POSTINGS artifact for hybrid_search's BM25
+                    # leg (the X77 stored-index posture on the product
+                    # surface): tokenize the level ONCE per warehouse
+                    # version, not once per query — at corpus scale,
+                    # per-query re-tokenization is the absurdity this
+                    # artifact exists to remove. Whitespace analyzer
+                    # matches the facade's query-term extraction.
+                    toks = nodes.select(
+                        "file_id",
+                        "file_name",
+                        "chunk_id",
+                        F.filter(
+                            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                            lambda t: t != "",
+                        ).alias("toks"),
+                    )
+                    (
+                        toks.select(
+                            "file_id",
+                            "file_name",
+                            "chunk_id",
+                            F.size("toks").alias("dl"),
+                            F.explode("toks").alias("term"),
+                        )
+                        .groupBy("file_id", "file_name", "chunk_id", "term")
+                        .agg(
+                            F.count(F.lit(1)).cast("bigint").alias("tf"),
+                            F.first("dl").alias("dl"),
+                        )
+                        .write.mode("overwrite")
+                        .parquet(path)
                     )
                 else:  # graph
                     from pdf_parse_vector_db_spark.plans.knn_graph import (

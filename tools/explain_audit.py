@@ -141,6 +141,8 @@ AUDIT = {
     "maxsim_topk": "3-row query set broadcast; per-(entity, q) MAX is a partially-aggregated groupBy (map-side combine → entities×3 rows at the exchange); Σ of maxes over integer micros; TakeOrderedAndProject(5)",
     "video_ingest_meta": "single ArrowEvalPython stage over the documents scan (ReadSchema = doc_id,text only) — AVI encode→parse→sample is a pure per-row map, no shuffle before the presentation sort",
     "multi_query_knn": "Q queries off ONE corpus scan: broadcast query set; per-query top-k planned as WindowGroupLimit — each task keeps ≤ k rows per query BEFORE the exchange (shuffle ≤ partitions × Q × k rows, never Q × N)",
+    "gif_roundtrip_pixelsum": "single ArrowEvalPython stage over a doc_id-only scan (ReadSchema = doc_id) — GIF encode→decode→checksum is a pure per-row map, no shuffle before the presentation sort",
+    "bm25_analyzed_topk": "analyzer + query-term filter BEFORE the (doc_id, term) exchange — only query-term posting rows shuffle; tf/df map-side combined; corpus constants broadcast; TakeOrderedAndProject(10)",
 }
 
 
