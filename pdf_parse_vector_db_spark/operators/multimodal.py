@@ -66,6 +66,7 @@ def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_parse_vector_db_spark.operators import (
             avi_codec,
+            flac_codec,
             gif_codec,
             jpeg_codec,
             png_codec,
@@ -118,12 +119,18 @@ def decode_media_meta(media: DataFrame, real_decoder: bool = False) -> DataFrame
                         d0 = v["delays_cs"][0] if v["delays_cs"] else 0
                         # ansi: stdlib python; the ternary guards d0 == 0
                         out["sample_rate"].append(round(100 / d0) if d0 else 0)
+                    elif flac_codec.is_flac(content):
+                        rate, _n_ch, samples = flac_codec.decode_flac(content)
+                        out["width"].append(0)
+                        out["height"].append(0)
+                        out["n_frames"].append(int(samples.shape[0]))
+                        out["sample_rate"].append(int(rate))
                     else:
                         raise NotImplementedError(
                             "real decoding of this media requires Pillow/"
                             "ffmpeg (not in container); PNG, baseline+"
-                            "progressive JPEG, 16-bit PCM WAV, MJPEG-AVI, "
-                            "and GIF87a/89a decode natively"
+                            "progressive JPEG, 16-bit PCM WAV, FLAC, "
+                            "MJPEG-AVI, and GIF87a/89a decode natively"
                         )
                 yield pd.DataFrame(out)
                 continue

@@ -507,9 +507,63 @@ ORDER BY d.doc_id
 """
 
 
+def flac_roundtrip_samplesum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79 end-to-end FLAC loop under a SAMPLE-EXACT oracle (the audio
+    analog of gif_roundtrip_pixelsum): every document renders
+    300 + (doc_id % 4)·100 formula samples
+    (s(i) = ((doc_id·7 + i·13) mod 4001) − 2000, int16 mono), encodes a
+    real FLAC (FIXED predictors + Rice residuals — the compressed path,
+    not verbatim), decodes it back, and surfaces the SUM OF DECODED
+    SAMPLES. FLAC is lossless, so the sum must equal the closed form the
+    DuckDB twin computes — any defect in the bit packing, CRCs, Rice
+    coder, or predictor reconstruction breaks the value hash.
+
+    Scale shape: pure 1-row→1-row mapInPandas over a doc_id-only scan;
+    per-row cost is the per-sample Rice coding, parallelized by the
+    document partitioning."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id")
+
+    def loop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parse_vector_db_spark.operators import flac_codec
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_sum": []}
+            for rec in pdf.itertuples(index=False):
+                n = 300 + (rec.doc_id % 4) * 100
+                i = np.arange(n, dtype=np.int64)
+                s = (((rec.doc_id * 7 + i * 13) % 4001) - 2000).astype(np.int16)
+                f = flac_codec.encode_flac(s, 8000, block=256)
+                _rate, _nch, dec = flac_codec.decode_flac(f)
+                out["doc_id"].append(rec.doc_id)
+                out["n_samples"].append(int(dec.shape[0]))
+                out["sample_sum"].append(int(dec.sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        loop, "doc_id bigint, n_samples int, sample_sum bigint"
+    ).orderBy("doc_id")
+
+
+FLAC_ROUNDTRIP_SAMPLESUM_SQL = """
+SELECT d.doc_id,
+       CAST(300 + (d.doc_id % 4) * 100 AS INTEGER) AS n_samples,
+       CAST(sum((d.doc_id * 7 + i.i * 13) % 4001 - 2000) AS BIGINT) AS sample_sum
+FROM documents d, range(600) i(i)
+WHERE i.i < 300 + (d.doc_id % 4) * 100
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_META_SQL, "X6 binary metadata"),
     QuerySpec("gif_roundtrip_pixelsum", gif_roundtrip_pixelsum, GIF_ROUNDTRIP_PIXELSUM_SQL, "X78 lossless GIF encode->decode loop pinned by a closed-form pixel checksum (any LZW/palette/composition defect breaks the hash)"),
+    QuerySpec("flac_roundtrip_samplesum", flac_roundtrip_samplesum, FLAC_ROUNDTRIP_SAMPLESUM_SQL, "X79 lossless FLAC encode->decode loop (FIXED+Rice compressed path) pinned by a closed-form sample checksum"),
     QuerySpec("video_ingest_meta", video_ingest_meta, VIDEO_INGEST_META_SQL, "X75 MJPEG-AVI encode->parse->sample loop with arithmetic oracle over the surfaced container fields"),
     QuerySpec("phash_near_dups", phash_near_dups, PHASH_NEAR_DUPS_SQL, "X47 perceptual-hash image near-dup pairs (banded hamming, integer-exact oracle)"),
     QuerySpec("clip_pair_filter", clip_pair_filter, CLIP_PAIR_FILTER_SQL, "X6 cross-modal cosine pair gate"),

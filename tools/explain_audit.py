@@ -142,6 +142,7 @@ AUDIT = {
     "video_ingest_meta": "single ArrowEvalPython stage over the documents scan (ReadSchema = doc_id,text only) — AVI encode→parse→sample is a pure per-row map, no shuffle before the presentation sort",
     "multi_query_knn": "Q queries off ONE corpus scan: broadcast query set; per-query top-k planned as WindowGroupLimit — each task keeps ≤ k rows per query BEFORE the exchange (shuffle ≤ partitions × Q × k rows, never Q × N)",
     "gif_roundtrip_pixelsum": "single ArrowEvalPython stage over a doc_id-only scan (ReadSchema = doc_id) — GIF encode→decode→checksum is a pure per-row map, no shuffle before the presentation sort",
+    "flac_roundtrip_samplesum": "single ArrowEvalPython stage over a doc_id-only scan — FLAC encode→decode→checksum through the compressed FIXED+Rice path is a pure per-row map, no shuffle before the presentation sort",
     "bm25_analyzed_topk": "analyzer + query-term filter BEFORE the (doc_id, term) exchange — only query-term posting rows shuffle; tf/df map-side combined; corpus constants broadcast; TakeOrderedAndProject(10)",
 }
 
