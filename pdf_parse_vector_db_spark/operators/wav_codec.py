@@ -72,8 +72,21 @@ def audio_features(content: bytes) -> dict:
     rms (normalized to [0,1] full scale), zero-crossing rate (fraction of
     sign changes), peak (normalized), and an N_BANDS-band spectral energy
     profile (rfft power folded into equal-width bands, L1-normalized) —
-    all float64, rounded to 6 dp so results hash stably across hosts."""
-    rate, n_ch, samples = decode_wav(content)
+    all float64, rounded to 6 dp so results hash stably across hosts.
+
+    Container-universal (round 10): FLAC payloads decode through
+    operators/flac_codec into the identical int16 sample space, so the
+    same features come out of either container — and a WAV→FLAC
+    re-encode of the same audio yields IDENTICAL features (both
+    lossless), the audio analog of the image tiers' cross-container
+    dedup (pinned in tests/test_flac_codec.py)."""
+    from pdf_parse_vector_db_spark.operators import flac_codec
+
+    if flac_codec.is_flac(content):
+        rate, n_ch, samples = flac_codec.decode_flac(content)
+        samples = samples.astype(np.int16)
+    else:
+        rate, n_ch, samples = decode_wav(content)
     mono = samples.astype(np.float64).mean(axis=1) / 32768.0
     n = len(mono)
     if n == 0:

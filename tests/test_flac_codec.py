@@ -174,3 +174,18 @@ def test_decode_media_meta_real_flac(spark):
     )
     r = decode_media_meta(df, real_decoder=True).collect()[0]
     assert (r.n_frames, r.sample_rate, r.width, r.height) == (2048, 22050, 0, 0)
+
+
+def test_audio_features_identical_across_wav_and_flac():
+    """The same samples through WAV and FLAC must yield IDENTICAL
+    feature dicts — both containers are lossless, so the cross-container
+    collapse is exact, not approximate."""
+    from pdf_parse_vector_db_spark.operators import wav_codec
+
+    s = _sig(3000)
+    wav = wav_codec.encode_wav(s, 8000)
+    flac = fc.encode_flac(s, 8000)
+    fw = wav_codec.audio_features(wav)
+    ff = wav_codec.audio_features(flac)
+    assert fw == ff
+    assert fw["sample_rate"] == 8000 and fw["n_frames"] == 3000
