@@ -305,15 +305,23 @@ def pdf_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     rt = roundtrip(F.col("text")).alias("rt")
+    # Sort BEFORE the Python stage (round-10 optimization, guide §1.4/§7.2):
+    # orderBy AFTER a narrow expensive projection makes the range
+    # partitioner's boundary-sampling pass re-execute the whole upstream —
+    # the PDF render+parse ran TWICE per bench run (measured: two ~3.6 s
+    # jobs). Sorting the raw (doc_id, text) scan first costs a sample of
+    # the scan only; the ArrowEvalPython projection is order-preserving
+    # (narrow), so the output rows and their order are identical.
     return (
-        docs.select("doc_id", rt)
+        docs.select("doc_id", "text")
+        .orderBy("doc_id")
+        .select("doc_id", rt)
         .select(
             "doc_id",
             F.col("rt.n_pages").alias("n_pages"),
             F.col("rt.n_chars").alias("n_chars"),
             F.col("rt.text_sha").alias("text_sha"),
         )
-        .orderBy("doc_id")
     )
 
 

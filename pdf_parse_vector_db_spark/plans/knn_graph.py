@@ -197,10 +197,16 @@ def _nn_descent_over(spark: SparkSession, emb: DataFrame) -> DataFrame:
 
     edges = g0
     ranked = None
-    for _ in range(_ROUNDS):
+    memo = None  # all (lo, hi, d) scored so far this build — see below
+    for _rnd in range(_ROUNDS):
+        # no .distinct() on und: the only consumers are the wedge join and
+        # the canonical projection, and BOTH are deduped by pairs.distinct()
+        # below — the removed exchange was pure overhead (round-10
+        # optimization pass; duplicate und rows only arise from mutual
+        # edges, so the wedge fan-out stays bounded by d̄²)
         und = edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        )
         ua = und.select(F.col("src").alias("mid"), F.col("dst").alias("x"))
         ub = und.select(F.col("src").alias("mid"), F.col("dst").alias("y"))
         pairs = (
@@ -215,14 +221,38 @@ def _nn_descent_over(spark: SparkSession, emb: DataFrame) -> DataFrame:
             )
             .distinct()
         )
-        scored = _attach_and_score(pairs, ex, ey)
+        # CROSS-ROUND SCORE MEMO (round-10 optimization, guide §1.2 "don't
+        # compute things you throw away"): consecutive rounds' candidate
+        # sets overlap heavily once the graph starts converging (measured
+        # at sf0.1: 138k/87k/89k candidate pairs per round, majority
+        # repeats), and `d` is a pure function of the pair — so each
+        # unordered pair is attached+scored ONCE per build and later
+        # rounds join the memo instead of re-running the dominant
+        # dot-product stage. Values are bit-identical by construction
+        # (same rows, same expression); only the count of distance
+        # evaluations changes. The memo is edge-candidate-sized (ids +
+        # one double), the same order as the round's candidate relation
+        # that already materializes — not a corpus² blowup.
+        if memo is None:
+            memo = _attach_and_score(pairs, ex, ey).localCheckpoint()
+        else:
+            fresh = pairs.join(memo.select("lo", "hi"), ["lo", "hi"], "left_anti")
+            memo = memo.union(_attach_and_score(fresh, ex, ey)).localCheckpoint()
+        scored = pairs.join(memo, ["lo", "hi"])
         both = scored.select(
             F.col("lo").alias("src"), F.col("hi").alias("dst"), "d"
         ).union(scored.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), "d"))
         ranked = both.withColumn("rnk", F.row_number().over(w)).filter(
             F.col("rnk") <= _K
         )
-        edges = ranked.select("src", "dst").localCheckpoint()
+        if _rnd == _ROUNDS - 1:
+            # final round: checkpoint the RANKED relation (the loop's real
+            # product) so the output projection doesn't re-run the window;
+            # edges then derives from it for free
+            ranked = ranked.localCheckpoint()
+            edges = ranked.select("src", "dst")
+        else:
+            edges = ranked.select("src", "dst").localCheckpoint()
 
     seeded = g0.withColumn("seeded", F.lit(1))
     return (

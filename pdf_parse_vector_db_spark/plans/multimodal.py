@@ -53,7 +53,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary(docs).withColumn(
         "kind", F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video")
     )
-    return decode_media_meta(media).orderBy("doc_id")
+    # eager cut before the presentation sort: orderBy's range sampling
+    # re-executes a narrow upstream, doubling the Python decode stage
+    # (round-10 optimization; see video_ingest_meta)
+    return decode_media_meta(media).localCheckpoint().orderBy("doc_id")
 
 
 # digest byte k of the hex sha256 is hex chars [2k+1, 2k+2] — mirror of
@@ -108,7 +111,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("norm"),
         F.round(F.col("feature")[0].cast("double"), 6).alias("f0"),
-    ).orderBy("doc_id")
+        # eager cut before the presentation sort (see video_ingest_meta)
+    ).localCheckpoint().orderBy("doc_id")
 
 
 MULTIMODAL_FEATURES_SQL = """
@@ -266,7 +270,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ASCII; real binary payloads keep the Spark side unchanged and drop
     the oracle to rows-only."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return resize_media(attach_binary(docs)).orderBy("doc_id")
+    # eager cut before the presentation sort (see video_ingest_meta)
+    return resize_media(attach_binary(docs)).localCheckpoint().orderBy("doc_id")
 
 
 MULTIMODAL_RESIZE_SQL = """
@@ -431,6 +436,12 @@ def video_ingest_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_frames int, width int, height int, fps int, "
             "n_sampled int",
         )
+        # EAGER cut before the presentation sort (round-10 optimization,
+        # guide §1.4): orderBy's range-boundary sampling re-executes a
+        # narrow upstream, so the whole AVI encode→parse loop ran TWICE
+        # per bench pass; materializing the 6-narrow-column result once
+        # makes the sample+sort read materialized rows instead.
+        .localCheckpoint()
         .orderBy("doc_id")
     )
 
@@ -490,9 +501,13 @@ def gif_roundtrip_pixelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["pixel_sum"].append(s)
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
-        loop, "doc_id bigint, n_frames int, pixel_sum bigint"
-    ).orderBy("doc_id")
+    return (
+        docs.mapInPandas(loop, "doc_id bigint, n_frames int, pixel_sum bigint")
+        # eager cut: the sort's sampling pass must not re-run the LZW loop
+        # (see video_ingest_meta)
+        .localCheckpoint()
+        .orderBy("doc_id")
+    )
 
 
 GIF_ROUNDTRIP_PIXELSUM_SQL = """
@@ -544,9 +559,13 @@ def flac_roundtrip_samplesum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["sample_sum"].append(int(dec.sum()))
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
-        loop, "doc_id bigint, n_samples int, sample_sum bigint"
-    ).orderBy("doc_id")
+    return (
+        docs.mapInPandas(loop, "doc_id bigint, n_samples int, sample_sum bigint")
+        # eager cut: the sort's sampling pass must not re-run the Rice coder
+        # (see video_ingest_meta)
+        .localCheckpoint()
+        .orderBy("doc_id")
+    )
 
 
 FLAC_ROUNDTRIP_SAMPLESUM_SQL = """

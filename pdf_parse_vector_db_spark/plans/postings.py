@@ -198,8 +198,16 @@ def ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id",
         F.explode(F.expr(f"transform({_NGRAMS_EXPR}, g -> xxhash64(g))")).alias("term"),
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        # LAZY lineage cut (guide §7.3): tok feeds sizes, df, the ordered
+        # prefix build AND both verify legs (5 consumers) — uncut, the
+        # trigram explode+hash scan re-ran per reference (measured 120
+        # Exchange nodes in the physical plan). Materialized form is the
+        # (doc_id, term-hash) postings relation itself — 16 bytes/token,
+        # exactly what a set-similarity system stores as its index.
+    ).localCheckpoint(eager=False)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=False
+    )  # doc-row; 3 consumers (ordered, na, nb)
     df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # global order over the vocabulary-sized df table (bounded window)
     rank = df.withColumn(

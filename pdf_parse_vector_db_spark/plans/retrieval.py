@@ -381,12 +381,19 @@ def threshold_algorithm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score relations; only the audit's exhaustive leg touches every score
     (and exists to grade TA, exactly like the sketch-vs-exact queries).
     """
-    bm = _bm25_scored(spark, sf_dir)
+    # LAZY lineage cuts (guide §7.3): the lexical leg is referenced by the
+    # max-normalizer, the prefix cut, the random-access join AND the
+    # exhaustive audit leg (4 consumers), the dense leg by 3 — uncut, the
+    # physical plan re-inlined the whole tokenize+BM25 pipeline per
+    # reference (measured 318 Exchange nodes, ~3.1 s mostly planning).
+    # Both relations are doc-/corpus-row score tables (id, score) — the
+    # size a TA implementation materializes as its sorted lists anyway.
+    bm = _bm25_scored(spark, sf_dir).localCheckpoint(eager=False)
     mx = bm.agg(F.max("bm25").alias("mx"))
     lexn = bm.crossJoin(F.broadcast(mx)).select(
         # ansi: BM25+ idf (log1p form) keeps bm25 > 0, so mx >= bm25 > 0
         F.col("doc_id").alias("id"), F.round(F.col("bm25") / F.col("mx"), 6).alias("s_lex")
-    )
+    ).localCheckpoint(eager=False)
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = F.broadcast(
         emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
@@ -402,6 +409,7 @@ def threshold_algorithm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "s_vec"
             ),
         )
+        .localCheckpoint(eager=False)  # 3 consumers: prefix, random access, audit
     )
     lex_prefix = lexn.orderBy(F.desc("s_lex"), F.asc("id")).limit(TA_DEPTH)
     vec_prefix = dense.orderBy(F.desc("s_vec"), F.asc("id")).limit(TA_DEPTH)
@@ -441,7 +449,7 @@ def threshold_algorithm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ta = fused_prefix.withColumn(
         "rank", F.row_number().over(W.orderBy(F.desc("fused"), F.asc("id")))
-    )
+    ).localCheckpoint(eager=False)  # ≤k rows; feeds the kth agg AND the output join
     fu = full.withColumn(
         "rank", F.row_number().over(W.orderBy(F.desc("fused_full"), F.asc("id")))
     )

@@ -1348,6 +1348,16 @@ def _pi_core(emb: DataFrame):
             c.join(F.broadcast(v), on="k")
             .groupBy("j")
             .agg(F.sum((F.col("cjk") * F.col("vk")).cast("decimal(38,0)")).alias("wj"))
+            # LAZY lineage cut on the dim-row iterate (optimization guide
+            # §7.3 "very large plans"): w feeds BOTH the max-abs aggregate
+            # and the normalize projection, so without a cut the logical
+            # plan DOUBLES every round — 2^_PI_ROUNDS copies of the
+            # c-join chain (measured: 414 Exchange nodes in
+            # power_iteration_top_pc's physical plan; Catalyst spent the
+            # bulk of the query's 2.8 s planning, not executing). The cut
+            # makes both consumers share one RDD; dim rows, so the
+            # materialization is trivially small at any corpus scale.
+            .localCheckpoint(eager=False)
         )
         mx = w.agg(F.max(F.abs(F.col("wj"))).alias("mx"))
         # normalize through the DOUBLE ratio wj/mx (both exact integers ->
@@ -1367,6 +1377,9 @@ def _pi_core(emb: DataFrame):
                 .cast("decimal(38,0)")
                 .alias("vk"),
             )
+            # same dim-row lazy cut: v is consumed by next round's join
+            # AND (after the loop) by 2-3 projections in each caller
+            .localCheckpoint(eager=False)
         )
     return c, n_rows, v
 
@@ -1678,7 +1691,14 @@ def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"h{i}")
         for i in range(rows_total)
     ]
-    sig = lanes.groupBy("doc_id").agg(*mins)
+    # LAZY lineage cut (guide §7.3): the 32-min signature table is the
+    # shared input of all four banding configs' key builds (stacked →
+    # left + right legs of the candidate self-join), and `sh`'s shingle
+    # arrays feed both verify legs — uncut, the md5-shingle scan re-ran
+    # per reference (measured 58 Exchange nodes). The signature relation
+    # (doc_id + 32 BIGINTs) is exactly what a production LSH tier stores.
+    sig = lanes.groupBy("doc_id").agg(*mins).localCheckpoint(eager=False)
+    sh = sh.localCheckpoint(eager=False)
     band_structs = []
     for bands, rows in _TUNE_CONFIGS:
         cfg = f"{bands}x{rows}"
@@ -1712,6 +1732,7 @@ def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("config", "id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=False)  # pair-table; feeds pool AND per_cfg
     )
     pool = cands.select("id_a", "id_b").distinct()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -1724,6 +1745,7 @@ def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round(dedup.jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
+        .localCheckpoint(eager=False)  # verified pairs; feeds truth_total AND per_cfg
     )
     truth_total = verified.filter(F.col("jaccard") >= 0.1).agg(
         F.count(F.lit(1)).cast("long").alias("pooled_true")
