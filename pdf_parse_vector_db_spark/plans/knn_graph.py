@@ -1010,8 +1010,10 @@ def _filtered_beam_search(
     )
 
     def rank(ids: DataFrame) -> DataFrame:
+        # broadcast the bounded frontier id set, not the filtered corpus
+        # relation (see _beam_search.rank)
         return (
-            ids.join(e, "vec_id")
+            F.broadcast(ids).join(e, "vec_id")
             .crossJoin(F.broadcast(q))
             .select("vec_id", key.alias("k"))
             .orderBy("k")
@@ -1022,13 +1024,16 @@ def _filtered_beam_search(
     beam = rank(entry)
     for _ in range(_HOPS):
         hop1 = (
-            beam.select("vec_id")
+            # broadcast the bounded beam/hop id sets against the edge list
+            # (see _beam_search; same no-stats fallback otherwise)
+            F.broadcast(beam.select("vec_id"))
             .join(graph, beam["vec_id"] == graph["src"])
             .select(F.col("dst").alias("vec_id"))
             .distinct()
         )
         hop2 = (
-            hop1.join(graph, hop1["vec_id"] == graph["src"])
+            F.broadcast(hop1)
+            .join(graph, hop1["vec_id"] == graph["src"])
             .select(F.col("dst").alias("vec_id"))
         )
         frontier = beam.select("vec_id").union(hop1).union(hop2).distinct()
@@ -1123,8 +1128,15 @@ def _beam_search(
     )
 
     def rank(ids: DataFrame) -> DataFrame:
+        # broadcast the ≤ _BEAM·(K+1)-row id set, not the corpus relation:
+        # the beam/frontier is checkpoint-backed (unknown size to the
+        # planner), so the planner otherwise broadcasts `e` — the whole
+        # vector relation — once per hop (round-10 optimization, guide
+        # §3.1 "broadcast the side you know is small"). Point-lookup
+        # semantics unchanged; at 100 TB this is exactly the id-set
+        # semi-join pushed at the stored layout.
         return (
-            ids.join(e, "vec_id")
+            F.broadcast(ids).join(e, "vec_id")
             .crossJoin(F.broadcast(q))
             .select("vec_id", key.alias("k"))
             .orderBy("k")
@@ -1135,7 +1147,11 @@ def _beam_search(
     beam = rank(entry)
     for _ in range(_HOPS):
         frontier = (
-            beam.select("vec_id")
+            # broadcast the ≤ _BEAM-row beam against the edge list: both
+            # sides are checkpoint-backed (no size stats), so unhinted the
+            # planner falls back to a shuffle join of the whole edge
+            # relation per hop (guide §3.1)
+            F.broadcast(beam.select("vec_id"))
             .join(graph, beam["vec_id"] == graph["src"])
             .select(F.col("dst").alias("vec_id"))
             .union(beam.select("vec_id"))

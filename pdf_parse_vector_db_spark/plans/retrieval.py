@@ -68,22 +68,44 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, bm25) for every document matching ≥1 query term."""
-    tok = _doc_tokens(spark, sf_dir)
-    # corpus constants: one row, broadcast. dl is recomputed per exploded row
-    # above, so distinct doc lengths come from a (doc_id, dl) dedup — still
-    # a map-side-combining agg on the already-shuffled key space.
-    doclen = tok.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    """(doc_id, bm25) for every document matching ≥1 query term.
+
+    Round-10 optimization (guide §2.3 "shuffle fewer bytes" / §2.4 "remove
+    shuffles outright"): the query-term list is FIXED and tiny, so per-doc
+    term frequencies come from `size(filter(toks, t -> t = term))` array
+    counts inside ONE narrow projection of the tokenized scan — the old
+    shape exploded the whole corpus to (doc_id, term) rows (|tokens| ≈
+    200× |docs|) and re-derived that explode twice (doclen + hits legs).
+    Now nothing corpus-token-sized is ever materialized or shuffled: the
+    5000-row (doc_id, dl, tf…) frame feeds doclen stats, tf and df
+    directly. tf/dl/df values — hence BM25 scores and the oracle hash —
+    are identical by construction."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    def _tf(term: str):
+        # one-arg lambda: a second parameter would make the HOF pass the
+        # element index instead of the closed-over term
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(QUERY_TERMS)],
+    )
+    doclen = per_doc.filter(F.col("dl") > 0)
     stats = doclen.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
     )
-    # term filter BEFORE the (doc_id, term) exchange: only query-term hits
-    # shuffle. tf is map-side combined; df derives from tf (tiny) and
-    # broadcasts back.
-    hits = tok.filter(F.col("term").isin(QUERY_TERMS))
-    tf = hits.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    stack_cells = ", ".join(
+        f"'{term}', tf_{i}" for i, term in enumerate(QUERY_TERMS)
     )
+    tf = doclen.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(QUERY_TERMS)}, {stack_cells}) AS (term, tf)"),
+    ).filter(F.col("tf") > 0)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df), on="term")
@@ -565,7 +587,19 @@ def sparse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = tok.join(qterms, "term", "left_semi")
     tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = tok.select("doc_id").distinct().count()
+    # n_docs = docs with >=1 token. Counting size(toks) > 0 on the raw scan
+    # is value-identical to the old tok.select(doc_id).distinct().count()
+    # but skips a full corpus explode + distinct exchange for this one
+    # scalar (round-10 optimization, guide §2.4)
+    docs_raw = load_table(spark, sf_dir, "documents", spread=True)
+    n_docs = docs_raw.filter(
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+            )
+        )
+        > 0
+    ).count()
     w = (
         tf.join(F.broadcast(df), "term")
         .select(

@@ -88,10 +88,17 @@ def _ivf_seeds(emb: DataFrame) -> DataFrame:
 
     from pdf_parse_vector_db_spark.operators.ivf_index import seed_broadcast_hint
 
-    n = emb.count()
+    # ONE stat job instead of two (round-10 optimization, guide §5 "the
+    # driver should do almost no data work"): the row count and vector
+    # width ride the same single-pass aggregate — every _ivf_seeds caller
+    # previously paid a .count() job plus a .first() job per query
+    stat = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col("embedding")), ignorenulls=True).alias("d"),
+    ).first()
+    n = int(stat["n"])
     mod = max(_IVF_SEED_MOD, isqrt(n))
-    dim_row = emb.select(F.size(F.col("embedding")).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 0
+    dim = int(stat["d"]) if stat["d"] is not None else 0
     seeds = emb.filter(F.col("vec_id") % mod == _IVF_SEED_OFF).select(
         F.when(F.col("vec_id") < _IVF_KEY_BASE, F.col("vec_id"))
         .otherwise(
@@ -207,6 +214,12 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact quadratic reference; the bucketed scale path reuses this within
     IVF cells, operators/ann.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # NEGATIVE RESULT (round-10 optimization pass): an eager localCheckpoint
+    # before the presentation sort — the fix that halved the PDF/FLAC/GIF
+    # codec loops, whose post-exchange Python segment costs seconds —
+    # REGRESSED this query 1.30→1.8 s: the blocked-BLAS compare after the
+    # block shuffle is cheap, so the sort-sampling re-execution it avoids
+    # costs less than the extra materialization job. Kept uncut.
     return dedup.embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
 
 
@@ -240,6 +253,7 @@ def embedding_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (F.col("ak") % _IVF_KEY_BASE).alias("cluster_id"))
     )
     clustered = emb.join(assign, on="vec_id")
+    # uncut before the sort — same negative result as embedding_near_dups
     return dedup.embedding_near_dup_pairs(
         clustered, threshold=0.35, bucket_col="cluster_id"
     ).orderBy("id_a", "id_b")
