@@ -32,18 +32,19 @@ MAX_ITERATIONS = 20
 
 def _min_label_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """One synchronous min-label propagation step (name-keyed joins so two
-    steps compose in a single plan without attribute ambiguity)."""
-    neighbor_min = (
+    steps compose in a single plan without attribute ambiguity).
+
+    `edges` MUST carry a self-loop per node (added once in
+    `connected_components` before the checkpoint): min over the CLOSED
+    neighborhood {self} ∪ Γ(node) equals least(own, min(neighbors)), so
+    the step is ONE join + ONE aggregate — the round-10 optimization
+    dropped the old second (left) join + coalesce per step, removing an
+    exchange from every propagation step of every caller."""
+    return (
         edges.select(F.col("src").alias("via"), F.col("dst").alias("node"))
         .join(labels, on="node")
         .groupBy(F.col("via").alias("node"))
-        .agg(F.min("label").alias("nbr_label"))
-    )
-    return labels.join(neighbor_min, on="node", how="left").select(
-        "node",
-        F.least(
-            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-        ).alias("label"),
+        .agg(F.min("label").alias("label"))
     )
 
 
@@ -67,9 +68,15 @@ def connected_components(
     fused `chg` flag in the checkpointed frame instead of a separate
     old-vs-new shuffle join. Measured 4.8 s → 1.7 s on the dbscan
     eps-graph at sf0.1 with identical labels."""
+    sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    # self-loops make each step's min range over the CLOSED neighborhood,
+    # halving the step's join count (see _min_label_step)
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        sym.union(
+            sym.select(F.col("src"), F.col("src").alias("dst"))
+        )
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -275,6 +275,7 @@ def nn_descent_update(
     graph: DataFrame,
     new_ids: DataFrame,
     rounds: int = 2,
+    n_total: int | None = None,
 ) -> DataFrame:
     """X57: INCREMENTAL k-NN-graph maintenance (the online variant of
     Dong et al.'s NN-Descent — "only new entries participate in the local
@@ -301,8 +302,14 @@ def nn_descent_update(
     is_new), with is_new=1 meaning the edge was not in the INPUT graph.
     Agreement with a from-scratch rebuild on the union corpus is pinned
     in tests/test_knn_graph.py (planted fixture: ≥90% edge agreement,
-    exact top-K recall for the new nodes' neighborhoods)."""
-    n_total = emb_all.count()
+    exact top-K recall for the new nodes' neighborhoods).
+
+    `n_total` (optional): pass the union-corpus row count when the caller
+    already knows it to skip this function's own count job (round-10
+    optimization — the registry query folds it into its percentile
+    fetch)."""
+    if n_total is None:
+        n_total = emb_all.count()
     e = emb_all.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
@@ -436,13 +443,16 @@ def _nn_descent_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame
     return the updated union graph — the ingest-batch maintenance path a
     production pipeline runs off the CDC feed instead of rebuilding."""
     emb_all = load_table(spark, sf_dir, "embeddings")
+    # one stat job: the 90% cut AND the union count ride the same aggregate
+    # (nn_descent_update would otherwise run its own count job)
     cut_row = emb_all.agg(
-        F.percentile_approx("vec_id", 0.9, 10_000).alias("c")
+        F.percentile_approx("vec_id", 0.9, 10_000).alias("c"),
+        F.count(F.lit(1)).alias("n"),
     ).first()
     old = emb_all.filter(F.col("vec_id") <= cut_row.c)
     new_ids = emb_all.filter(F.col("vec_id") > cut_row.c).select("vec_id")
     graph = _nn_descent_over(spark, old)
-    return nn_descent_update(spark, emb_all, graph, new_ids)
+    return nn_descent_update(spark, emb_all, graph, new_ids, n_total=int(cut_row.n))
 
 
 #: suffix of the manifested ENTRY-POINTS side table a graph sync maintains
@@ -702,13 +712,23 @@ def _dbscan_from_pairs(
         # actions, each of which re-derived the whole degree/border tail
         .localCheckpoint()
     )
-    total = emb.count()
-    classified = clusters.agg(
-        F.coalesce(F.sum("n_total"), F.lit(0)).alias("s")
-    ).first()["s"]
-    noise = spark.createDataFrame(
-        [(-1, 0, 0, total - classified)],
-        "cluster_id long, n_core long, n_border long, n_total long",
+    # noise row as RELATIONAL algebra over the checkpointed clusters — the
+    # former emb.count() + clusters-sum .first() + createDataFrame chain
+    # cost two extra driver actions (≈6 AQE stage-jobs) per query
+    # (round-10 optimization, guide §5)
+    noise = (
+        emb.agg(F.count(F.lit(1)).alias("__total"))
+        .crossJoin(
+            clusters.agg(
+                F.coalesce(F.sum("n_total"), F.lit(0).cast("bigint")).alias("__cls")
+            )
+        )
+        .select(
+            F.lit(-1).cast("long").alias("cluster_id"),
+            F.lit(0).cast("long").alias("n_core"),
+            F.lit(0).cast("long").alias("n_border"),
+            (F.col("__total") - F.col("__cls")).cast("long").alias("n_total"),
+        )
     )
     return clusters.unionByName(noise).orderBy("cluster_id")
 
@@ -731,9 +751,12 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe tier with a measured eps-graph recall contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     clustered = emb.join(_ivf_assign(emb), on="vec_id")
+    # lazy cut: pairs' first consumer materializes it once and every later
+    # consumer shares the RDD — the former EAGER checkpoint paid one extra
+    # standalone job (pairs is eps-pair-sized, no sf1 memory-cliff risk)
     pairs = dedup.embedding_near_dup_pairs(
         clustered, threshold=_EPS_COS, bucket_col="cluster_id"
-    ).select("id_a", "id_b").localCheckpoint()
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     return _dbscan_from_pairs(spark, emb, pairs)
 
 
@@ -800,7 +823,7 @@ def dbscan_clusters_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy — see dbscan_clusters
     )
     return _dbscan_from_pairs(spark, emb, pairs)
 
