@@ -938,15 +938,35 @@ def bm25_analyzed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf and the document-length normalization. Same posting-join scale
     shape as the unanalyzed tier (query-term filter before any wide
     exchange; corpus constants broadcast)."""
-    tok = _analyzed_tokens(spark, sf_dir)
-    doclen = tok.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    # same fixed-term array-count shape as _bm25_scored (round-10
+    # optimization): tf via size(filter(...)) in one narrow projection of
+    # the analyzed token arrays — no corpus-token explode, identical values
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+        lambda t: (t != "") & ~t.isin(ANALYZER_STOPWORDS),
+    )
+
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(QUERY_TERMS)],
+    )
+    doclen = per_doc.filter(F.col("dl") > 0)
     stats = doclen.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
     )
-    hits = tok.filter(F.col("term").isin(QUERY_TERMS))
-    tf = hits.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    stack_cells = ", ".join(
+        f"'{term}', tf_{i}" for i, term in enumerate(QUERY_TERMS)
     )
+    tf = doclen.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(QUERY_TERMS)}, {stack_cells}) AS (term, tf)"),
+    ).filter(F.col("tf") > 0)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df), on="term")
