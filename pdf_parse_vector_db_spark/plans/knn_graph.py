@@ -119,6 +119,51 @@ _STRIDES = (
 _ROUNDS = 3
 
 
+#: pack base for the build's top-K cut: (distance-micros · BASE + dst).
+#: d = round(1−cos, 6) ∈ [0, 2] ⇒ micros ≤ 2·10⁶ (Spark's BigDecimal round
+#: never emits a negative zero or a negative micros value for cos ≤ 1+1e-15,
+#: the floating-point ceiling of an exact-norm cosine), so with BASE = 10¹²
+#: the pack tops out at ~2·10¹⁸ < 2⁶³ while supporting 10¹² node ids —
+#: wider than the 10⁷ the IVF argmin pack allows. A raise_error guard keeps
+#: the id contract loud, mirroring _ivf_seeds.
+_PACK_BASE = 1_000_000_000_000
+
+
+def _topk_by_pack(both: DataFrame) -> DataFrame:
+    """Per-src top-_K of (dst, d) — identical rows to the old
+    row_number()-window cut (order (d asc, dst asc) ⇔ ascending pack), but
+    as ONE partial-aggregating groupBy + per-group bounded array_sort/slice
+    instead of a full sort of every candidate row (round-10 optimization,
+    guide §2.3 "aggregate before you shuffle": the map side pre-aggregates
+    candidate lists, and no global sort machinery runs)."""
+    pk = F.round(F.col("d") * 1e6).cast("bigint") * _PACK_BASE + F.when(
+        F.col("dst") < _PACK_BASE, F.col("dst")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("nn-descent pack overflow: dst "),
+                F.col("dst").cast("string"),
+                F.lit(f" >= {_PACK_BASE}; widen _PACK_BASE"),
+            ).cast("string")
+        ).cast("long")
+    )
+    return (
+        both.select("src", pk.alias("pk"))
+        .groupBy("src")
+        .agg(F.slice(F.array_sort(F.collect_list("pk")), 1, _K).alias("a"))
+        .select("src", F.posexplode("a").alias("i", "pk"))
+        .select(
+            "src",
+            (F.col("i") + 1).alias("rnk"),
+            (F.col("pk") % _PACK_BASE).alias("dst"),
+            (
+                F.expr(f"CAST(pk div {_PACK_BASE} AS DOUBLE)") / F.lit(1e6)
+            ).alias("d"),
+        )
+        .select("src", "dst", "d", "rnk")
+    )
+
+
 def _attach_and_score(pairs: DataFrame, ex: DataFrame, ey: DataFrame) -> DataFrame:
     """Attach embedding payloads to canonical (lo, hi) id pairs and score
     cosine distance. NO broadcast hint on ex/ey: at 100 TB the (vec_id,
@@ -193,7 +238,6 @@ def _nn_descent_over(spark: SparkSession, emb: DataFrame) -> DataFrame:
 
     ex = e.select(F.col("vec_id").alias("lo"), F.col("v").alias("lv"), F.col("nrm").alias("ln"))
     ey = e.select(F.col("vec_id").alias("hi"), F.col("v").alias("hv"), F.col("nrm").alias("hn"))
-    w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst").asc())
 
     edges = g0
     ranked = None
@@ -242,9 +286,7 @@ def _nn_descent_over(spark: SparkSession, emb: DataFrame) -> DataFrame:
         both = scored.select(
             F.col("lo").alias("src"), F.col("hi").alias("dst"), "d"
         ).union(scored.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), "d"))
-        ranked = both.withColumn("rnk", F.row_number().over(w)).filter(
-            F.col("rnk") <= _K
-        )
+        ranked = _topk_by_pack(both)
         if _rnd == _ROUNDS - 1:
             # final round: checkpoint the RANKED relation (the loop's real
             # product) so the output projection doesn't re-run the window;

@@ -195,19 +195,17 @@ def ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash collision would need two of the ~30k distinct trigrams to agree
     # on 64 bits (p ≈ 2e-11) — the engine-internal risk every hash-keyed
     # dedup tier here accepts (cf. operators/dedup.py).
+    # NEGATIVE RESULT (round-10 optimization pass): lazily checkpointing
+    # tok (5 consumers) and sizes (3 consumers) to stop the trigram-explode
+    # re-derivation (120 Exchange nodes in the plan) measured +21% in the
+    # full before/after bench — the checkpointed leaves lose size stats, so
+    # the prefix/verify joins stop broadcasting; runtime ReusedExchange was
+    # already deduping the repeated subtrees. Kept uncut.
     tok = docs.select(
         "doc_id",
         F.explode(F.expr(f"transform({_NGRAMS_EXPR}, g -> xxhash64(g))")).alias("term"),
-        # LAZY lineage cut (guide §7.3): tok feeds sizes, df, the ordered
-        # prefix build AND both verify legs (5 consumers) — uncut, the
-        # trigram explode+hash scan re-ran per reference (measured 120
-        # Exchange nodes in the physical plan). Materialized form is the
-        # (doc_id, term-hash) postings relation itself — 16 bytes/token,
-        # exactly what a set-similarity system stores as its index.
-    ).localCheckpoint(eager=False)
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
-        eager=False
-    )  # doc-row; 3 consumers (ordered, na, nb)
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # global order over the vocabulary-sized df table (bounded window)
     rank = df.withColumn(
