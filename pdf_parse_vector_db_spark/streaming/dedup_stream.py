@@ -35,12 +35,23 @@ _DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars b
 
 
 def _near_dup_ids(
-    batch_df: DataFrame, history_bands: DataFrame, history_docs: DataFrame, threshold: float
+    batch_df: DataFrame,
+    history_bands: DataFrame,
+    history_docs: DataFrame,
+    threshold: float,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """doc_ids in `batch_df` whose verified Jaccard vs any historical doc
     meets the threshold. Probe join is batch-sized on the left; exact
-    verification touches only band-colliding candidates."""
-    nb = minhash_portable_banded(batch_df).withColumnRenamed("__id", "new_id")
+    verification touches only band-colliding candidates.
+
+    `banded` (optional): the batch's already-computed band table — passed
+    by stream_dedup_ingest so the md5-per-shingle signature fold runs once
+    per micro-batch instead of once for the probe and once for the band
+    sink (round-10 optimization, guide §1.2 "don't compute things twice")."""
+    nb = (banded if banded is not None else minhash_portable_banded(batch_df)).withColumnRenamed(
+        "__id", "new_id"
+    )
     cands = (
         nb.join(history_bands, on=["band_idx", "key"])
         .select("new_id", "hist_id")
@@ -81,6 +92,10 @@ def stream_dedup_ingest(
         import os
 
         batch_df = batch_df.persist()
+        # ONE signature pass per micro-batch: the banded frame serves both
+        # the history probe and (filtered to survivors) the band-table
+        # sink — the old shape folded every shingle through md5 twice
+        banded = minhash_portable_banded(batch_df).persist()
         spark_b = batch_df.sparkSession
         have_history = os.path.isdir(bands_dir) and any(
             f.endswith(".parquet") for f in os.listdir(bands_dir)
@@ -90,7 +105,9 @@ def stream_dedup_ingest(
                 F.col("__id").alias("hist_id"), "band_idx", "key"
             )
             hist_docs = spark_b.read.parquet(corpus_dir)
-            dup_ids = _near_dup_ids(batch_df, bands, hist_docs, threshold)
+            dup_ids = _near_dup_ids(
+                batch_df, bands, hist_docs, threshold, banded=banded
+            )
             survivors = batch_df.join(dup_ids, on="doc_id", how="left_anti")
         else:
             # first batch: nothing to probe, but still dedup WITHIN the batch
@@ -100,8 +117,11 @@ def stream_dedup_ingest(
             survivors = exact_dedup(batch_df)
         survivors = survivors.persist()
         survivors.write.mode("append").parquet(corpus_dir)
-        minhash_portable_banded(survivors).write.mode("append").parquet(bands_dir)
+        banded.join(
+            survivors.select(F.col("doc_id").alias("__id")), on="__id", how="left_semi"
+        ).write.mode("append").parquet(bands_dir)
         survivors.unpersist()
+        banded.unpersist()
         batch_df.unpersist()
 
     stream = spark.readStream.schema(_DOC_SCHEMA).parquet(landing_dir)
