@@ -89,6 +89,11 @@ def connected_components(
     )
     for _ in range(MAX_ITERATIONS // 2):
         stepped = _min_label_step(edges, _min_label_step(edges, labels))
+        # LAZY checkpoint + convergence agg in ONE action (round 11): the
+        # agg's job materializes the checkpoint as it reads it, so each
+        # double-step round costs one driver action instead of two (the
+        # former eager cut paid its own job, then the agg paid another);
+        # the frame is node-sized, no memory-cliff risk
         flagged = (
             stepped.join(
                 labels.select("node", F.col("label").alias("prev")), on="node"
@@ -98,12 +103,24 @@ def connected_components(
                 "label",
                 (F.col("label") < F.col("prev")).cast("long").alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = flagged.agg(F.sum("chg")).first()[0]
         labels = flagged.select("node", "label")
         if not changed:
             break
+    else:
+        # LOUD non-convergence (round 11): min-label propagation needs
+        # graph-diameter rounds; exhausting the cap used to RETURN the
+        # truncated (wrong) fixpoint silently — exactly how
+        # dbscan_clusters_halo's sf0.1 eps-graph (diameter > 20) produced
+        # 77 clusters where the true closure has 72. Deep graphs belong on
+        # connected_components_star (O(log² n) rounds, any topology).
+        raise ValueError(
+            f"connected_components did not converge within {MAX_ITERATIONS} "
+            "propagation steps (graph diameter exceeds the cap); use "
+            "connected_components_star for deep graphs"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 
 
@@ -134,7 +151,9 @@ def connected_components_star(
         .union(pairs.select(F.col(b_col).alias("n")))
         .distinct()
     )
-    # canonical directed edge (u, v) with v < u
+    # canonical directed edge (u, v) with v < u — LAZY cut: the first
+    # fingerprint's agg job materializes it (one action per round, the
+    # same fusion as the propagation loop's convergence flag; round 11)
     edges = (
         pairs.select(
             F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
@@ -142,7 +161,7 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def fingerprint(e: DataFrame):
@@ -188,7 +207,7 @@ def connected_components_star(
         )
         edges = small.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct().localCheckpoint()
+        ).distinct().localCheckpoint(eager=False)  # fused with the fingerprint
         new_fp = fingerprint(edges)
         if new_fp == fp:
             break

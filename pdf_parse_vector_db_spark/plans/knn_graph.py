@@ -66,21 +66,59 @@ _EPS_COS = 0.35
 _MIN_NBRS = 2
 
 
+def _seed_pack_keys(emb: DataFrame) -> DataFrame:
+    """emb × the pinned seeds, MAP-SIDE: one row per point carrying the
+    ARRAY of packed (distance-micros · BASE + cid) keys against every
+    seed — the seeds ride along as ONE collected array (nlist ∝ √N rows,
+    broadcast-sized by the same argument as the seed crossJoin), so the
+    whole assignment is a zero-exchange projection (round 11, guide
+    §2.4 "remove shuffles outright": the former per-(point, seed) ROW
+    shape forced an N·nlist-row aggregation/window exchange). Pack
+    values are the identical expression, so every downstream argmin /
+    top-nprobe result is bit-identical."""
+    seeds = _ivf_seeds(emb)
+    seed_arr = seeds.agg(F.collect_list(F.struct("cid", "cvec")).alias("__sa"))
+    keys = F.transform(
+        "__sa",
+        lambda s: F.round(l2_distance(F.col("embedding"), s["cvec"]) * 1e6).cast(
+            "bigint"
+        )
+        * _IVF_KEY_BASE
+        + s["cid"],
+    )
+    return emb.crossJoin(F.broadcast(seed_arr)).withColumn("__pks", keys)
+
+
 def _ivf_assign(emb: DataFrame) -> DataFrame:
     """(vec_id, cluster_id) under the pinned quantizer — the argmin as a
     (distance-micros, cid) BIGINT pack so MIN is deterministic (same
-    contract as ivf_knn / embedding_near_dups_ivf)."""
-    seeds = _ivf_seeds(emb)
-    key = (
-        F.round(l2_distance(F.col("embedding"), F.col("cvec")) * 1e6).cast("bigint")
-        * _IVF_KEY_BASE
-        + F.col("cid")
+    contract as ivf_knn / embedding_near_dups_ivf). Map-side since round
+    11 (array_min over the seed-key array; see _seed_pack_keys)."""
+    return _seed_pack_keys(emb).select(
+        "vec_id",
+        (F.array_min(F.col("__pks")) % _IVF_KEY_BASE).alias("cluster_id"),
     )
+
+
+def _with_cells(emb: DataFrame, nprobe: int) -> DataFrame:
+    """`emb`'s columns PLUS the point's `nprobe` nearest cell ids — the
+    map-side assignment with the payload carried through, so the DBSCAN
+    candidate generators need NO (emb ⋈ assign) shuffle join at all
+    (round 11, guide §2.4: the former shape computed (vec_id, cell) rows
+    and then shuffled the whole embedding relation to re-attach them).
+    Rows identical to emb.join(assign, on=vec_id): one (nprobe) row(s)
+    per point, same cell ids."""
+    base = _seed_pack_keys(emb)
+    if nprobe == 1:
+        return base.withColumn(
+            "cluster_id", F.array_min(F.col("__pks")) % _IVF_KEY_BASE
+        ).drop("__sa", "__pks")
     return (
-        emb.crossJoin(seeds)
-        .groupBy("vec_id")
-        .agg(F.min(key).alias("ak"))
-        .select("vec_id", (F.col("ak") % _IVF_KEY_BASE).alias("cluster_id"))
+        base.withColumn(
+            "__pk", F.explode(F.slice(F.array_sort(F.col("__pks")), 1, nprobe))
+        )
+        .withColumn("cluster_id", F.col("__pk") % _IVF_KEY_BASE)
+        .drop("__sa", "__pks", "__pk")
     )
 
 
@@ -186,6 +224,26 @@ def _attach_and_score(pairs: DataFrame, ex: DataFrame, ey: DataFrame) -> DataFra
     )
 
 
+def _both_directions(scored: DataFrame) -> DataFrame:
+    """(lo, hi, d) → both directed orientations (src, dst, d) in ONE pass
+    over the input via explode — a two-leg self-union re-executes the
+    upstream subtree (e.g. the dot-product scoring join) once per leg
+    (round-11 optimization, guide §1.2). Row multiset identical to
+    `sel(lo→src,hi→dst) UNION ALL sel(hi→src,lo→dst)`."""
+    return scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lo").alias("src"), F.col("hi").alias("dst"), F.col("d")
+                ),
+                F.struct(
+                    F.col("hi").alias("src"), F.col("lo").alias("dst"), F.col("d")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.d")
+
+
 def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X51: corpus-wide k-NN graph via NN-Descent (Dong et al., WWW'11).
 
@@ -214,6 +272,32 @@ def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _nn_descent_over(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """nn_descent_graph's body over an arbitrary embedding relation —
     shared by the full build and the incremental tier's 90% bootstrap."""
+    g0, ranked = _nn_descent_build(spark, emb)
+    seeded = g0.withColumn("seeded", F.lit(1))
+    return (
+        ranked.select("src", "dst", "d", "rnk")
+        .join(seeded, on=["src", "dst"], how="left")
+        .select(
+            F.col("src").alias("vec_id"),
+            "rnk",
+            F.col("dst").alias("nbr_id"),
+            F.col("d").alias("dist"),
+            F.when(F.col("seeded").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_new"),
+        )
+        .orderBy("vec_id", "rnk")
+    )
+
+
+def _nn_descent_build(
+    spark: SparkSession, emb: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The NN-Descent loop proper: returns (g0, ranked) where `ranked` is
+    the final checkpoint-backed (src, dst, d, rnk) top-K relation and `g0`
+    the init graph. Callers that only need the EDGES (graph_knn's beam
+    search, the incremental tier's bootstrap) consume `ranked` directly
+    and skip `_nn_descent_over`'s presentation pass (is_new join + global
+    sort + its own materialization) entirely — a round-11 job-count cut
+    (guide §1.2: don't compute things you throw away)."""
     n_total = emb.count()
     e = emb.select(
         "vec_id",
@@ -233,7 +317,10 @@ def _nn_descent_over(spark: SparkSession, emb: DataFrame) -> DataFrame:
         # the round loop unions edge frames POSITIONALLY
         .select("src", "dst")
         .distinct()
-        .localCheckpoint()
+        # LAZY (round 11): materializes inside round 0's barrier job — g0 is
+        # N·K id rows, no sf1 memory-cliff risk, and the standalone eager job
+        # was pure scheduling overhead (guide §1.2)
+        .localCheckpoint(eager=False)
     )
 
     ex = e.select(F.col("vec_id").alias("lo"), F.col("v").alias("lv"), F.col("nrm").alias("ln"))
@@ -264,6 +351,12 @@ def _nn_descent_over(spark: SparkSession, emb: DataFrame) -> DataFrame:
                 )
             )
             .distinct()
+            # LAZY cut (round 11): pairs feeds the memo's anti-join AND the
+            # scored join — one barrier job per round computes the wedge
+            # once; the old EAGER memo job re-ran the whole wedge join a
+            # second time inside the edges job (two actions per round,
+            # wedge computed twice)
+            .localCheckpoint(eager=False)
         )
         # CROSS-ROUND SCORE MEMO (round-10 optimization, guide §1.2 "don't
         # compute things you throw away"): consecutive rounds' candidate
@@ -276,16 +369,21 @@ def _nn_descent_over(spark: SparkSession, emb: DataFrame) -> DataFrame:
         # (same rows, same expression); only the count of distance
         # evaluations changes. The memo is edge-candidate-sized (ids +
         # one double), the same order as the round's candidate relation
-        # that already materializes — not a corpus² blowup.
+        # that already materializes — not a corpus² blowup. LAZY since
+        # round 11: it rides the round's single edges barrier instead of
+        # paying its own eager job.
         if memo is None:
-            memo = _attach_and_score(pairs, ex, ey).localCheckpoint()
+            memo = _attach_and_score(pairs, ex, ey).localCheckpoint(eager=False)
         else:
             fresh = pairs.join(memo.select("lo", "hi"), ["lo", "hi"], "left_anti")
-            memo = memo.union(_attach_and_score(fresh, ex, ey)).localCheckpoint()
+            memo = memo.union(_attach_and_score(fresh, ex, ey)).localCheckpoint(
+                eager=False
+            )
         scored = pairs.join(memo, ["lo", "hi"])
-        both = scored.select(
-            F.col("lo").alias("src"), F.col("hi").alias("dst"), "d"
-        ).union(scored.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), "d"))
+        # ONE pass over scored: explode to both directed orientations —
+        # the former two-leg union re-ran the scored join per leg
+        # (round 11, guide §1.2)
+        both = _both_directions(scored)
         ranked = _topk_by_pack(both)
         if _rnd == _ROUNDS - 1:
             # final round: checkpoint the RANKED relation (the loop's real
@@ -296,19 +394,7 @@ def _nn_descent_over(spark: SparkSession, emb: DataFrame) -> DataFrame:
         else:
             edges = ranked.select("src", "dst").localCheckpoint()
 
-    seeded = g0.withColumn("seeded", F.lit(1))
-    return (
-        ranked.select("src", "dst", "d", "rnk")
-        .join(seeded, on=["src", "dst"], how="left")
-        .select(
-            F.col("src").alias("vec_id"),
-            "rnk",
-            F.col("dst").alias("nbr_id"),
-            F.col("d").alias("dist"),
-            F.when(F.col("seeded").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_new"),
-        )
-        .orderBy("vec_id", "rnk")
-    )
+    return g0, ranked
 
 
 def nn_descent_update(
@@ -404,12 +490,10 @@ def nn_descent_update(
         F.lit(0).alias("fresh"),
     )
     # both orientations enter: the new node's own candidates AND the
-    # reverse edges that let existing neighborhoods discover the newcomer
-    seeded_directed = (
-        seed_scored.select(F.col("lo").alias("src"), F.col("hi").alias("dst"), "d")
-        .union(seed_scored.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), "d"))
-        .withColumn("fresh", F.lit(1))
-    )
+    # reverse edges that let existing neighborhoods discover the newcomer.
+    # ONE pass via explode (round 11): the former two-leg union re-ran the
+    # whole seed attach+score (the dot-product stage) once per leg
+    seeded_directed = _both_directions(seed_scored).withColumn("fresh", F.lit(1))
     w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst").asc())
     # new nodes enter with their K best seeds; old nodes keep their lists
     state = (
@@ -434,9 +518,9 @@ def nn_descent_update(
             .distinct()
         )
         scored = _attach_and_score(pairs, ex, ey)
-        fresh_directed = scored.select(
-            F.col("lo").alias("src"), F.col("hi").alias("dst"), "d"
-        ).union(scored.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), "d"))
+        # explode, not a two-leg union: the union re-ran the dot-product
+        # scoring stage once per orientation (round 11, guide §1.2)
+        fresh_directed = _both_directions(scored)
         # only nodes with a freshly-scored candidate re-rank
         touched = fresh_directed.select("src").distinct()
         merged = (
@@ -493,7 +577,16 @@ def _nn_descent_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame
     ).first()
     old = emb_all.filter(F.col("vec_id") <= cut_row.c)
     new_ids = emb_all.filter(F.col("vec_id") > cut_row.c).select("vec_id")
-    graph = _nn_descent_over(spark, old)
+    # consume the bootstrap's checkpoint-backed ranked relation directly
+    # (round 11): the update reads only (vec_id, nbr_id, dist), so the
+    # presentation pass (is_new join + global sort) — which the update's
+    # two consumers re-derived per action — is skipped outright
+    _, ranked = _nn_descent_build(spark, old)
+    graph = ranked.select(
+        F.col("src").alias("vec_id"),
+        F.col("dst").alias("nbr_id"),
+        F.col("d").alias("dist"),
+    )
     return nn_descent_update(spark, emb_all, graph, new_ids, n_total=int(cut_row.n))
 
 
@@ -709,13 +802,34 @@ def _dbscan_from_pairs(
     isolated cores, borders attached to the minimum adjacent cluster,
     and the -1 noise row. Both the same-cell (X52) and halo (X54)
     candidate generators feed this identical, integer-exact tail."""
-    from pdf_parse_vector_db_spark.operators.components import connected_components
+    # STAR contraction, not min-label propagation (round 11): the eps-graph
+    # is the one caller whose components go DEEP — at sf0.1 the halo tier's
+    # core graph has diameter > 20, where the propagation loop exhausted its
+    # round cap and silently returned a TRUNCATED fixpoint (77 clusters vs
+    # the true closure's 72 — an inherited latent bug the small-SF driver
+    # gate never sampled). Large/small-star converges in O(log² n) rounds on
+    # any topology (Kiveris et al.), so it is both the correct and the
+    # 100 TB-scale-safe tier here; label equivalence with propagation on
+    # shallow graphs is pinned in tests/test_components.py.
+    from pdf_parse_vector_db_spark.operators.components import (
+        connected_components_star as connected_components,
+    )
 
+    # LAZY cuts (round 11): `und` feeds the degree agg AND the border
+    # attach, `core` feeds two semi-joins, the isolated anti-join and the
+    # border anti-join — without the cuts every consumer job re-derived
+    # the symmetrize+distinct (und) and degree-filter (core) exchange
+    # chains from the pairs cache (profiled as the bulk of the halo
+    # query's duplicate AQE stage materializations)
     und = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     deg = und.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
-    core = deg.filter(F.col("deg") >= _MIN_NBRS).select(F.col("id_a").alias("node"))
+    core = (
+        deg.filter(F.col("deg") >= _MIN_NBRS)
+        .select(F.col("id_a").alias("node"))
+        .localCheckpoint(eager=False)
+    )
 
     core_pairs = (
         pairs.join(core.withColumnRenamed("node", "id_a"), on="id_a", how="left_semi")
@@ -792,7 +906,7 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation); `dbscan_clusters_halo` (X54) adds the cross-cell
     multi-probe tier with a measured eps-graph recall contract."""
     emb = load_table(spark, sf_dir, "embeddings")
-    clustered = emb.join(_ivf_assign(emb), on="vec_id")
+    clustered = _with_cells(emb, 1)  # map-side, no assign re-attach join
     # lazy cut: pairs' first consumer materializes it once and every later
     # consumer shares the RDD — the former EAGER checkpoint paid one extra
     # standalone job (pairs is eps-pair-sized, no sf1 memory-cliff risk)
@@ -811,23 +925,24 @@ _HALO_NPROBE = 2
 
 def _ivf_probe_assign(emb: DataFrame, nprobe: int) -> DataFrame:
     """(vec_id, cluster_id) for each of the point's `nprobe` NEAREST
-    cells (row_number over the deterministic (distance-micros, cid)
-    pack). nprobe=1 degrades to the `_ivf_assign` argmin; the window is
-    per-point over nlist ∝ √N seed rows — the standard IVF assignment
-    cost, map-side after the broadcast seed crossJoin."""
-    seeds = _ivf_seeds(emb)
-    key = (
-        F.round(l2_distance(F.col("embedding"), F.col("cvec")) * 1e6).cast("bigint")
-        * _IVF_KEY_BASE
-        + F.col("cid")
-    )
-    w = Window.partitionBy("vec_id").orderBy("pk")
+    cells by the deterministic (distance-micros, cid) pack. nprobe=1
+    degrades to the `_ivf_assign` argmin. MAP-SIDE since round 11
+    (array_sort + slice over the seed-key array, see _seed_pack_keys):
+    the former row_number window shuffled every (point, seed) pack row —
+    N·nlist rows through one sort exchange, the single biggest shuffle
+    in the halo DBSCAN plan — for a per-point top-2 the projection can
+    compute locally. Pack keys are unique per (point, seed) (cid in the
+    low digits), so the sorted-prefix set is exactly the window's
+    pr ≤ nprobe set."""
     return (
-        emb.crossJoin(seeds)
-        .select("vec_id", F.col("cid").alias("cluster_id"), key.alias("pk"))
-        .withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= nprobe)
-        .select("vec_id", "cluster_id")
+        _seed_pack_keys(emb)
+        .select(
+            "vec_id",
+            F.explode(
+                F.slice(F.array_sort(F.col("__pks")), 1, nprobe)
+            ).alias("__pk"),
+        )
+        .select("vec_id", (F.col("__pk") % _IVF_KEY_BASE).alias("cluster_id"))
     )
 
 
@@ -858,7 +973,7 @@ def dbscan_clusters_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
     would prune interior points and the trade likely flips — re-measure
     before enabling it there."""
     emb = load_table(spark, sf_dir, "embeddings")
-    clustered = emb.join(_ivf_probe_assign(emb, _HALO_NPROBE), on="vec_id")
+    clustered = _with_cells(emb, _HALO_NPROBE)  # map-side, no re-attach join
     pairs = (
         dedup.embedding_near_dup_pairs(
             clustered, threshold=_EPS_COS, bucket_col="cluster_id"
@@ -997,11 +1112,12 @@ def graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop, never a corpus scan per query. Per-hop localCheckpoints are
     ≤ _BEAM rows (lineage cut, not data)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    graph = (
-        _nn_descent_over(spark, emb)
-        .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
-        .localCheckpoint()
-    )
+    # the beam search needs EDGES only: consume the build's checkpoint-backed
+    # ranked relation directly (round 11) — the old shape materialized the
+    # full presentation (is_new join + global sort) into a second checkpoint
+    # nobody read the extra columns of
+    _, ranked = _nn_descent_build(spark, emb)
+    graph = ranked.select("src", "dst")
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qvec")
     )
@@ -1036,11 +1152,9 @@ def graph_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ids, point lookups into the stored artifact in production;
     the 2-hop expansion multiplies candidate ids by K, not by corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    graph = (
-        _nn_descent_over(spark, emb)
-        .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
-        .localCheckpoint()
-    )
+    # edges straight off the build's ranked checkpoint — see graph_knn
+    _, ranked = _nn_descent_build(spark, emb)
+    graph = ranked.select("src", "dst")
     fe = emb.filter(F.col("label") == 1)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qvec")
@@ -1063,60 +1177,10 @@ def _filtered_beam_search(
 ) -> DataFrame:
     """ACORN-style beam core: rank stage joins the FILTERED relation
     `fe` (non-matching candidates drop out of the beam), expansion looks
-    1 AND 2 hops out from the beam through the unfiltered `graph`."""
-    from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
-
-    e = fe.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    key = (
-        F.round((F.lit(1.0) - cosine_similarity(F.col("v"), F.col("qvec"))) * 1e6)
-        .cast("bigint")
-        * _IVF_KEY_BASE
-        + F.col("vec_id")
-    )
-
-    def rank(ids: DataFrame) -> DataFrame:
-        # broadcast the bounded frontier id set, not the filtered corpus
-        # relation (see _beam_search.rank)
-        return (
-            F.broadcast(ids).join(e, "vec_id")
-            .crossJoin(F.broadcast(q))
-            .select("vec_id", key.alias("k"))
-            .orderBy("k")
-            .limit(_FILTER_BEAM)
-            .localCheckpoint()
-        )
-
-    beam = rank(entry)
-    for _ in range(_HOPS):
-        hop1 = (
-            # broadcast the bounded beam/hop id sets against the edge list
-            # (see _beam_search; same no-stats fallback otherwise)
-            F.broadcast(beam.select("vec_id"))
-            .join(graph, beam["vec_id"] == graph["src"])
-            .select(F.col("dst").alias("vec_id"))
-            .distinct()
-        )
-        hop2 = (
-            F.broadcast(hop1)
-            .join(graph, hop1["vec_id"] == graph["src"])
-            .select(F.col("dst").alias("vec_id"))
-        )
-        frontier = beam.select("vec_id").union(hop1).union(hop2).distinct()
-        beam = rank(frontier)
-    lab = fe.select("vec_id", "label")
-    return (
-        beam.orderBy("k")
-        .limit(k)
-        .join(lab, "vec_id")
-        .select(
-            "vec_id",
-            "label",
-            F.round(
-                F.expr(f"CAST(k div {_IVF_KEY_BASE} AS DOUBLE)") / F.lit(1e6), 4
-            ).alias("score"),
-        )
-        .orderBy("score", "vec_id")
-    )
+    1 AND 2 hops out from the beam through the unfiltered `graph` — both
+    hops inside the hop's single plan (see _beam_search for the round-11
+    driver-resident-beam shape)."""
+    return _beam_search_core(fe, graph, q, entry, k, filtered_two_hop=True)
 
 
 #: per-process stored-graph artifacts for graph_knn_stored, keyed
@@ -1181,52 +1245,101 @@ def _beam_search(
     the `entry` ids, _HOPS expand-and-rerank rounds over `graph(src,
     dst)`, keeping the best `_BEAM` by the packed (cos-distance-micros ·
     BASE + id) key; returns the final beam's top-k as (vec_id, label,
-    score)."""
+    score).
+
+    Round-11 shape: the beam (≤ _BEAM rows of two longs) lives on the
+    DRIVER between hops — each hop is ONE TakeOrdered job whose plan
+    filters the edge list by the beam's literal ids and point-looks-up
+    the candidate vectors, exactly how a production graph-ANN server
+    walks a stored graph (bounded working set in the query node, point
+    reads against the index). The previous shape kept the beam as a
+    checkpointed DataFrame: 4+ scheduled jobs per hop (broadcast build +
+    checkpoint + AQE stage materializations) of ~0.1 s scheduling floor
+    each, for 16 rows of state. Guide §5's "no driver data work" bounds
+    this: ≤ _BEAM·(k-per-node) ids ever reach the driver, the same order
+    as the `.first()` stat fetches elsewhere; the candidate GENERATION
+    and SCORING stay in the cluster. Selection is by the deterministic
+    packed key, so the chosen ids — and the query's result — are
+    unchanged (oracle-verified)."""
+    return _beam_search_core(emb, graph, q, entry, k, filtered_two_hop=False)
+
+
+def _beam_search_core(
+    fe: DataFrame,
+    graph: DataFrame,
+    q: DataFrame,
+    entry: DataFrame,
+    k: int,
+    filtered_two_hop: bool,
+    beam_width: int | None = None,
+) -> DataFrame:
+    """Driver-resident-beam implementation (see _beam_search docstring).
+
+    Every per-hop stage is a SINGLE-STAGE job with zero exchanges: the
+    query vector and the current frontier ids are literals in the plan,
+    so the rank stage is scan → isin filter → TakeOrdered (no join, no
+    broadcast exchange, no AQE replanning) and the expansion stage is an
+    isin filter over the edge list. Driver traffic is bounded by
+    construction: one vector, ≤ nlist entry ids, ≤ width·K (·K for the
+    ACORN 2-hop tier) frontier ids per hop — metadata, not data (the
+    same order as the `.first()` stat fetches elsewhere; guide §5)."""
     from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
 
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    width = beam_width or (_FILTER_BEAM if filtered_two_hop else _BEAM)
+    spark = fe.sparkSession
+    e = fe.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # one bounded fetch: the query vector as literals — doubles round-trip
+    # the driver bit-exactly, so the key expression is unchanged
+    qrow = q.limit(1).collect()
+    qcol = F.array(*[F.lit(float(x)) for x in (qrow[0][0] if qrow else [])])
     key = (
-        F.round((F.lit(1.0) - cosine_similarity(F.col("v"), F.col("qvec"))) * 1e6)
+        F.round((F.lit(1.0) - cosine_similarity(F.col("v"), qcol)) * 1e6)
         .cast("bigint")
         * _IVF_KEY_BASE
         + F.col("vec_id")
     )
 
-    def rank(ids: DataFrame) -> DataFrame:
-        # broadcast the ≤ _BEAM·(K+1)-row id set, not the corpus relation:
-        # the beam/frontier is checkpoint-backed (unknown size to the
-        # planner), so the planner otherwise broadcasts `e` — the whole
-        # vector relation — once per hop (round-10 optimization, guide
-        # §3.1 "broadcast the side you know is small"). Point-lookup
-        # semantics unchanged; at 100 TB this is exactly the id-set
-        # semi-join pushed at the stored layout.
+    def rank(cand_ids: list[int]) -> list:
+        """ONE single-stage job: literal candidate ids → the best `width`
+        (vec_id, k) rows sorted by the packed key (TakeOrderedAndProject,
+        no shuffle)."""
+        if not cand_ids:
+            return []
         return (
-            F.broadcast(ids).join(e, "vec_id")
-            .crossJoin(F.broadcast(q))
+            e.filter(F.col("vec_id").isin(*cand_ids))
             .select("vec_id", key.alias("k"))
             .orderBy("k")
-            .limit(_BEAM)
-            .localCheckpoint()
+            .limit(width)
+            .collect()
         )
 
-    beam = rank(entry)
+    def neighbors(ids: list[int]) -> set[int]:
+        """ONE single-stage job: directed out-neighbors of the literal id
+        set (isin filter over the edge relation — a point lookup against
+        the stored layout in production)."""
+        if not ids:
+            return set()
+        rows = graph.filter(F.col("src").isin(*ids)).select("dst").collect()
+        return {int(r[0]) for r in rows}
+
+    entry_ids = sorted({int(r[0]) for r in entry.select("vec_id").collect()})
+    beam = rank(entry_ids)
     for _ in range(_HOPS):
-        frontier = (
-            # broadcast the ≤ _BEAM-row beam against the edge list: both
-            # sides are checkpoint-backed (no size stats), so unhinted the
-            # planner falls back to a shuffle join of the whole edge
-            # relation per hop (guide §3.1)
-            F.broadcast(beam.select("vec_id"))
-            .join(graph, beam["vec_id"] == graph["src"])
-            .select(F.col("dst").alias("vec_id"))
-            .union(beam.select("vec_id"))
-            .distinct()
-        )
-        beam = rank(frontier)
-    lab = emb.select("vec_id", "label")
+        if not beam:
+            break
+        ids = [int(r["vec_id"]) for r in beam]
+        hop1 = neighbors(ids)
+        cand = set(ids) | hop1
+        if filtered_two_hop:
+            # ACORN: expand THROUGH non-matching middles — 2 hops out
+            cand |= neighbors(sorted(hop1))
+        beam = rank(sorted(cand))
+    lab = fe.select("vec_id", "label")
+    top = spark.createDataFrame(
+        [(int(r["vec_id"]), int(r["k"])) for r in beam[:k]], "vec_id long, k long"
+    )
     return (
-        beam.orderBy("k")
-        .limit(k)
+        F.broadcast(top)
         .join(lab, "vec_id")
         .select(
             "vec_id",
