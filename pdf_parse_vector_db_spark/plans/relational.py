@@ -1206,13 +1206,32 @@ def ndv_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py and the portable-register HLL tier,
     hll_portable, stays fully hash-checked.)"""
     ev = _t(spark, sf_dir, "events")
+    # Exact NDV as a TWO-LEVEL aggregate joined back on the tiny group key
+    # (round 11, guide §2.3/§2.4): mixing count(DISTINCT user_id) with the
+    # percentile aggregates planned an Expand that doubled every event row
+    # through the aggregation (and through the percentile buffers). Split,
+    # the NDV leg partial-aggregates (event_type, user_id) map-side — the
+    # exchange carries distinct pairs, not rows — and the percentile leg
+    # runs Expand-free. count(DISTINCT) ignores NULLs, hence the filter;
+    # an all-NULL group would drop from the leg, hence the left join +
+    # coalesce(0). Values identical (exactness is the query's contract).
+    ndv = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_ndv"))
+    )
     out = (
         ev.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("exact_ndv"),
             F.approx_count_distinct("user_id", 0.02).alias("hll_ndv"),
             F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50_value"),
             F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("sketch_p50_value"),
+        )
+        .join(ndv, on="event_type", how="left")
+        .withColumn(
+            "exact_ndv", F.coalesce(F.col("exact_ndv"), F.lit(0).cast("bigint"))
         )
         .select(
             "event_type",

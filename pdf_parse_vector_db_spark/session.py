@@ -39,6 +39,58 @@ STATUS_RETENTION: dict[str, str] = {
 }
 
 
+#: conf key for the round-11 scale-safety switch (see
+#: install_reliable_checkpoint_switch / SCALING.md "Lineage cuts")
+RELIABLE_CHECKPOINT_DIR_CONF = "spark.pdfParseVectorDb.reliableCheckpointDir"
+
+
+def install_reliable_checkpoint_switch() -> None:
+    """Conf-gated RELIABLE checkpointing behind every existing
+    ``DataFrame.localCheckpoint`` call site (round-11 verdict item, guide
+    §5/§7.3 posture note).
+
+    The engine's iterative operators cut lineage with ``localCheckpoint``
+    — correct and cheapest for the bench contract, but executor-LOCAL
+    checkpoint blocks are non-replicated: on a real cluster, losing an
+    executor after the cut fails the job instead of recomputing. Setting
+    ``spark.pdfParseVectorDb.reliableCheckpointDir`` (e.g. an HDFS/S3
+    path) at session build reroutes every lineage cut through
+    ``DataFrame.checkpoint`` into that directory — same plans, same
+    results (pinned by tests/test_components.py), node-loss-safe. Unset
+    (the default, and the bench posture), behavior is byte-identical to
+    stock ``localCheckpoint``.
+
+    One shim instead of 60+ call-site edits: the cut is POLICY, not
+    per-operator logic, so it is installed once at the session factory.
+    The shim dispatches per DataFrame via the session conf, so two
+    sessions with different settings coexist."""
+    # Spark 4 splits DataFrame into an abstract base (pyspark.sql.dataframe)
+    # and the concrete classic implementation whose own localCheckpoint
+    # would shadow a base-class patch — shim the concrete class.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover — Spark 3.x layout
+        from pyspark.sql import DataFrame
+
+    if getattr(DataFrame, "_pdfparse_reliable_ckpt_shim", False):
+        return
+    orig = DataFrame.localCheckpoint
+
+    def _local_checkpoint(self, eager: bool = True):
+        sess = self.sparkSession
+        cdir = sess.conf.get(RELIABLE_CHECKPOINT_DIR_CONF, None)
+        if not cdir:
+            return orig(self, eager=eager)
+        sc = sess.sparkContext
+        if sc.getCheckpointDir() != cdir:
+            sc.setCheckpointDir(cdir)
+        return self.checkpoint(eager=eager)
+
+    _local_checkpoint.__doc__ = orig.__doc__
+    DataFrame.localCheckpoint = _local_checkpoint
+    DataFrame._pdfparse_reliable_ckpt_shim = True
+
+
 def get_spark(
     app_name: str = "pdf_parse_vector_db_spark",
     master: str | None = None,
@@ -81,6 +133,12 @@ def get_spark(
     )
     for k, v in STATUS_RETENTION.items():
         builder = builder.config(k, v)
+    install_reliable_checkpoint_switch()
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT_DIR"):
+        builder = builder.config(
+            RELIABLE_CHECKPOINT_DIR_CONF,
+            os.environ["SPARK_GRAFT_RELIABLE_CHECKPOINT_DIR"],
+        )
     return builder.getOrCreate()
 
 

@@ -116,3 +116,27 @@ def test_star_random_graphs_match_union_find(spark):
         got = _resolve_star(spark, pairs)
         want = _union_find(pairs)
         assert got == want, (pairs, got, want)
+
+
+def test_reliable_checkpoint_switch_same_results(spark, tmp_path):
+    """Round-11 scale-safety switch: with the conf-gated reliable
+    checkpoint dir set, every localCheckpoint lineage cut reroutes through
+    DataFrame.checkpoint into that directory — identical results, and the
+    checkpoint files actually land there (node-loss-safe posture)."""
+    import os
+
+    from pdf_parse_vector_db_spark.session import RELIABLE_CHECKPOINT_DIR_CONF
+
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (50, 51)]
+    base = _resolve(spark, pairs)
+    cdir = str(tmp_path / "reliable_ckpt")
+    spark.conf.set(RELIABLE_CHECKPOINT_DIR_CONF, cdir)
+    try:
+        got = _resolve(spark, pairs)
+    finally:
+        spark.conf.unset(RELIABLE_CHECKPOINT_DIR_CONF)
+    assert got == base
+    # the cut really went through the reliable dir
+    assert os.path.isdir(cdir) and any(os.scandir(cdir))
+    # and with the conf unset again, stock localCheckpoint still works
+    assert _resolve(spark, pairs) == base

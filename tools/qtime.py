@@ -6,7 +6,7 @@
 
 Methodology matches bench.py (warmup limit(1).collect(), then best-of-2
 full .collect()) so numbers are comparable with BENCH_FULL.json rows.
-Plans go to plans/r10/<query>_<tag>.txt when --explain/--tag are given.
+Plans go to plans/r11/<query>_<tag>.txt when --explain/--tag are given.
 """
 
 from __future__ import annotations
@@ -42,7 +42,7 @@ def main() -> None:
     spark = get_spark("qtime")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    os.makedirs(os.path.join(ROOT, "plans", "r10"), exist_ok=True)
+    os.makedirs(os.path.join(ROOT, "plans", "r11"), exist_ok=True)
 
     for name in names:
         fn = qs[name]
@@ -52,7 +52,7 @@ def main() -> None:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
-            out = os.path.join(ROOT, "plans", "r10", f"{name}_{tag}.txt")
+            out = os.path.join(ROOT, "plans", "r11", f"{name}_{tag}.txt")
             with open(out, "w") as fh:
                 fh.write(plan)
             print(f"{name}: plan -> {out}")
