@@ -1338,11 +1338,35 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hb = minhash_portable_banded(
         hist, num_hashes=_INC_HASHES, bands=_INC_BANDS
     ).withColumnRenamed("__id", "hist_id")
+    # LAZY cut on the candidate table (round 11): it feeds BOTH the
+    # history semi-join below and the verification join — without the cut
+    # the whole two-sided band/signature pipeline would run twice
     cands = (
-        nb.join(hb, on=["band_idx", "key"]).select("new_id", "hist_id").distinct()
+        nb.join(hb, on=["band_idx", "key"])
+        .select("new_id", "hist_id")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     nsh = new.select("new_id", T.shingles_expr("text").alias("sh_n"))
-    hsh = hist.select(F.col("doc_id").alias("hist_id"), T.shingles_expr("text").alias("sh_h"))
+    # Verification shingles ONLY for band-colliding history docs (round 11,
+    # guide §2.3/§3.2): the old shape built shingle arrays for the ENTIRE
+    # history and broadcast them all into the verify join — corpus-sized
+    # work and broadcast bytes for a candidate-sized comparison. The
+    # semi-join prunes history to the candidate ids BEFORE the shingle
+    # projection; at 100 TB this is the difference between probing an
+    # index and re-reading the corpus. Same verified pairs (rows outside
+    # the candidate set never survived the inner join anyway).
+    hsh = (
+        hist.join(
+            # broadcast the BATCH-BOUNDED candidate ids (the checkpoint
+            # leaf has no size stats, so unhinted the planner shuffles the
+            # history text into a sort-merge semi-join — guide §3.1)
+            F.broadcast(cands.select(F.col("hist_id").alias("doc_id"))),
+            on="doc_id",
+            how="left_semi",
+        )
+        .select(F.col("doc_id").alias("hist_id"), T.shingles_expr("text").alias("sh_h"))
+    )
     verified = (
         cands.join(nsh, on="new_id")
         .join(hsh, on="hist_id")

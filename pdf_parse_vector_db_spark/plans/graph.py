@@ -290,7 +290,16 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        alive = deg.filter(F.col("c") >= _KCORE_K).select("n")
+        # LAZY cut (round 11): alive feeds round r's two semi-joins (inside
+        # the eager edges materialization, which computes it once) AND the
+        # final per-round count job — without the cut that last job
+        # re-derived every round's degree aggregation from the raw edge
+        # checkpoint a second time
+        alive = (
+            deg.filter(F.col("c") >= _KCORE_K)
+            .select("n")
+            .localCheckpoint(eager=False)
+        )
         # per-round localCheckpoint: round r's edge relation feeds its own
         # count AND round r+1's degree agg — without the cut each consumer
         # re-derives every prior round's semi-joins from the raw edge build

@@ -435,13 +435,21 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cols:
             aggs += [
                 F.count(c).alias(f"__c_{c}"),
-                F.countDistinct(c).alias(f"__d_{c}"),
                 # aggregate in the native type, cast the RESULT — casting
                 # first would turn numeric min/max lexicographic
                 F.min(c).cast("string").alias(f"__mn_{c}"),
                 F.max(c).cast("string").alias(f"__mx_{c}"),
             ]
+        # NDVs as SEPARATE single-distinct aggregates crossJoined back as
+        # 1-row frames (round 11, guide §2.3): k countDistinct columns in
+        # one agg planned an Expand (×(k+1) input rows) feeding a
+        # SORT-aggregate whose grouping key included every profiled column
+        # — the documents table's full TEXT was sorted k+1 times over.
+        # A lone countDistinct plans as a clean two-phase hash agg over
+        # its ONE (column-pruned) column; values identical.
         one = df.agg(*aggs)
+        for c in cols:
+            one = one.crossJoin(df.agg(F.countDistinct(c).alias(f"__d_{c}")))
         stack = ", ".join(
             f"'{c}', __n - __c_{c}, __d_{c}, __mn_{c}, __mx_{c}" for c in cols
         )
