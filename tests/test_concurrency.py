@@ -180,6 +180,7 @@ def test_cache_never_serves_stale_across_concurrent_ingest(svc):
     assert r2["result_count"] > r1["result_count"]
 
 
+@pytest.mark.slow
 def test_manifested_service_matches_raw_and_survives_ingest_race(spark, tmp_path):
     """The manifested warehouse returns the same search answers as the
     raw-append warehouse over the same documents, and concurrent ingests

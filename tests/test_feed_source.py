@@ -474,6 +474,7 @@ def test_max_commits_per_batch_skips_replaces_and_restores(spark, tmp_path):
     assert all(len(b) <= 10 for b in got if b), [len(b) for b in got]
 
 
+@pytest.mark.slow
 def test_sustained_ingest_feed_sync_stays_bounded(spark, tmp_path):
     """Mini-soak (the tools/feed_soak.py loop in the default gate, 60
     micro-batches): sustained ingest→CDC-sync→compact→vacuum keeps every

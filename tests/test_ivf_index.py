@@ -219,6 +219,7 @@ def _small_index(spark, tmp_path, n=120):
     return emb, seeds, path, q
 
 
+@pytest.mark.slow
 def test_consistent_search_under_compaction_storm(spark, tmp_path):
     """A writer republishing cells in a tight rename-swap loop never makes
     a consistent reader return a wrong or partial top-k."""
@@ -262,6 +263,7 @@ def test_consistent_search_under_compaction_storm(spark, tmp_path):
     assert not writer_err, writer_err
 
 
+@pytest.mark.slow
 def test_consistent_search_under_delete_republish(spark, tmp_path):
     """Writer alternates GDPR-delete and re-append of the top hit; every
     consistent read equals one of the two quiescent answers — never a

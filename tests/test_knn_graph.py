@@ -300,6 +300,7 @@ def test_nn_descent_update_untouched_nodes_pass_through(spark):
     assert got == base
 
 
+@pytest.mark.slow
 def test_sync_knn_graph_from_feed_exactly_once_and_agreement(spark, planted, tmp_path):
     """X63 contract (the CDC → k-NN-graph composition): syncing the
     manifested graph table off the source change feed is (a) exactly
@@ -375,6 +376,7 @@ def test_sync_knn_graph_from_feed_exactly_once_and_agreement(spark, planted, tmp
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
 
 
+@pytest.mark.slow
 def test_entry_ledger_bounded_under_connectable_churn(spark, planted, tmp_path):
     """Round-10 contract (closes the round-9 weak #1): across N≥10 ingest
     syncs of CONNECTABLE data (duplicates of existing corpus points — the
@@ -438,6 +440,7 @@ def test_entry_ledger_bounded_under_connectable_churn(spark, planted, tmp_path):
     assert {r.vec_id for r in got} & {probe, (9 * 37 + 3 * 11) % n}
 
 
+@pytest.mark.slow
 def test_entry_ledger_isolated_cohorts_and_adoption_clear(spark, planted, tmp_path):
     """The ledger holds EXACTLY the still-isolated cohorts: after the
     18-block bootstrap + block-18 + block-19 syncs, its rows are the 20
@@ -500,6 +503,7 @@ def test_entry_ledger_isolated_cohorts_and_adoption_clear(spark, planted, tmp_pa
     assert got2 <= set(range(cut, 20 * _PER_CLUSTER)) | {n + j for j in range(8)}
 
 
+@pytest.mark.slow
 def test_entry_ledger_crash_between_commits_replays_exactly_once(
     spark, planted, tmp_path, monkeypatch
 ):

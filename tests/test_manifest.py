@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import threading
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pdf_parse_vector_db_spark.sources import manifest as M
@@ -283,6 +285,7 @@ def test_vacuum_sweeps_crash_residue(spark, tmp_path):
     os.remove(fresh_tmp)
 
 
+@pytest.mark.slow
 def test_multiprocess_writers_all_land(spark, tmp_path):
     """The layer's headline claim, certified with real PROCESSES: three
     separate JVMs (not threads) race commit_append on one table through a
@@ -448,6 +451,7 @@ def test_maybe_compact_triggers_on_commit_count(spark, tmp_path):
     assert (cur, feed) == (5, None)  # the rewrite is not new rows
 
 
+@pytest.mark.slow
 def test_merge_randomized_equivalence(spark, tmp_path):
     """Seeded property check: for random commit partitions and random
     update sets, merge == (table ANTI-JOIN update-keys) UNION updates,

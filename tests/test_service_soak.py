@@ -21,6 +21,8 @@ mutex) and asserts EXACT answers throughout:
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import threading
 
@@ -39,6 +41,7 @@ N_DELETES = 3
 N_READS = 8
 
 
+@pytest.mark.slow
 def test_full_lifecycle_soak(spark, tmp_path):
     emb_all = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
         F.col("vec_id") < N_TOTAL

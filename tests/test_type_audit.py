@@ -5,10 +5,13 @@ base-type family as the Spark plan's schema."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_ORACLE
 from tools.type_audit import audit
 
 
+@pytest.mark.slow
 def test_oracle_types_match_spark(spark, duck):
     flagged = audit(spark, duck, SF_ORACLE)
     assert not flagged, flagged
