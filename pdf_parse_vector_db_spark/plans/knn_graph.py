@@ -794,7 +794,7 @@ ORDER BY vec_id, rnk
 
 
 def _dbscan_from_pairs(
-    spark: SparkSession, emb: DataFrame, pairs: DataFrame
+    spark: SparkSession, emb: DataFrame, pairs: DataFrame, deep: bool = False
 ) -> DataFrame:
     """Shared DBSCAN tail: given the eps-graph candidate edges (id_a,
     id_b — already cosine-thresholded and canonical), derive cores by
@@ -802,18 +802,27 @@ def _dbscan_from_pairs(
     isolated cores, borders attached to the minimum adjacent cluster,
     and the -1 noise row. Both the same-cell (X52) and halo (X54)
     candidate generators feed this identical, integer-exact tail."""
-    # STAR contraction, not min-label propagation (round 11): the eps-graph
-    # is the one caller whose components go DEEP — at sf0.1 the halo tier's
-    # core graph has diameter > 20, where the propagation loop exhausted its
-    # round cap and silently returned a TRUNCATED fixpoint (77 clusters vs
-    # the true closure's 72 — an inherited latent bug the small-SF driver
-    # gate never sampled). Large/small-star converges in O(log² n) rounds on
-    # any topology (Kiveris et al.), so it is both the correct and the
-    # 100 TB-scale-safe tier here; label equivalence with propagation on
-    # shallow graphs is pinned in tests/test_components.py.
-    from pdf_parse_vector_db_spark.operators.components import (
-        connected_components_star as connected_components,
-    )
+    # `deep=True` switches the component step to STAR contraction (round
+    # 11): the halo eps-graph's core components go DEEP — at sf0.1 the
+    # diameter exceeds 20, where min-label propagation exhausted its round
+    # cap and silently returned a TRUNCATED fixpoint (77 clusters vs the
+    # true closure's 72 — an inherited latent bug the small-SF driver gate
+    # never sampled). Large/small-star converges in O(log² n) rounds on any
+    # topology (Kiveris et al.); label equivalence with propagation is
+    # pinned in tests/test_components.py. The same-cell tier's components
+    # are cell-bounded and shallow, where min-label measures ~1.6x faster
+    # (bench pair: star cost +3.2 s there) — it keeps propagation, and the
+    # round-11 non-convergence guard in connected_components RAISES loudly
+    # (instead of returning wrong labels) if a future corpus ever makes
+    # same-cell components deep.
+    if deep:
+        from pdf_parse_vector_db_spark.operators.components import (
+            connected_components_star as connected_components,
+        )
+    else:
+        from pdf_parse_vector_db_spark.operators.components import (
+            connected_components,
+        )
 
     # LAZY cuts (round 11): `und` feeds the degree agg AND the border
     # attach, `core` feeds two semi-joins, the isolated anti-join and the
@@ -982,7 +991,7 @@ def dbscan_clusters_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)  # lazy — see dbscan_clusters
     )
-    return _dbscan_from_pairs(spark, emb, pairs)
+    return _dbscan_from_pairs(spark, emb, pairs, deep=True)
 
 
 #: multi-probe halo prelude: each point joins its _HALO_NPROBE nearest
@@ -1177,10 +1186,60 @@ def _filtered_beam_search(
 ) -> DataFrame:
     """ACORN-style beam core: rank stage joins the FILTERED relation
     `fe` (non-matching candidates drop out of the beam), expansion looks
-    1 AND 2 hops out from the beam through the unfiltered `graph` — both
-    hops inside the hop's single plan (see _beam_search for the round-11
-    driver-resident-beam shape)."""
-    return _beam_search_core(fe, graph, q, entry, k, filtered_two_hop=True)
+    1 AND 2 hops out from the beam through the unfiltered `graph`."""
+    from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
+
+    e = fe.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    key = (
+        F.round((F.lit(1.0) - cosine_similarity(F.col("v"), F.col("qvec"))) * 1e6)
+        .cast("bigint")
+        * _IVF_KEY_BASE
+        + F.col("vec_id")
+    )
+
+    def rank(ids: DataFrame) -> DataFrame:
+        # broadcast the bounded frontier id set, not the filtered corpus
+        # relation (see _beam_search.rank)
+        return (
+            F.broadcast(ids).join(e, "vec_id")
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", key.alias("k"))
+            .orderBy("k")
+            .limit(_FILTER_BEAM)
+            .localCheckpoint()
+        )
+
+    beam = rank(entry)
+    for _ in range(_HOPS):
+        hop1 = (
+            # broadcast the bounded beam/hop id sets against the edge list
+            # (see _beam_search; same no-stats fallback otherwise)
+            F.broadcast(beam.select("vec_id"))
+            .join(graph, beam["vec_id"] == graph["src"])
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        hop2 = (
+            F.broadcast(hop1)
+            .join(graph, hop1["vec_id"] == graph["src"])
+            .select(F.col("dst").alias("vec_id"))
+        )
+        frontier = beam.select("vec_id").union(hop1).union(hop2).distinct()
+        beam = rank(frontier)
+    lab = fe.select("vec_id", "label")
+    return (
+        beam.orderBy("k")
+        .limit(k)
+        .join(lab, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.expr(f"CAST(k div {_IVF_KEY_BASE} AS DOUBLE)") / F.lit(1e6), 4
+            ).alias("score"),
+        )
+        .orderBy("score", "vec_id")
+    )
 
 
 #: per-process stored-graph artifacts for graph_knn_stored, keyed
@@ -1240,106 +1299,68 @@ def _beam_search(
     entry: DataFrame,
     k: int = 5,
 ) -> DataFrame:
-    """The beam-search core shared by graph_knn (freshly-built graph)
+    """NEGATIVE RESULT pinned (round 11): a driver-resident-beam variant
+    (collect the <=32-row beam per hop, re-plan each hop as single-stage
+    isin-literal filters + TakeOrdered) cut driver JOB counts 30-40%
+    (graph_knn 82->56, filtered 106->62, stored 31->19) but REGRESSED the
+    clean full-bench pair (graph_filtered_knn 10.1->18.5 s, stored
+    1.7->2.7 s): per-hop plans with hundreds-to-thousands of literal ids
+    re-pay analysis/optimization/codegen on every hop of every run, and
+    that driver-side planning cost exceeds the scheduling floors it
+    removed. Reverted to the checkpoint+broadcast shape below; the job
+    count is the scheduling floor the algorithm pays, not waste.
+
+    The beam-search core shared by graph_knn (freshly-built graph)
     and search_knn_graph (the STORED graph table X63 maintains): from
     the `entry` ids, _HOPS expand-and-rerank rounds over `graph(src,
     dst)`, keeping the best `_BEAM` by the packed (cos-distance-micros ·
     BASE + id) key; returns the final beam's top-k as (vec_id, label,
-    score).
-
-    Round-11 shape: the beam (≤ _BEAM rows of two longs) lives on the
-    DRIVER between hops — each hop is ONE TakeOrdered job whose plan
-    filters the edge list by the beam's literal ids and point-looks-up
-    the candidate vectors, exactly how a production graph-ANN server
-    walks a stored graph (bounded working set in the query node, point
-    reads against the index). The previous shape kept the beam as a
-    checkpointed DataFrame: 4+ scheduled jobs per hop (broadcast build +
-    checkpoint + AQE stage materializations) of ~0.1 s scheduling floor
-    each, for 16 rows of state. Guide §5's "no driver data work" bounds
-    this: ≤ _BEAM·(k-per-node) ids ever reach the driver, the same order
-    as the `.first()` stat fetches elsewhere; the candidate GENERATION
-    and SCORING stay in the cluster. Selection is by the deterministic
-    packed key, so the chosen ids — and the query's result — are
-    unchanged (oracle-verified)."""
-    return _beam_search_core(emb, graph, q, entry, k, filtered_two_hop=False)
-
-
-def _beam_search_core(
-    fe: DataFrame,
-    graph: DataFrame,
-    q: DataFrame,
-    entry: DataFrame,
-    k: int,
-    filtered_two_hop: bool,
-    beam_width: int | None = None,
-) -> DataFrame:
-    """Driver-resident-beam implementation (see _beam_search docstring).
-
-    Every per-hop stage is a SINGLE-STAGE job with zero exchanges: the
-    query vector and the current frontier ids are literals in the plan,
-    so the rank stage is scan → isin filter → TakeOrdered (no join, no
-    broadcast exchange, no AQE replanning) and the expansion stage is an
-    isin filter over the edge list. Driver traffic is bounded by
-    construction: one vector, ≤ nlist entry ids, ≤ width·K (·K for the
-    ACORN 2-hop tier) frontier ids per hop — metadata, not data (the
-    same order as the `.first()` stat fetches elsewhere; guide §5)."""
+    score)."""
     from pdf_parse_vector_db_spark.functions.vector import cosine_similarity
 
-    width = beam_width or (_FILTER_BEAM if filtered_two_hop else _BEAM)
-    spark = fe.sparkSession
-    e = fe.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    # one bounded fetch: the query vector as literals — doubles round-trip
-    # the driver bit-exactly, so the key expression is unchanged
-    qrow = q.limit(1).collect()
-    qcol = F.array(*[F.lit(float(x)) for x in (qrow[0][0] if qrow else [])])
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     key = (
-        F.round((F.lit(1.0) - cosine_similarity(F.col("v"), qcol)) * 1e6)
+        F.round((F.lit(1.0) - cosine_similarity(F.col("v"), F.col("qvec"))) * 1e6)
         .cast("bigint")
         * _IVF_KEY_BASE
         + F.col("vec_id")
     )
 
-    def rank(cand_ids: list[int]) -> list:
-        """ONE single-stage job: literal candidate ids → the best `width`
-        (vec_id, k) rows sorted by the packed key (TakeOrderedAndProject,
-        no shuffle)."""
-        if not cand_ids:
-            return []
+    def rank(ids: DataFrame) -> DataFrame:
+        # broadcast the ≤ _BEAM·(K+1)-row id set, not the corpus relation:
+        # the beam/frontier is checkpoint-backed (unknown size to the
+        # planner), so the planner otherwise broadcasts `e` — the whole
+        # vector relation — once per hop (round-10 optimization, guide
+        # §3.1 "broadcast the side you know is small"). Point-lookup
+        # semantics unchanged; at 100 TB this is exactly the id-set
+        # semi-join pushed at the stored layout.
         return (
-            e.filter(F.col("vec_id").isin(*cand_ids))
+            F.broadcast(ids).join(e, "vec_id")
+            .crossJoin(F.broadcast(q))
             .select("vec_id", key.alias("k"))
             .orderBy("k")
-            .limit(width)
-            .collect()
+            .limit(_BEAM)
+            .localCheckpoint()
         )
 
-    def neighbors(ids: list[int]) -> set[int]:
-        """ONE single-stage job: directed out-neighbors of the literal id
-        set (isin filter over the edge relation — a point lookup against
-        the stored layout in production)."""
-        if not ids:
-            return set()
-        rows = graph.filter(F.col("src").isin(*ids)).select("dst").collect()
-        return {int(r[0]) for r in rows}
-
-    entry_ids = sorted({int(r[0]) for r in entry.select("vec_id").collect()})
-    beam = rank(entry_ids)
+    beam = rank(entry)
     for _ in range(_HOPS):
-        if not beam:
-            break
-        ids = [int(r["vec_id"]) for r in beam]
-        hop1 = neighbors(ids)
-        cand = set(ids) | hop1
-        if filtered_two_hop:
-            # ACORN: expand THROUGH non-matching middles — 2 hops out
-            cand |= neighbors(sorted(hop1))
-        beam = rank(sorted(cand))
-    lab = fe.select("vec_id", "label")
-    top = spark.createDataFrame(
-        [(int(r["vec_id"]), int(r["k"])) for r in beam[:k]], "vec_id long, k long"
-    )
+        frontier = (
+            # broadcast the ≤ _BEAM-row beam against the edge list: both
+            # sides are checkpoint-backed (no size stats), so unhinted the
+            # planner falls back to a shuffle join of the whole edge
+            # relation per hop (guide §3.1)
+            F.broadcast(beam.select("vec_id"))
+            .join(graph, beam["vec_id"] == graph["src"])
+            .select(F.col("dst").alias("vec_id"))
+            .union(beam.select("vec_id"))
+            .distinct()
+        )
+        beam = rank(frontier)
+    lab = emb.select("vec_id", "label")
     return (
-        F.broadcast(top)
+        beam.orderBy("k")
+        .limit(k)
         .join(lab, "vec_id")
         .select(
             "vec_id",
